@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Each key in [[queries]] is one implemented operator from SURVEY.md §2;
+  * [[oracleSql]] carries the DuckDB ANSI-SQL twin (omitted for
+  * non-SQL-expressible ops, where the driver falls back to a rows-only
+  * check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (CoreQueries.q1Agg _)
+  )
+
+  /** DuckDB twins, keyed identically to [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> CoreQueries.q1AggSql
+  )
 }
