@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, JoinQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -17,12 +17,10 @@ object SparkEntry {
     CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (CoreQueries.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> CoreQueries.q1AggSql
-  )
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles
 }

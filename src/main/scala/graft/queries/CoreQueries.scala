@@ -1,24 +1,28 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Core relational operator queries (SURVEY.md §2.1–§2.8) over the
-  * harness tables, each paired with a DuckDB oracle twin in
-  * [[graft.SparkEntry.oracleSql]].
+/** Core relational operator queries (SURVEY.md §2.1–§2.3, §2.5, §2.7,
+  * §2.8, §2.11) over the harness tables, each paired with a DuckDB
+  * oracle twin.
   *
   * Conventions (FIXTURES.md §B): every query ends in a total `orderBy`
-  * over its key columns so the driver's hash compare is order-stable;
+  * over a unique key so the driver's hash compare is order-stable;
   * every computed column is aliased identically in the Spark expression
   * and the oracle SQL.
+  *
+  * Scale notes are given per query: these run on sf0.01 for the
+  * correctness gate but are shaped for a 1000-executor cluster — single
+  * shuffle on group keys, partial aggregation, filter/projection pushed
+  * into the parquet scan.
   */
 object CoreQueries {
 
-  /** TPC-H Q1-shaped pricing summary: grouped multi-aggregate over the
-    * largest table. Partial (map-side) aggregation + one shuffle on a
-    * low-cardinality key — the canonical scale-out agg shape.
-    * Ref: ipynb c13:23-27 (global multi-agg, SURVEY §2.5 A1). */
+  // ---------------------------------------------------------------- §2.5 A1
+  /** TPC-H Q1-shaped pricing summary (ref ipynb c13:23-27, SURVEY §2.5 A1).
+    * Partial (map-side) agg + one shuffle on a 6-value key: fully scalable. */
   def q1Agg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -42,4 +46,239 @@ object CoreQueries {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- §2.1 S1 + §2.3
+  /** Projection + range filter scan (ref ipynb c5:1 + §2.3 predicates).
+    * Both the filter and the 4-column projection reach the parquet
+    * reader (PushedFilters / ReadSchema) — verified in PlanSpec. */
+  def qScanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .filter(col("l_discount") > lit(0.05) && col("l_extendedprice") < lit(20000.0))
+      // (l_orderkey, l_linenumber) is NOT unique in the harness data —
+      // order by every output column for a hash-stable result.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+
+  val qScanFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_discount > 0.05 AND l_extendedprice < 20000.0
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin
+
+  // ---------------------------------------------------------------- §2.2 P2/P6/P7/P8 + §2.9 X1
+  /** Sentinel-nulling projection (ref ipynb c7:10-11: `when(col==sentinel,
+    * null)`), plus cast (P6), lit (P7), month extraction (X1) and
+    * constant fill (A9 `na.fill` as coalesce). Narrow, no shuffle. */
+  def qProjectClean(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("value_clean",
+        when(col("event_type") === lit("error"), lit(null)).otherwise(col("value")))
+      .withColumn("value_filled", coalesce(col("value_clean"), lit(0.0)))
+      .withColumn("user_str", col("user_id").cast("string"))
+      .withColumn("mo", month(col("ts")))
+      .select(col("event_id"), col("event_type"), col("value_clean"),
+        col("value_filled"), col("user_str"), col("mo"))
+      .orderBy(col("event_id"))
+
+  val qProjectCleanSql: String =
+    """SELECT event_id, event_type,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_clean,
+      |  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0) AS value_filled,
+      |  CAST(user_id AS VARCHAR) AS user_str,
+      |  month(ts) AS mo
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.3 F1 + §4.3.1
+  /** Single-pass per-column missing count: replaces the reference's
+    * 32-job `filter(isNull).count()` loop (ipynb c8:2) with ONE
+    * aggregate job (SURVEY §4.3.1) — the fix that collapses the
+    * reference's 20-minute profiling segment. */
+  def qNullProbe(s: SparkSession, d: String): DataFrame = {
+    val cleaned = Tables.events(s, d)
+      .withColumn("value_clean",
+        when(col("event_type") === lit("error"), lit(null)).otherwise(col("value")))
+    cleaned.agg(
+      sum(when(col("value_clean").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      sum(when(col("value_clean").isNotNull, 1L).otherwise(0L)).as("n_notnull_value"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val qNullProbeSql: String =
+    """SELECT
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_null_value,
+      |  sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS n_notnull_value,
+      |  count(*) AS n_rows
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- §2.5 A1/A6
+  /** Column-profile statistics: mean / sample stddev / exact distinct
+    * (ref ipynb c13:23-27, c14:21). At 100 TB `countDistinct` becomes
+    * `approx_count_distinct` (HLL) — kept exact here for oracle parity;
+    * the approx variant is benchmarked separately in Bench. */
+  def qStatsSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      avg(col("l_quantity")).as("mean_qty"),
+      stddev(col("l_quantity")).as("sd_qty"),
+      countDistinct(col("l_quantity")).as("nd_qty"),
+      avg(col("l_extendedprice")).as("mean_price"),
+      stddev(col("l_extendedprice")).as("sd_price"),
+      countDistinct(col("l_partkey")).as("nd_part"),
+      countDistinct(col("l_returnflag")).as("nd_flag"))
+
+  val qStatsSummarySql: String =
+    """SELECT
+      |  avg(l_quantity) AS mean_qty,
+      |  stddev_samp(l_quantity) AS sd_qty,
+      |  count(DISTINCT l_quantity) AS nd_qty,
+      |  avg(l_extendedprice) AS mean_price,
+      |  stddev_samp(l_extendedprice) AS sd_price,
+      |  count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_returnflag) AS nd_flag
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- §2.5 A2/A3
+  /** Exact global + grouped median (ref ipynb c16:14,17 — Spark 4
+    * built-in `median`, no custom UDAF; SURVEY §7.3). Grouped by a
+    * computed key (month of shipdate) like ipynb c16:135. */
+  def qMedian(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("mo"))
+      .agg(
+        median(col("l_quantity")).as("med_qty"),
+        median(col("l_extendedprice")).as("med_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("mo"))
+
+  val qMedianSql: String =
+    """SELECT l_returnflag, month(l_shipdate) AS mo,
+      |  median(l_quantity) AS med_qty,
+      |  median(l_extendedprice) AS med_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, month(l_shipdate)
+      |ORDER BY l_returnflag, mo""".stripMargin
+
+  // ---------------------------------------------------------------- §2.5 A5 + §2.7 O1
+  /** Mode via group-count + sort + limit 1 (ref ipynb c13:33), with a
+    * deterministic tie-break on the value itself. Catalyst compiles the
+    * sort+limit to TakeOrderedAndProject — no global sort at scale. */
+  def qMode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+      .limit(1)
+
+  val qModeSql: String =
+    """SELECT event_type, count(*) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY cnt DESC, event_type ASC
+      |LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------------- §2.7 O1
+  /** Top-k by sort key (TakeOrderedAndProject): top 10 orders by price.
+    * At scale this is per-partition top-k + driver merge, never a full
+    * sort. */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- §2.8
+  /** Set operations (union-distinct / intersect / except), absent from
+    * the reference but part of the engine surface (SURVEY §2.8).
+    * Value thresholds keep the user sets partially overlapping so each
+    * operator's result is discriminating (every user has every event
+    * type, so unfiltered sets would be identical). */
+  private def usersOf(s: SparkSession, d: String, et: String, minValue: Double): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === lit(et) && col("value") > lit(minValue))
+      .select(col("user_id"))
+
+  def qUnion(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "purchase", 300.0).union(usersOf(s, d, "error", 310.0))
+      .distinct().orderBy(col("user_id"))
+
+  val qUnionSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 310.0
+      |ORDER BY user_id""".stripMargin
+
+  def qIntersect(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "purchase", 300.0).intersect(usersOf(s, d, "error", 310.0))
+      .orderBy(col("user_id"))
+
+  val qIntersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 310.0
+      |ORDER BY user_id""".stripMargin
+
+  def qExcept(s: SparkSession, d: String): DataFrame =
+    usersOf(s, d, "purchase", 300.0).except(usersOf(s, d, "error", 310.0))
+      .orderBy(col("user_id"))
+
+  val qExceptSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 310.0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.11
+  /** Tumbling 10-minute event-time aggregation over `events` — batch
+    * shape of the Structured Streaming query (same `window()` function
+    * drives the streaming variant in graft.streaming). Epoch-aligned
+    * buckets match DuckDB's time_bucket. */
+  def qEventsTimeWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val qEventsTimeWindowSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(*) AS n, sum(value) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  /** Registry fragment for this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_scan_filter" -> (qScanFilter _),
+    "q_project_clean" -> (qProjectClean _),
+    "q_null_probe" -> (qNullProbe _),
+    "q_stats_summary" -> (qStatsSummary _),
+    "q_median" -> (qMedian _),
+    "q_mode" -> (qMode _),
+    "q_topk" -> (qTopK _),
+    "q_union" -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_events_time_window" -> (qEventsTimeWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_scan_filter" -> qScanFilterSql,
+    "q_project_clean" -> qProjectCleanSql,
+    "q_null_probe" -> qNullProbeSql,
+    "q_stats_summary" -> qStatsSummarySql,
+    "q_median" -> qMedianSql,
+    "q_mode" -> qModeSql,
+    "q_topk" -> qTopKSql,
+    "q_union" -> qUnionSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql,
+    "q_events_time_window" -> qEventsTimeWindowSql)
 }

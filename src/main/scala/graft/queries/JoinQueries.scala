@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators (SURVEY.md §2.4) over the harness tables.
+  *
+  * Scale strategy: dimension tables (region/nation/customer/supplier/
+  * part) are broadcast — at 100 TB lineitem is the only fact table that
+  * shuffles, and only when joining orders (fact⋈fact, shuffled hash /
+  * sort-merge on the join key with AQE free to re-plan). Derived
+  * aggregate build sides (per-group medians) are tiny by construction
+  * (bounded by group cardinality, not data volume) and broadcast too.
+  */
+object JoinQueries {
+
+  // ---------------------------------------------------------------- §2.4 J1
+  /** The reference's one join, re-expressed Spark-first (ipynb c16:138):
+    * left-outer equi-join of the fact table against a derived
+    * per-(key, month) median table with a computed second key, then
+    * `when(isNull, median)` fill and qualified-duplicate drop.
+    *
+    * The build side is an aggregate of the probe side — at any scale its
+    * cardinality is |suppliers|×12, so it is explicitly broadcast:
+    * no shuffle on the ~100 TB probe side at all. Both sides are aliased
+    * (SURVEY §7.4.4) to dodge Spark 4's self-join ambiguity trap. */
+  def qJoinMedianFill(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).alias("li")
+    val med = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("m_suppkey"), month(col("l_shipdate")).as("m_mo"))
+      .agg(median(col("l_extendedprice")).as("med_price"))
+      .alias("med")
+    li.join(broadcast(med),
+        col("li.l_suppkey") === col("m_suppkey") &&
+          month(col("li.l_shipdate")) === col("m_mo"),
+        "left_outer")
+      .select(col("li.l_orderkey").as("l_orderkey"),
+        col("li.l_linenumber").as("l_linenumber"),
+        col("li.l_suppkey").as("l_suppkey"),
+        col("m_mo").as("mo"),
+        col("med_price"),
+        when(col("li.l_discount") > lit(0.05), col("med_price"))
+          .otherwise(col("li.l_extendedprice")).as("price_capped"))
+      // (l_orderkey, l_linenumber) is not unique — total-order on all
+      // output columns for hash stability.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("price_capped"))
+  }
+
+  val qJoinMedianFillSql: String =
+    """SELECT li.l_orderkey, li.l_linenumber, li.l_suppkey,
+      |  med.m_mo AS mo, med.med_price,
+      |  CASE WHEN li.l_discount > 0.05 THEN med.med_price
+      |       ELSE li.l_extendedprice END AS price_capped
+      |FROM lineitem li
+      |LEFT OUTER JOIN (
+      |  SELECT l_suppkey AS m_suppkey, month(l_shipdate) AS m_mo,
+      |         median(l_extendedprice) AS med_price
+      |  FROM lineitem GROUP BY 1, 2
+      |) med
+      |ON li.l_suppkey = med.m_suppkey AND month(li.l_shipdate) = med.m_mo
+      |ORDER BY li.l_orderkey, li.l_linenumber, li.l_suppkey, price_capped""".stripMargin
+
+  // ---------------------------------------------------------------- multi-join
+  /** TPC-H Q5-shaped star join: revenue per nation. Dimension chain
+    * (customer→nation→region) broadcasts; lineitem⋈orders is the only
+    * shuffle (both sides partitioned on the order key). */
+  def qJoinRevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val qJoinRevenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- semi/anti
+  /** Left-semi join (EXISTS): orders having at least one deeply
+    * discounted line item. */
+  def qJoinSemi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val disc = Tables.lineitem(s, d)
+      .filter(col("l_discount") >= lit(0.08))
+      .select(col("l_orderkey"))
+    o.join(disc, o("o_orderkey") === disc("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qJoinSemiSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order.
+    * (Every customer has some order in the harness data, so the anti
+    * side is filtered to keep the result non-degenerate.) */
+  def qJoinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qJoinAntiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_median_fill" -> (qJoinMedianFill _),
+    "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_median_fill" -> qJoinMedianFillSql,
+    "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
+    "q_join_semi" -> qJoinSemiSql,
+    "q_join_anti" -> qJoinAntiSql)
+}

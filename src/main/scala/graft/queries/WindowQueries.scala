@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2.6) over the harness tables.
+  *
+  * Scale: window partitions are per-user / per-supplier — one shuffle on
+  * the partition key, then a per-partition sort; no global ordering is
+  * ever required. Skewed partition keys would be the bottleneck at
+  * 100 TB; the partition counts here (users, suppliers) are uniform by
+  * construction, and AQE handles residual skew.
+  */
+object WindowQueries {
+
+  // ---------------------------------------------------------------- §2.6 W1
+  /** `lead` next-row label (ref ipynb c24:2-8: lead over
+    * partitionBy(stn).orderBy(date)). Next ROW, not next timestamp —
+    * gaps become multi-step leads, exactly like the reference
+    * (SURVEY §7.4.1). Ordering is made total with the unique event_id
+    * tie-break so results are deterministic under hashing. */
+  def qWindowLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("next_value"), col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowLeadSql: String =
+    """SELECT event_id, user_id, value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  lead(event_type, 1) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6 W2
+  /** Sliding ±k ROWS frame average (ref ipynb c16:80-87: the proximity
+    * imputer's `avg over rowsBetween(-k, k)`). ROWS, not RANGE — the
+    * frame is neighbors-by-position, matching the reference's
+    * "days"-named-but-rows-implemented semantics (SURVEY §7.4.1). */
+  def qWindowRowsAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, 7)
+    Tables.events(s, d)
+      .withColumn("smoothed", avg(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"), col("smoothed"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowRowsAvgSql: String =
+    """SELECT event_id, user_id, value,
+      |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS smoothed
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- ranking + running
+  /** Ranking + running total per partition — row_number/rank/dense_rank
+    * and a cumulative sum (engine surface beyond the reference's two
+    * window ops; same shuffle profile). */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber, l_suppkey, l_partkey) is the unique key
+    // of the harness lineitem — l_partkey in the window sort makes the
+    // per-partition order total, so rn/running_qty are deterministic.
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") <= lit(5))
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, running_qty
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    row_number() OVER w AS rn,
+      |    sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+      |) t
+      |WHERE rn <= 5
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_lead" -> (qWindowLead _),
+    "q_window_rows_avg" -> (qWindowRowsAvg _),
+    "q_window_rank" -> (qWindowRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_lead" -> qWindowLeadSql,
+    "q_window_rows_avg" -> qWindowRowsAvgSql,
+    "q_window_rank" -> qWindowRankSql)
+}
