@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.gsod.Train
+
+/** ML-pipeline operators (SURVEY.md §2.10) exercised over the harness
+  * tables. Not SQL-expressible → no oracle entries; the driver records
+  * rows-only checks (SparkEntry.scala contract).
+  */
+object MlQueries {
+
+  /** M3+M4 feature shape: assemble + scale lineitem numerics, return
+    * the scaled vector unpacked to columns (deterministic, orderable). */
+  def qMlScaledFeatures(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("numerical_features")
+      .transform(li)
+    val scaler = new StandardScaler()
+      .setInputCol("numerical_features").setOutputCol("scaled")
+      .setWithMean(false).setWithStd(true)
+    val scaled = scaler.fit(assembled).transform(assembled)
+    import org.apache.spark.ml.functions.vector_to_array
+    scaled
+      .withColumn("sv", vector_to_array(col("scaled")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
+        col("sv").getItem(0).as("s_quantity"),
+        col("sv").getItem(1).as("s_discount"),
+        col("sv").getItem(2).as("s_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+  }
+
+  /** M6–M12 smoke: seeded split, GBT regression of extendedprice from
+    * quantity/discount/tax, metrics as a single row. Exercises the full
+    * train→predict→evaluate path under the driver's rows-check. */
+  def qMlGbtRegression(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice").as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features")
+      .transform(li)
+    val (train, test) = Train.split(assembled)
+    val model = new org.apache.spark.ml.regression.GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(5).setSeed(42L)
+      .fit(train)
+    val m = Train.evaluateRegression(model.transform(test), "label")
+    import s.implicits._
+    Seq((m.rmse, m.mse, m.mae, m.r2)).toDF("rmse", "mse", "mae", "r2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_scaled_features" -> (qMlScaledFeatures _),
+    "q_ml_gbt_regression" -> (qMlGbtRegression _))
+
+  /** Scale-only standardization IS SQL-expressible (Spark's
+    * StandardScaler divides by the SAMPLE stddev), so the feature query
+    * gets an oracle; the GBT query stays rows-only. */
+  val oracles: Map[String, String] = Map(
+    "q_ml_scaled_features" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |  l_quantity / stddev_samp(l_quantity) OVER () AS s_quantity,
+        |  l_discount / stddev_samp(l_discount) OVER () AS s_discount,
+        |  l_tax / stddev_samp(l_tax) OVER () AS s_tax
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey""".stripMargin)
+}
