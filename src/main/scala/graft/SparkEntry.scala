@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, ImputeQueries, JoinQueries, MlQueries, WindowQueries}
+import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -19,10 +19,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
-      ImputeQueries.queries ++ MlQueries.queries
+      ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
-      ImputeQueries.oracles ++ MlQueries.oracles
+      ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles
 }

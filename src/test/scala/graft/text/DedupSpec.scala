@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+class DedupSpec extends SparkSpec {
+
+  import DedupQueries.IdOffset
+
+  test("shingles: k-grams with short-document guard") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq("a b")) // shorter than k -> whole text
+  }
+
+  test("exact dedup: every planted copy collapses to its original keeper") {
+    val out = DedupQueries.qDedupExact(spark, sf001).collect()
+    assert(out.length == 500) // one group per distinct text
+    assert(out.forall(_.getAs[Long]("n_copies") == 2))
+    assert(out.forall(_.getAs[Long]("keeper") < IdOffset)) // original wins
+  }
+
+  test("simhash: fingerprints of near-identical docs are close, random pairs far") {
+    val corpus = DedupQueries.corpusNear(spark, sf001)
+    val fp = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // dropping one token from a short doc flips a handful of bits —
+    // near-dups land within ~7 bits, far from the ~32 of random pairs
+    val plantedDist = (0L until 100L).map(i => hamming(fp(i), fp(i + IdOffset)))
+    assert(plantedDist.count(_ <= 7) >= 90, s"planted pairs too far: $plantedDist")
+    // random non-pairs should be much farther on average
+    val randomDist = (0L until 99L).map(i => hamming(fp(i), fp(i + 1)))
+    assert(randomDist.sum.toDouble / randomDist.size > plantedDist.sum.toDouble / plantedDist.size)
+  }
+
+  test("simhash pairs: recall >= 0.9 on planted near-dups") {
+    val pairs = DedupQueries.qDedupSimhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 500L).count(i => pairs.contains((i, i + IdOffset)))
+    assert(hits >= 450, s"recall ${hits / 500.0}")
+  }
+
+  test("ngram jaccard pairs: high recall and planted pairs score near 1") {
+    val out = DedupQueries.qDedupNgram(spark, sf001).collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hits = (0L until 500L).flatMap(i => byPair.get((i, i + IdOffset)))
+    assert(hits.size >= 450, s"recall ${hits.size / 500.0}")
+    assert(hits.forall(_ >= 0.8))
+  }
+
+  test("minhash LSH pairs: recall >= 0.9 on planted near-dups, deterministic") {
+    val a = DedupQueries.qDedupMinhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 500L).count(i => a.contains((i, i + IdOffset)))
+    assert(hits >= 450, s"recall ${hits / 500.0}")
+    val b = DedupQueries.qDedupMinhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b) // seeded LSH is reproducible
+  }
+}
