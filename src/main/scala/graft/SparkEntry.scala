@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, WindowQueries}
+import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, SimilarityQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
-      ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries
+      ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
-      ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles
+      ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

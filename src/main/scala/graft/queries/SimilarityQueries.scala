@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Similarity
+
+/** Similarity-search operators over the harness `embeddings` table
+  * (vec_id, embedding: Array[Float], label).
+  */
+object SimilarityQueries {
+
+  val NumQueries = 10
+  val TopK = 5
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < NumQueries)
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors. */
+  def qSimBruteForce(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK)
+      .orderBy(col("query_id"), col("rank"))
+
+  val qSimBruteForceSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF (k-means inverted file) approximate top-5 — rows-only check;
+    * recall vs brute force asserted in SimilaritySpec. The harness
+    * embeddings are uniform random (no cluster structure — IVF's worst
+    * case), so half the cells are probed; on real corpora with cluster
+    * structure nProbe/nCells would be far smaller. */
+  def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    val (indexed, centroids) = Similarity.ivfIndex(corpus(s, d), nCells = 16)
+    Similarity.ivfTopK(indexed, centroids, queriesDf(s, d), TopK, nProbe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs on corpus ∪ scaled copy (scaled
+    * vectors are exact cosine-1 duplicates) — rows-only check. */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d)
+    val doubled = base.select((col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    Similarity.embeddingNearDupPairs(base.union(doubled), minCosine = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_bruteforce_topk" -> (qSimBruteForce _),
+    "q_sim_ivf_topk" -> (qSimIvf _),
+    "q_dedup_embedding" -> (qDedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_bruteforce_topk" -> qSimBruteForceSql)
+}

@@ -1,0 +1,138 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, plus two
+  * sub-linear scale paths — random-projection LSH bucketing and an
+  * IVF (inverted-file) coarse quantizer.
+  *
+  * Scale design:
+  *  - embeddings are L2-normalized ONCE up front; cosine then reduces
+  *    to a dot product (`zip_with` + `aggregate`, codegen'd — no UDF);
+  *  - brute force is the correctness baseline: O(|queries|·N·d)
+  *    comparisons via broadcast of the query set — exact, and still the
+  *    right tool when |queries| is small;
+  *  - IVF: k-means centroids (tiny, broadcast); each corpus vector is
+  *    assigned to its nearest centroid at index time; a query probes
+  *    only the `nProbe` nearest cells → candidate set shrinks by
+  *    ~k/nProbe; per-cell partitioning keeps the search shuffle-local;
+  *  - LSH: mllib BucketedRandomProjectionLSH on normalized vectors
+  *    (euclidean distance on the unit sphere is monotone in cosine:
+  *    d² = 2(1−cos)).
+  */
+object Similarity {
+
+  /** Cast a float array column to double. */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** L2-normalize a double-array column (zero vectors pass through). */
+  def l2Normalize(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    when(n > 0, transform(c, x => x / n)).otherwise(c)
+  }
+
+  /** Dot product of two equal-length double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two raw (unnormalized) arrays. */
+  def cosine(a: Column, b: Column): Column = dot(l2Normalize(a), l2Normalize(b))
+
+  /** Corpus with a pre-normalized embedding column `norm`. */
+  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("norm", l2Normalize(asDouble(col(embCol))))
+
+  /** Exact top-k cosine neighbors for each query vector (self-matches
+    * excluded). `queries` is expected to be small — it is broadcast, so
+    * the corpus is scanned once with no shuffle until the final
+    * per-query top-k (TakeOrdered within window partitions). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = withNormalized(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("norm").as("c_norm"))
+    val q = withNormalized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF index: corpus vectors assigned to their nearest of `nCells`
+    * k-means centroids. Returns (corpus with `cell`, centroid table).
+    * Seeded → deterministic. */
+  def ivfIndex(corpus: DataFrame, nCells: Int, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val normed = withNormalized(corpus, embCol)
+      .withColumn("features", array_to_vector(col("norm")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(normed)
+    val indexed = model.transform(normed).drop("features")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (indexed, centroids.toSeq.toDF("cell", "centroid"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, brute
+    * force inside. Candidate volume ≈ N·nProbe/nCells. */
+  def ivfTopK(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = withNormalized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    // nearest nProbe cells per query (centroid table is tiny → broadcast)
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", dot(col("q_norm"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_norm"), col("cell"))
+    val scored = indexed
+      .select(col(idCol).as("neighbor_id"), col("norm").as("c_norm"), col("cell"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("q_norm"), col("c_norm")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH near-neighbor pairs over normalized vectors: euclidean
+    * threshold d = sqrt(2(1−minCosine)). Seeded → deterministic. */
+  def lshNeighbors(corpus: DataFrame, minCosine: Double,
+      numHashTables: Int = 4, bucketLength: Double = 0.5,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val normed = withNormalized(corpus, embCol)
+      .select(col(idCol), array_to_vector(col("norm")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setBucketLength(bucketLength)
+      .setSeed(42L)
+    val model = lsh.fit(normed)
+    val thr = math.sqrt(2.0 * (1.0 - minCosine))
+    model.approxSimilarityJoin(normed, normed, thr, "dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact verify via brute
+    * pairing inside LSH candidates). */
+  def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double = 0.95,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    lshNeighbors(corpus, minCosine, numHashTables = 4, idCol = idCol, embCol = embCol)
+      .filter(col("cos") >= minCosine)
+}

@@ -1,0 +1,52 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cosine primitives: known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("cos"),
+      col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("brute force top-k: ranks are dense, cosines non-increasing, no self-match") {
+    val out = SimilarityQueries.qSimBruteForce(spark, sf001).collect()
+    assert(out.length == SimilarityQueries.NumQueries * SimilarityQueries.TopK)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to SimilarityQueries.TopK))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, s"query $qid not sorted")
+      assert(rows.forall(_.getLong(2) != qid))
+    }
+  }
+
+  test("IVF top-k recall@5 >= 0.6 vs brute force (nProbe=8 of 16 cells)") {
+    val exact = SimilarityQueries.qSimBruteForce(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityQueries.qSimIvf(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("embedding near-dup: scaled copies found as exact cosine-1 pairs") {
+    val pairs = SimilarityQueries.qDedupEmbedding(spark, sf001).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val planted = (0L until 500L).flatMap(i => byPair.get((i, i + DedupQueries.IdOffset)))
+    assert(planted.size >= 450, s"recall ${planted.size / 500.0}")
+    planted.foreach(c => assert(c > 0.999999))
+  }
+}
