@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, SimilarityQueries, WindowQueries}
+import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, SimilarityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++ TextQueries.oracles
 }

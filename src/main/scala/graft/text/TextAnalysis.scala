@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting. All pure `functions._` expressions — codegen'd,
+  * no UDFs, no shuffles (every operator is a narrow per-row map;
+  * the only wide ops are whatever aggregation the caller adds).
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword-hit language heuristic.
+    * Deliberately tiny: language ID at corpus scale only needs enough
+    * signal to route documents; order below is the deterministic
+    * tie-break order. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "en" -> Seq("the", "a", "and", "is", "not", "of", "to", "in", "it", "that"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "no", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "que", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和", "他", "这"))
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Per-language stopword-hit score: |distinct tokens ∩ profile|. */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(profile.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of profile scores, ties broken by
+    * profile order, zero hits everywhere → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, prof) => lang -> langScore(text, prof) }
+    val best = greatest(scores.map(_._2): _*)
+    // nested when-chain in profile order: the first language reaching
+    // the max score wins ties
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count (empty/blank text counts 0). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword unit count: letter runs, digit runs, and single
+    * non-space punctuation — the shape of a GPT-2-style pre-tokenizer.
+    * An upper bound on (and strongly correlated with) real BPE token
+    * counts without shipping a merges table. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0)))
+
+  /** Quality-signal columns (length, token stats, character-class
+    * ratios, stopword ratio) + a [0,1] composite score. The score
+    * formula is a heuristic: full marks for mid-length docs with
+    * word-like tokens and some stopwords; degenerate docs (one char,
+    * all punctuation, no stopwords) score near 0. */
+  def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val allStop = langProfiles.flatMap(_._2).distinct
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", wsTokenCount(t))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, nChars.cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(nChars > 0, length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChars > 0,
+          length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(toks, tk => tk.isin(allStop.map(x => x: Any): _*))).cast("double")
+            / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) * least(col("n_tokens").cast("double") / 20.0, lit(1.0))
+            + lit(0.25) * col("alpha_ratio")
+            + lit(0.25) * (lit(1.0) - col("punct_ratio"))
+            + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)))))
+  }
+
+  /** Modulus for the rolling fingerprint: just under 2^57, so
+    * `acc*31 + (h mod M)` stays below 2^63 — no overflow under ANSI
+    * mode (Spark 4 default) without try_* null-swallowing. */
+  private val FpMod = 144115188075855859L
+
+  /** Order-sensitive ~57-bit document fingerprint: polynomial rolling
+    * hash over token xxhash64s, `acc = (acc*31 + h) mod M`. Same token
+    * sequence ⇒ same fingerprint; any reorder/edit ⇒ different (w.h.p).
+    * One expression, no shuffle — contrast with content sha for exact
+    * dedup, which hashes raw bytes: this normalizes whitespace. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(FpMod)), lit(FpMod)))
+}

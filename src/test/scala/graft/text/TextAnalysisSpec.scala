@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.TextQueries
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      ("the cat is on the mat and it is not a dog", "en"),
+      ("der hund ist nicht auf der matte und das ist gut", "de"),
+      ("el gato es un animal y no es un perro", "es"),
+      ("le chat est dans la maison et il est une bête", "fr"),
+      ("的 是 不 了 在 我", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts: whitespace vs BPE-ish on punctuation-heavy text") {
+    val df = Seq(
+      ("hello world", 2, 2),
+      ("hello, world!", 2, 4),       // "hello" "," "world" "!"
+      ("", 0, 0),
+      ("   ", 0, 0),
+      ("a1b2", 1, 4),                // letter/digit runs split
+      ("don't stop", 2, 4)           // "don" "'" "t" "stop"
+    ).toDF("text", "ws", "bpe")
+    df.select(TextAnalysis.wsTokenCount(col("text")).as("g_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("g_bpe"),
+        col("ws"), col("bpe"))
+      .collect().foreach { r =>
+        assert(r.getInt(0) == r.getInt(2), s"ws: $r")
+        assert(r.getInt(1) == r.getInt(3), s"bpe: $r")
+      }
+  }
+
+  test("quality score: clean prose scores high, degenerate text low") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and it is a fine day in the park today ok", "good"),
+      ("!!! ??? ### $$$ %%%", "bad"),
+      ("x", "bad")
+    ).toDF("text", "kind")
+    val scored = TextAnalysis.withQualitySignals(df).select(col("kind"), col("quality_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val good = scored.filter(_._1 == "good").map(_._2).head
+    scored.filter(_._1 == "bad").foreach { case (_, s) =>
+      assert(good > s + 0.3, s"good=$good bad=$s")
+    }
+  }
+
+  test("fingerprint: whitespace-insensitive, order-sensitive") {
+    val df = Seq(
+      ("a b c", "A"), ("a  b   c", "A2"), ("c b a", "B"), ("a b d", "C")
+    ).toDF("text", "tag")
+    val fp = df.select(col("tag"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("A") == fp("A2"))   // extra whitespace normalized
+    assert(fp("A") != fp("B"))    // order matters
+    assert(fp("A") != fp("C"))    // content matters
+  }
+
+  test("harness corpus: docs classify en or und (english-vocab synthetic texts)") {
+    val out = TextQueries.qTextLangId(spark, sf001).collect()
+    assert(out.length == 500)
+    val counts = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(counts.keySet.subsetOf(Set("en", "und")), s"got $counts")
+    // the vocab contains 'the' and 'a', so most docs hit the en profile
+    assert(counts.getOrElse("en", 0) > 400, s"got $counts")
+  }
+
+  test("quality signals on harness corpus are in range") {
+    val rows = TextQueries.qTextQuality(spark, sf001).collect()
+    rows.foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getAs[Double]("alpha_ratio") > 0.5) // plain word corpus
+      assert(r.getAs[Double]("punct_ratio") == 0.0)
+    }
+  }
+}
