@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, SimilarityQueries, TextQueries, WindowQueries}
+import graft.queries.{CoreQueries, DedupQueries, ImputeQueries, JoinQueries, MlQueries, MultimodalQueries, SimilarityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,160 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns + typed metadata, with
+  * decode / feature-extraction / resize / frame-sampling operators.
+  *
+  * The container has no real image/audio codecs (SURVEY north star:
+  * stub the decode, make the Spark side real), so decode targets a
+  * deterministic toy container format "GRF1":
+  *
+  *   bytes 0–3   magic "GRF1"
+  *   bytes 4–7   width  (big-endian int)
+  *   bytes 8–11  height (big-endian int)
+  *   bytes 12–15 channels
+  *   bytes 16–   payload (width*height*channels bytes, row-major)
+  *
+  * Swapping in a real codec (JPEG via javax.imageio, audio via a
+  * PCM reader) changes ONLY [[MediaCodec.decode]] — schema, batch
+  * shape, partitioning and operator signatures stay as tested here.
+  *
+  * Execution model: binary decode is genuine per-partition imperative
+  * work — the documented last-resort case for `mapPartitions`
+  * (SURVEY §7; the JVM analogue of the reference ecosystem's
+  * `mapInPandas` batches). Each partition's rows stream through the
+  * decoder one batch at a time; nothing is collected to the driver.
+  * Partitioning: repartition on `media_id` upstream if decode cost is
+  * skewed by media size.
+  */
+object Multimodal {
+
+  val Magic: Array[Byte] = "GRF1".getBytes("US-ASCII")
+
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  final case class DecodedMeta(media_id: Long, kind: String, width: Int,
+      height: Int, channels: Int, payload_len: Int, valid: Boolean)
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** The stubbed codec. Real-codec swap point. */
+  object MediaCodec {
+    def encode(width: Int, height: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length == width * height * channels)
+      val buf = ByteBuffer.allocate(16 + payload.length)
+      buf.put(Magic).putInt(width).putInt(height).putInt(channels).put(payload)
+      buf.array()
+    }
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 16) return None
+      if (!bytes.take(4).sameElements(Magic)) return None
+      val buf = ByteBuffer.wrap(bytes, 4, 12)
+      val (w, h, c) = (buf.getInt, buf.getInt, buf.getInt)
+      if (w <= 0 || h <= 0 || c <= 0 || bytes.length != 16 + w * h * c) None
+      else Some((w, h, c, bytes.drop(16)))
+    }
+  }
+
+  /** Deterministic synthetic media table derived from any (id, seed
+    * string) pairs — stands in for a real media lake. */
+  def syntheticMedia(df: DataFrame, idCol: String, seedCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(seedCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, seed) =>
+        val rnd = new scala.util.Random(id * 2654435761L + seed.hashCode)
+        val kind = Seq("image", "audio", "video")(math.floorMod(id, 3).toInt)
+        val (w, h, c) = kind match {
+          case "image" => (8 + rnd.nextInt(8), 8 + rnd.nextInt(8), 3)
+          case "audio" => (64 + rnd.nextInt(64), 1, 1)      // samples × 1
+          case _       => (8, 8, 3 * (2 + rnd.nextInt(3)))  // 8×8, n frames × 3
+        }
+        val payload = new Array[Byte](w * h * c)
+        rnd.nextBytes(payload)
+        MediaRow(id, kind, MediaCodec.encode(w, h, c, payload))
+      }
+  }
+
+  /** Decode → typed metadata. Corrupt/truncated media yields
+    * `valid = false` rows rather than task failures (at 100 TB some
+    * inputs are always corrupt; a poison row must not kill the job). */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaCodec.decode(m.bytes) match {
+        case Some((w, h, c, p)) => DecodedMeta(m.media_id, m.kind, w, h, c, p.length, valid = true)
+        case None => DecodedMeta(m.media_id, m.kind, 0, 0, 0, 0, valid = false)
+      }
+    })
+  }
+
+  /** Feature extraction: payload → fixed-width Float vector.
+    * Stub featurizer = per-bucket byte histograms (deterministic);
+    * a real model would run here with the same signature and batch
+    * shape (iterator-of-rows per partition). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      MediaCodec.decode(m.bytes).map { case (_, _, _, payload) =>
+        val hist = new Array[Float](dim)
+        payload.foreach { b => hist(math.floorMod(b.toInt, dim)) += 1f }
+        val n = math.max(1, payload.length)
+        MediaFeatures(m.media_id, hist.map(_ / n))
+      }
+    })
+  }
+
+  /** Resize an image to fit within maxDim (payload re-sampled by
+    * nearest-neighbor on the toy format). Non-images pass through. */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else MediaCodec.decode(m.bytes) match {
+        case Some((w, h, c, p)) if math.max(w, h) > maxDim =>
+          val scale = maxDim.toDouble / math.max(w, h)
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val out = new Array[Byte](nw * nh * c)
+          for (y <- 0 until nh; x <- 0 until nw; ch <- 0 until c) {
+            val sx = math.min(w - 1, (x / scale).toInt)
+            val sy = math.min(h - 1, (y / scale).toInt)
+            out((y * nw + x) * c + ch) = p((sy * w + sx) * c + ch)
+          }
+          m.copy(bytes = MediaCodec.encode(nw, nh, c, out))
+        case _ => m
+      }
+    })
+  }
+
+  /** Frame sampling for video media: every `everyN`-th frame becomes
+    * its own row (media_id, frame_idx, frame bytes as an 8×8×3 GRF1
+    * image). The row explosion happens partition-locally. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind != "video") Iterator.empty
+      else MediaCodec.decode(m.bytes) match {
+        case Some((w, h, c, p)) if c % 3 == 0 =>
+          val nFrames = c / 3
+          val frameLen = w * h * 3
+          (0 until nFrames by everyN).iterator.map { f =>
+            val frame = new Array[Byte](frameLen)
+            for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+              frame((y * w + x) * 3 + ch) = p((y * w + x) * c + f * 3 + ch)
+            }
+            Frame(m.media_id, f, MediaCodec.encode(w, h, 3, frame))
+          }
+        case _ => Iterator.empty
+      }
+    })
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.11). The reference is batch-only; these are the engine-surface
+  * streaming counterparts: the SAME `window()` aggregation function
+  * serves [[graft.queries.CoreQueries.qEventsTimeWindow]] (batch,
+  * oracle-checked) and the streaming query here — write the transform
+  * once, run it both ways.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Streaming read of events parquet (nanos ts → micros, like
+    * Tables.events). `dir` must be a directory of parquet files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling event-time aggregation with watermark — works on a batch
+    * OR streaming frame unchanged. Late data beyond the watermark is
+    * dropped; state is bounded by (#windows in watermark horizon ×
+    * #event types). */
+  def windowedCounts(events: DataFrame,
+      windowLength: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization via mapGroupsWithState: events within
+    * `gap` of each other belong to one session; emits the LAST closed
+    * or open session per user per trigger (custom state beyond what
+    * windowed aggs express — SURVEY §2.11 / north-star streaming).
+    *
+    * State per key is one (start, end, n, sum) tuple — O(users)
+    * memory, partitioned by user across executors. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[UserSession],
+      enc2: org.apache.spark.sql.Encoder[Long]): Dataset[UserSession] = {
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
+          // events within one trigger batch are not ordered — sort here
+          // (per-user per-trigger volume is bounded by trigger size)
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur =
+              if (cur == null || t - cur.session_end.getTime > gapMs)
+                UserSession(userId, e.ts, e.ts, 1, e.value)
+              else
+                cur.copy(session_end = e.ts, n_events = cur.n_events + 1,
+                  sum_value = cur.sum_value + e.value)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+}

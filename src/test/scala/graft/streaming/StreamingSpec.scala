@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.queries.CoreQueries
+
+class StreamingSpec extends SparkSpec {
+
+  /** events.parquet copied into a directory (readStream wants a dir). */
+  lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed agg == batch windowed agg (same transform)") {
+    val stream = Streaming.windowedCounts(Streaming.eventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("win_out")
+      .orderBy(col("w_start"), col("event_type")).collect()
+    val expected = CoreQueries.qEventsTimeWindow(spark, sf001).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) == e.getTimestamp(0))
+      assert(g.getString(1) == e.getString(1))
+      assert(g.getLong(2) == e.getLong(2))
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("watermark drops nothing when all data is within horizon (single batch)") {
+    val stream = Streaming.windowedCounts(
+      Streaming.eventsStream(spark, streamDir), watermark = "1 minutes")
+    val q = stream.writeStream
+      .format("memory").queryName("win_wm").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.table("win_wm").agg(sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, sf001).count())
+  }
+
+  test("sessionization: per-user sessions via mapGroupsWithState (streaming)") {
+    import spark.implicits._
+    val events = Streaming.eventsStream(spark, streamDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event]
+    val sessions = Streaming.sessionize(events, gapMinutes = 120)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sessions").collect()
+    assert(out.nonEmpty)
+    // one row per user (last session), session bounds ordered
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      rows.foreach { r =>
+        assert(!r.getTimestamp(1).after(r.getTimestamp(2)))
+        assert(r.getInt(3) >= 1)
+      }
+    }
+    val nUsers = Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(byUser.size.toLong == nUsers)
+  }
+}
