@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.AsOfJoin
+
+/** Engine-surface operators beyond the reference's own inventory:
+  * as-of join, JSON extraction, pivot, rollup, stratified sampling,
+  * approximate distinct — each exercised over the harness tables.
+  */
+object ExtraQueries {
+
+  /** Backward as-of join: each event picks up the most recent order of
+    * the same user at-or-before the event time. Window-composition
+    * implementation (one shuffle, no range nested-loop); DuckDB's
+    * native ASOF JOIN is the oracle. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumnRenamed("o_custkey", "user_id")
+    AsOfJoin.backward(events, orders, keyCol = "user_id",
+      leftTime = "ts", rightTime = "o_orderdate",
+      attach = Map("o_orderkey" -> "last_orderkey", "o_totalprice" -> "last_totalprice"),
+      tieBreak = "o_orderkey")
+      .orderBy(col("event_id"))
+  }
+
+  /** Window-form oracle (not DuckDB's native ASOF JOIN): the harness
+    * orders table has duplicate (custkey, orderdate) pairs, and native
+    * ASOF picks an arbitrary row among ties — the window form pins the
+    * same highest-orderkey-wins tie-break as the Spark operator. */
+  val qAsofJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, 1 AS side,
+      |    9223372036854775807 AS tb,
+      |    event_id, value, NULL::BIGINT AS r_orderkey, NULL::DOUBLE AS r_totalprice
+      |  FROM events
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderdate, 0, o_orderkey,
+      |    NULL, NULL, o_orderkey, o_totalprice
+      |  FROM orders
+      |), f AS (
+      |  SELECT *,
+      |    last_value(r_orderkey IGNORE NULLS) OVER w AS last_orderkey,
+      |    last_value(r_totalprice IGNORE NULLS) OVER w AS last_totalprice
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY t, side, tb
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, k AS user_id, t AS ts, value, last_orderkey, last_totalprice
+      |FROM f WHERE side = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON extraction from the events.props string column. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .orderBy(col("event_id"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Pivot: per-user event-type value sums as columns. Oracle via
+    * conditional aggregation (identical semantics, no PIVOT syntax
+    * dependence). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value")))
+      .orderBy(col("user_id"))
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  sum(value) FILTER (WHERE event_type = 'click') AS click,
+      |  sum(value) FILTER (WHERE event_type = 'error') AS error,
+      |  sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  sum(value) FILTER (WHERE event_type = 'signup') AS signup,
+      |  sum(value) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Rollup: revenue at (returnflag, linestatus), (returnflag), ()
+    * levels. Null grouping keys are replaced so the total ordering is
+    * hash-stable across engines. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  sum(l_extendedprice) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Stratified sampling by return flag (training-data curation op).
+    * Seeded Bernoulli-per-stratum; sampling layout is engine-specific →
+    * rows-only check, invariants in the spec. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1), seed = 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+
+  /** Approximate distinct counts (HLL) — the 100 TB replacement for
+    * exact countDistinct. Sketch layouts differ per engine → rows-only;
+    * the spec bounds relative error against the exact count. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("ad_part"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ad_order"),
+      approx_count_distinct(col("l_quantity"), 0.02).as("ad_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_pivot" -> (qPivot _),
+    "q_rollup" -> (qRollup _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_pivot" -> qPivotSql,
+    "q_rollup" -> qRollupSql)
+}

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact (hash-groupBy), MinHash LSH, SimHash, and n-gram
@@ -82,7 +82,9 @@ object Dedup {
     require(64 % numBands == 0, s"numBands must divide 64: $numBands")
     val bandBits = 64 / numBands
     val mask = (1L << bandBits) - 1
-    val fp = simhash(df, textCol, idCol)
+    // both sides of the candidate self-join read the fingerprints —
+    // persist so the explode+64-aggregate pass runs once
+    val fp = simhash(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col(idCol), col("simhash"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
@@ -101,55 +103,98 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup: candidates from min/max shingle-hash
-    * signature bands (documents sharing either extreme shingle hash),
-    * verified with exact Jaccard over distinct shingle sets.
-    * Candidate keys are single longs — the shuffle never carries
-    * shingle sets to non-candidates. */
+    * signature bands, verified with exact Jaccard over distinct shingle
+    * sets.
+    *
+    * The two bands are EXPLODED to (band, key) rows and equi-joined —
+    * never `min_a = min_b OR max_a = max_b` as a join condition, which
+    * Catalyst can only plan as a nested-loop cross product (measured:
+    * minutes of single-threaded array hashing on a 1000-doc corpus; at
+    * real scale it would never finish). Candidate id-pairs are deduped
+    * BEFORE shingle sets are re-attached, so the wide arrays travel
+    * only to verified candidates. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // read by the band explode and twice more for verification —
+    // persist so shingling runs once
     val withShingles = df.select(col(idCol),
       array_distinct(shingles(col(textCol), k)).as("sh"))
       .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig_min", array_min(col("hashes")))
-      .withColumn("sig_max", array_max(col("hashes")))
-      .drop("hashes")
-    val a = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-      col("sig_min").as("min_a"), col("sig_max").as("max_a"))
-    val b = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("sig_min").as("min_b"), col("sig_max").as("max_b"))
-    val candidates = a.join(b,
-      (col("min_a") === col("min_b")) || (col("max_a") === col("max_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = withShingles.select(col(idCol),
+      explode(array(
+        struct(lit(0).as("band"), array_min(col("hashes")).as("key")),
+        struct(lit(1).as("band"), array_max(col("hashes")).as("key")))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = withShingles.select(col(idCol), col("sh"))
     candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .distinct()
   }
 
-  /** MinHash LSH near-dup pairs (shingle → minhash → OR-amplified
-    * bucket join), via spark-mllib's MinHashLSH over binary
-    * HashingTF vectors. `approxSimilarityJoin` explodes the
-    * `numHashTables` signatures and equi-joins on bucket values —
-    * the classic band-join, distributed. Seeded → deterministic. */
+  /** MinHash + LSH near-dup pairs — the classic
+    * shingle → minhash → band → bucket-join, in plain `functions._`:
+    *
+    *  1. per doc: distinct k-shingles, hashed with `numHashes`
+    *     independent xxhash64 functions (seed mixed into the input);
+    *     signature[i] = min hash_i over shingles;
+    *  2. signatures grouped into `numBands` bands of r rows; each band
+    *     key is the hash of its row values;
+    *  3. equi-join on (band, key) → candidate pairs (OR-amplification:
+    *     P[candidate] = 1−(1−j^r)^b);
+    *  4. verify candidates with exact Jaccard over the shingle sets.
+    *
+    * Scale: only (id, band-key) longs shuffle for candidate
+    * generation; shingle sets travel only to deduped candidate pairs.
+    * The signature table is persisted — it feeds both join sides.
+    * Fully deterministic (hash-seeded, no RNG).
+    *
+    * This replaced an mllib MinHashLSH `approxSimilarityJoin` version
+    * that shuffled 2^18-dim sparse vectors through every candidate
+    * pair — measured 49s on a 1000-doc corpus vs ~2s for this form. */
   def minhashPairs(df: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
-      numHashTables: Int = 8, textCol: String = "text",
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
-    val tf = new HashingTF()
-      .setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val vectors = tf.transform(withShingles)
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(vectors)
-    model.approxSimilarityJoin(vectors, vectors, maxJaccardDist, "jaccard_dist")
-      .select(col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        col("jaccard_dist"))
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val withShingles = df.select(col(idCol),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+      .withColumn("sig", array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), s => xxhash64(concat(lit(i.toString), lit("#"), s))))
+      }: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = withShingles.select(col(idCol),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = withShingles.select(col(idCol), col("sh"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard_dist",
+        lit(1.0) - size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+      .select(col("id_a"), col("id_b"), col("jaccard_dist"))
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{CoreQueries, JoinQueries}
+
+/** Physical-plan assertions (SURVEY.md §4 / the 100 TB contract):
+  * filters and projections must reach the parquet scan, small join
+  * sides must broadcast, sort+limit must become TakeOrderedAndProject,
+  * and the hot paths must stay inside whole-stage codegen. A plan
+  * regression here is a performance bug even while results stay
+  * correct — these specs make `.explain` part of the test suite.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan+filter: predicates pushed to parquet, schema pruned") {
+    val p = plan(CoreQueries.qScanFilter(spark, sf001))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_discount"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double>"),
+      s"schema not pruned:\n$p")
+  }
+
+  test("median-fill join broadcasts the derived median table") {
+    val p = plan(JoinQueries.qJoinMedianFill(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("star join: dimension chain broadcasts, no cartesian anywhere") {
+    val p = plan(JoinQueries.qJoinRevenueByNation(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(CoreQueries.qTopK(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$p")
+  }
+
+  test("q1 aggregate: partial (map-side) aggregation before the shuffle") {
+    val df = CoreQueries.q1Agg(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    // AQE's pre-execution plan string hides codegen wrapping — ask for
+    // the codegen explain explicitly
+    val cg = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), s"not codegen'd:\n$cg")
+  }
+
+  test("null probe is a single aggregate over one scan (no joins/windows)") {
+    val p = plan(CoreQueries.qNullProbe(spark, sf001))
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
+}
