@@ -1,0 +1,103 @@
+package graft.bench
+
+import java.sql.Date
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gsod._
+
+/** GSOD-scale pipeline benchmark: generates a GSOD-shaped synthetic
+  * frame (distributed, deterministic — FIXTURES.md §A scaled up),
+  * then times the clean → impute → featurize → train pipeline.
+  *
+  * Comparison point (BASELINE.md): the reference spends ≈20 min on
+  * ingest+clean+EDA+imputation of 4.06M rows (≈60 uncached jobs on 1
+  * core) and ≈57 min end-to-end. Usage:
+  *
+  *   SPARK_GSOD_ROWS=4000000 scripts/run.sh graft.bench.GsodBench
+  *
+  * Prints one JSON line: {"metric":"gsod_pipeline", ...}.
+  */
+object GsodBench {
+
+  /** Distributed deterministic GSOD-shaped generator: `nStations`
+    * stations × `daysPerStation` days, ~2% sentinel rate per numeric
+    * column plus planted long null-runs. Generated per-partition on
+    * executors — no driver materialization. */
+  def generate(spark: SparkSession, nStations: Int, daysPerStation: Int): DataFrame = {
+    import spark.implicits._
+    val base = LocalDate.of(2023, 1, 1).toEpochDay
+    spark.range(0, nStations.toLong * daysPerStation, 1,
+        spark.sparkContext.defaultParallelism)
+      .select(
+        (col("id") / daysPerStation).cast("long").as("sid"),
+        (col("id") % daysPerStation).cast("int").as("day"))
+      .select(
+        format_string("%06d", col("sid")).as("stn"),
+        date_add(lit(java.sql.Date.valueOf(LocalDate.ofEpochDay(base))), col("day")).as("date"),
+        col("sid"), col("day"))
+      .withColumn("h", xxhash64(col("sid") * 100000 + col("day")))
+      .select(
+        col("stn"), col("date"),
+        // ~2% sentinels via hash buckets; one station in 50 gets a
+        // 40-day null run in visib (exercises widening + fallback)
+        when(pmod(col("h"), lit(50)) === 0, 9999.9)
+          .otherwise(lit(30.0) + pmod(col("h"), lit(600)) / 10.0).as("temp"),
+        when((pmod(col("sid"), lit(50)) === 0 && col("day").between(100, 140)) ||
+            pmod(col("h"), lit(47)) === 0, 999.9)
+          .otherwise(lit(1.0) + pmod(col("h"), lit(90)) / 10.0).as("visib"),
+        when(pmod(col("h"), lit(53)) === 0, 999.9)
+          .otherwise(lit(2.0) + pmod(col("h"), lit(130)) / 10.0).as("wdsp"),
+        when(pmod(col("h"), lit(59)) === 0, 999.9)
+          .otherwise(lit(5.0) + pmod(col("h"), lit(200)) / 10.0).as("mxpsd"),
+        when(pmod(col("h"), lit(61)) === 0, 9999.9)
+          .otherwise(lit(40.0) + pmod(col("h"), lit(350)) / 10.0).as("max"),
+        when(pmod(col("h"), lit(67)) === 0, 9999.9)
+          .otherwise(lit(10.0) + pmod(col("h"), lit(280)) / 10.0).as("min"),
+        when(pmod(col("h"), lit(11)) === 0, 99.99)
+          .otherwise(pmod(col("h"), lit(20)) / 10.0).as("prcp"),
+        pmod(col("h"), lit(2)).cast("int").as("fog"),
+        pmod(col("h"), lit(3)).equalTo(0).cast("int").as("rain_drizzle"),
+        pmod(col("h"), lit(31)).equalTo(0).cast("int").as("snow_ice_pellets"),
+        pmod(col("h"), lit(37)).equalTo(0).cast("int").as("hail"),
+        pmod(col("h"), lit(13)).equalTo(0).cast("int").as("thunder"),
+        pmod(col("h"), lit(97)).equalTo(0).cast("int").as("tornado_funnel_cloud"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GSOD_ROWS", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val daysPerStation = 365
+    val nStations = math.max(1, (rows / daysPerStation).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = generate(spark, nStations, daysPerStation)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = raw.count() // materialize generation outside the timed region
+
+    val t0 = System.nanoTime()
+    val (imputed, _) = GsodPipeline.prepare(raw)
+    val frame = imputed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val missing = Clean.missingCountMap(frame,
+      GsodSchema.numericColumns.filter(frame.columns.contains))
+    val tPrep = (System.nanoTime() - t0) / 1e9
+    require(missing.values.forall(_ == 0L), s"imputation incomplete: $missing")
+
+    val t1 = System.nanoTime()
+    val (featurized, _) = Features.featurize(frame)
+    val (train, test) = Train.split(featurized)
+    val lr = Train.linearRegression(train)
+    val reg = Train.evaluateRegression(lr.transform(test))
+    val tTrain = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"gsod_pipeline","rows":$n,"prep_sec":$tPrep,""" +
+      s""""train_eval_sec":$tTrain,"lr_rmse":${reg.rmse},"lr_r2":${reg.r2}}""")
+    spark.stop()
+  }
+}

@@ -129,7 +129,29 @@ object ExtraQueries {
       approx_count_distinct(col("l_orderkey"), 0.02).as("ad_order"),
       approx_count_distinct(col("l_quantity"), 0.02).as("ad_qty"))
 
+  /** Bivariate statistics: Pearson correlation + sample covariance per
+    * group — single-pass, map-side combinable (the scale path for
+    * feature-correlation profiling). */
+  def qCorr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
+        corr(col("l_discount"), col("l_tax")).as("corr_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
+  val qCorrSql: String =
+    """SELECT l_returnflag,
+      |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
+      |  covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
+      |  corr(l_discount, l_tax) AS corr_disc_tax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr" -> (qCorr _),
     "q_asof_join" -> (qAsofJoin _),
     "q_json_extract" -> (qJsonExtract _),
     "q_pivot" -> (qPivot _),
@@ -138,6 +160,7 @@ object ExtraQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_corr" -> qCorrSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_pivot" -> qPivotSql,
