@@ -31,22 +31,29 @@ object Similarity {
   /** Cast a float array column to double. */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** L2-normalize a double-array column (zero vectors pass through). */
+  /** L2-normalize a double-array column (zero vectors pass through).
+    * The squared norm is `dot_product(c, c)` — the native expression,
+    * not an `aggregate` lambda chain. */
   def l2Normalize(c: Column): Column = {
-    val n = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    val n = sqrt(graft.functions.ArrayMath.dotProduct(c, c))
     when(n > 0, transform(c, x => x / n)).otherwise(c)
   }
 
-  /** Dot product of two equal-length double-array columns. */
+  /** Dot product of two equal-length double-array columns, via the
+    * native codegen [[graft.functions.DotProduct]] expression (the
+    * `zip_with`+`aggregate` form runs on the HigherOrderFunction
+    * interpreter and allocates an intermediate array per row). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dotProduct(a, b)
 
   /** Cosine similarity of two raw (unnormalized) arrays. */
   def cosine(a: Column, b: Column): Column = dot(l2Normalize(a), l2Normalize(b))
 
   /** Corpus with a pre-normalized embedding column `norm`. */
-  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
+  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayMath.register(df.sparkSession)
     df.withColumn("norm", l2Normalize(asDouble(col(embCol))))
+  }
 
   /** Exact top-k cosine neighbors for each query vector (self-matches
     * excluded). `queries` is expected to be small — it is broadcast, so
