@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, SaltedAgg}
 
 /** Engine-surface operators beyond the reference's own inventory:
   * as-of join, JSON extraction, pivot, rollup, stratified sampling,
@@ -150,7 +150,91 @@ object ExtraQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q6-shaped forecasting-revenue filter-aggregate: the whole
+    * predicate reaches the parquet reader (PushedFilters), one partial+
+    * final agg, no shuffle of any width. */
+  def qRevenueFilterAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val qRevenueFilterAggSql: String =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-shaped shipping priority: selective dimension filter
+    * broadcast into the fact join, grouped top-10 by revenue. */
+  def qShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val qShippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Salted two-stage aggregation (skew path). Results are identical to
+    * a direct groupBy — the oracle is the plain SQL aggregate. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    SaltedAgg.aggregate(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+      .select(col("l_returnflag"), col("sum_value"), col("n"),
+        col("min_value"), col("max_value"), col("avg_value"))
+      .orderBy(col("l_returnflag"))
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  sum(l_quantity) AS sum_value, count(l_quantity) AS n,
+      |  min(l_quantity) AS min_value, max(l_quantity) AS max_value,
+      |  sum(l_quantity) / count(l_quantity) AS avg_value
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** GBT classifier smoke (binary label derived from price; rows-only),
+    * completing the M9/M11/M13 surface at the driver level. */
+  def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_extendedprice") > 50000.0).cast("double").as("label"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features")
+      .transform(li)
+    val (train, test) = graft.gsod.Train.split(assembled)
+    val model = new org.apache.spark.ml.classification.GBTClassifier()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(5).setSeed(42L)
+      .fit(train)
+    val m = graft.gsod.Train.evaluateClassification(model.transform(test), "label")
+    import s.implicits._
+    Seq((m.accuracy, m.areaUnderPR, m.areaUnderROC))
+      .toDF("accuracy", "area_pr", "area_roc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_ml_gbt_classifier" -> (qMlGbtClassifier _),
     "q_corr" -> (qCorr _),
     "q_asof_join" -> (qAsofJoin _),
     "q_json_extract" -> (qJsonExtract _),
@@ -160,6 +244,9 @@ object ExtraQueries {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_filter_agg" -> qRevenueFilterAggSql,
+    "q_shipping_priority" -> qShippingPrioritySql,
+    "q_salted_agg" -> qSaltedAggSql,
     "q_corr" -> qCorrSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,
