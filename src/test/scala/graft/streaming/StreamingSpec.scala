@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf001).count())
   }
 
+  test("incremental ingest: second batch of files updates windowed aggregate state") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft-incremental")
+    val events = Tables.events(spark, sf001)
+    // batch 1: first half by event_id; batch 2: second half
+    events.filter(col("event_id") < 500)
+      .write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    // stream over a glob dir: copy batch 1 in, start, then add batch 2
+    val streamDir = JFiles.createTempDirectory("graft-incr-stream")
+    def copyParquet(sub: String): Unit =
+      JFiles.list(dir.resolve(sub)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          JFiles.copy(p, streamDir.resolve(s"$sub-${p.getFileName}"))
+      }
+    copyParquet("b1")
+    // the stream reads micros timestamps (already converted by the
+    // batch write above) — plain schema, no nanos conversion needed
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(streamDir.toString)
+    val agg = Streaming.windowedCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("incr")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("incr").agg(sum("n")).head().getLong(0)
+      assert(afterB1 == 500)
+      events.filter(col("event_id") >= 500)
+        .write.mode("overwrite").parquet(dir.resolve("b2").toString)
+      copyParquet("b2")
+      q.processAllAvailable()
+      val afterB2 = spark.table("incr").agg(sum("n")).head().getLong(0)
+      assert(afterB2 == events.count(), "state must absorb the second batch")
+    } finally q.stop()
+  }
+
   test("sessionization: per-user sessions via mapGroupsWithState (streaming)") {
     import spark.implicits._
     val events = Streaming.eventsStream(spark, streamDir)
