@@ -57,9 +57,30 @@ object MlQueries {
     Seq((m.rmse, m.mse, m.mae, m.r2)).toDF("rmse", "mse", "mae", "r2")
   }
 
+  /** M15/M16 analogue (SURVEY §7.5: SHAP → featureImportances): GBT
+    * impurity importances as (feature, importance) rows. Rows-only. */
+  def qMlFeatureImportance(s: SparkSession, d: String): DataFrame = {
+    val features = Array("l_quantity", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice").as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(features).setOutputCol("features")
+      .transform(li)
+    val model = new org.apache.spark.ml.regression.GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(5).setSeed(42L)
+      .fit(assembled)
+    import s.implicits._
+    features.zip(model.featureImportances.toArray).toSeq
+      .toDF("feature", "importance")
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
-    "q_ml_gbt_regression" -> (qMlGbtRegression _))
+    "q_ml_gbt_regression" -> (qMlGbtRegression _),
+    "q_ml_feature_importance" -> (qMlFeatureImportance _))
 
   /** Scale-only standardization IS SQL-expressible (Spark's
     * StandardScaler divides by the SAMPLE stddev), so the feature query
