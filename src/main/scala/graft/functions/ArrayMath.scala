@@ -19,15 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * allocation, inlined into whole-stage codegen (preference (b) of
   * SURVEY.md §7.3 — a native `Expression` beats a UDF).
   *
-  * Null semantics: null result if either array is null; null elements
-  * are skipped (the engine's normalized embeddings never contain null
-  * elements, so this matches the built-in chain on real inputs).
+  * Null semantics: null result if either array is null OR the lengths
+  * differ (matching the `zip_with` chain, which pads the shorter array
+  * with nulls and propagates them through the sum — a silent truncation
+  * here would turn an upstream dimension bug into plausible-looking
+  * similarity scores); null elements are skipped (the engine's
+  * normalized embeddings never contain null elements).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // null inputs OR length mismatch
   override def prettyName: String = "dot_product"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -44,7 +47,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -62,14 +66,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

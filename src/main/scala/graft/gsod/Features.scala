@@ -66,11 +66,11 @@ object Features {
     * (ipynb c13:1-19 feeding c24:13-15). */
   def featurize(df: DataFrame,
       numericCols: Seq[String] = GsodSchema.numericColumns,
-      categoricalCols: Seq[String] = GsodSchema.categoricalColumns.filter(_ != "")): (DataFrame, PipelineModel) = {
+      categoricalCols: Seq[String] = GsodSchema.categoricalColumns): (DataFrame, PipelineModel) = {
     val labeled = addLeadLabels(df)
     val cats = categoricalCols.filter(labeled.columns.contains)
     val nums = numericCols.filter(labeled.columns.contains)
-    val model = pipeline(nums, cats.map(_.toString)).fit(labeled)
+    val model = pipeline(nums, cats).fit(labeled)
     (model.transform(labeled), model)
   }
 }

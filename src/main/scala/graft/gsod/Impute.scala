@@ -54,7 +54,12 @@ object Impute {
       keyCol: String = "stn"): (DataFrame, Accounting) = {
     val before = nullCount(df, column)
     if (before == 0) return (df, Seq("station-median" -> 0L))
-    val globalMedian = df.agg(median(col(column))).head().getDouble(0)
+    val medianRow = df.agg(median(col(column))).head()
+    if (medianRow.isNullAt(0)) {
+      // column is entirely null — nothing to impute from
+      return (df, Seq("station-median" -> before))
+    }
+    val globalMedian = medianRow.getDouble(0)
     val stationMedians = df.groupBy(col(keyCol).as("sm_stn"))
       .agg(median(col(column)).as("sm_median"))
     val out = df.join(broadcast(stationMedians), df(keyCol) === col("sm_stn"), "left_outer")
@@ -105,18 +110,25 @@ object Impute {
     }
 
     if (missing > 0) {
-      val fb: Double = fallbackStrategy match {
+      // An entirely-null column leaves nothing to compute a fallback
+      // from (approxQuantile returns an empty array, avg returns null);
+      // record the stall instead of crashing the job on degenerate input.
+      val fb: Option[Double] = fallbackStrategy match {
         case "median" =>
           // Greenwald–Khanna approx median over the non-null values
           // (ipynb c16:96, relativeError 0.001).
-          cur.stat.approxQuantile(column, Array(0.5), 0.001)(0)
-        case _ => cur.agg(avg(col(column))).head().getDouble(0)
+          cur.stat.approxQuantile(column, Array(0.5), 0.001).headOption
+        case _ =>
+          val row = cur.agg(avg(col(column))).head()
+          if (row.isNullAt(0)) None else Some(row.getDouble(0))
       }
-      val filled = cur.withColumn(column,
-        when(col(column).isNull, lit(fb)).otherwise(col(column)))
-      curPersisted.foreach(_.unpersist(false))
-      curPersisted = None
-      cur = filled
+      fb.foreach { v =>
+        val filled = cur.withColumn(column,
+          when(col(column).isNull, lit(v)).otherwise(col(column)))
+        curPersisted.foreach(_.unpersist(false))
+        curPersisted = None
+        cur = filled
+      }
       acc += (s"fallback-$fallbackStrategy" -> nullCount(cur, column))
     }
     (cur, acc.toList)

@@ -42,9 +42,10 @@ object JoinQueries {
         col("med_price"),
         when(col("li.l_discount") > lit(0.05), col("med_price"))
           .otherwise(col("li.l_extendedprice")).as("price_capped"))
-      // (l_orderkey, l_linenumber) is not unique — total-order on all
-      // output columns for hash stability.
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("price_capped"))
+      // (l_orderkey, l_linenumber, l_suppkey) is not unique either —
+      // total-order on ALL output columns for hash stability.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("mo"), col("med_price"), col("price_capped"))
   }
 
   val qJoinMedianFillSql: String =
@@ -59,7 +60,7 @@ object JoinQueries {
       |  FROM lineitem GROUP BY 1, 2
       |) med
       |ON li.l_suppkey = med.m_suppkey AND month(li.l_shipdate) = med.m_mo
-      |ORDER BY li.l_orderkey, li.l_linenumber, li.l_suppkey, price_capped""".stripMargin
+      |ORDER BY li.l_orderkey, li.l_linenumber, li.l_suppkey, mo, med.med_price, price_capped""".stripMargin
 
   // ---------------------------------------------------------------- multi-join
   /** TPC-H Q5-shaped star join: revenue per nation. Dimension chain

@@ -98,11 +98,16 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = withNormalized(queries, embCol)
       .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
-    // nearest nProbe cells per query (centroid table is tiny → broadcast)
+    // nearest nProbe cells per query (centroid table is tiny → broadcast).
+    // KMeans assigned corpus vectors by EUCLIDEAN distance, so cells are
+    // ranked by |q−c|² = |q|² + |c|² − 2·q·c; centroid norms vary (means
+    // of unit vectors have |c| < 1), so ranking by q·c alone would probe
+    // the wrong cells.
     val qCells = q.join(broadcast(centroids), lit(true))
-      .withColumn("cdist", dot(col("q_norm"), col("centroid")))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("q_norm"), col("centroid")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("q_norm"), col("cell"))
     val scored = indexed

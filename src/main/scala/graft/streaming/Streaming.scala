@@ -72,9 +72,17 @@ object Streaming {
             cur =
               if (cur == null || t - cur.session_end.getTime > gapMs)
                 UserSession(userId, e.ts, e.ts, 1, e.value)
-              else
-                cur.copy(session_end = e.ts, n_events = cur.n_events + 1,
+              else {
+                // late (out-of-order) events may precede the stored
+                // bounds — extend, never move session_end backward
+                val start =
+                  if (t < cur.session_start.getTime) e.ts else cur.session_start
+                val end =
+                  if (t > cur.session_end.getTime) e.ts else cur.session_end
+                cur.copy(session_start = start, session_end = end,
+                  n_events = cur.n_events + 1,
                   sum_value = cur.sum_value + e.value)
+              }
           }
           state.update(cur)
           cur

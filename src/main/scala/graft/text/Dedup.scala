@@ -17,6 +17,13 @@ import org.apache.spark.storage.StorageLevel
   *    all-pairs comparison anywhere;
   *  - every step is `functions._`/codegen (token explode + hash + bit
   *    arithmetic), no Scala UDFs.
+  *
+  * Caching contract: the near-dup operators persist their signature
+  * tables (read once per join side + once for verification) and the
+  * returned frame depends on them, so they cannot unpersist before
+  * returning. Long-lived sessions running many dedup jobs should call
+  * `spark.catalog.clearCache()` after consuming each result (Bench
+  * does; Verify's one-shot session relies on teardown).
   */
 object Dedup {
 

@@ -19,16 +19,18 @@ class ArrayMathSpec extends SparkSpec {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
-  test("dot_product null semantics: null array -> null; empty -> 0") {
+  test("dot_product null semantics: null array/length mismatch -> null; empty -> 0") {
     val df = Seq(
       (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
       (None, Some(Array(1.0))),
-      (Some(Array.empty[Double]), Some(Array.empty[Double]))
+      (Some(Array.empty[Double]), Some(Array.empty[Double])),
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(1.0, 2.0))) // dim mismatch
     ).toDF("a", "b")
     val got = df.select(ArrayMath.dotProduct(col("a"), col("b"))).collect()
     assert(got(0).getDouble(0) == 11.0)
     assert(got(1).isNullAt(0))
     assert(got(2).getDouble(0) == 0.0)
+    assert(got(3).isNullAt(0), "length mismatch must be null, not a truncated dot")
   }
 
   test("dot_product is callable from spark.sql after registration") {

@@ -91,6 +91,21 @@ class ProximityMedianSpec extends SparkSpec {
   }
 }
 
+class DegenerateInputSpec extends SparkSpec {
+
+  test("all-null column: imputers degrade gracefully instead of crashing") {
+    val df = Fixture.tiny(spark, Seq[java.lang.Double](null, null, null))
+    val (p, pAcc) = Impute.proximityMedian(df, "v", 1, 1, "median")
+    assert(p.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 3)
+    assert(pAcc.last._2 == 3, "accounting records the stall")
+    val (m, mAcc) = Impute.proximityMedian(df, "v", 1, 1, "mean")
+    assert(m.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 3)
+    val (st, stAcc) = Impute.medianImputer(df, "v")
+    assert(st.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 3)
+    assert(stAcc == Seq("station-median" -> 3L))
+  }
+}
+
 class SeasonalMedianSpec extends SparkSpec {
 
   test("per-(station, month) median fill with exact interpolated median") {

@@ -77,6 +77,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: late cross-trigger event never moves session_end backward") {
+    import java.nio.file.{Files => JFiles}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft-late")
+    def write(sub: String, rows: Seq[Streaming.Event]): Unit =
+      rows.toDS().write.parquet(dir.resolve(sub).toString)
+    def ts(s: String) = Timestamp.valueOf(s)
+    // trigger 1: events at 10:00; trigger 2: a LATE 9:58 event plus 10:04
+    write("b1", Seq(Streaming.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0)))
+    val streamDir = JFiles.createTempDirectory("graft-late-stream")
+    def copy(sub: String): Unit =
+      JFiles.list(dir.resolve(sub)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          JFiles.copy(p, streamDir.resolve(s"$sub-${p.getFileName}"))
+      }
+    copy("b1")
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(streamDir.toString).as[Streaming.Event]
+    val q = Streaming.sessionize(events, gapMinutes = 5)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      write("b2", Seq(
+        Streaming.Event(2L, ts("2024-01-01 09:58:00"), 7L, "view", 1.0),
+        Streaming.Event(3L, ts("2024-01-01 10:04:00"), 7L, "view", 1.0)))
+      copy("b2")
+      q.processAllAvailable()
+      val s = spark.table("late_sessions")
+        .orderBy(org.apache.spark.sql.functions.col("session_end").desc)
+        .head()
+      // 9:58 extends the 10:00 session backward; 10:04 is within gap of
+      // 10:00 (NOT of 9:58) — one continuous session of 3 events
+      assert(s.getInt(3) == 3, s"expected one 3-event session, got $s")
+      assert(s.getTimestamp(1) == ts("2024-01-01 09:58:00"))
+      assert(s.getTimestamp(2) == ts("2024-01-01 10:04:00"))
+    } finally q.stop()
+  }
+
   test("sessionization: per-user sessions via mapGroupsWithState (streaming)") {
     import spark.implicits._
     val events = Streaming.eventsStream(spark, streamDir)
