@@ -1,0 +1,42 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dumps `.explain("formatted")` for a representative set of queries to
+  * EXPLAINS.md — plan-shape evidence (pushdown, broadcast, partial agg,
+  * TakeOrdered, window composition) reviewable without running Spark.
+  *
+  *   scripts/run.sh graft.bench.ExplainDump [outFile]
+  */
+object ExplainDump {
+
+  val Showcase: Seq[String] = Seq(
+    "q_scan_filter", "q1_agg", "q_join_median_fill",
+    "q_join_revenue_by_nation", "q_topk", "q_window_rows_avg",
+    "q_asof_join", "q_dedup_minhash", "q_sim_bruteforce_topk",
+    "q_events_time_window")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val sb = new StringBuilder
+    sb.append("# EXPLAINS — formatted physical plans (sf0.001, regenerate via ")
+    sb.append("`scripts/run.sh graft.bench.ExplainDump`)\n")
+    Showcase.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

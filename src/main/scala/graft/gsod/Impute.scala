@@ -51,7 +51,7 @@ object Impute {
     * shuffles. The global median is a scalar action on an aggregate —
     * one extra job, not a per-station loop (SURVEY §4.3.3). */
   def medianImputer(df: DataFrame, column: String,
-      keyCol: String = "stn"): (DataFrame, Accounting) = {
+      keyCol: String = "stn", float32Parity: Boolean = false): (DataFrame, Accounting) = {
     val before = nullCount(df, column)
     if (before == 0) return (df, Seq("station-median" -> 0L))
     val medianRow = df.agg(median(col(column))).head()
@@ -62,10 +62,17 @@ object Impute {
     val globalMedian = medianRow.getDouble(0)
     val stationMedians = df.groupBy(col(keyCol).as("sm_stn"))
       .agg(median(col(column)).as("sm_median"))
+    // The reference's Python UDF returns FloatType, so its imputed
+    // values pass through a float32 round-trip before landing in the
+    // double column (SURVEY §2.9). We keep doubles by default;
+    // float32Parity reproduces the truncation bit-exactly.
+    val fillValue = {
+      val fill = coalesce(col("sm_median"), lit(globalMedian))
+      if (float32Parity) fill.cast("float").cast("double") else fill
+    }
     val out = df.join(broadcast(stationMedians), df(keyCol) === col("sm_stn"), "left_outer")
       .withColumn(column,
-        when(col(column).isNull, coalesce(col("sm_median"), lit(globalMedian)))
-          .otherwise(col(column)))
+        when(col(column).isNull, fillValue).otherwise(col(column)))
       .drop("sm_stn", "sm_median")
     (out, Seq("station-median" -> nullCount(out, column)))
   }

@@ -54,4 +54,34 @@ object Stats {
   def approxQuantiles(df: DataFrame, column: String,
       probabilities: Array[Double], relErr: Double = 0.001): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)
+
+  /** Sketch-based profile — the 100 TB variant of [[describe]]: HLL
+    * distinct + Greenwald–Khanna median, still one aggregate job, all
+    * partial states mergeable (no exact-median per-group value
+    * buffering). */
+  def describeApprox(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        avg(col(c)).as(s"${c}__mean"),
+        stddev(col(c)).as(s"${c}__stddev"),
+        percentile_approx(col(c), lit(0.5), lit(10000)).cast(DoubleType).as(s"${c}__median"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__distinct"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    val out = columns.map { c =>
+      Row(c,
+        row.getAs[Any](s"${c}__mean") match { case null => null; case v: Number => v.doubleValue() },
+        row.getAs[Any](s"${c}__stddev") match { case null => null; case v: Number => v.doubleValue() },
+        row.getAs[Any](s"${c}__median") match { case null => null; case v: Number => v.doubleValue() },
+        row.getAs[Long](s"${c}__distinct"))
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("mean", DoubleType, nullable = true),
+      StructField("stddev", DoubleType, nullable = true),
+      StructField("approx_median", DoubleType, nullable = true),
+      StructField("approx_distinct", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+  }
 }
