@@ -89,10 +89,17 @@ case class DotProduct(left: Expression, right: Expression)
 object ArrayMath {
 
   /** Register graft expressions in the session's function registry
-    * (idempotent; also makes them usable from `spark.sql`). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    * (idempotent — skips sessions that already have the function, so
+    * repeated column construction doesn't spam "function replaced"
+    * warnings; also makes them usable from `spark.sql`). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   /** Column surface for [[DotProduct]]. Registers against the active
     * session on first use (resolution happens at analysis time through

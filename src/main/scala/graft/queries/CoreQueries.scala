@@ -98,16 +98,20 @@ object CoreQueries {
     val cleaned = Tables.events(s, d)
       .withColumn("value_clean",
         when(col("event_type") === lit("error"), lit(null)).otherwise(col("value")))
+    // count(expr) skips nulls and yields BIGINT on both engines —
+    // sum(CASE…) would be HUGEINT (int128) in DuckDB and hash-mismatch.
     cleaned.agg(
-      sum(when(col("value_clean").isNull, 1L).otherwise(0L)).as("n_null_value"),
-      sum(when(col("value_clean").isNotNull, 1L).otherwise(0L)).as("n_notnull_value"),
+      count(when(col("value_clean").isNull, lit(1))).as("n_null_value"),
+      count(col("value_clean")).as("n_notnull_value"),
       count(lit(1)).as("n_rows"))
   }
 
+  // Oracle counts the SAME expression's nullness (error-typed rows OR
+  // natively-null values), not a proxy predicate.
   val qNullProbeSql: String =
     """SELECT
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_null_value,
-      |  sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS n_notnull_value,
+      |  count(*) FILTER (WHERE (CASE WHEN event_type = 'error' THEN NULL ELSE value END) IS NULL) AS n_null_value,
+      |  count(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS n_notnull_value,
       |  count(*) AS n_rows
       |FROM events""".stripMargin
 

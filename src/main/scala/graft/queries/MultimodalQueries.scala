@@ -20,10 +20,16 @@ object MultimodalQueries {
     Multimodal.decodeMeta(media(s, d)).toDF()
       .orderBy(col("media_id"))
 
-  /** Binary feature extraction → fixed-width float vectors. */
-  def qMultimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(media(s, d), dim = 16).toDF()
+  /** Binary feature extraction → fixed-width float vectors, unpacked to
+    * one scalar column per dimension (f00..f15): the driver's rows-only
+    * comparator sorts on column values, which an array column breaks. */
+  def qMultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val dim = 16
+    Multimodal.extractFeatures(media(s, d), dim = dim).toDF()
+      .select(col("media_id") +: (0 until dim).map(i =>
+        col("features").getItem(i).cast("double").as(f"f$i%02d")): _*)
       .orderBy(col("media_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),

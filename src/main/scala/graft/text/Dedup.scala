@@ -175,11 +175,25 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
+    // Each shingle is string-hashed exactly ONCE (xxhash64 → [0, P));
+    // the numHashes independent families are then affine transforms
+    // (a_i·h + b_i) mod P over the small int64 array. The naive form —
+    // per-family `xxhash64(concat(i, "#", shingle))` — rebuilds and
+    // re-hashes every shingle STRING numHashes times: ~16× the per-row
+    // CPU, the scan bottleneck at 100 TB. With P = 2^31−1 (Mersenne
+    // prime) and a_i, b_i < P, the product stays under 2^62 — no ANSI
+    // long overflow (same discipline as TextAnalysis.FpMod).
+    val P = 2147483647L // 2^31 − 1
+    val rnd = new scala.util.Random(0x5DEECE66DL) // fixed seed → deterministic families
+    val coeffs = IndexedSeq.fill(numHashes)(
+      (1L + rnd.nextInt((P - 1).toInt), rnd.nextInt(P.toInt).toLong))
     val withShingles = df.select(col(idCol),
       array_distinct(shingles(col(textCol), k)).as("sh"))
-      .withColumn("sig", array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), s => xxhash64(concat(lit(i.toString), lit("#"), s))))
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .withColumn("sig", array(coeffs.map { case (a, b) =>
+        array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(P))))
       }: _*))
+      .drop("hs")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withShingles.select(col(idCol),
       explode(array((0 until numBands).map { b =>
