@@ -88,18 +88,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 object ArrayMath {
 
+  // Sessions graft has already registered on (weak keys — entries die
+  // with their session). Tracking OUR registrations, not
+  // `functionExists`, means a pre-existing user function named
+  // dot_product is replaced by graft's on first use (createOrReplace
+  // semantics) while repeated column construction still registers —
+  // and warns — only once per session.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   /** Register graft expressions in the session's function registry
-    * (idempotent — skips sessions that already have the function, so
-    * repeated column construction doesn't spam "function replaced"
-    * warnings; also makes them usable from `spark.sql`). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
-    if (!registry.functionExists(ident)) {
-      registry.createOrReplaceTempFunction(
+    * (once per session; also makes them usable from `spark.sql`). */
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     }
-  }
 
   /** Column surface for [[DotProduct]]. Registers against the active
     * session on first use (resolution happens at analysis time through

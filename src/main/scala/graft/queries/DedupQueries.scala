@@ -61,12 +61,53 @@ object DedupQueries {
     Dedup.simhashPairs(corpusNear(s, d), maxHamming = 7, numBands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** N-gram Jaccard near-dup pairs. The verify step (exact Jaccard on
-    * distinct 3-shingle sets) IS SQL-expressible; the oracle replays
-    * candidate generation + verification with DuckDB list functions. */
+  /** N-gram Jaccard near-dup pairs — EXACT (prefix-filtered set-
+    * similarity join, recall 1.0), so the oracle replays the whole
+    * operator in DuckDB: same tokenization, same sorted distinct
+    * 3-shingle sets, a recall-1 candidate rule, and the identical exact
+    * Jaccard verification. Both engines output precisely {pairs with
+    * J ≥ 0.8}, independent of each side's candidate-generation details. */
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
+
+  val qDedupNgramSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset,
+       |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ')
+       |  FROM documents
+       |), toksed AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus
+       |), sets AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(
+       |      CASE WHEN len(toks) >= 3
+       |        THEN list_transform(generate_series(1, len(toks) - 2),
+       |               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |        ELSE [array_to_string(toks, ' ')] END)) AS sh
+       |  FROM toksed
+       |), sized AS (
+       |  SELECT doc_id, sh, len(sh) AS n,
+       |    len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS INT) + 1 AS plen
+       |  FROM sets
+       |), prefixes AS (
+       |  SELECT doc_id, n, unnest(list_slice(sh, 1, plen)) AS tok FROM sized
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM prefixes a JOIN prefixes b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n) - 1e-9
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |FROM cands c
+       |JOIN sized sa ON sa.doc_id = c.id_a
+       |JOIN sized sb ON sb.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -75,5 +116,6 @@ object DedupQueries {
     "q_dedup_ngram" -> (qDedupNgram _))
 
   val oracles: Map[String, String] = Map(
-    "q_dedup_exact" -> qDedupExactSql)
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram" -> qDedupNgramSql)
 }

@@ -209,21 +209,32 @@ object ExtraQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** GBT classifier smoke (binary label derived from price; rows-only),
-    * completing the M9/M11/M13 surface at the driver level. */
-  def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
+  private def assembledCls(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_quantity"), col("l_discount"), col("l_tax"),
         (col("l_extendedprice") > 50000.0).cast("double").as("label"))
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+    new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
       .setOutputCol("features")
       .transform(li)
-    val (train, test) = graft.gsod.Train.split(assembled)
-    val model = new org.apache.spark.ml.classification.GBTClassifier()
-      .setFeaturesCol("features").setLabelCol("label")
-      .setMaxIter(5).setSeed(42L)
-      .fit(train)
+  }
+
+  // one seeded classifier fit per (process, scale dir) — same
+  // build-once contract as MlQueries.gbtRegModel
+  private val gbtClsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.classification.GBTClassificationModel]
+
+  /** GBT classifier smoke (binary label derived from price; rows-only),
+    * completing the M9/M11/M13 surface at the driver level. */
+  def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
+    val model = gbtClsCache.computeIfAbsent(d, _ => {
+      val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
+      new org.apache.spark.ml.classification.GBTClassifier()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setMaxIter(3).setSeed(42L)
+        .fit(train)
+    })
+    val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
     val m = graft.gsod.Train.evaluateClassification(model.transform(test), "label")
     import s.implicits._
     Seq((m.accuracy, m.areaUnderPR, m.areaUnderROC))

@@ -109,44 +109,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** N-gram Jaccard near-dup: candidates from min/max shingle-hash
-    * signature bands, verified with exact Jaccard over distinct shingle
-    * sets.
+  /** N-gram Jaccard near-dup: EXACT set-similarity self-join via prefix
+    * filtering (the AllPairs/PPJoin candidate rule — Bayardo et al.,
+    * WWW'07; Chaudhuri et al., ICDE'06): under any common total order
+    * of shingles, two sets with Jaccard ≥ t must share an element
+    * within the first `|s| − ⌈t·|s|⌉ + 1` elements of each. Candidates
+    * therefore come from an equi-join on prefix shingles only, then
+    * verify with exact Jaccard over the distinct shingle sets — recall
+    * is exactly 1.0 (unlike banded LSH, whose recall is probabilistic;
+    * [[minhashPairs]] remains the sketch path for when an approximate
+    * answer is acceptable).
     *
-    * The two bands are EXPLODED to (band, key) rows and equi-joined —
-    * never `min_a = min_b OR max_a = max_b` as a join condition, which
-    * Catalyst can only plan as a nested-loop cross product (measured:
-    * minutes of single-threaded array hashing on a 1000-doc corpus; at
-    * real scale it would never finish). Candidate id-pairs are deduped
-    * BEFORE shingle sets are re-attached, so the wide arrays travel
-    * only to verified candidates. */
+    * Never `min_a = min_b OR max_a = max_b` as a join condition — an
+    * OR across columns can only plan as a nested-loop cross product.
+    * Prefix rows explode to (id, shingle) and equi-join on the shingle;
+    * candidate id-pairs are deduped BEFORE shingle sets are re-attached,
+    * so the wide arrays travel only to surviving candidates. A length
+    * filter (t·max(n_a,n_b) ≤ min(n_a,n_b), necessary for J ≥ t) prunes
+    * size-incompatible pairs before the dedup shuffle. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // read by the band explode and twice more for verification —
-    // persist so shingling runs once
+    // read by the prefix explode and twice more for verification —
+    // persist so shingling+sorting runs once
     val withShingles = df.select(col(idCol),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
-      .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
+      array_sort(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      // ⌈t·n⌉ with a 1e-9 slack: if float error pushes t·n just above an
+      // integer, the slack rounds it back DOWN — the prefix gets one
+      // element longer, which only adds candidates (never loses recall)
+      .withColumn("plen",
+        col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)).cast("int") + lit(1))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = withShingles.select(col(idCol),
-      explode(array(
-        struct(lit(0).as("band"), array_min(col("hashes")).as("key")),
-        struct(lit(1).as("band"), array_max(col("hashes")).as("key")))).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    // join on the shingle's 64-bit hash, not the string: fixed-width
+    // shuffle key; a hash collision only adds a candidate that exact
+    // verification removes
+    val prefixes = withShingles.select(col(idCol), col("n"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("tok"))
+      .select(col(idCol), col("n"), xxhash64(col("tok")).as("tok"))
+    val candidates = prefixes.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("n").as("n_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sets = withShingles.select(col(idCol), col("sh"))
+    val sets = withShingles.select(col(idCol), col("sh"), col("n"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      // |A∪B| = n_a + n_b − |A∩B| (sets are distinct) — one array pass, not two
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / col("uni")).as("jaccard"))
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -187,13 +202,23 @@ object Dedup {
     val rnd = new scala.util.Random(0x5DEECE66DL) // fixed seed → deterministic families
     val coeffs = IndexedSeq.fill(numHashes)(
       (1L + rnd.nextInt((P - 1).toInt), rnd.nextInt(P.toInt).toLong))
+    require(coeffs.distinct.size == numHashes,
+      "duplicate minhash coefficient pair — families would not be independent")
+    // All family mins in ONE `aggregate` fold over the hash array: the
+    // accumulator is the running 16-wide min vector. The previous form —
+    // numHashes separate `array_min(transform(hs, …))` projections —
+    // traversed (and codegen'd a copy of) the hash array numHashes
+    // times; the fold reads each shingle hash once.
+    val sigInit = array(Seq.fill(numHashes)(lit(P)): _*)
+    def sigMerge(acc: Column, h: Column): Column =
+      array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), pmod(h * lit(a) + lit(b), lit(P)))
+      }: _*)
     val withShingles = df.select(col(idCol),
       array_distinct(shingles(col(textCol), k)).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
-      .withColumn("sig", array(coeffs.map { case (a, b) =>
-        array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(P))))
-      }: _*))
-      .drop("hs")
+      .withColumn("sig",
+        aggregate(transform(col("sh"), s => pmod(xxhash64(s), lit(P))),
+          sigInit, sigMerge))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withShingles.select(col(idCol),
       explode(array((0 until numBands).map { b =>
