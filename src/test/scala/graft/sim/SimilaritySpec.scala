@@ -33,7 +33,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF top-k recall@5 >= 0.6 vs brute force (nProbe=8 of 16 cells)") {
+  test("IVF top-k recall@5 >= 0.6 vs brute force (prebuilt index, half the cells probed)") {
     val exact = SimilarityQueries.qSimBruteForce(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = SimilarityQueries.qSimIvf(spark, sf001).collect()
