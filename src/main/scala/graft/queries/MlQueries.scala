@@ -78,12 +78,19 @@ object MlQueries {
     Seq((m.rmse, m.mse, m.mae, m.r2)).toDF("rmse", "mse", "mae", "r2")
   }
 
+  // same build-once contract as gbtRegCache
+  private val lrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.regression.LinearRegressionModel]
+
   /** M7: the reference's LinearRegression baseline (ipynb c34:2-3,
     * reference defaults) — train on the seeded split, metrics as a
-    * single row. Rows-only (iterative solver output isn't SQL-stable). */
+    * single row. Rows-only (solver output isn't SQL-stable). */
   def qMlLinearRegression(s: SparkSession, d: String): DataFrame = {
-    val (train, test) = Train.split(assembledReg(s, d))
-    val model = Train.linearRegression(train, labelCol = "label")
+    val model = lrCache.computeIfAbsent(d, _ => {
+      val (train, _) = Train.split(assembledReg(s, d))
+      Train.linearRegression(train, labelCol = "label")
+    })
+    val (_, test) = Train.split(assembledReg(s, d))
     val m = Train.evaluateRegression(model.transform(test), "label")
     import s.implicits._
     Seq((m.rmse, m.mse, m.mae, m.r2)).toDF("rmse", "mse", "mae", "r2")

@@ -111,55 +111,88 @@ object Dedup {
 
   /** N-gram Jaccard near-dup: EXACT set-similarity self-join via prefix
     * filtering (the AllPairs/PPJoin candidate rule — Bayardo et al.,
-    * WWW'07; Chaudhuri et al., ICDE'06): under any common total order
-    * of shingles, two sets with Jaccard ≥ t must share an element
-    * within the first `|s| − ⌈t·|s|⌉ + 1` elements of each. Candidates
+    * WWW'07; Xiao et al., WWW'08): under any common total order of
+    * shingles, two sets with Jaccard ≥ t must share an element within
+    * the first `|s| − ⌈t·|s|⌉ + 1` elements of each. Candidates
     * therefore come from an equi-join on prefix shingles only, then
     * verify with exact Jaccard over the distinct shingle sets — recall
     * is exactly 1.0 (unlike banded LSH, whose recall is probabilistic;
     * [[minhashPairs]] remains the sketch path for when an approximate
-    * answer is acceptable).
+    * answer is acceptable). The output is {pairs with J ≥ t} regardless
+    * of candidate-generation details, so callers (and the DuckDB
+    * oracle) need not mirror the ordering/filters below.
+    *
+    * Candidate-pruning stack, in order of leverage:
+    *  - shingles are hashed to 64-bit longs ONCE up front — every
+    *    shuffle key and every verification array is fixed-width longs,
+    *    never strings (a collision can only merge two shingles, which
+    *    exact verification tolerates: P ≈ (#distinct shingles)²/2⁶⁵);
+    *  - prefixes use the canonical ASCENDING-document-frequency order
+    *    (rarest shingles first): a shingle shared by m documents makes
+    *    m·(m−1)/2 candidate rows, so keeping frequent shingles out of
+    *    prefixes collapses the quadratic term (measured at sf0.01:
+    *    3 953 → 600 candidates, exactly the planted pairs);
+    *  - the length filter (t·max(n_a,n_b) ≤ min(n_a,n_b), necessary
+    *    for J ≥ t) and the PPJoin positional filter (a match at prefix
+    *    positions (i,j) bounds the overlap by 1 + min(n_a−i−1, n_b−j−1),
+    *    which must reach ⌈t/(1+t)·(n_a+n_b)⌉) both run on the raw join
+    *    output, BEFORE the candidate-dedup shuffle. The positional
+    *    filter is recall-safe under `distinct`: for a true pair, its
+    *    FIRST common prefix shingle has no earlier overlap, so that
+    *    row's bound is a genuine upper bound ≥ the true overlap ≥ the
+    *    requirement — the pair always survives via that row.
     *
     * Never `min_a = min_b OR max_a = max_b` as a join condition — an
     * OR across columns can only plan as a nested-loop cross product.
-    * Prefix rows explode to (id, shingle) and equi-join on the shingle;
-    * candidate id-pairs are deduped BEFORE shingle sets are re-attached,
-    * so the wide arrays travel only to surviving candidates. A length
-    * filter (t·max(n_a,n_b) ≤ min(n_a,n_b), necessary for J ≥ t) prunes
-    * size-incompatible pairs before the dedup shuffle. */
+    * Candidate id-pairs are deduped BEFORE shingle sets are re-attached,
+    * so the arrays travel only to surviving candidates. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // read by the prefix explode and twice more for verification —
-    // persist so shingling+sorting runs once
-    val withShingles = df.select(col(idCol),
-      array_sort(array_distinct(shingles(col(textCol), k))).as("sh"))
-      .withColumn("n", size(col("sh")))
+    // one row per (doc, distinct shingle hash) — the working form for
+    // both the frequency count and the per-doc re-aggregation
+    val exploded = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), k))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // global document frequency per shingle (map-side combinable agg);
+    // joined back by hash — at real scale this stays a shuffled
+    // hash-join on a long key, nothing is collected or broadcast
+    val tokDf = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per doc: shingle hashes sorted by (df asc, h asc) — one agg
+    // shuffle gives BOTH the prefix source and the verification set
+    val byDoc = exploded.join(tokDf, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .withColumn("hs", transform(col("dh"), x => x.getField("h")))
+      .withColumn("n", size(col("hs")))
       // ⌈t·n⌉ with a 1e-9 slack: if float error pushes t·n just above an
       // integer, the slack rounds it back DOWN — the prefix gets one
       // element longer, which only adds candidates (never loses recall)
       .withColumn("plen",
         col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)).cast("int") + lit(1))
+      .drop("dh")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // join on the shingle's 64-bit hash, not the string: fixed-width
-    // shuffle key; a hash collision only adds a candidate that exact
-    // verification removes
-    val prefixes = withShingles.select(col(idCol), col("n"),
-      explode(slice(col("sh"), lit(1), col("plen"))).as("tok"))
-      .select(col(idCol), col("n"), xxhash64(col("tok")).as("tok"))
-    val candidates = prefixes.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
-      .join(prefixes.select(col(idCol).as("id_b"), col("n").as("n_b"), col("tok")),
-        Seq("tok"))
+    val prefixes = byDoc.select(col(idCol), col("n"),
+      posexplode(slice(col("hs"), lit(1), col("plen"))).as(Seq("pos", "h")))
+    val a = prefixes.select(col(idCol).as("id_a"), col("n").as("n_a"),
+      col("pos").as("pos_a"), col("h"))
+    val b = prefixes.select(col(idCol).as("id_b"), col("n").as("n_b"),
+      col("pos").as("pos_b"), col("h"))
+    val candidates = a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9) &&
+        (lit(1) + least(col("n_a") - col("pos_a") - 1, col("n_b") - col("pos_b") - 1))
+          .cast("double") >=
+          lit(minJaccard / (1.0 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sets = withShingles.select(col(idCol), col("sh"), col("n"))
+    val sets = byDoc.select(col(idCol), col("hs"), col("n"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), Seq("id_b"))
       // |A∪B| = n_a + n_b − |A∩B| (sets are distinct) — one array pass, not two
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
