@@ -55,6 +55,13 @@ object Stats {
       probabilities: Array[Double], relErr: Double = 0.001): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relErr)
 
+  /** Multi-column variant — ONE pass builds one GK sketch per column
+    * (the reference's per-column `approxQuantile` loop, ipynb c13:30,
+    * collapsed to a single job, same move as [[describe]]). */
+  def approxQuantiles(df: DataFrame, columns: Array[String],
+      probabilities: Array[Double], relErr: Double): Array[Array[Double]] =
+    df.stat.approxQuantile(columns, probabilities, relErr)
+
   /** Sketch-based profile — the 100 TB variant of [[describe]]: HLL
     * distinct + Greenwald–Khanna median, still one aggregate job, all
     * partial states mergeable (no exact-median per-group value

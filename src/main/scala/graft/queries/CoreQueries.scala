@@ -180,6 +180,29 @@ object CoreQueries {
       |ORDER BY cnt DESC, event_type ASC
       |LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- §2.5 A4
+  /** Greenwald–Khanna approximate quantiles (ref ipynb c13:30 — the
+    * EDA median — and c16:96 — the imputer fallback scalar; relErr
+    * 0.001 matching c16:96). THE 100 TB quantile path: a mergeable
+    * sketch per column, built for all three columns in ONE pass — no
+    * sort, no per-group value buffering. Sketch output is
+    * implementation-defined (GK here, t-digest in DuckDB) → rows-only
+    * driver check; StatsApproxSpec pins the rank-error contract
+    * against the exact quantiles. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cols = Array("l_quantity", "l_extendedprice", "l_discount")
+    val qs = graft.gsod.Stats.approxQuantiles(li, cols,
+      Array(0.25, 0.5, 0.75), 0.001)
+    import s.implicits._
+    Seq((qs(0)(0), qs(0)(1), qs(0)(2),
+      qs(1)(0), qs(1)(1), qs(1)(2),
+      qs(2)(0), qs(2)(1), qs(2)(2)))
+      .toDF("qty_q25", "qty_q50", "qty_q75",
+        "price_q25", "price_q50", "price_q75",
+        "disc_q25", "disc_q50", "disc_q75")
+  }
+
   // ---------------------------------------------------------------- §2.7 O1
   /** Top-k by sort key (TakeOrderedAndProject): top 10 orders by price.
     * At scale this is per-partition top-k + driver merge, never a full
@@ -257,9 +280,39 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Gap sessionization (30-minute inactivity) over `events`, batch
+    * mode — the [[graft.streaming.Streaming.sessionizeBatch]] window
+    * composition, oracle-checked against DuckDB's windowed gap-flag
+    * running count. The streaming twin (mapGroupsWithState) is spec'd
+    * in StreamingSpec. */
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    count(CASE WHEN prev_ts IS NULL
+      |               OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  sum(value) AS sum_value
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q_approx_quantile" -> (qApproxQuantile _),
+    "q_sessionize" -> (qSessionize _),
     "q_scan_filter" -> (qScanFilter _),
     "q_project_clean" -> (qProjectClean _),
     "q_null_probe" -> (qNullProbe _),
@@ -274,6 +327,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_sessionize" -> qSessionizeSql,
     "q_scan_filter" -> qScanFilterSql,
     "q_project_clean" -> qProjectCleanSql,
     "q_null_probe" -> qNullProbeSql,

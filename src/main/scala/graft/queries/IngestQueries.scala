@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, TempDirs}
+
+/** Ingest-format operators (SURVEY.md §2.1 S1): the reference's ONLY
+  * input path is a header'd CSV read with an explicit schema
+  * (ipynb c5:1; `GsodPipeline.readCsv` is the GSOD-shaped twin). The
+  * harness tables are parquet, so the CSV reader is exercised as a
+  * round-trip: write a harness table to CSV, read it back with the
+  * explicit schema — the oracle is the same projection off the parquet
+  * original, so any quoting/parsing/type-coercion defect in either
+  * direction breaks the hash match.
+  */
+object IngestQueries {
+
+  // one CSV staging write per (process, scale dir) — the artifact under
+  // test is the READ path; TempDirs deletes the staging dir on exit
+  private val csvCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** CSV round-trip over `supplier` (bigint + string + int + double —
+    * covers quoting and both numeric widths). Explicit schema on read:
+    * no `inferSchema` double scan (SURVEY §4.3.4), exactly the
+    * reference's discipline. At 100 TB the CSV scan parallelizes per
+    * file split like any other source; schema-on-read keeps it one
+    * pass. */
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.supplier(s, d)
+    val path = csvCache.computeIfAbsent(d, _ => {
+      val p = TempDirs.create("graft_csv_").toString
+      src.write.mode("overwrite").option("header", "true").csv(p)
+      p
+    })
+    s.read.option("header", "true").schema(src.schema).csv(path)
+      .orderBy(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+  }
+
+  val qCsvRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_suppkey, s_name, s_nationkey, s_acctbal""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (qCsvRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" -> qCsvRoundtripSql)
+}

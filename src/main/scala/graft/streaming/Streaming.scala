@@ -48,6 +48,44 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
+    * window composition — events more than `gapMinutes` after their
+    * predecessor (per user) open a new session; the session id is the
+    * running count of session-open flags.
+    *
+    * Scale: ONE shuffle partitions by user; the lag, the flag, and the
+    * running count all run inside that window sort, and the final
+    * per-(user, session) aggregate is a partial-combinable groupBy.
+    * No state store, no driver loops — at 100 TB this is the shape you
+    * want for backfill while [[sessionize]] handles the live stream
+    * with the same gap semantics.
+    *
+    * Tie safety: rows sharing one (user, ts) get one session id
+    * regardless of their arbitrary order — the gap for any tie row is
+    * 0, and the default RANGE window frame gives all ts-peers the same
+    * running count. Gap comparison is in microseconds (the data's
+    * resolution), strictly greater-than. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("session_open",
+        when(col("prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("prev_ts")) > gapMicros,
+          lit(1)))
+      // count(expr) skips the null non-open rows and yields BIGINT on
+      // both engines (a sum of int flags would be HUGEINT in DuckDB)
+      .withColumn("session_id", count(col("session_open")).over(byUser))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        sum(col("value")).as("sum_value"))
+  }
+
   /** Gap-based sessionization via mapGroupsWithState: events within
     * `gap` of each other belong to one session; emits the LAST closed
     * or open session per user per trigger (custom state beyond what

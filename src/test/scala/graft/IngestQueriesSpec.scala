@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{CoreQueries, IngestQueries}
+
+class IngestQueriesSpec extends SparkSpec {
+
+  test("csv roundtrip equals the parquet original, values and schema") {
+    val csv = IngestQueries.qCsvRoundtrip(spark, sf001).collect()
+    val pq = Tables.supplier(spark, sf001)
+      .orderBy(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .collect()
+    assert(csv.length == pq.length && csv.length > 0)
+    csv.zip(pq).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("approx quantiles honor the GK rank-error bound vs exact ranks") {
+    val li = Tables.lineitem(spark, sf001).select(col("l_quantity"), col("l_extendedprice")).persist()
+    val n = li.count()
+    val row = CoreQueries.qApproxQuantile(spark, sf001).head()
+    val checks = Seq(
+      ("l_quantity", 0.25, row.getDouble(0)),
+      ("l_quantity", 0.50, row.getDouble(1)),
+      ("l_quantity", 0.75, row.getDouble(2)),
+      ("l_extendedprice", 0.50, row.getDouble(4)))
+    val relErr = 0.001
+    checks.foreach { case (c, p, v) =>
+      val le = li.filter(col(c) <= v).count()
+      val lt = li.filter(col(c) < v).count()
+      // GK guarantee: some value whose rank r satisfies
+      // |r − p·n| <= relErr·n is returned; the value's rank interval is
+      // [lt+1, le]
+      val lo = p * n - relErr * n - 1
+      val hi = p * n + relErr * n + 1
+      assert(le >= lo && lt + 1 <= hi,
+        s"$c p=$p value=$v rank interval [${lt + 1}, $le] misses [$lo, $hi]")
+    }
+    li.unpersist()
+    // quantiles are non-decreasing within a column
+    assert(row.getDouble(0) <= row.getDouble(1) && row.getDouble(1) <= row.getDouble(2))
+    assert(row.getDouble(3) <= row.getDouble(4) && row.getDouble(4) <= row.getDouble(5))
+    assert(row.getDouble(6) <= row.getDouble(7) && row.getDouble(7) <= row.getDouble(8))
+  }
+}
