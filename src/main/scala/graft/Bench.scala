@@ -67,7 +67,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // One-time build costs (model fits, IVF index) amortize across the
+    // per-query numbers under the build-once-per-process contract; the
+    // `builds` section reports them explicitly so a build regression
+    // can't hide behind warm-cache query times.
+    val builds = BuildTimes.snapshot.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)

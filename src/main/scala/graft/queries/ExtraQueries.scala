@@ -227,7 +227,7 @@ object ExtraQueries {
   /** GBT classifier smoke (binary label derived from price; rows-only),
     * completing the M9/M11/M13 surface at the driver level. */
   def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
-    val model = gbtClsCache.computeIfAbsent(d, _ => {
+    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
       val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
       new org.apache.spark.ml.classification.GBTClassifier()
         .setFeaturesCol("features").setLabelCol("label")

@@ -56,11 +56,15 @@ object MlQueries {
   // queries 25% of the whole bench and its biggest noise cross-section.
   // computeIfAbsent keeps the fit single-flight under Verify's thread
   // pool. The model object survives spark.catalog.clearCache().
+  // Keyed by the scale-dir STRING: the contract assumes a dir's table
+  // contents are immutable for the process lifetime (true for the
+  // driver harness); a caller mutating data under a cached dir would
+  // be served the stale fit.
   private val gbtRegCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.regression.GBTRegressionModel]
 
   private def gbtRegModel(s: SparkSession, d: String): org.apache.spark.ml.regression.GBTRegressionModel =
-    gbtRegCache.computeIfAbsent(d, _ => {
+    gbtRegCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_regression_fit") {
       val (train, _) = Train.split(assembledReg(s, d))
       new org.apache.spark.ml.regression.GBTRegressor()
         .setFeaturesCol("features").setLabelCol("label")
@@ -86,7 +90,7 @@ object MlQueries {
     * reference defaults) — train on the seeded split, metrics as a
     * single row. Rows-only (solver output isn't SQL-stable). */
   def qMlLinearRegression(s: SparkSession, d: String): DataFrame = {
-    val model = lrCache.computeIfAbsent(d, _ => {
+    val model = lrCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("linear_regression_fit") {
       val (train, _) = Train.split(assembledReg(s, d))
       Train.linearRegression(train, labelCol = "label")
     })

@@ -61,34 +61,51 @@ object SimilarityQueries {
   /** Build (or fetch the prebuilt) IVF index for the scale dir:
     * (index parquet path, centroids). nCells scales as √N — the
     * classical IVF sizing: cell size N/√N = √N keeps build cost
-    * (k-means over N) and probe cost (nProbe·√N) balanced. */
+    * (k-means over N) and probe cost (nProbe·√N) balanced. The index
+    * parquet lives in a [[graft.TempDirs]] scratch dir (deleted on JVM
+    * exit); if a tmp reaper removes it mid-process the cache entry is
+    * discarded and the index rebuilt. Build time is reported to
+    * [[graft.BuildTimes]] so Bench can expose it separately from
+    * search. */
   def ivfIndexFor(s: SparkSession, d: String): (String, Seq[(Int, Seq[Double])]) =
-    ivfCache.computeIfAbsent(d, _ => {
-      val c = corpus(s, d)
-      val nCells = math.max(4, math.sqrt(c.count().toDouble).toInt)
-      val (indexed, centroids) = Similarity.ivfIndex(c, nCells = nCells)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
-      val localCentroids = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      (path, localCentroids)
+    ivfCache.compute(d, (_, cached) => {
+      if (cached != null &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cached._1))) cached
+      else graft.BuildTimes.timed("ivf_index_build") {
+        val c = corpus(s, d)
+        val nCells = math.max(4, math.sqrt(c.count().toDouble).toInt)
+        val (indexed, centroids) = Similarity.ivfIndex(c, nCells = nCells)
+        val path = graft.TempDirs.create("graft_ivf_").toString
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+        val localCentroids = centroids.collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        (path, localCentroids)
+      }
     })
 
-  /** IVF (k-means inverted file) approximate top-5 over the prebuilt
-    * index — rows-only check; recall vs brute force asserted in
-    * SimilaritySpec. This query measures SEARCH (probe-cell scan +
-    * rank), not index construction. The harness embeddings are uniform
-    * random (no cluster structure — IVF's worst case), so half the
-    * cells are probed; on real corpora with cluster structure
-    * nProbe/nCells would be far smaller. */
-  def qSimIvf(s: SparkSession, d: String): DataFrame = {
+  /** IVF search with a caller-chosen probe width — the recall/cost
+    * knob a 100 TB deployment must own: recall and candidate volume
+    * both grow with nProbe/nCells (SimilaritySpec pins the measured
+    * curve on the harness corpus). This measures SEARCH (partition-
+    * pruned probe-cell scan + rank), not index construction. */
+  def qSimIvfProbe(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     val (path, localCentroids) = ivfIndexFor(s, d)
     val indexed = s.read.parquet(path)
     import s.implicits._
     val centroids = localCentroids.toDF("cell", "centroid")
-    val nProbe = math.max(2, localCentroids.size / 2)
-    Similarity.ivfTopK(indexed, centroids, queriesDf(s, d), TopK, nProbe = nProbe)
+    Similarity.ivfTopK(indexed, centroids, queriesDf(s, d), TopK,
+      nProbe = math.min(math.max(1, nProbe), localCentroids.size))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Registered IVF query — rows-only check; recall vs brute force
+    * asserted in SimilaritySpec. The harness embeddings are uniform
+    * random (no cluster structure — IVF's worst case), so the default
+    * probes half the cells; on real corpora with cluster structure
+    * nProbe/nCells would be far smaller for the same recall. */
+  def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    val (_, localCentroids) = ivfIndexFor(s, d)
+    qSimIvfProbe(s, d, math.max(2, localCentroids.size / 2))
   }
 
   /** Embedding-cosine near-dup pairs on corpus ∪ scaled copy (scaled

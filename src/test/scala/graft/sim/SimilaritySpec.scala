@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF recall@5 >= 0.9 at sf0.1 with the default probe width (nCells/2)") {
+    // Measured curve on the sf0.1 harness corpus (2000 uniform-random
+    // vectors, nCells = 44 — IVF's worst case, no cluster structure):
+    //   nProbe 11 (25%) → 0.78, 22 (50%) → 0.94, 33 (75%) → 0.98,
+    //   38 (86%) → 1.00. Real clustered corpora reach the same recall
+    //   at far smaller nProbe/nCells; qSimIvfProbe exposes the knob.
+    val d = "/root/testdata/sf0.1"
+    val exact = SimilarityQueries.qSimBruteForce(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (_, centroids) = SimilarityQueries.ivfIndexFor(spark, d)
+    val approx = SimilarityQueries.qSimIvfProbe(spark, d, centroids.size / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall at nProbe=${centroids.size / 2}")
+  }
+
   test("embedding near-dup: scaled copies found as exact cosine-1 pairs") {
     val pairs = SimilarityQueries.qDedupEmbedding(spark, sf001).collect()
     val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
