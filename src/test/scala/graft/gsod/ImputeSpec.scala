@@ -160,6 +160,27 @@ class PipelineSpec extends SparkSpec {
     assert(!out.schema("prcp").nullable)
   }
 
+  test("golden: exact per-stage fill accounting on the fixture (ipynb c18:out)") {
+    // Pinned counts — any silent semantic drift in the widening loop,
+    // the seasonal join, or the dispatch order changes one of these.
+    // Derivation: visib = 010010's 110-run (±7/±14/±28 eat 49 rows off
+    // each end, 12 survive to the fallback) + 010020's 16-run (±7
+    // leaves 2, ±14 clears); wdsp = 010020's six isolated sentinels,
+    // cleared at ±7; mxpsd has no planted nulls (loop never runs);
+    // max = 010030's 31 January nulls surviving the seasonal join, then
+    // proximity fills 7/14/10 from the February side.
+    val cleaned = Clean.sentinelToNull(Fixture.df(spark))
+    val (_, acc) = Impute.applyAll(cleaned)
+    assert(acc("visib") == Seq("proximity±7" -> 98L, "proximity±14" -> 68L,
+      "proximity±28" -> 12L, "fallback-median" -> 0L))
+    assert(acc("wdsp") == Seq("proximity±7" -> 0L))
+    assert(acc("mxpsd") == Seq.empty)
+    assert(acc("prcp") == Seq("zero-fill" -> 0L))
+    assert(acc("max") == Seq("seasonal-median" -> 31L, "proximity±7" -> 24L,
+      "proximity±14" -> 10L, "proximity±28" -> 0L))
+    assert(acc("min") == Seq("seasonal-median" -> 0L))
+  }
+
   test("imputation accounting is monotone non-increasing per stage") {
     val cleaned = Clean.sentinelToNull(Fixture.df(spark))
     val (_, acc) = Impute.applyAll(cleaned)
