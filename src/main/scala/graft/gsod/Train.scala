@@ -65,18 +65,28 @@ object Train {
   }
 
   /** Accuracy (M11, ipynb c47:1) + PR/ROC areas (M13, ipynb c47:8-13,
-    * with the reference's explicit double casts c47:3-4). */
+    * with the reference's explicit double casts c47:3-4).
+    *
+    * The (prediction, label) projection is persisted for the duration:
+    * the accuracy evaluator and the RDD-API binary metrics are separate
+    * jobs, and without the cache each one re-executes the model
+    * transform over the test set (2 columns cached, not the feature
+    * vectors). */
   def evaluateClassification(predictions: DataFrame,
       labelCol: String = Features.labelCls): ClsMetrics = {
-    val accuracy = new MulticlassClassificationEvaluator()
-      .setLabelCol(labelCol).setPredictionCol("prediction")
-      .setMetricName("accuracy")
-      .evaluate(predictions.withColumn(labelCol, col(labelCol).cast("double")))
-    val rdd = predictions
-      .select(col("prediction").cast("double"), col(labelCol).cast("double"))
-      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
-    val m = new BinaryClassificationMetrics(rdd)
-    ClsMetrics(accuracy, m.areaUnderPR(), m.areaUnderROC())
+    val p = predictions
+      .select(col("prediction").cast("double").as("prediction"),
+        col(labelCol).cast("double").as(labelCol))
+      .persist()
+    try {
+      val accuracy = new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction")
+        .setMetricName("accuracy")
+        .evaluate(p)
+      val rdd = p.rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+      val m = new BinaryClassificationMetrics(rdd)
+      ClsMetrics(accuracy, m.areaUnderPR(), m.areaUnderROC())
+    } finally { p.unpersist(false); () }
   }
 
   /** RegressionEvaluator surface (M10) kept for API parity. */

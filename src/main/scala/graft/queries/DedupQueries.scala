@@ -71,8 +71,11 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  val qDedupNgramSql: String =
-    s"""WITH corpus AS (
+  /** Shared CTE chain replaying the exact ngram pipeline in DuckDB, up
+    * to a `pairs(id_a, id_b, jaccard)` relation — the base for both
+    * the pair oracle and the cluster oracle. */
+  private val ngramCtes: String =
+    s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $IdOffset,
@@ -98,24 +101,57 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM prefixes a JOIN prefixes b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |  WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n) - 1e-9
-       |)
-       |SELECT c.id_a, c.id_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-       |FROM cands c
-       |JOIN sized sa ON sa.doc_id = c.id_a
-       |JOIN sized sb ON sb.doc_id = c.id_b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cands c
+       |  JOIN sized sa ON sa.doc_id = c.id_a
+       |  JOIN sized sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+       |)""".stripMargin
+
+  val qDedupNgramSql: String =
+    s"""WITH $ngramCtes
+       |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Duplicate-cluster resolution: connected components over the exact
+    * ngram pairs, labeling every clustered doc with its keeper (min
+    * reachable id). Oracle-checked — the pair graph is exact and
+    * deterministic, so DuckDB replays it with a recursive
+    * transitive-closure CTE. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8))
+      .orderBy(col("doc_id"))
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramCtes,
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(src, lbl) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.src
+       |)
+       |SELECT src AS doc_id, min(lbl) AS component
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_ngram" -> (qDedupNgram _))
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
-    "q_dedup_ngram" -> qDedupNgramSql)
+    "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_clusters" -> qDedupClustersSql)
 }

@@ -53,6 +53,36 @@ class DedupSpec extends SparkSpec {
     assert(hits.forall(_ >= 0.8))
   }
 
+  test("connected components: chain, triangle, and isolated pair resolve to min-id keepers") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 (all three edges), pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters: planted pairs form 2-member components keyed by the original id") {
+    val comp = DedupQueries.qDedupClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every clustered perturbed copy shares its component with a doc
+    // whose id is the component (the keeper is a real member)
+    comp.foreach { case (_, c) => assert(comp(c) == c, s"keeper $c not its own component") }
+    // planted pair (i, i+offset): when both are clustered at all, they
+    // must be in the SAME component
+    (0L until 500L).foreach { i =>
+      (comp.get(i), comp.get(i + IdOffset)) match {
+        case (Some(a), Some(b)) => assert(a == b, s"planted pair $i split: $a vs $b")
+        case _ => ()
+      }
+    }
+    // recall: nearly all planted pairs are clustered
+    val hits = (0L until 500L).count(i => comp.contains(i + IdOffset))
+    assert(hits >= 450, s"clustered ${hits / 500.0}")
+  }
+
   test("minhash LSH pairs: recall >= 0.9 on planted near-dups, deterministic") {
     val a = DedupQueries.qDedupMinhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
