@@ -41,9 +41,40 @@ object IngestQueries {
       |FROM supplier
       |ORDER BY s_suppkey, s_name, s_nationkey, s_acctbal""".stripMargin
 
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Hive-style partitioned parquet: write lineitem partitioned by
+    * return flag (the 100 TB table layout — one directory per key),
+    * then aggregate one partition. The filter prunes at the DIRECTORY
+    * level (`PartitionFilters` in the scan, asserted in
+    * IngestQueriesSpec) — at scale the query reads 1/3 of the files
+    * before a single row is decoded. Oracle = the same aggregate off
+    * the unpartitioned original. */
+  def qPartitionedScan(s: SparkSession, d: String): DataFrame = {
+    val path = partCache.computeIfAbsent(d, _ => {
+      val p = TempDirs.create("graft_part_").toString + "/lineitem"
+      Tables.lineitem(s, d).write.partitionBy("l_returnflag").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val qPartitionedScanSql: String =
+    """SELECT l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_csv_roundtrip" -> (qCsvRoundtrip _))
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_partitioned_scan" -> (qPartitionedScan _))
 
   val oracles: Map[String, String] = Map(
-    "q_csv_roundtrip" -> qCsvRoundtripSql)
+    "q_csv_roundtrip" -> qCsvRoundtripSql,
+    "q_partitioned_scan" -> qPartitionedScanSql)
 }

@@ -14,6 +14,19 @@ class IngestQueriesSpec extends SparkSpec {
     csv.zip(pq).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("partitioned scan: the filter prunes at the partition level") {
+    val df = IngestQueries.qPartitionedScan(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    // values equal the unpartitioned aggregate
+    val expected = Tables.lineitem(spark, sf001)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus")).collect().toSeq
+    assert(df.collect().toSeq == expected)
+  }
+
   test("approx quantiles honor the GK rank-error bound vs exact ranks") {
     val li = Tables.lineitem(spark, sf001).select(col("l_quantity"), col("l_extendedprice")).persist()
     val n = li.count()
