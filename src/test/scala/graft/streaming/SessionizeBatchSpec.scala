@@ -58,6 +58,25 @@ class SessionizeBatchSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 3L)
   }
 
+  test("window composition agrees with Spark's native session_window on harness events") {
+    // Independent implementation cross-check: session_window(ts, gap)
+    // merges events whose gaps are < gap (a gap of exactly the
+    // threshold SPLITS there, vs. our strict->splits-only-above; the
+    // micro-resolution harness timestamps never land on the exact
+    // threshold, so the two agree on this data).
+    val events = graft.Tables.events(spark, sf001)
+    val ours = Streaming.sessionizeBatch(events, gapMinutes = 30)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(_.toString).sorted.toSeq
+    val native = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(_.toString).sorted.toSeq
+    assert(ours == native)
+  }
+
   test("q_sessionize invariants on harness events") {
     val out = CoreQueries.qSessionize(spark, sf001)
       .persist()
