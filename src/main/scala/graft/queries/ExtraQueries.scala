@@ -120,6 +120,23 @@ object ExtraQueries {
         col("l_partkey"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
 
+  /** Exact-size per-group sampling (reservoir semantics): exactly
+    * min(1000, |group|) lineitem rows per return flag, seeded — the
+    * complement of Bernoulli `sampleBy` (q_sample_stratified), for
+    * curation recipes that say "exactly N per bucket". Rows-only
+    * (rand streams aren't portable across engines); exact sizes,
+    * determinism, and the subset property are spec'd. */
+  def qSampleReservoir(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.exactPerGroup(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey"), col("l_returnflag")),
+      "l_returnflag", n = 1000, seed = 42L,
+      tieBreak = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"), col("l_partkey")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_returnflag"))
+
   /** Approximate distinct counts (HLL) — the 100 TB replacement for
     * exact countDistinct. Sketch layouts differ per engine → rows-only;
     * the spec bounds relative error against the exact count. */
@@ -252,6 +269,7 @@ object ExtraQueries {
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_reservoir" -> (qSampleReservoir _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(

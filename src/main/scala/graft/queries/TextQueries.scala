@@ -64,6 +64,27 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical normalization pass over the corpus — lowercased,
+    * punctuation stripped, whitespace collapsed — with the token count
+    * after cleaning. */
+  def qTextNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("text_norm"))
+      .withColumn("n_norm_tokens", TextAnalysis.wsTokenCount(col("text_norm")))
+      .orderBy(col("doc_id"))
+
+  val qTextNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]+', ' ', 'g'),
+      |       '\s+', ' ', 'g')) AS text_norm,
+      |  CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]+', ' ', 'g'),
+      |       '\s+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]+', ' ', 'g'),
+      |       '\s+', ' ', 'g')), '\s+')) END AS n_norm_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Language ID (rows-only; the harness corpus is English-vocab
     * throughout, so the distribution check lives in the spec). */
   def qTextLangId(s: SparkSession, d: String): DataFrame =
@@ -80,10 +101,12 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
-    "q_text_quality" -> qTextQualitySql)
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_normalize" -> qTextNormalizeSql)
 }

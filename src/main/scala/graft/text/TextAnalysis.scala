@@ -41,6 +41,16 @@ object TextAnalysis {
     }
   }
 
+  /** Canonical text normalization — the cleaning stage every corpus
+    * pass starts with: lowercase, non-alphanumeric runs → single
+    * space, whitespace collapsed, trimmed. Pure codegen expressions
+    * (two regexp_replace + lower + trim), narrow, portable enough
+    * that the DuckDB oracle replays it verbatim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), """[^\p{L}\p{N}\s]+""", " "),
+      """\s+""", " "))
+
   /** Whitespace token count (empty/blank text counts 0). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

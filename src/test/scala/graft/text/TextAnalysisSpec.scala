@@ -53,6 +53,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("normalize: lowercase, punctuation to space, whitespace collapsed, trimmed") {
+    val df = Seq(
+      ("  Hello,   WORLD!! (test) ", "hello world test"),
+      ("a-b_c.d", "a b c d"),
+      ("...", ""),
+      ("Déjà vu 123", "déjà vu 123")
+    ).toDF("text", "expected")
+    df.select(TextAnalysis.normalize(col("text")).as("got"), col("expected"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("fingerprint: whitespace-insensitive, order-sensitive") {
     val df = Seq(
       ("a b c", "A"), ("a  b   c", "A2"), ("c b a", "B"), ("a b d", "C")
