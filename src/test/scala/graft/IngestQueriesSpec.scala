@@ -27,6 +27,14 @@ class IngestQueriesSpec extends SparkSpec {
     assert(df.collect().toSeq == expected)
   }
 
+  test("bucketed join: no hash exchange anywhere in the plan") {
+    val df = graft.queries.JoinQueries.qBucketedJoin(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg should not hash-shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("approx quantiles honor the GK rank-error bound vs exact ranks") {
     val li = Tables.lineitem(spark, sf001).select(col("l_quantity"), col("l_extendedprice")).persist()
     val n = li.count()
