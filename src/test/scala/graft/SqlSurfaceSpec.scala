@@ -28,6 +28,19 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("spark.sql sessionize (windowed gap cumsum) == DataFrame window composition") {
+    Tables.events(spark, sf001).createOrReplaceTempView("events")
+    val sql = spark.sql(CoreQueries.qSessionizeSql).collect()
+    val df = CoreQueries.qSessionize(spark, sf001).collect()
+    assert(sql.length == df.length && sql.nonEmpty)
+    sql.zip(df).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      assert(a.getLong(2) == b.getLong(2))
+      assert(a.getTimestamp(3) == b.getTimestamp(3) && a.getTimestamp(4) == b.getTimestamp(4))
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-6)
+    }
+  }
+
   test("spark.sql star join == DataFrame revenue-by-nation") {
     registerViews()
     val sql = spark.sql(JoinQueries.qJoinRevenueByNationSql).collect()
