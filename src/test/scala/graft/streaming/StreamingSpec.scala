@@ -139,5 +139,22 @@ class StreamingSpec extends SparkSpec {
     }
     val nUsers = Tables.events(spark, sf001).select("user_id").distinct().count()
     assert(byUser.size.toLong == nUsers)
+
+    // stream == batch: the final streaming state per user is exactly
+    // the batch twin's LAST session (same gap rule, same data)
+    val batchLast = Streaming.sessionizeBatch(Tables.events(spark, sf001), gapMinutes = 120)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("session_id").desc)))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(3), r.getTimestamp(4), r.getLong(2), r.getDouble(5))))
+      .toMap
+    out.foreach { r =>
+      val (start, end, n, sumV) = batchLast(r.getLong(0))
+      assert(r.getTimestamp(1) == start && r.getTimestamp(2) == end)
+      assert(r.getInt(3).toLong == n)
+      assert(math.abs(r.getDouble(4) - sumV) < 1e-6)
+    }
   }
 }
