@@ -48,6 +48,18 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming deduplication — the exactly-once ingest guard: drops
+    * re-delivered events by id, keeping state only inside the
+    * watermark horizon (`dropDuplicatesWithinWatermark`: an id whose
+    * event time falls behind the watermark can no longer collide, so
+    * its state is evicted — bounded memory at any input rate, the
+    * non-negotiable property for a 100 TB-scale stream; re-deliveries
+    * with slightly different timestamps still dedup because the id
+    * alone is the key). */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes",
+      idCol: String = "event_id", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
     * window composition — events more than `gapMinutes` after their
     * predecessor (per user) open a new session; the session id is the

@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: re-delivered events dropped across trigger batches") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft-dedup-stream")
+    val events = Tables.events(spark, sf001).limit(200)
+    // batch 1: events as-is; batch 2: HALF of them re-delivered
+    events.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    // the rewritten parquet carries proper micros timestamps — read it
+    // with its own schema (eventsStream is for the harness nanos layout)
+    val stream = Streaming.dedupEvents(
+      spark.readStream.schema(events.schema).parquet(dir.resolve("b1").toString))
+    val q = stream.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // re-deliver: copy the same parquet files back in under new names
+      JFiles.list(dir.resolve("b1")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          JFiles.copy(p, dir.resolve("b1").resolve(s"redelivered-${p.getFileName}"))
+      }
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == 200, "every event exactly once despite re-delivery")
+      assert(out.select("event_id").distinct().count() == 200)
+    } finally q.stop()
+  }
+
   test("sessionization: per-user sessions via mapGroupsWithState (streaming)") {
     import spark.implicits._
     val events = Streaming.eventsStream(spark, streamDir)
