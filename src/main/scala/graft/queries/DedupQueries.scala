@@ -71,18 +71,23 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Shared CTE chain replaying the exact ngram pipeline in DuckDB, up
-    * to a `pairs(id_a, id_b, jaccard)` relation — the base for both
-    * the pair oracle and the cluster oracle. */
-  private val ngramCtes: String =
+  /** The near-dup corpus as a DuckDB CTE (twin of [[corpusNear]]). */
+  private val nearCorpusCte: String =
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + $IdOffset,
        |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ')
        |  FROM documents
-       |), toksed AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus
+       |)""".stripMargin
+
+  /** Shared CTE chain replaying the exact ngram pipeline in DuckDB
+    * over source relation `src(doc_id, text)`, up to a
+    * `pairs(id_a, id_b, jaccard)` relation — the base for the pair,
+    * cluster, and curation oracles. */
+  private def ngramPairCtes(src: String): String =
+    s"""toksed AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM $src
        |), sets AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(
@@ -112,8 +117,22 @@ object DedupQueries {
        |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= 0.8
        |)""".stripMargin
 
+  /** Connected-components CTEs over a `pairs(id_a, id_b)` relation:
+    * `reach` is the recursive transitive closure; min reachable label
+    * per vertex = the component keeper. */
+  private val ccCtes: String =
+    """sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(src, lbl) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.src
+      |)""".stripMargin
+
   val qDedupNgramSql: String =
-    s"""WITH $ngramCtes
+    s"""WITH $nearCorpusCte, ${ngramPairCtes("corpus")}
        |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -128,30 +147,97 @@ object DedupQueries {
       .orderBy(col("doc_id"))
 
   val qDedupClustersSql: String =
-    s"""WITH RECURSIVE $ngramCtes,
-       |sym AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT id_b, id_a FROM pairs
-       |), reach(src, lbl) AS (
-       |  SELECT DISTINCT src, src FROM sym
-       |  UNION
-       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.src
-       |)
+    s"""WITH RECURSIVE $nearCorpusCte, ${ngramPairCtes("corpus")}, $ccCtes
        |SELECT src AS doc_id, min(lbl) AS component
        |FROM reach
        |GROUP BY src
        |ORDER BY doc_id""".stripMargin
+
+  /** documents ∪ verbatim copy ∪ perturbed copy (distinct id offsets) —
+    * the curation-pipeline corpus: verbatim copies exercise the exact
+    * stage, perturbed copies the near-dup stage. */
+  def corpusTriple(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .union(docs.select((col("doc_id") + IdOffset).as("doc_id"), col("text")))
+      .union(docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text")))
+  }
+
+  /** Threshold chosen mid-gap in the harness score distribution
+    * (nearest real score is ≥ 1.7e-4 away at sf0.1, ≥ 2e-3 at
+    * sf0.01), so the two engines' ≤1e-9 float disagreement can never
+    * flip a document across the gate. */
+  val CurationMinQuality = 0.7171612
+
+  /** The full curation pipeline (quality gate → exact dedup →
+    * near-dup cluster resolution) over the triple corpus, emitting
+    * the surviving doc ids — every stage is replayed by the DuckDB
+    * oracle, so the whole composite is hash-checked end-to-end. */
+  def qCuration(s: SparkSession, d: String): DataFrame =
+    graft.text.Curation.curate(corpusTriple(s, d), CurationMinQuality,
+      withAccounting = false)
+      .survivors
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val qCurationSql: String = {
+    val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE corpus3 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * IdOffset},
+       |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ')
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |      CASE WHEN length(text) > 0
+       |           THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+       |           ELSE 0.0 END AS alpha_ratio,
+       |      CASE WHEN length(text) > 0
+       |           THEN CAST(length(regexp_replace(text, '[^\\p{P}\\p{S}]', '', 'g')) AS DOUBLE) / length(text)
+       |           ELSE 0.0 END AS punct_ratio,
+       |      CASE WHEN n_tokens > 0
+       |           THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                      t -> list_contains($stop, t))) AS DOUBLE) / n_tokens
+       |           ELSE 0.0 END AS stopword_ratio,
+       |      least(1.0, greatest(0.0,
+       |        0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+       |        + 0.25 * alpha_ratio
+       |        + 0.25 * (1.0 - punct_ratio)
+       |        + 0.25 * least(stopword_ratio * 5.0, 1.0))) AS quality_score
+       |    FROM corpus3)
+       |  WHERE quality_score >= $CurationMinQuality
+       |), keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM scored GROUP BY text
+       |), exact AS (
+       |  SELECT s.doc_id, s.text FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+       |), ${ngramPairCtes("exact")}, $ccCtes,
+       |nonkeepers AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(lbl) <> src
+       |)
+       |SELECT doc_id FROM exact
+       |WHERE doc_id NOT IN (SELECT doc_id FROM nonkeepers)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
-    "q_dedup_clusters" -> (qDedupClusters _))
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_curation" -> (qCuration _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
-    "q_dedup_clusters" -> qDedupClustersSql)
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_curation" -> qCurationSql)
 }
