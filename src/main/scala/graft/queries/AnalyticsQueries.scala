@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus- and event-analytics operators a training-data pipeline runs
+  * at 100 TB: TF-IDF term scoring, funnel conversion, time-range
+  * (interval) join via binning, grouped exact quantiles, and weekly
+  * cohort retention. Each has an exact DuckDB oracle twin.
+  *
+  * Conventions follow FIXTURES.md §B: total orderBy on a unique key,
+  * identical aliases in Spark and SQL.
+  */
+object AnalyticsQueries {
+
+  // ------------------------------------------------------------ TF-IDF
+  /** Top-3 TF-IDF terms per document. The corpus-statistics join is the
+    * canonical "document feature" op for curation (keyword extraction,
+    * topic tagging).
+    *
+    * Scale shape: one explode + groupBy(doc,term) with partial agg
+    * (shuffle 1), document frequency as a window over term (shuffle 2),
+    * per-doc top-k as a window over doc_id (shuffle 3). No collect, no
+    * UDF — `ln` and integer counts give bit-identical doubles across
+    * engines, so ties break identically. N (corpus size) is a 1-row
+    * broadcast cross join, not a driver constant. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf.crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rk") <= 3)
+    scored.select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val qTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+      |), wf AS (
+      |  SELECT doc_id, term, tf,
+      |    count(*) OVER (PARTITION BY term) AS df,
+      |    (SELECT count(*) FROM documents) AS n_docs
+      |  FROM tf
+      |), sc AS (
+      |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term) AS rk
+      |  FROM wf
+      |)
+      |SELECT doc_id, term, score, rk FROM sc WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // ------------------------------------------------------------ Funnel
+  /** Ordered three-step funnel over the event stream: users who viewed,
+    * then clicked strictly after their first view, then purchased
+    * strictly after that first qualifying click. One row:
+    * (n_view, n_click, n_purchase).
+    *
+    * Scale shape: each step is a selective scan (event_type filter
+    * pushed to parquet) + groupBy(user) min — partial-aggregable — then
+    * an equi-join on user_id against the previous step's (small,
+    * shrinking) frame. The three 1-row counts combine via cross joins
+    * of singletons; nothing wide ever sits on the driver. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def step(tpe: String) = ev.filter(col("event_type") === tpe)
+    val v = step("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = step("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = step("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  // ------------------------------------------------------------ Range join
+  /** Interval join with NO equi-key: for every purchase event, the
+    * number of click events (any user) within ±5 minutes.
+    *
+    * Naive Spark plans a pure range condition as
+    * BroadcastNestedLoopJoin — O(n·m) and a driver-memory bomb at
+    * scale. This implementation bins both sides into 5-minute epochs,
+    * explodes each purchase to its 3 adjacent bins, equi-joins on the
+    * bin (hash shuffle, scale-safe), and refines with the exact |Δt| ≤
+    * 5 min predicate. A click's single bin meets each purchase at most
+    * once, so no dedup pass is needed. PlanSpec asserts no nested-loop
+    * join survives in the plan. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val binUs = 300000000L // 5 minutes in microseconds
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", expr(s"c_us div ${binUs}L")) // integer div: exact binning
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+    val candidates = purchases
+      .withColumn("pbin", expr(s"p_us div ${binUs}L"))
+      .withColumn("bin", explode(array(col("pbin") - 1, col("pbin"), col("pbin") + 1)))
+      .drop("pbin")
+      .join(clicks, "bin")
+      .filter(abs(col("p_us") - col("c_us")) <= binUs)
+    val counts = candidates.groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+    purchases.select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH p AS (
+      |  SELECT event_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS click_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id,
+      |  count(c.click_id) AS n_clicks
+      |FROM p LEFT JOIN c ON abs(p.p_us - c.c_us) <= 300000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------------ Grouped quantiles
+  /** Exact grouped quantiles: 25/50/75th percentile of extended price
+    * per return flag (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the p·(n−1) definition).
+    *
+    * Scale note: exact percentile is a sort-based ObjectHashAggregate —
+    * inherently holds each group's values; right for bounded-cardinality
+    * group keys like this 3-value flag. The unbounded-cardinality /
+    * 100 TB path is approx_percentile (GK sketch, mergeable, bounded
+    * memory) — q_approx_quantile covers that tier. */
+  def qGroupQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      // one percentile(array(...)) call: the group's values are
+      // gathered and sorted ONCE for all three quantiles, not per-q
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p25"),
+        col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  val qGroupQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ Retention
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each (cohort_week, week_offset), how many of the
+    * cohort's users were active that week.
+    *
+    * Scale shape: distinct (user, week) activity is a partial-agg
+    * shuffle on user_id; the cohort frame (one row per user) joins on
+    * the same key — AQE can co-locate both sides on user_id so the
+    * final count is the only extra exchange. Both engines truncate
+    * weeks to Monday 00:00, so offsets are exact integer weeks. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week").cast("date").as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+      |)
+      |SELECT CAST(cohort.cohort_week AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', cohort.cohort_week, active.week) / 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM active JOIN cohort ON active.user_id = cohort.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_funnel" -> (qFunnel _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_retention" -> (qRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
+    "q_funnel" -> qFunnelSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_group_quantiles" -> qGroupQuantilesSql,
+    "q_retention" -> qRetentionSql)
+}

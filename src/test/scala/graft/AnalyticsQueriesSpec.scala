@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsQueries
+
+class AnalyticsQueriesSpec extends SparkSpec {
+
+  test("tfidf: at most 3 terms per doc, ranks contiguous, scores non-increasing") {
+    val df = AnalyticsQueries.qTfidf(spark, sf001).cache()
+    val perDoc = df.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("max_rk"),
+        min(col("rk")).as("min_rk"))
+    assert(perDoc.filter(col("n") > 3 || col("max_rk") =!= col("n") || col("min_rk") =!= 1).count() == 0)
+    // within a doc, score never increases as rank increases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rk"))
+    val bad = df.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("tfidf: corpus-wide term present in every doc scores zero") {
+    // a term with df == N has idf = ln(1) = 0, so its score must be 0
+    val docs = Tables.documents(spark, sf001).count()
+    val df = AnalyticsQueries.qTfidf(spark, sf001)
+    val zeroIdf = df.filter(col("score") === 0.0)
+    // any zero-score term must appear in all docs
+    val terms = zeroIdf.select(col("term")).distinct().collect().map(_.getString(0))
+    terms.foreach { t =>
+      val docsWithTerm = Tables.documents(spark, sf001)
+        .filter(array_contains(split(col("text"), " "), t)).count()
+      assert(docsWithTerm == docs, s"term '$t' scored 0 but df=$docsWithTerm of $docs")
+    }
+  }
+
+  test("funnel: stages are monotone non-increasing and bounded by user counts") {
+    val r = AnalyticsQueries.qFunnel(spark, sf001).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p, s"funnel not monotone: $v >= $c >= $p")
+    assert(v > 0)
+    val distinctUsers = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct().count()
+    assert(v <= distinctUsers)
+  }
+
+  test("range join: counts match a direct per-purchase filter on a sample") {
+    val df = AnalyticsQueries.qRangeJoin(spark, sf001).cache()
+    // every purchase appears exactly once
+    val purchases = Tables.events(spark, sf001).filter(col("event_type") === "purchase")
+    assert(df.count() == purchases.count())
+    // brute-force check the 5 purchases with the highest counts
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us")).cache()
+    val top = df.orderBy(col("n_clicks").desc, col("event_id")).limit(5).collect()
+    top.foreach { r =>
+      val pid = r.getAs[Long]("event_id")
+      val pUs = ev.filter(col("event_id") === pid).head().getAs[Long]("us")
+      val expected = ev.filter(col("event_type") === "click" &&
+        abs(col("us") - lit(pUs)) <= 300000000L).count()
+      assert(r.getAs[Long]("n_clicks") == expected, s"purchase $pid")
+    }
+    ev.unpersist(); df.unpersist()
+  }
+
+  test("range join: plan is a binned equi-join, not a nested-loop join") {
+    val plan = AnalyticsQueries.qRangeJoin(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("group quantiles: ordered p25 <= p50 <= p75 within group min/max") {
+    val q = AnalyticsQueries.qGroupQuantiles(spark, sf001)
+    val bounds = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    val bad = q.join(bounds, "l_returnflag")
+      .filter(col("p25") > col("p50") || col("p50") > col("p75") ||
+        col("p25") < col("lo") || col("p75") > col("hi"))
+    assert(bad.count() == 0)
+  }
+
+  test("retention: offset-0 user sum equals total distinct users; offsets non-negative") {
+    val r = AnalyticsQueries.qRetention(spark, sf001).cache()
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    // every user is active in their own cohort week → offset-0 rows
+    // partition all users exactly
+    val week0 = r.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = Tables.events(spark, sf001).select(col("user_id")).distinct().count()
+    assert(week0 == users, s"offset-0 sum $week0 != $users users")
+    r.unpersist()
+  }
+}
