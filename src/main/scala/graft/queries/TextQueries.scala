@@ -6,10 +6,10 @@ import graft.Tables
 import graft.text.TextAnalysis
 
 /** Text-analysis operators over the harness `documents` table, with
-  * DuckDB oracles where the expression algebra is portable
-  * (token counts, quality ratios); language-ID and fingerprints are
-  * rows-only (hash functions / when-chains not worth mirroring in SQL —
-  * semantics covered by TextAnalysisSpec on hand-built texts).
+  * DuckDB oracles where the expression algebra is portable (token
+  * counts, quality ratios, normalization, language-ID); fingerprints
+  * stay rows-only (a char-level rolling hash has no reasonable SQL
+  * twin — semantics covered by TextAnalysisSpec on hand-built texts).
   */
 object TextQueries {
 
@@ -85,12 +85,108 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Language ID (rows-only; the harness corpus is English-vocab
-    * throughout, so the distribution check lives in the spec). */
+  /** Language ID over the corpus. The argmax-of-stopword-hits
+    * heuristic is pure list algebra, so the DuckDB twin below replays
+    * it exactly; the SQL is GENERATED from [[TextAnalysis.langProfiles]]
+    * so the two surfaces cannot drift. */
   def qTextLangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[TextAnalysis.langId]], generated from the same
+    * profile table: per-language score = |distinct tokens ∩ profile|,
+    * argmax with ties broken in profile order, all-zero → "und". */
+  val qTextLangIdSql: String = {
+    val scoreCols = TextAnalysis.langProfiles.map { case (lang, prof) =>
+      val lits = prof.map(w => s"'$w'").mkString(", ")
+      s"    len(list_intersect(toks, [$lits])) AS s_$lang"
+    }.mkString(",\n")
+    val best = TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val whens = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"    WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |$scoreCols
+       |  FROM t
+       |), b AS (
+       |  SELECT doc_id, *, $best AS best FROM sc
+       |)
+       |SELECT doc_id, CASE
+       |    WHEN best = 0 THEN 'und'
+       |$whens
+       |  END AS lang_pred
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Train/eval contamination check — the decontamination op every
+    * training-data pipeline runs before an eval release: for each eval
+    * document (odd doc_id), the fraction of its distinct token
+    * trigrams that also occur anywhere in the train split (even
+    * doc_id).
+    *
+    * Scale shape: shingles flow through ONE distinct + ONE join on the
+    * shingle key; the train side collapses to distinct shingles
+    * (partial-aggregable) before the join. This oracle-checked tier
+    * keeps literal trigram strings as keys; the 100 TB variant hashes
+    * them to 8-byte longs first (`graft.text.Dedup` shingle machinery)
+    * so only fixed-width keys shuffle — same plan, narrower rows. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sh = docs
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val train = sh.filter(col("doc_id") % 2 === 0).select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    val ev = sh.filter(col("doc_id") % 2 === 1).distinct()
+    val agg = ev.join(train, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qContaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+      |  FROM d, unnest(range(1, greatest(len(toks)-1, 1))) t(i)
+      |), tr AS (
+      |  SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0
+      |), ev AS (
+      |  SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 2 = 1
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_shingles,
+      |    count(*) FILTER (WHERE sh IN (SELECT sh FROM tr)) AS n_contaminated
+      |  FROM ev GROUP BY doc_id
+      |)
+      |SELECT docs.doc_id,
+      |  coalesce(agg.n_shingles, 0) AS n_shingles,
+      |  coalesce(agg.n_contaminated, 0) AS n_contaminated,
+      |  CASE WHEN coalesce(agg.n_shingles, 0) > 0
+      |       THEN CAST(agg.n_contaminated AS DOUBLE) / agg.n_shingles
+      |       ELSE 0.0 END AS contamination_ratio
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) docs
+      |LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Order-sensitive rolling-hash fingerprint (rows-only). */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame =
@@ -103,10 +199,13 @@ object TextQueries {
     "q_text_quality" -> (qTextQuality _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_langid" -> (qTextLangId _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_contamination" -> (qContamination _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
-    "q_text_normalize" -> qTextNormalizeSql)
+    "q_text_normalize" -> qTextNormalizeSql,
+    "q_text_langid" -> qTextLangIdSql,
+    "q_contamination" -> qContaminationSql)
 }

@@ -93,4 +93,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("punct_ratio") == 0.0)
     }
   }
+
+  test("contamination: only eval docs appear, ratios bounded, verbatim dup fully contaminated") {
+    val out = TextQueries.qContamination(spark, sf001).cache()
+    assert(out.filter(col("doc_id") % 2 === 0).count() == 0)
+    assert(out.filter(col("contamination_ratio") < 0.0 ||
+      col("contamination_ratio") > 1.0).count() == 0)
+    assert(out.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+    out.unpersist()
+
+    // hand-built fixture: eval doc 1 is a verbatim copy of train doc 0
+    // → ratio 1.0; eval doc 3 shares no trigram → ratio 0.0
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "one two three four five"),
+      (5L, "ab")) // < 3 tokens → zero shingles, ratio 0
+      .toDF("doc_id", "text")
+    val tmp = graft.TempDirs.create("contam_fixture")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextQueries.qContamination(spark, tmp.toString)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 1.0, s"verbatim dup: $r")
+    assert(r(3L) == 0.0, s"disjoint doc: $r")
+    assert(r(5L) == 0.0, s"short doc: $r")
+  }
 }
