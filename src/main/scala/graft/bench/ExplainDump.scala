@@ -17,7 +17,8 @@ object ExplainDump {
     "q_join_revenue_by_nation", "q_topk", "q_window_rows_avg",
     "q_asof_join", "q_dedup_minhash", "q_sim_bruteforce_topk",
     "q_events_time_window", "q_sessionize", "q_dedup_ngram",
-    "q_join_bucketed", "q_partitioned_scan")
+    "q_join_bucketed", "q_partitioned_scan",
+    "q_range_join", "q_tfidf", "q_contamination", "q_retention")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")

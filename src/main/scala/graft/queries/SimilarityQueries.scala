@@ -118,11 +118,40 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-dimension embedding profile by label: mean/min/max of each of
+    * the 64 components — the drift/QA pass a feature store runs over
+    * an embedding column. Long format (label, pos, …): no array
+    * assembly, total ordering on (label, pos), and the groupBy key
+    * (label, pos) is partial-aggregable — one shuffle of 10×64 groups
+    * regardless of corpus size. */
+  def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_val"),
+        min(col("v")).cast("double").as("min_val"),
+        max(col("v")).cast("double").as("max_val"))
+      .orderBy(col("label"), col("pos"))
+
+  /** DuckDB twin. The harness embedding dim is fixed at 64 (all scale
+    * factors); generate_series only takes constants, so the twin pins
+    * it — the Spark side stays dim-agnostic via posexplode. */
+  val qEmbeddingStatsSql: String =
+    """SELECT label, i - 1 AS pos,
+      |  avg(embedding[i]) AS mean_val,
+      |  CAST(min(embedding[i]) AS DOUBLE) AS min_val,
+      |  CAST(max(embedding[i]) AS DOUBLE) AS max_val
+      |FROM embeddings, generate_series(1, 64) g(i)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
-    "q_dedup_embedding" -> (qDedupEmbedding _))
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
-    "q_sim_bruteforce_topk" -> qSimBruteForceSql)
+    "q_sim_bruteforce_topk" -> qSimBruteForceSql,
+    "q_embedding_stats" -> qEmbeddingStatsSql)
 }

@@ -94,13 +94,51 @@ object WindowQueries {
       |WHERE rn <= 5
       |ORDER BY l_suppkey, rn""".stripMargin
 
+  /** NTILE decile binning of orders by total price — the
+    * quantile-bucketing primitive behind stratified splits and
+    * difficulty binning. The unique o_orderkey in the window sort makes
+    * bin assignment total across engines; output is the per-bin
+    * profile, so the result stays 10 rows at any scale.
+    *
+    * Scale note: a global NTILE is a single total sort (range
+    * partitioner at cluster scale). For 100 TB you'd switch to
+    * approx_percentile cut-points + a broadcast bin lookup — same
+    * output contract, no total sort; this exact form is the oracle
+    * tier. */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        avg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("decile"))
+  }
+
+  val qNtileSql: String =
+    """SELECT decile, count(*) AS n,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+      |  avg(o_totalprice) AS avg_price
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders
+      |) t
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_lead" -> (qWindowLead _),
     "q_window_rows_avg" -> (qWindowRowsAvg _),
-    "q_window_rank" -> (qWindowRank _))
+    "q_window_rank" -> (qWindowRank _),
+    "q_ntile" -> (qNtile _))
 
   val oracles: Map[String, String] = Map(
     "q_window_lead" -> qWindowLeadSql,
     "q_window_rows_avg" -> qWindowRowsAvgSql,
-    "q_window_rank" -> qWindowRankSql)
+    "q_window_rank" -> qWindowRankSql,
+    "q_ntile" -> qNtileSql)
 }

@@ -81,6 +81,29 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("ntile: 10 bins partition all orders, bin ranges are disjoint and ordered") {
+    val rows = graft.queries.WindowQueries.qNtile(spark, sf001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf001).count())
+    // bin sizes differ by at most 1 (NTILE contract)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1)
+    // hi of decile k <= lo of decile k+1
+    rows.sortBy(_.getAs[Int]("decile")).sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
+
+  test("embedding stats: 10 labels x 64 dims, min <= mean <= max") {
+    val rows = graft.queries.SimilarityQueries.qEmbeddingStats(spark, sf001).collect()
+    assert(rows.length == 640)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("mean_val"))
+      assert(r.getAs[Double]("mean_val") <= r.getAs[Double]("max_val"))
+    }
+  }
+
   test("retention: offset-0 user sum equals total distinct users; offsets non-negative") {
     val r = AnalyticsQueries.qRetention(spark, sf001).cache()
     assert(r.filter(col("week_offset") < 0).count() == 0)
