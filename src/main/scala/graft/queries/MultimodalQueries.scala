@@ -31,9 +31,32 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Video frame sampling: every 2nd frame exploded to its own row,
+    * reported as scalar columns (length + crc32 of the re-encoded
+    * frame) so the rows-only comparator sees a deterministic, sortable
+    * shape. The explosion is partition-local (mapPartitions flatMap) —
+    * no shuffle until the caller aggregates. */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(media(s, d).filter(col("kind") === "video"), everyN = 2).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"),
+        crc32(col("frame_bytes")).as("frame_crc"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Image resize (nearest-neighbor, max-dim cap) then re-decode: the
+    * output proves the resized payload stays decodable and within
+    * bounds. Non-images pass through untouched. */
+  def qMultimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.resize(media(s, d), maxDim = 4)).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("channels"), col("valid"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_multimodal_features" -> (qMultimodalFeatures _))
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _))
 
   val oracles: Map[String, String] = Map.empty
 }
