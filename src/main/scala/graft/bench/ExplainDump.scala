@@ -18,7 +18,8 @@ object ExplainDump {
     "q_asof_join", "q_dedup_minhash", "q_sim_bruteforce_topk",
     "q_events_time_window", "q_sessionize", "q_dedup_ngram",
     "q_join_bucketed", "q_partitioned_scan",
-    "q_range_join", "q_tfidf", "q_contamination", "q_retention")
+    "q_range_join", "q_tfidf", "q_contamination", "q_retention",
+    "q_ntile_approx", "q_contamination_hashed", "q_ml_indexed_features")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")

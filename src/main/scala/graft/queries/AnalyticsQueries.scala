@@ -21,11 +21,19 @@ object AnalyticsQueries {
     * topic tagging).
     *
     * Scale shape: one explode + groupBy(doc,term) with partial agg
-    * (shuffle 1), document frequency as a window over term (shuffle 2),
-    * per-doc top-k as a window over doc_id (shuffle 3). No collect, no
-    * UDF — `ln` and integer counts give bit-identical doubles across
-    * engines, so ties break identically. N (corpus size) is a 1-row
-    * broadcast cross join, not a driver constant. */
+    * (shuffle 1), document frequency as a partial-aggregable
+    * groupBy(term) count — the df table is |vocab|-sized — broadcast
+    * back onto the tf frame (no shuffle on the Zipf-skewed term key),
+    * per-doc top-k as a window over doc_id. A window
+    * `count().over(partitionBy(term))` would instead pin every
+    * (doc, term) row of a stop-word onto ONE reducer — on a real Zipf
+    * vocabulary "the" occurs in nearly every document, so that reducer
+    * holds ~|corpus| rows at 100 TB. df-as-aggregate is map-side
+    * combinable and its output is bounded by vocabulary size, which is
+    * why it broadcasts. No collect, no UDF — `ln` and integer counts
+    * give bit-identical doubles across engines, so ties break
+    * identically. N (corpus size) is a 1-row broadcast cross join, not
+    * a driver constant. */
   def qTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -34,7 +42,12 @@ object AnalyticsQueries {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // |vocab| rows regardless of corpus size; if a giant vocabulary ever
+    // outgrew the broadcast threshold, dropping the hint degrades to a
+    // sort-merge join on term — still partial-aggregated, never a
+    // single-reducer window.
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(broadcast(dfTable), "term")
     val scored = withDf.crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rk", row_number().over(

@@ -153,7 +153,11 @@ object JoinQueries {
   def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
     val (liT, oT) = bucketCache.computeIfAbsent(d, _ =>
       graft.BuildTimes.timed("bucketed_tables_write") {
-        val suffix = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        // collision-resistant suffix: 32-bit String.hashCode could let
+        // two scale dirs in one process overwrite each other's catalog
+        // tables while bucketCache serves the stale name
+        val suffix = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
         val liName = s"graft_li_bucketed_$suffix"
         val oName = s"graft_ord_bucketed_$suffix"
         val root = graft.TempDirs.create("graft_bucket_").toString

@@ -110,7 +110,36 @@ object MlQueries {
       .orderBy(col("feature"))
   }
 
+  /** M1 (StringIndexer, frequencyDesc default) surfaced as a driver
+    * query: index the events categorical and emit the fitted
+    * (value → index) mapping with per-category row counts. The
+    * frequencyDesc contract — rank categories by count DESC, ties by
+    * value ASC, 0-based double indices — is exactly SQL-expressible,
+    * so this gets a real DuckDB oracle (row_number over counts)
+    * instead of the spec-only coverage M1 had before.
+    * Ref ipynb c30 (StringIndexer over the categorical stage). */
+  def qMlIndexedFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"))
+    val model = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("event_type").setOutputCol("type_idx")
+      .setStringOrderType("frequencyDesc")
+      .fit(ev)
+    model.transform(ev)
+      .groupBy(col("event_type"), col("type_idx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMlIndexedFeaturesSql: String =
+    """SELECT event_type, CAST(rn - 1 AS DOUBLE) AS type_idx, n_rows
+      |FROM (
+      |  SELECT event_type, count(*) AS n_rows,
+      |    row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rn
+      |  FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_indexed_features" -> (qMlIndexedFeatures _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
     "q_ml_gbt_regression" -> (qMlGbtRegression _),
     "q_ml_linear_regression" -> (qMlLinearRegression _),
@@ -120,6 +149,7 @@ object MlQueries {
     * StandardScaler divides by the SAMPLE stddev), so the feature query
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
+    "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
     "q_ml_scaled_features" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
         |  l_quantity / stddev_samp(l_quantity) OVER () AS s_quantity,

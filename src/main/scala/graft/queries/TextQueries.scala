@@ -188,6 +188,46 @@ object TextQueries {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** 100 TB tier of [[qContamination]]: identical plan (distinct + one
+    * equi-join keyed by shingle), but trigrams are xxhash64'd to 8-byte
+    * longs via the `graft.text.Dedup` token-hash machinery BEFORE any
+    * shuffle — no literal trigram string is ever built or shuffled
+    * (each token is hashed once; a trigram's key is the hash of its
+    * three token hashes). Output values are identical to the literal
+    * tier up to 64-bit collisions (P ≈ (#distinct trigrams)²/2⁶⁵ —
+    * vanishing at any real corpus size), so it shares the literal
+    * tier's DuckDB oracle; TextQueriesSpec additionally asserts
+    * row-identical output against [[qContamination]]. */
+  def qContaminationHashed(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // persisted for the same two reasons as ngramJaccardPairs' docSets:
+    // the train and eval branches each scan this frame (one computation
+    // instead of two), and the persist is an optimizer barrier against
+    // InferFiltersFromGenerate re-evaluating the whole hash pipeline
+    // inside the filter pushed under the explode (measured 11s → ~2s at
+    // sf0.1). Cache contract as elsewhere: Bench/Verify clearCache.
+    val docSets = graft.text.Dedup
+      .shingleHashFrameTok(pre, 3, "doc_id", shortDocWholeText = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docSets.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val train = sh.filter(col("doc_id") % 2 === 0).select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    val ev = sh.filter(col("doc_id") % 2 === 1)
+    val agg = ev.join(train, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint (rows-only). */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -200,12 +240,16 @@ object TextQueries {
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_contamination" -> (qContamination _))
+    "q_contamination" -> (qContamination _),
+    "q_contamination_hashed" -> (qContaminationHashed _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_normalize" -> qTextNormalizeSql,
     "q_text_langid" -> qTextLangIdSql,
-    "q_contamination" -> qContaminationSql)
+    "q_contamination" -> qContaminationSql,
+    // the hashed tier computes the same values over hashed keys, so the
+    // literal tier's SQL is its oracle too (see qContaminationHashed doc)
+    "q_contamination_hashed" -> qContaminationSql)
 }

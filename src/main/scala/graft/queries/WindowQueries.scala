@@ -130,11 +130,39 @@ object WindowQueries {
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** Approximate decile binning — the 100 TB tier of [[qNtile]].
+    * One `approx_percentile` pass (GK sketch: mergeable, bounded memory,
+    * partial-aggregable) yields the 9 interior cut-points as a single
+    * row; each order then gets its bin from a broadcast of that row —
+    * `1 + |{cuts strictly below price}|` — so NO total sort and no
+    * single-task window anywhere in the plan. Same output contract as
+    * the exact tier (10 rows of per-bin profile); bin populations differ
+    * from exact NTILE only by sketch error at the boundaries (and exact
+    * NTILE splits ties across bins where a cut-point rule cannot), which
+    * is why this registers rows-only and [[qNtile]] stays the oracle
+    * tier. WindowQueriesSpec asserts per-bin counts within ε of exact
+    * at sf0.1. */
+  def qNtileApprox(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val cuts = orders.agg(
+      expr("approx_percentile(o_totalprice, " +
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("cuts"))
+    orders.crossJoin(broadcast(cuts))
+      .withColumn("decile", size(filter(col("cuts"), c => c < col("o_totalprice"))) + 1)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        avg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_lead" -> (qWindowLead _),
     "q_window_rows_avg" -> (qWindowRowsAvg _),
     "q_window_rank" -> (qWindowRank _),
-    "q_ntile" -> (qNtile _))
+    "q_ntile" -> (qNtile _),
+    "q_ntile_approx" -> (qNtileApprox _))
 
   val oracles: Map[String, String] = Map(
     "q_window_lead" -> qWindowLeadSql,

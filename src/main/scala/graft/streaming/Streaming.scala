@@ -78,7 +78,8 @@ object Streaming {
     * running count. Gap comparison is in microseconds (the data's
     * resolution), strictly greater-than. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Long,
-      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
     val gapMicros = gapMinutes * 60L * 1000000L
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol))
@@ -95,13 +96,60 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState, emitting
+    * EVERY session: each session CLOSED within the trigger (final
+    * form, exactly once) plus the still-open current one (re-emitted
+    * per trigger as it extends — downstream keeps the latest version
+    * per (user, session_start)). This is the complete-output variant
+    * of [[sessionize]]: a mapGroups operator can only return one row
+    * per key per trigger, so sessions opened AND closed inside one
+    * trigger would vanish from its output. StreamingSpec proves
+    * replay equivalence: accumulated emissions == [[sessionizeBatch]]
+    * over the same events, session for session.
+    *
+    * State per key is still one open-session tuple — O(users) memory,
+    * partitioned by user across executors. */
+  def sessionizeAll(events: Dataset[Event], gapMinutes: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[UserSession],
+      enc2: org.apache.spark.sql.Encoder[Long]): Dataset[UserSession] = {
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (cur == null)
+              cur = UserSession(userId, e.ts, e.ts, 1, e.value)
+            else if (t - cur.session_end.getTime > gapMs) {
+              closed += cur
+              cur = UserSession(userId, e.ts, e.ts, 1, e.value)
+            } else {
+              val start =
+                if (t < cur.session_start.getTime) e.ts else cur.session_start
+              val end =
+                if (t > cur.session_end.getTime) e.ts else cur.session_end
+              cur = cur.copy(session_start = start, session_end = end,
+                n_events = cur.n_events + 1, sum_value = cur.sum_value + e.value)
+            }
+          }
+          if (cur != null) state.update(cur)
+          (closed.toList ++ Option(cur).toList).iterator
+      }
   }
 
   /** Gap-based sessionization via mapGroupsWithState: events within
     * `gap` of each other belong to one session; emits the LAST closed
     * or open session per user per trigger (custom state beyond what
     * windowed aggs express — SURVEY §2.11 / north-star streaming).
+    * For the complete per-session output stream, use [[sessionizeAll]].
     *
     * State per key is one (start, end, n, sum) tuple — O(users)
     * memory, partitioned by user across executors. */

@@ -23,18 +23,30 @@ import org.apache.spark.storage.StorageLevel
   * Scale: each stage is the already-audited operator — narrow
   * expression filter; digest groupBy + semi join; prefix-filtered
   * pair join + label propagation. Nothing here adds a new shuffle
-  * shape. Stages persist their survivor frames (each feeds the next
-  * stage AND the accounting count); callers clear cache when done
-  * (the Bench/Verify contract).
+  * shape.
+  *
+  * Materialization contract: the quality frame is EAGERLY cut with
+  * `localCheckpoint(true)` because the very next stage reads it on
+  * BOTH sides of one job (the sha-groupBy keeper build and the semi
+  * join probe) — a lazily-persisted cache does not populate in time
+  * within a single job, so the quality scan (and the corpus scan
+  * under it) would run twice. The returned survivor frame is likewise
+  * checkpointed, which cuts its lineage and lets every intermediate
+  * cache (quality, exact, and the ngram pipeline's internal persists)
+  * be RELEASED before returning — repeated `curate` calls in a
+  * long-lived session leak nothing.
   */
 object Curation {
 
   final case class Result(survivors: DataFrame, accounting: Seq[(String, Long)])
 
-  /** `withAccounting = false` skips the four per-stage count actions
-    * (the reference-style printed accounting) — callers that only
-    * consume the survivor frame save a full materialization per
-    * stage. */
+  /** `withAccounting = false` skips the per-stage count actions (the
+    * reference-style printed accounting); counts read the already-
+    * materialized checkpoint/cache blocks, so accounting costs scans,
+    * not recomputation. Empty intermediates short-circuit: a corpus
+    * with no quality survivors (or no exact-dedup survivors) skips the
+    * downstream stages entirely instead of running the pair-generation
+    * machinery over an empty frame. */
   def curate(docs: DataFrame, minQuality: Double,
       k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
@@ -44,11 +56,17 @@ object Curation {
       if (withAccounting) acc += stage -> df.count()
     account("input", docs)
 
+    // eager: feeds the keeper build AND the semi-join probe of one job
     val quality = TextAnalysis.withQualitySignals(docs, textCol)
       .filter(col("quality_score") >= minQuality)
       .select(col(idCol), col(textCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     account("quality", quality)
+    if (quality.isEmpty) {
+      account("exact-dedup", quality)
+      account("near-dedup", quality)
+      return Result(quality, acc.toList)
+    }
 
     val keepers = Dedup.exactDedup(quality, textCol, idCol)
       .select(col("keeper").as(idCol))
@@ -56,13 +74,22 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     account("exact-dedup", exact)
 
-    val pairs = Dedup.ngramJaccardPairs(exact, k, minJaccard, textCol, idCol)
+    val (pairs, pairHandles) =
+      Dedup.ngramJaccardPairsWithHandles(exact, k, minJaccard, textCol, idCol)
+    // connectedComponents materializes eagerly (per-round localCheckpoint)
+    // and returns a lineage-cut frame, so the pair pipeline's caches are
+    // fully consumed once it returns
     val clusteredNonKeepers = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
+    pairHandles.foreach(_.unpersist())
     val survivors = exact.join(clusteredNonKeepers, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager: cuts lineage so `exact` can release
     account("near-dedup", survivors)
+    exact.unpersist()
+    // `quality`'s checkpoint blocks are RDD-level (not CacheManager
+    // entries): the ContextCleaner reaps them once the frame goes out
+    // of scope, so nothing accumulates across repeated curate calls
 
     Result(survivors, acc.toList)
   }

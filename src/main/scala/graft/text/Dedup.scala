@@ -57,13 +57,30 @@ object Dedup {
     * position. */
   private[graft] def shingleHashFrame(df: DataFrame, k: Int,
       textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    shingleHashFrameTok(
+      df.select(col(idCol), tokens(col(textCol)).as("toks")),
+      k, idCol, shortDocWholeText = true)
+
+  /** Same token-hash shingling over a PRE-TOKENIZED frame carrying
+    * (idCol, "toks") — for callers with their own tokenizer (e.g. the
+    * contamination check keeps case, where [[tokens]] lowercases).
+    * `shortDocWholeText = true` gives sub-k-token docs their whole text
+    * as one shingle (dedup semantics: every doc must be joinable);
+    * `false` gives them an EMPTY shingle set (contamination semantics:
+    * a doc with no complete k-gram has nothing to match). */
+  private[graft] def shingleHashFrameTok(pre: DataFrame, k: Int,
+      idCol: String, shortDocWholeText: Boolean): DataFrame = {
+    val short =
+      if (shortDocWholeText) array(xxhash64(concat_ws(" ", col("toks"))))
+      else expr("cast(array() as array<bigint>)")
+    pre
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
       .select(col(idCol), array_distinct(
         when(size(col("th")) >= k,
           transform(sequence(lit(0), size(col("th")) - k),
             i => xxhash64((1 to k).map(j => element_at(col("th"), i + j)): _*)))
-          .otherwise(array(xxhash64(concat_ws(" ", col("toks")))))).as("sh"))
+          .otherwise(short)).as("sh"))
+  }
 
   /** Exact dedup: one row per distinct content, keeping the smallest id
     * (`keeper`) plus the duplicate count. Groups on sha2-256 of the
@@ -170,7 +187,18 @@ object Dedup {
     * Candidate id-pairs are deduped BEFORE shingle sets are re-attached,
     * so the arrays travel only to surviving candidates. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    ngramJaccardPairsWithHandles(df, k, minJaccard, textCol, idCol)._1
+
+  /** [[ngramJaccardPairs]] plus its persisted intermediate handles
+    * (docSets, byDoc), so pipeline callers ([[Curation.curate]]) can
+    * unpersist them once the pair output is fully materialized —
+    * instead of leaking MEMORY_AND_DISK blocks until clearCache. The
+    * pairs frame READS these caches: only release after an action has
+    * consumed it (or after a checkpoint cut the lineage). */
+  private[graft] def ngramJaccardPairsWithHandles(df: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, Seq[DataFrame]) = {
     // (id, sh) persisted — BOTH the verification-set source and an
     // optimizer barrier: without it, InferFiltersFromGenerate puts a
     // `size(sh) > 0 AND isnotnull(sh)` filter under the explode and
@@ -220,7 +248,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     val sets = byDoc.select(col(idCol), col("hs"), col("n"))
-    candidates
+    val pairs = candidates
       .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), Seq("id_b"))
       // |A∪B| = n_a + n_b − |A∩B| (sets are distinct) — one array pass, not two
@@ -228,6 +256,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    (pairs, Seq(docSets, byDoc))
   }
 
   /** Connected components over a near-dup pair list: each document is
@@ -287,6 +316,15 @@ object Dedup {
       labels = next.select(col("doc_id"), col("new_comp").as("component"))
       iter += 1
     }
+    // Returning silently-unconverged labels would let downstream curation
+    // keep/drop the WRONG documents with no signal — a component whose
+    // diameter exceeds maxIter (never a dense dup cluster, but possible
+    // on adversarial chain graphs) must fail loudly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter for " +
+          "long-chain graphs (or switch to large-star/small-star)")
     labels
   }
 

@@ -79,9 +79,13 @@ object TextAnalysis {
       .withColumn("alpha_ratio",
         when(nChars > 0, length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / nChars)
           .otherwise(lit(0.0)))
+      // Unicode punctuation+symbol categories, NOT POSIX \p{Punct}:
+      // the DuckDB oracles count [\p{P}\p{S}] and the two classes agree
+      // on ASCII but diverge on «», —, 。 etc. — an ASCII-only class
+      // here would silently flip quality gates on non-ASCII corpora.
       .withColumn("punct_ratio",
         when(nChars > 0,
-          length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / nChars)
+          length(regexp_replace(t, "[^\\p{P}\\p{S}]", "")).cast("double") / nChars)
           .otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,

@@ -34,6 +34,41 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("tfidf plan: document frequency is a partial aggregate on term, never a window") {
+    // a count().over(Window.partitionBy(term)) would pin every (doc,term)
+    // row of a Zipf-frequent term onto ONE reducer at 100 TB; df must be
+    // a map-side-combinable groupBy(term) joined back
+    val plan = AnalyticsQueries.qTfidf(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(term"),
+      s"df computed as a term-partitioned window:\n$plan")
+    assert(plan.contains("HashAggregate(keys=[term"),
+      s"no term-keyed aggregate for df in plan:\n$plan")
+    // the only Window left is the per-doc top-k rank
+    assert(plan.contains("windowspecdefinition(doc_id"), s"plan:\n$plan")
+  }
+
+  test("ntile approx: no window/total sort in plan; bins partition orders within sketch error of exact") {
+    val sf1 = "/root/testdata/sf0.1"
+    val plan = graft.queries.WindowQueries.qNtileApprox(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"approx tier must not use a window:\n$plan")
+    val approx = graft.queries.WindowQueries.qNtileApprox(spark, sf1).collect()
+      .map(r => r.getAs[Int]("decile") -> r.getAs[Long]("n")).toMap
+    val exact = graft.queries.WindowQueries.qNtile(spark, sf1).collect()
+      .map(r => r.getAs[Int]("decile") -> r.getAs[Long]("n")).toMap
+    val total = exact.values.sum
+    assert(approx.values.sum == total, "approx bins must partition all orders")
+    assert(approx.keySet == (1 to 10).toSet, s"got bins ${approx.keySet}")
+    // per-bin population within 1% of the exact decile (sketch accuracy
+    // 10000 → rank error ~total/10000, far inside this bound)
+    (1 to 10).foreach { d =>
+      assert(math.abs(approx(d) - exact(d)) <= total / 100,
+        s"bin $d: approx ${approx(d)} vs exact ${exact(d)}")
+    }
+  }
+
   test("funnel: stages are monotone non-increasing and bounded by user counts") {
     val r = AnalyticsQueries.qFunnel(spark, sf001).head()
     val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))

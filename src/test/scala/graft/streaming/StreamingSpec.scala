@@ -118,6 +118,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization replay equivalence: multi-trigger streaming == batch, ALL sessions") {
+    // Feed the whole sf0.001 events fixture in three ts-ordered trigger
+    // batches and accumulate every update-mode emission. In-order feeding
+    // means a session's start never moves once created, so (user, start)
+    // identifies a session and its LAST emission (max n_events) is its
+    // final form — the full set must equal the batch twin's output,
+    // session for session (not just the last session per user, which the
+    // spec above already pins).
+    import java.nio.file.{Files => JFiles}
+    import spark.implicits._
+    val all = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event].collect().sortBy(_.ts.getTime)
+    val chunks = all.grouped((all.length + 2) / 3).toSeq
+    val dir = JFiles.createTempDirectory("graft-replay")
+    val streamDir = JFiles.createTempDirectory("graft-replay-stream")
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(streamDir.toString).as[Streaming.Event]
+    val q = Streaming.sessionizeAll(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("replay_sessions")
+      .outputMode("update").start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toSeq.toDS().write.parquet(dir.resolve(s"b$i").toString)
+        JFiles.list(dir.resolve(s"b$i")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            JFiles.copy(p, streamDir.resolve(s"b$i-${p.getFileName}"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("replay_sessions").collect()
+      .groupBy(r => (r.getLong(0), r.getTimestamp(1)))
+      .map { case (_, rows) => rows.maxBy(_.getInt(3)) }
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getTimestamp(2), r.getInt(3).toLong, r.getDouble(4))))
+      .toMap
+    val batch = Streaming.sessionizeBatch(Tables.events(spark, sf001), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3)) ->
+        ((r.getTimestamp(4), r.getLong(2), r.getDouble(5))))
+      .toMap
+    assert(streamed.keySet == batch.keySet,
+      s"session sets differ: ${streamed.keySet.size} streamed vs ${batch.keySet.size} batch")
+    streamed.foreach { case (k, (end, n, sumV)) =>
+      val (bEnd, bN, bSum) = batch(k)
+      assert(end == bEnd && n == bN, s"session $k: ($end,$n) vs ($bEnd,$bN)")
+      assert(math.abs(sumV - bSum) < 1e-6, s"session $k sum: $sumV vs $bSum")
+    }
+  }
+
   test("streaming dedup: re-delivered events dropped across trigger batches") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft-dedup-stream")

@@ -94,6 +94,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("punct_ratio counts Unicode punctuation and symbols, not just ASCII") {
+    // «guillemets», em-dash —, CJK 。, and € are outside POSIX \p{Punct};
+    // the DuckDB oracles count [\p{P}\p{S}], so the Spark side must too.
+    // Hand counts: «x» → 2 punct of 3 chars; a—b。 → 2 of 4; €5 → 1 of 2;
+    // ASCII a,b! → 2 of 4 (classes agree on ASCII).
+    val df = Seq(
+      ("«x»", 2.0 / 3), ("a—b。", 2.0 / 4), ("€5", 1.0 / 2), ("a,b!", 2.0 / 4)
+    ).toDF("text", "expected")
+    TextAnalysis.withQualitySignals(df)
+      .select(col("text"), col("punct_ratio"), col("expected"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+          s"'${r.getString(0)}': got ${r.getDouble(1)}, want ${r.getDouble(2)}")
+      }
+    // and the composite score on a non-ASCII-punct doc matches the
+    // hand-computed formula: "a —b" → n_tokens=2, alpha=2/4, punct=1/4
+    // (the em-dash), stopword_ratio=1/2 ("a" is in the en profile)
+    val s = TextAnalysis.withQualitySignals(Seq("a —b").toDF("text"))
+      .select(col("quality_score")).head().getDouble(0)
+    val want = 0.25 * (2.0 / 20) + 0.25 * (2.0 / 4) +
+      0.25 * (1 - 1.0 / 4) + 0.25 * 1.0 // min(0.5·5, 1)
+    assert(math.abs(s - want) < 1e-12, s"got $s want $want")
+  }
+
+  test("hashed contamination tier == literal tier, row for row") {
+    // same values through 8-byte hashed trigram keys (collisions are the
+    // only possible divergence — vanishing at these sizes)
+    val lit = TextQueries.qContamination(spark, sf001).collect()
+    val hashed = TextQueries.qContaminationHashed(spark, sf001).collect()
+    assert(lit.length == hashed.length && lit.nonEmpty)
+    lit.zip(hashed).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3),
+        s"diverged: $a vs $b")
+    }
+  }
+
   test("contamination: only eval docs appear, ratios bounded, verbatim dup fully contaminated") {
     val out = TextQueries.qContamination(spark, sf001).cache()
     assert(out.filter(col("doc_id") % 2 === 0).count() == 0)
