@@ -19,7 +19,8 @@ object ExplainDump {
     "q_events_time_window", "q_sessionize", "q_dedup_ngram",
     "q_join_bucketed", "q_partitioned_scan",
     "q_range_join", "q_tfidf", "q_contamination", "q_retention",
-    "q_ntile_approx", "q_contamination_hashed", "q_ml_indexed_features")
+    "q_ntile_approx", "q_contamination_hashed", "q_ml_indexed_features",
+    "q_attribution", "q_resample_ffill", "q_cube")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")

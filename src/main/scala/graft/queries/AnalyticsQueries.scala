@@ -198,6 +198,112 @@ object AnalyticsQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ Resample + ffill
+  /** Time-series regularization — the resample → aggregate → gap-fill
+    * pass every sensor/telemetry training pipeline runs: each sampled
+    * user's events averaged into 10-minute buckets on a DENSE per-user
+    * grid (min..max bucket), empty buckets forward-filled from the
+    * last observed bucket (`last(_, ignoreNulls)` over the per-user
+    * bucket order). The first grid bucket is the user's first event's
+    * bucket, so forward fill never sees a leading null.
+    *
+    * Scale shape: bucket aggregation is a partial-aggregable
+    * groupBy(user, bin); the grid is generated per user from its
+    * (min, max) span — `sequence` + explode, no driver loop, no cross
+    * join against a global calendar — and the fill is one per-user
+    * window. Grid size is bounded by span/bucket per user. The
+    * deterministic 1%-of-users sample (user_id % 100) keeps the
+    * materialized oracle output proportionate; the operator itself has
+    * no sample dependence. */
+  def qResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val binUs = 600000000L // 10 minutes in microseconds
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 100 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val buckets = ev
+      .withColumn("bin", expr(s"us div ${binUs}L"))
+      .groupBy(col("user_id"), col("bin"))
+      .agg(avg(col("value")).as("bin_avg"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(expr(s"min(us) div ${binUs}L").as("bin_lo"),
+        expr(s"max(us) div ${binUs}L").as("bin_hi"))
+      .select(col("user_id"),
+        explode(sequence(col("bin_lo"), col("bin_hi"))).as("bin"))
+    grid.join(buckets, Seq("user_id", "bin"), "left")
+      .withColumn("value_ffill", last(col("bin_avg"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("bin"))))
+      .select(col("user_id"),
+        timestamp_micros(col("bin") * binUs).as("bucket_ts"),
+        col("bin_avg"), col("value_ffill"))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
+  val qResampleFfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+      |  WHERE user_id % 100 = 0
+      |), b AS (
+      |  SELECT user_id, us // 600000000 AS bin, avg(value) AS bin_avg
+      |  FROM ev GROUP BY 1, 2
+      |), spans AS (
+      |  SELECT user_id, min(us) // 600000000 AS lo, max(us) // 600000000 AS hi
+      |  FROM ev GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, unnest(range(lo, hi + 1)) AS bin FROM spans
+      |)
+      |SELECT g.user_id,
+      |  make_timestamp(g.bin * 600000000) AS bucket_ts,
+      |  b.bin_avg,
+      |  last_value(b.bin_avg IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bin) AS value_ffill
+      |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin
+      |ORDER BY user_id, bucket_ts""".stripMargin
+
+  // ------------------------------------------------------------ Attribution
+  /** Per-purchase click attribution: how many of the SAME user's clicks
+    * fall in the 30 minutes before each purchase (zero-click purchases
+    * kept with 0). The pair generation is
+    * [[graft.streaming.Streaming.attributionPairs]] — the identical
+    * transform runs as a watermarked stream-stream join on live data
+    * (StreamingSpec proves pair-set equality), making this the batch
+    * tier of the two-stream pattern.
+    *
+    * Scale shape: two selective pushed-down scans, ONE hash equi-join
+    * on user_id with the time bound as a post-filter (never a
+    * nested-loop time join — contrast q_range_join, which has no
+    * equi-key and must bin), then a partial-aggregable count and a
+    * left join back onto purchases. Skewed users fan out the join
+    * output but AQE's skew-join split handles the residue. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val pairs = graft.streaming.Streaming.attributionPairs(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    val counts = pairs.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"))
+      .join(counts.withColumnRenamed("purchase_id", "event_id"), Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us FROM events
+      |  WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id,
+      |  count(c.c_us) AS n_clicks
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------------------ Retention
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; for each (cohort_week, week_offset), how many of the
@@ -241,6 +347,8 @@ object AnalyticsQueries {
     "q_funnel" -> (qFunnel _),
     "q_range_join" -> (qRangeJoin _),
     "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_attribution" -> (qAttribution _),
+    "q_resample_ffill" -> (qResampleFfill _),
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +356,7 @@ object AnalyticsQueries {
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
+    "q_attribution" -> qAttributionSql,
+    "q_resample_ffill" -> qResampleFfillSql,
     "q_retention" -> qRetentionSql)
 }

@@ -109,6 +109,34 @@ object ExtraQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** CUBE over (returnflag, linestatus) with grouping_id — all four
+    * grouping sets in one pass (rollup's superset; the remaining
+    * grouping-sets surface). Same scale shape as any hash aggregate:
+    * Spark expands each row to its grouping sets BEFORE the partial
+    * aggregate, so the shuffle carries ≤ 4×|distinct keys| rows, never
+    * 4×|input|. grouping_id disambiguates a real NULL key from a
+    * subtotal row (same bit order both engines: first column = MSB). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      // grouping_id() resolves only inside the Aggregate, so it is
+      // computed in agg() and carried through the select
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   /** Stratified sampling by return flag (training-data curation op).
     * Seeded Bernoulli-per-stratum; sampling layout is engine-specific →
     * rows-only check, invariants in the spec. */
@@ -268,6 +296,7 @@ object ExtraQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_approx_distinct" -> (qApproxDistinct _))
@@ -280,5 +309,6 @@ object ExtraQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_pivot" -> qPivotSql,
-    "q_rollup" -> qRollupSql)
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql)
 }

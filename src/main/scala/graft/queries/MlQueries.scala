@@ -138,8 +138,47 @@ object MlQueries {
       |  FROM events GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** M2 (OneHotEncoder, dropLast default) surfaced as a driver query:
+    * index the events categorical, one-hot it, and emit the per-event
+    * indicator columns. With 5 harness event types the dropLast vector
+    * has 4 slots; the category→slot mapping is the M1 frequencyDesc
+    * rank, so the DuckDB twin replays it with CASE over a
+    * row_number-over-counts mapping table. The least-frequent category
+    * encodes as all-zeros — exactly Spark's dropLast contract.
+    * Ref ipynb c30 (OneHotEncoder over the indexed stage). */
+  def qMlOnehot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+    val indexed = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("event_type").setOutputCol("type_idx")
+      .setStringOrderType("frequencyDesc")
+      .fit(ev).transform(ev)
+    val encoded = new org.apache.spark.ml.feature.OneHotEncoder()
+      .setInputCol("type_idx").setOutputCol("type_vec")
+      .fit(indexed).transform(indexed)
+    import org.apache.spark.ml.functions.vector_to_array
+    encoded.withColumn("v", vector_to_array(col("type_vec")))
+      .select(col("event_id") +: col("event_type") +:
+        (0 until 4).map(i => col("v").getItem(i).as(s"c$i")): _*)
+      .orderBy(col("event_id"))
+  }
+
+  val qMlOnehotSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    row_number() OVER (ORDER BY count(*) DESC, event_type ASC) - 1 AS idx
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type,
+      |  CASE WHEN m.idx = 0 THEN 1.0 ELSE 0.0 END AS c0,
+      |  CASE WHEN m.idx = 1 THEN 1.0 ELSE 0.0 END AS c1,
+      |  CASE WHEN m.idx = 2 THEN 1.0 ELSE 0.0 END AS c2,
+      |  CASE WHEN m.idx = 3 THEN 1.0 ELSE 0.0 END AS c3
+      |FROM events e JOIN m USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),
+    "q_ml_onehot" -> (qMlOnehot _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
     "q_ml_gbt_regression" -> (qMlGbtRegression _),
     "q_ml_linear_regression" -> (qMlLinearRegression _),
@@ -150,6 +189,7 @@ object MlQueries {
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
     "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
+    "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
         |  l_quantity / stddev_samp(l_quantity) OVER () AS s_quantity,

@@ -140,12 +140,19 @@ object TextQueries {
   def qContamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val sh = docs
+    // persisted pre-explode for the same two reasons as the hashed tier
+    // below: one shingle computation feeds both the train and eval
+    // branches, and the persist is an optimizer barrier against
+    // InferFiltersFromGenerate re-evaluating the shingle transform
+    // inside the filter pushed under the explode
+    val shingled = docs
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
           expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .otherwise(expr("cast(array() as array<string>)")))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val train = sh.filter(col("doc_id") % 2 === 0).select(col("sh")).distinct()
       .withColumn("hit", lit(1))
     val ev = sh.filter(col("doc_id") % 2 === 1).distinct()

@@ -130,6 +130,35 @@ object WindowQueries {
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** Time-RANGE sliding window (vs [[qWindowRowsAvg]]'s ROWS frame):
+    * per user, the count and average of `value` over the trailing 10
+    * minutes of EVENT TIME — neighbors-by-timestamp, not by position,
+    * so irregular event spacing changes the frame size row to row.
+    * The RANGE frame makes ties deterministic by construction: rows
+    * sharing a timestamp share one frame, so no tie-break column is
+    * needed. Same scale shape as every per-user window: one shuffle on
+    * user_id, per-partition sort. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L) // trailing 10 min in micros
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("avg_10m", avg(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n_10m"), col("avg_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, value,
+      |  count(*) OVER w AS n_10m,
+      |  avg(value) OVER w AS avg_10m
+      |FROM (SELECT *, epoch_us(ts) AS us FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Approximate decile binning — the 100 TB tier of [[qNtile]].
     * One `approx_percentile` pass (GK sketch: mergeable, bounded memory,
     * partial-aggregable) yields the 9 interior cut-points as a single
@@ -161,6 +190,7 @@ object WindowQueries {
     "q_window_lead" -> (qWindowLead _),
     "q_window_rows_avg" -> (qWindowRowsAvg _),
     "q_window_rank" -> (qWindowRank _),
+    "q_window_range" -> (qWindowRange _),
     "q_ntile" -> (qNtile _),
     "q_ntile_approx" -> (qNtileApprox _))
 
@@ -168,5 +198,6 @@ object WindowQueries {
     "q_window_lead" -> qWindowLeadSql,
     "q_window_rows_avg" -> qWindowRowsAvgSql,
     "q_window_rank" -> qWindowRankSql,
+    "q_window_range" -> qWindowRangeSql,
     "q_ntile" -> qNtileSql)
 }

@@ -60,6 +60,39 @@ object Streaming {
       idCol: String = "event_id", tsCol: String = "ts"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream attribution join — the classic two-stream pattern:
+    * each purchase matched to the SAME user's clicks in the preceding
+    * `windowMinutes`. Works on batch OR streaming frames unchanged
+    * (withWatermark is a no-op on batch): the same transform serves the
+    * oracle-checked batch query
+    * ([[graft.queries.AnalyticsQueries.qAttribution]]) and the live
+    * two-stream join, and StreamingSpec proves they emit identical
+    * pair sets.
+    *
+    * Scale/state: the join key is user_id (hash join, no nested loop —
+    * the time bound is a post-filter on the equi-match), and on streams
+    * BOTH sides carry watermarks + a two-sided time-range condition, so
+    * each side's buffered state is evicted once it falls behind the
+    * other stream's watermark — bounded memory at any input rate (an
+    * unbounded stream-stream inner join without the range condition
+    * would buffer forever). */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Long = 30, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""user_id = p_user_id AND
+         |click_ts >= p_ts - INTERVAL $windowMinutes MINUTES AND
+         |click_ts <= p_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
     * window composition — events more than `gapMinutes` after their
     * predecessor (per user) open a new session; the session id is the

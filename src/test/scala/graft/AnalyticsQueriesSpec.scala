@@ -105,6 +105,56 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("attribution: one row per purchase; spot-check top counts against brute force") {
+    val df = AnalyticsQueries.qAttribution(spark, sf001).cache()
+    val ev = Tables.events(spark, sf001)
+    assert(df.count() == ev.filter(col("event_type") === "purchase").count())
+    val probe = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us")).cache()
+    df.orderBy(col("n_clicks").desc, col("event_id")).limit(5).collect().foreach { r =>
+      val p = probe.filter(col("event_id") === r.getLong(0)).head()
+      val expected = probe.filter(col("event_type") === "click" &&
+        col("user_id") === p.getAs[Long]("user_id") &&
+        col("us") >= p.getAs[Long]("us") - 1800000000L &&
+        col("us") <= p.getAs[Long]("us")).count()
+      assert(r.getLong(1) == expected, s"purchase ${r.getLong(0)}")
+    }
+    probe.unpersist(); df.unpersist()
+  }
+
+  test("window range: trailing-10min frame matches brute force on sampled rows") {
+    val df = graft.queries.WindowQueries.qWindowRange(spark, sf001).cache()
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us")).cache()
+    df.orderBy(col("n_10m").desc, col("event_id")).limit(5).collect().foreach { r =>
+      val row = ev.filter(col("event_id") === r.getLong(0)).head()
+      val expected = ev.filter(col("user_id") === row.getAs[Long]("user_id") &&
+        col("us") >= row.getAs[Long]("us") - 600000000L &&
+        col("us") <= row.getAs[Long]("us")).count()
+      assert(r.getLong(3) == expected, s"event ${r.getLong(0)}")
+    }
+    // a frame always contains at least the current row
+    assert(df.filter(col("n_10m") < 1).count() == 0)
+    ev.unpersist(); df.unpersist()
+  }
+
+  test("resample+ffill: dense contiguous per-user grid, fill total and consistent") {
+    val df = AnalyticsQueries.qResampleFfill(spark, sf001).cache()
+    assert(df.count() > 0)
+    // forward fill is total (first bucket is always observed) and agrees
+    // with the bucket average wherever one exists
+    assert(df.filter(col("value_ffill").isNull).count() == 0)
+    assert(df.filter(col("bin_avg").isNotNull &&
+      col("bin_avg") =!= col("value_ffill")).count() == 0)
+    // grid density: per user, #rows == (max - min bucket + 1), no gaps
+    val us = unix_micros(col("bucket_ts"))
+    val spans = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(us).as("lo"), max(us).as("hi"))
+      .filter(col("n") =!= (col("hi") - col("lo")) / 600000000L + 1)
+    assert(spans.count() == 0, "grid has gaps or duplicates")
+    df.unpersist()
+  }
+
   test("group quantiles: ordered p25 <= p50 <= p75 within group min/max") {
     val q = AnalyticsQueries.qGroupQuantiles(spark, sf001)
     val bounds = Tables.lineitem(spark, sf001)

@@ -35,6 +35,21 @@ class CoreQueriesSpec extends SparkSpec {
     assert(df.filter(col("value_clean").isNull && col("value_filled") =!= 0.0).count() == 0)
   }
 
+  test("cube: all four grouping sets present, grand total covers the table") {
+    val rows = graft.queries.ExtraQueries.qCube(spark, sf001).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    // grand-total row counts every lineitem exactly once
+    val grand = byGid(3L)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf001).count())
+    // each marginal's n sums to the table size too
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(byGid(g).map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"),
+        s"grouping set $g does not partition the table")
+    }
+  }
+
   test("set ops: intersect is a subset of union; except disjoint from intersect") {
     val u = CoreQueries.qUnion(spark, sf01).collect().map(_.getLong(0)).toSet
     val i = CoreQueries.qIntersect(spark, sf01).collect().map(_.getLong(0)).toSet

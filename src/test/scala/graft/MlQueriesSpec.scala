@@ -24,4 +24,23 @@ class MlQueriesSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).sorted.toSeq ==
       (0 until out.length).map(_.toDouble))
   }
+
+  test("onehot: one row per event, at most one hot slot, dropLast category all-zero") {
+    val out = MlQueries.qMlOnehot(spark, sf001).cache()
+    assert(out.count() == Tables.events(spark, sf001).count())
+    val hot = out.withColumn("ones",
+      col("c0") + col("c1") + col("c2") + col("c3"))
+    assert(hot.filter(col("ones") > 1.0).count() == 0, "more than one hot slot")
+    // the least frequent category (index 4, dropped) encodes all-zero;
+    // every other category has exactly one hot slot
+    val zeroTypes = hot.filter(col("ones") === 0.0)
+      .select(col("event_type")).distinct().collect().map(_.getString(0))
+    assert(zeroTypes.length == 1, s"exactly one all-zero category: ${zeroTypes.toSeq}")
+    val leastFrequent = Tables.events(spark, sf001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").asc, col("event_type").desc)
+      .head().getString(0)
+    assert(zeroTypes.head == leastFrequent)
+    out.unpersist()
+  }
 }

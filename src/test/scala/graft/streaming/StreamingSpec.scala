@@ -170,6 +170,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream attribution join emits exactly the batch pair set") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val clicksB = ev.filter(col("event_type") === "click")
+    val purchB = ev.filter(col("event_type") === "purchase")
+    val cDir = JFiles.createTempDirectory("graft-attr-clicks")
+    val pDir = JFiles.createTempDirectory("graft-attr-purch")
+    clicksB.write.mode("overwrite").parquet(cDir.toString)
+    purchB.write.mode("overwrite").parquet(pDir.toString)
+    val q = Streaming.attributionPairs(
+        spark.readStream.schema(clicksB.schema).parquet(cDir.toString),
+        spark.readStream.schema(purchB.schema).parquet(pDir.toString))
+      .writeStream.format("memory").queryName("attr_pairs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the SAME transform over the batch frames (watermarks are no-ops)
+    val batch = Streaming.attributionPairs(clicksB, purchB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    assert(streamed == batch,
+      s"${streamed.size} streamed pairs vs ${batch.size} batch pairs")
+  }
+
   test("streaming dedup: re-delivered events dropped across trigger batches") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft-dedup-stream")
