@@ -257,7 +257,7 @@ object AnalyticsQueries {
       |  last_value(b.bin_avg IGNORE NULLS) OVER (
       |    PARTITION BY g.user_id ORDER BY g.bin) AS value_ffill
       |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin
-      |ORDER BY user_id, bucket_ts""".stripMargin
+      |ORDER BY g.user_id, bucket_ts""".stripMargin
 
   // ------------------------------------------------------------ Attribution
   /** Per-purchase click attribution: how many of the SAME user's clicks
