@@ -42,12 +42,14 @@ object AnalyticsQueries {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // |vocab| rows regardless of corpus size; if a giant vocabulary ever
-    // outgrew the broadcast threshold, dropping the hint degrades to a
-    // sort-merge join on term — still partial-aggregated, never a
-    // single-reducer window.
+    // |vocab| rows regardless of corpus size. No broadcast() hint on
+    // purpose: a hint never auto-degrades, so an unbounded vocabulary at
+    // the 100 TB tier would OOM the driver instead of falling back. AQE
+    // picks broadcast-hash at runtime when the aggregated df table fits
+    // the threshold, and degrades to a sort-merge join on term when it
+    // doesn't — still partial-aggregated, never a single-reducer window.
     val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(broadcast(dfTable), "term")
+    val withDf = tf.join(dfTable, "term")
     val scored = withDf.crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rk", row_number().over(

@@ -43,10 +43,12 @@ object Curation {
   /** `withAccounting = false` skips the per-stage count actions (the
     * reference-style printed accounting); counts read the already-
     * materialized checkpoint/cache blocks, so accounting costs scans,
-    * not recomputation. Empty intermediates short-circuit: a corpus
-    * with no quality survivors (or no exact-dedup survivors) skips the
-    * downstream stages entirely instead of running the pair-generation
-    * machinery over an empty frame. */
+    * not recomputation. An empty quality stage short-circuits: a corpus
+    * with no quality survivors skips the downstream stages entirely
+    * instead of running the pair-generation machinery over an empty
+    * frame. (Exact dedup cannot produce an empty frame from a non-empty
+    * quality stage — every content group keeps one row — so no second
+    * short-circuit exists.) */
   def curate(docs: DataFrame, minQuality: Double,
       k: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
