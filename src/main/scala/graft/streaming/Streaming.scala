@@ -132,91 +132,184 @@ object Streaming {
         sum(col(valueCol)).as("sum_value"))
   }
 
+  /** Per-user state for the stateful sessionizers: EVERY session still
+    * inside the watermark horizon, kept sorted by session_start. A
+    * single open-session tuple cannot sessionize out-of-order input —
+    * a late "bridge" event can connect two sessions AFTER one of them
+    * was already declared closed — so the state must hold all sessions
+    * the watermark has not yet sealed. Memory per key is bounded by
+    * the horizon: a session whose `end + gap` falls behind the
+    * watermark can never be extended again (any surviving event is
+    * `> gap` after it; anything older is dropped as late), so it is
+    * emitted in final form and evicted. */
+  final case class SessionBuffer(sessions: Seq[UserSession])
+
+  /** Fold ts-sorted events into gap-separated sessions. */
+  private[streaming] def gapSessions(userId: Long, sorted: Seq[Event],
+      gapMs: Long): List[UserSession] =
+    sorted.foldLeft(List.empty[UserSession]) { (acc, e) =>
+      acc match {
+        case head :: tail
+            if e.ts.getTime - head.session_end.getTime <= gapMs =>
+          head.copy(session_end = e.ts, n_events = head.n_events + 1,
+            sum_value = head.sum_value + e.value) :: tail
+        case _ => UserSession(userId, e.ts, e.ts, 1, e.value) :: acc
+      }
+    }.reverse
+
+  /** Merge sessions (as intervals) whose gap-extended spans touch:
+    * after sorting by start, a session starting within `gapMs` of the
+    * previous accumulated end joins it. Input sessions must count
+    * disjoint event sets (state sessions + fresh batch sessions do). */
+  private[streaming] def mergeByGap(sessions: List[UserSession],
+      gapMs: Long): List[UserSession] =
+    sessions.sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+      .foldLeft(List.empty[UserSession]) { (acc, s) =>
+        acc match {
+          case head :: tail
+              if s.session_start.getTime - head.session_end.getTime <= gapMs =>
+            head.copy(
+              session_end =
+                if (s.session_end.getTime > head.session_end.getTime)
+                  s.session_end else head.session_end,
+              n_events = head.n_events + s.n_events,
+              sum_value = head.sum_value + s.sum_value) :: tail
+          case _ => s :: acc
+        }
+      }.reverse
+
+  /** Current event-time watermark, or Long.MinValue when the operator
+    * runs in batch mode (withWatermark is a no-op there and
+    * getCurrentWatermarkMs refuses) — so in batch nothing ever looks
+    * sealed and the full session list comes out, matching
+    * [[sessionizeBatch]]. */
+  private def watermarkMs(state: GroupState[_]): Long =
+    try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => Long.MinValue }
+
+  /** Timeout must land strictly above the current watermark or Spark
+    * rejects it; the +1 floor also keeps a key that received data this
+    * trigger from re-firing in the same trigger. */
+  private def evictionTarget(openSessions: Seq[UserSession], gapMs: Long,
+      wm: Long): Long = {
+    val target = openSessions.map(_.session_end.getTime).min + gapMs
+    math.max(target, if (wm == Long.MinValue) Long.MinValue + 1 else wm + 1)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState, emitting
-    * EVERY session: each session CLOSED within the trigger (final
-    * form, exactly once) plus the still-open current one (re-emitted
-    * per trigger as it extends — downstream keeps the latest version
-    * per (user, session_start)). This is the complete-output variant
-    * of [[sessionize]]: a mapGroups operator can only return one row
-    * per key per trigger, so sessions opened AND closed inside one
-    * trigger would vanish from its output. StreamingSpec proves
-    * replay equivalence: accumulated emissions == [[sessionizeBatch]]
-    * over the same events, session for session.
+    * EVERY session: each changed session per trigger (update mode)
+    * plus a closure record (the final form, re-emitted) when the
+    * watermark seals a session — on the data path or via
+    * `EventTimeTimeout` when the user goes idle, so state never
+    * outlives the horizon even for users who stop sending events.
     *
-    * State per key is still one open-session tuple — O(users) memory,
-    * partitioned by user across executors. */
-  def sessionizeAll(events: Dataset[Event], gapMinutes: Long)(
+    * Out-of-order input is handled by construction: the state holds
+    * ALL unsealed sessions ([[SessionBuffer]]), each trigger's events
+    * are folded into candidate sessions and interval-merged with the
+    * stored ones, so a late event lands in whichever session (or new
+    * session) the gap rule dictates — it never rewrites an unrelated
+    * open session, and a late bridge event correctly fuses two stored
+    * sessions. Events behind the watermark are dropped by Spark before
+    * the operator (the standard bounded-state trade: pick the
+    * watermark delay to cover real-world lateness).
+    *
+    * Downstream compaction contract: merging only ever GROWS a
+    * session's interval and event count, so a later emission
+    * supersedes exactly the earlier emissions (same user) whose
+    * [start, end] it contains with a larger n_events. StreamingSpec
+    * proves shuffled multi-trigger replay compacts to
+    * [[sessionizeBatch]]'s output, session for session. */
+  def sessionizeAll(events: Dataset[Event], gapMinutes: Long,
+      watermark: String = "30 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[UserSession],
       enc2: org.apache.spark.sql.Encoder[Long]): Dataset[UserSession] = {
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSession, UserSession](
+    implicit val bufEnc: org.apache.spark.sql.Encoder[SessionBuffer] =
+      org.apache.spark.sql.Encoders.product[SessionBuffer]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuffer, UserSession](
         org.apache.spark.sql.streaming.OutputMode.Update,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
-          var cur = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (cur == null)
-              cur = UserSession(userId, e.ts, e.ts, 1, e.value)
-            else if (t - cur.session_end.getTime > gapMs) {
-              closed += cur
-              cur = UserSession(userId, e.ts, e.ts, 1, e.value)
-            } else {
-              val start =
-                if (t < cur.session_start.getTime) e.ts else cur.session_start
-              val end =
-                if (t > cur.session_end.getTime) e.ts else cur.session_end
-              cur = cur.copy(session_start = start, session_end = end,
-                n_events = cur.n_events + 1, sum_value = cur.sum_value + e.value)
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val gap = gapMs
+          val wm = watermarkMs(state)
+          if (state.hasTimedOut) {
+            val (closed, open) = state.get.sessions
+              .partition(_.session_end.getTime + gap < wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionBuffer(open))
+              state.setTimeoutTimestamp(evictionTarget(open, gap, wm))
             }
+            closed.iterator
+          } else {
+            val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val merged =
+              mergeByGap(prev.toList ::: gapSessions(userId, sorted, gap), gap)
+            // a session touched this trigger has end >= an event ts >= wm,
+            // so `open` always contains at least the current session
+            val (closed, open) =
+              merged.partition(_.session_end.getTime + gap < wm)
+            state.update(SessionBuffer(open))
+            state.setTimeoutTimestamp(evictionTarget(open, gap, wm))
+            val prevSet = prev.toSet
+            (closed ++ open.filterNot(prevSet)).iterator
           }
-          if (cur != null) state.update(cur)
-          (closed.toList ++ Option(cur).toList).iterator
       }
   }
 
-  /** Gap-based sessionization via mapGroupsWithState: events within
-    * `gap` of each other belong to one session; emits the LAST closed
-    * or open session per user per trigger (custom state beyond what
-    * windowed aggs express — SURVEY §2.11 / north-star streaming).
-    * For the complete per-session output stream, use [[sessionizeAll]].
+  /** Gap-based sessionization via mapGroupsWithState: emits the LAST
+    * session per user per trigger (custom state beyond what windowed
+    * aggs express — SURVEY §2.11 / north-star streaming). One output
+    * row per key per trigger is the operator's shape, so earlier
+    * sessions sealed mid-stream leave no closure record here — use
+    * [[sessionizeAll]] for the complete per-session output stream.
     *
-    * State per key is one (start, end, n, sum) tuple — O(users)
-    * memory, partitioned by user across executors. */
-  def sessionize(events: Dataset[Event], gapMinutes: Long)(
+    * Shares [[SessionBuffer]] state and the interval-merge rule with
+    * [[sessionizeAll]] (late events land by the gap rule, never
+    * rewrite an unrelated session). Sealed sessions are trimmed on the
+    * data path; an idle user's state is evicted by `EventTimeTimeout`
+    * once the watermark passes the newest session's close boundary,
+    * emitting that session's final form. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long,
+      watermark: String = "30 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[UserSession],
       enc2: org.apache.spark.sql.Encoder[Long]): Dataset[UserSession] = {
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserSession, UserSession](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
-          // events within one trigger batch are not ordered — sort here
-          // (per-user per-trigger volume is bounded by trigger size)
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur =
-              if (cur == null || t - cur.session_end.getTime > gapMs)
-                UserSession(userId, e.ts, e.ts, 1, e.value)
-              else {
-                // late (out-of-order) events may precede the stored
-                // bounds — extend, never move session_end backward
-                val start =
-                  if (t < cur.session_start.getTime) e.ts else cur.session_start
-                val end =
-                  if (t > cur.session_end.getTime) e.ts else cur.session_end
-                cur.copy(session_start = start, session_end = end,
-                  n_events = cur.n_events + 1,
-                  sum_value = cur.sum_value + e.value)
-              }
+    implicit val bufEnc: org.apache.spark.sql.Encoder[SessionBuffer] =
+      org.apache.spark.sql.Encoders.product[SessionBuffer]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionBuffer, UserSession](
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val gap = gapMs
+          if (state.hasTimedOut) {
+            // fires only once the watermark passes the NEWEST session's
+            // close boundary — everything stored is sealed; emit the
+            // last session's final form and free the key's state
+            val last = state.get.sessions.last
+            state.remove()
+            last
+          } else {
+            val wm = watermarkMs(state)
+            val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val merged =
+              mergeByGap(prev.toList ::: gapSessions(userId, sorted, gap), gap)
+            // trim sealed sessions (no closure records in this variant);
+            // the session holding this trigger's events is never sealed
+            val open = merged.filter(_.session_end.getTime + gap >= wm)
+            state.update(SessionBuffer(open))
+            // evict only when ALL sessions are sealed: the newest one
+            // seals last, so target its close boundary
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.session_end.getTime).max + gap,
+              if (wm == Long.MinValue) Long.MinValue + 1 else wm + 1))
+            merged.last
           }
-          state.update(cur)
-          cur
       }
   }
 }

@@ -7,6 +7,8 @@ import graft.queries.CoreQueries
 
 class StreamingSpec extends SparkSpec {
 
+  import spark.implicits._
+
   /** events.parquet copied into a directory (readStream wants a dir). */
   lazy val streamDir: String = {
     val dir = Files.createTempDirectory("graft-events-stream")
@@ -168,6 +170,155 @@ class StreamingSpec extends SparkSpec {
       assert(end == bEnd && n == bN, s"session $k: ($end,$n) vs ($bEnd,$bN)")
       assert(math.abs(sumV - bSum) < 1e-6, s"session $k sum: $sumV vs $bSum")
     }
+  }
+
+  /** File-source feeder: write each trigger's events as parquet, copy
+    * into the watched dir, processAllAvailable — one batch per call. */
+  private final class Feeder {
+    import java.nio.file.{Files => JFiles}
+    private val src = JFiles.createTempDirectory("graft-feed-src")
+    val watchDir: String = JFiles.createTempDirectory("graft-feed").toString
+    private var n = 0
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+        rows: Seq[Streaming.Event]): Unit = {
+      import spark.implicits._
+      n += 1
+      rows.toDS().write.parquet(Paths.get(src.toString, s"b$n").toString)
+      JFiles.list(src.resolve(s"b$n")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          JFiles.copy(p, Paths.get(watchDir, s"b$n-${p.getFileName}"))
+      }
+      q.processAllAvailable()
+    }
+  }
+
+  private def eventStream(dir: String) = spark.readStream
+    .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+    .parquet(dir).as[Streaming.Event](
+      implicitly[org.apache.spark.sql.Encoder[Streaming.Event]])
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("session merge helpers: a late bridge event fuses two stored sessions") {
+    // stored: [10:00,10:01] n2 and [10:20,10:21] n2 (gap 15 apart > 15?
+    // 10:20-10:01 = 19 min > 15 → separate); a bridge event at 10:10
+    // is within 15 min of BOTH — all three must fuse into one session
+    val gapMs = 15L * 60000L
+    val stored = List(
+      Streaming.UserSession(7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 2, 2.0),
+      Streaming.UserSession(7L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:21:00"), 2, 2.0))
+    val bridge = Streaming.gapSessions(7L,
+      Seq(Streaming.Event(9L, ts("2024-01-01 10:10:00"), 7L, "view", 5.0)), gapMs)
+    val merged = Streaming.mergeByGap(stored ::: bridge, gapMs)
+    assert(merged.length == 1)
+    assert(merged.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(merged.head.session_end == ts("2024-01-01 10:21:00"))
+    assert(merged.head.n_events == 5)
+    assert(math.abs(merged.head.sum_value - 9.0) < 1e-9)
+  }
+
+  test("sessionizeAll: a late event beyond the gap opens its own session, never rewrites the open one") {
+    val feeder = new Feeder
+    val q = Streaming.sessionizeAll(eventStream(feeder.watchDir),
+        gapMinutes = 5, watermark = "36500 days")
+      .writeStream.format("memory").queryName("late_own_session")
+      .outputMode("update").start()
+    try {
+      feeder.feed(q, Seq(Streaming.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0)))
+      // 20 min BEFORE the open session's start (> 5 min gap): must come
+      // out as its own closed-interval session, not a start rewrite
+      feeder.feed(q, Seq(Streaming.Event(2L, ts("2024-01-01 09:40:00"), 7L, "view", 1.0)))
+    } finally q.stop()
+    val got = spark.table("late_own_session").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getInt(3))).toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1),
+      (ts("2024-01-01 09:40:00"), ts("2024-01-01 09:40:00"), 1)),
+      s"late event must not rewrite the open session: $got")
+  }
+
+  test("sessionizeAll out-of-order replay: shuffled triggers compact to the batch sessions") {
+    import spark.implicits._
+    val all = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event].collect().toVector
+    val shuffled = new scala.util.Random(42).shuffle(all)
+    val feeder = new Feeder
+    // huge watermark delay: nothing is late-dropped or evicted, so the
+    // arbitrary arrival order exercises pure merge logic
+    val q = Streaming.sessionizeAll(eventStream(feeder.watchDir),
+        gapMinutes = 30, watermark = "36500 days")
+      .writeStream.format("memory").queryName("shuffled_sessions")
+      .outputMode("update").start()
+    try shuffled.grouped((shuffled.length + 3) / 4)
+      .foreach(chunk => feeder.feed(q, chunk))
+    finally q.stop()
+    // compact update-mode emissions: merging only grows a session, so an
+    // emission is superseded by any same-user emission that contains its
+    // interval with more events (the documented downstream contract)
+    val rows = spark.table("shuffled_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getInt(3), r.getDouble(4))).distinct
+    val finals = rows.groupBy(_._1).values.flatMap { es =>
+      es.filterNot(e => es.exists(f =>
+        f._2 <= e._2 && f._3 >= e._3 && f._4 > e._4))
+    }.toVector
+    val streamedKeys = finals.map(f => (f._1, f._2, f._3, f._4.toLong)).toSet
+    val streamedSums = finals.map(f => (f._1, f._2) -> f._5).toMap
+    val batch = Streaming.sessionizeBatch(Tables.events(spark, sf001), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime,
+        r.getTimestamp(4).getTime, r.getLong(2), r.getDouble(5)))
+    assert(streamedKeys == batch.map(b => (b._1, b._2, b._3, b._4)).toSet,
+      s"${streamedKeys.size} compacted streaming sessions vs ${batch.length} batch")
+    batch.foreach { b =>
+      // double addition order differs between merge order and batch sum
+      assert(math.abs(streamedSums((b._1, b._2)) - b._5) < 1e-6)
+    }
+  }
+
+  test("sessionizeAll event-time eviction: an idle session emits its closure record") {
+    val feeder = new Feeder
+    val q = Streaming.sessionizeAll(eventStream(feeder.watchDir),
+        gapMinutes = 5, watermark = "1 minute")
+      .writeStream.format("memory").queryName("evict_sessions")
+      .outputMode("update").start()
+    try {
+      feeder.feed(q, Seq(Streaming.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0)))
+      // other-user traffic pushes the watermark far past 10:05 (= user
+      // 7's session_end + gap); the next trigger must evict user 7's
+      // idle session via EventTimeTimeout, re-emitting its final form
+      feeder.feed(q, Seq(Streaming.Event(2L, ts("2024-01-01 12:00:00"), 99L, "view", 1.0)))
+      feeder.feed(q, Seq(Streaming.Event(3L, ts("2024-01-01 12:01:00"), 99L, "view", 1.0)))
+    } finally q.stop()
+    val user7 = spark.table("evict_sessions")
+      .filter(col("user_id") === 7L).collect()
+    assert(user7.length == 2,
+      s"expected open emission + closure record, got ${user7.toSeq}")
+    user7.foreach { r =>
+      assert(r.getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(r.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+      assert(r.getInt(3) == 1)
+    }
+  }
+
+  test("sessionize event-time eviction: idle user's state evicts, emitting the final session") {
+    val feeder = new Feeder
+    val q = Streaming.sessionize(eventStream(feeder.watchDir),
+        gapMinutes = 5, watermark = "1 minute")
+      .writeStream.format("memory").queryName("evict_map_sessions")
+      .outputMode("update").start()
+    try {
+      feeder.feed(q, Seq(Streaming.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0)))
+      feeder.feed(q, Seq(Streaming.Event(2L, ts("2024-01-01 12:00:00"), 99L, "view", 1.0)))
+      feeder.feed(q, Seq(Streaming.Event(3L, ts("2024-01-01 12:01:00"), 99L, "view", 1.0)))
+    } finally q.stop()
+    val user7 = spark.table("evict_map_sessions")
+      .filter(col("user_id") === 7L).collect()
+    assert(user7.length == 2,
+      s"expected trigger-1 emission + timeout emission, got ${user7.toSeq}")
+    user7.foreach(r => assert(r.getInt(3) == 1 &&
+      r.getTimestamp(1) == ts("2024-01-01 10:00:00")))
   }
 
   test("stream-stream attribution join emits exactly the batch pair set") {
