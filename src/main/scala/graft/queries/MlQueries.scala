@@ -138,43 +138,64 @@ object MlQueries {
       |  FROM events GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
-  /** M2 (OneHotEncoder, dropLast default) surfaced as a driver query:
-    * index the events categorical, one-hot it, and emit the per-event
-    * indicator columns. With 5 harness event types the dropLast vector
-    * has 4 slots; the category→slot mapping is the M1 frequencyDesc
-    * rank, so the DuckDB twin replays it with CASE over a
-    * row_number-over-counts mapping table. The least-frequent category
-    * encodes as all-zeros — exactly Spark's dropLast contract.
-    * Ref ipynb c30 (OneHotEncoder over the indexed stage). */
-  def qMlOnehot(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+  /** Indicator-column expansion of one categorical: StringIndexer
+    * (frequencyDesc) → OneHotEncoder (dropLast default) → one DOUBLE
+    * column per retained slot, `c0..c{k-2}` for k categories. The slot
+    * count comes from the fitted `OneHotEncoderModel.categorySizes`,
+    * never a hardcoded width, so a frame with any number of categories
+    * expands correctly (the least-frequent category encodes all-zero —
+    * exactly Spark's dropLast contract). */
+  def onehotIndicators(df: DataFrame, keepCols: Seq[String],
+      catCol: String): DataFrame = {
     val indexed = new org.apache.spark.ml.feature.StringIndexer()
-      .setInputCol("event_type").setOutputCol("type_idx")
+      .setInputCol(catCol).setOutputCol("type_idx")
       .setStringOrderType("frequencyDesc")
-      .fit(ev).transform(ev)
-    val encoded = new org.apache.spark.ml.feature.OneHotEncoder()
+      .fit(df).transform(df)
+    val model = new org.apache.spark.ml.feature.OneHotEncoder()
       .setInputCol("type_idx").setOutputCol("type_vec")
-      .fit(indexed).transform(indexed)
+      .fit(indexed)
+    val slots = model.categorySizes(0) - 1
     import org.apache.spark.ml.functions.vector_to_array
-    encoded.withColumn("v", vector_to_array(col("type_vec")))
-      .select(col("event_id") +: col("event_type") +:
-        (0 until 4).map(i => col("v").getItem(i).as(s"c$i")): _*)
-      .orderBy(col("event_id"))
+    model.transform(indexed)
+      .withColumn("v", vector_to_array(col("type_vec")))
+      .select(keepCols.map(col) ++
+        (0 until slots).map(i => col("v").getItem(i).as(s"c$i")): _*)
   }
 
-  val qMlOnehotSql: String =
-    """WITH m AS (
-      |  SELECT event_type,
-      |    row_number() OVER (ORDER BY count(*) DESC, event_type ASC) - 1 AS idx
-      |  FROM events GROUP BY event_type
-      |)
-      |SELECT e.event_id, e.event_type,
-      |  CASE WHEN m.idx = 0 THEN 1.0 ELSE 0.0 END AS c0,
-      |  CASE WHEN m.idx = 1 THEN 1.0 ELSE 0.0 END AS c1,
-      |  CASE WHEN m.idx = 2 THEN 1.0 ELSE 0.0 END AS c2,
-      |  CASE WHEN m.idx = 3 THEN 1.0 ELSE 0.0 END AS c3
-      |FROM events e JOIN m USING (event_type)
-      |ORDER BY e.event_id""".stripMargin
+  /** M2 (OneHotEncoder, dropLast default) surfaced as a driver query:
+    * index the events categorical, one-hot it, and emit the per-event
+    * indicator columns. The category→slot mapping is the M1
+    * frequencyDesc rank, so the DuckDB twin replays it with CASE over
+    * a row_number-over-counts mapping table.
+    * Ref ipynb c30 (OneHotEncoder over the indexed stage). */
+  def qMlOnehot(s: SparkSession, d: String): DataFrame =
+    onehotIndicators(
+      Tables.events(s, d).select(col("event_id"), col("event_type")),
+      Seq("event_id", "event_type"), "event_type")
+      .orderBy(col("event_id"))
+
+  /** The harness events fixture carries this many event types; the
+    * oracle's CASE arms are generated from it (static SQL cannot read
+    * the fitted model). If the fixture ever changes, the Spark side —
+    * model-derived — grows or shrinks its column set and the driver's
+    * schema compare fails loudly, instead of the old hardcoded width
+    * silently nulling or dropping slots. */
+  private val HarnessEventTypeCount = 5
+
+  val qMlOnehotSql: String = {
+    val arms = (0 until HarnessEventTypeCount - 1)
+      .map(i => s"  CASE WHEN m.idx = $i THEN 1.0 ELSE 0.0 END AS c$i")
+      .mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT event_type,
+       |    row_number() OVER (ORDER BY count(*) DESC, event_type ASC) - 1 AS idx
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.event_id, e.event_type,
+       |$arms
+       |FROM events e JOIN m USING (event_type)
+       |ORDER BY e.event_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),

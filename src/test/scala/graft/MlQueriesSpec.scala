@@ -43,4 +43,18 @@ class MlQueriesSpec extends SparkSpec {
     assert(zeroTypes.head == leastFrequent)
     out.unpersist()
   }
+
+  test("onehot slot count follows the fitted model: 3 categories → 2 indicator columns") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("event_id", "event_type")
+    val out = MlQueries.onehotIndicators(df, Seq("event_id", "event_type"), "event_type")
+    assert(out.columns.toSeq == Seq("event_id", "event_type", "c0", "c1"))
+    val byType = out.collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // frequencyDesc: a→slot 0, b→slot 1, c→index 2 = dropped (all-zero)
+    assert(byType("a") == ((1.0, 0.0)))
+    assert(byType("b") == ((0.0, 1.0)))
+    assert(byType("c") == ((0.0, 0.0)))
+  }
 }
