@@ -12,6 +12,25 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers measure the engine, not JIT/classloading.
   */
 object Bench {
+
+  /** Spread (max/min) of one query's runs, or None when the sample
+    * cannot speak to contention: fewer than 2 successful runs (a lone
+    * run always reads exactly 1.0, biasing the median toward "idle")
+    * or a sub-millisecond fastest run (max/min of near-zero times is
+    * scheduler noise, not a contention signal). Failed runs enter as
+    * negative sentinels and are dropped here. */
+  def runSpread(runs: Seq[Double]): Option[Double] = {
+    val ok = runs.filter(_ >= 0)
+    if (ok.length < 2 || ok.min < 1e-3) None else Some(ok.max / ok.min)
+  }
+
+  /** Median of the admissible per-query spreads; -1 when no query
+    * produced an admissible sample. */
+  def contentionHint(spreads: Seq[Option[Double]]): Double = {
+    val s = spreads.flatten.sorted
+    if (s.isEmpty) -1.0 else s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,12 +66,12 @@ object Bench {
     // this reason). Process-wide state built by run 1 (memoized ML fits,
     // the IVF index) legitimately amortizes into run 2 — "build once per
     // process" is the contract those operators document.
-    // returns (best, spread = max/min of the two runs): the spread
+    // returns (best, admissible spread of the two runs): the spread
     // distribution feeds contention_hint below
-    def exec(name: String): (Double, Double) = {
-      val runs = Seq(execOnce(name), execOnce(name)).filter(_ >= 0)
-      if (runs.isEmpty) (-1.0, -1.0)
-      else (runs.min, runs.max / math.max(runs.min, 1e-9))
+    def exec(name: String): (Double, Option[Double]) = {
+      val runs = Seq(execOnce(name), execOnce(name))
+      val ok = runs.filter(_ >= 0)
+      (if (ok.isEmpty) -1.0 else ok.min, runSpread(runs))
     }
 
     // JVM/codegen warm-up across the main plan shapes (agg, window,
@@ -78,17 +97,17 @@ object Bench {
     // (BENCH_r03 1.85×, r04 2.7× vs judge idle re-runs). The MEDIAN
     // spread is robust to the handful of queries whose run 1 legitimately
     // amortizes a one-time build into run 2 — so a reader can flag a
-    // contended window (hint ≳ 1.5) without an idle re-run.
-    val spreads = results.map(_._3).filter(_ > 0).sorted
-    val contentionHint =
-      if (spreads.isEmpty) -1.0 else spreads(spreads.length / 2)
+    // contended window (hint ≳ 1.5) without an idle re-run. Queries with
+    // a failed run or a sub-ms floor carry no signal and are excluded
+    // (runSpread) rather than entering as a fake 1.0 or an absurd ratio.
+    val hint = contentionHint(results.map(_._3))
     // One-time build costs (model fits, IVF index) amortize across the
     // per-query numbers under the build-once-per-process contract; the
     // `builds` section reports them explicitly so a build regression
     // can't hide behind warm-cache query times.
     val builds = BuildTimes.snapshot.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$contentionHint,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$hint,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)
