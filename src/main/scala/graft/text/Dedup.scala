@@ -187,8 +187,56 @@ object Dedup {
     * Candidate id-pairs are deduped BEFORE shingle sets are re-attached,
     * so the arrays travel only to surviving candidates. */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    ngramJaccardPairsWithHandles(df, k, minJaccard, textCol, idCol)._1
+      textCol: String = "text", idCol: String = "doc_id",
+      hotShingleDf: Long = 100000L): DataFrame =
+    ngramJaccardPairsWithHandles(df, k, minJaccard, textCol, idCol,
+      hotShingleDf)._1
+
+  /** Attach per-shingle document frequency to the exploded
+    * (doc, shingle-hash) frame with bounded window partitions.
+    *
+    * A plain `count().over(partitionBy(h))` lands EVERY row of a
+    * pathological stopword shingle in one window partition — one task
+    * owns the hot key, the same single-reducer skew any h-keyed
+    * co-location forces. df only drives the PPJoin prefix ORDER (any
+    * total order shared by all docs preserves exactness), but the
+    * values must stay consistent, so the guard is purely physical:
+    *
+    *  1. a partial-aggregable `groupBy(h).count()` finds shingles with
+    *     df > `hotShingleDf` — skew-free by map-side combine (each task
+    *     emits one row per distinct h), and by pigeonhole the hot table
+    *     has at most |rows| / hotShingleDf entries, which is what makes
+    *     the broadcast below safe-by-construction (raise the threshold
+    *     with corpus scale to keep that bound; the explicit hint is
+    *     justified here, unlike an unbounded dimension table);
+    *  2. hot rows take df from that broadcast — no shuffle at all;
+    *  3. cold rows keep the one-shuffle window count, whose partitions
+    *     are now ≤ hotShingleDf rows by construction.
+    *
+    * When the count finds no hot shingle (the common corpus), the
+    * original single-window plan is used unchanged — the check itself
+    * then proves every window partition is bounded. df values are
+    * identical either way, so the candidate set and the pair output
+    * never change. Returns the attached frame plus the persisted hot
+    * table as an unpersist handle. */
+  private[text] def attachShingleDf(exploded: DataFrame, idCol: String,
+      hotShingleDf: Long): (DataFrame, Seq[DataFrame]) = {
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val hot = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("hot_df"))
+      .filter(col("hot_df") > hotShingleDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (hot.isEmpty)
+      (exploded.withColumn("df", count(lit(1)).over(byH)), Seq(hot))
+    else {
+      val tagged = exploded.join(broadcast(hot), Seq("h"), "left")
+      val cold = tagged.filter(col("hot_df").isNull).drop("hot_df")
+        .withColumn("df", count(lit(1)).over(byH))
+      val hotRows = tagged.filter(col("hot_df").isNotNull)
+        .withColumnRenamed("hot_df", "df")
+      (cold.unionByName(hotRows), Seq(hot))
+    }
+  }
 
   /** [[ngramJaccardPairs]] plus its persisted intermediate handles
     * (docSets, byDoc), so pipeline callers ([[Curation.curate]]) can
@@ -198,7 +246,8 @@ object Dedup {
     * consumed it (or after a checkpoint cut the lineage). */
   private[graft] def ngramJaccardPairsWithHandles(df: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, Seq[DataFrame]) = {
+      idCol: String = "doc_id",
+      hotShingleDf: Long = 100000L): (DataFrame, Seq[DataFrame]) = {
     // (id, sh) persisted — BOTH the verification-set source and an
     // optimizer barrier: without it, InferFiltersFromGenerate puts a
     // `size(sh) > 0 AND isnotnull(sh)` filter under the explode and
@@ -210,17 +259,12 @@ object Dedup {
     // one row per (doc, distinct shingle hash) — the working form for
     // both the frequency count and the per-doc re-aggregation
     val exploded = docSets.select(col(idCol), explode(col("sh")).as("h"))
-    // global document frequency per shingle as an UNBOUNDED window count
-    // over the hash: ONE shuffle of the exploded frame attaches df to
-    // every row, where the previous groupBy(h)+join(h) form shuffled the
-    // exploded frame twice (once into the aggregate, once into the
-    // join probe) and needed it persisted. Rows sharing a shingle land
-    // in one window partition — the same co-location any h-keyed join
-    // would force, so the skew exposure is unchanged (a pathological
-    // stopword shingle should be length-banded out upstream either way).
-    val byDoc = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    // global document frequency per shingle, skew-guarded (see
+    // attachShingleDf): the common no-hot-shingle corpus keeps the
+    // single-window one-shuffle plan; a stopword shingle routes its
+    // rows through a bounded broadcast instead of one window task
+    val (withDf, dfHandles) = attachShingleDf(exploded, idCol, hotShingleDf)
+    val byDoc = withDf
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
       .withColumn("hs", transform(col("dh"), x => x.getField("h")))
@@ -256,7 +300,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    (pairs, Seq(docSets, byDoc))
+    (pairs, Seq(docSets, byDoc) ++ dfHandles)
   }
 
   /** Connected components over a near-dup pair list: each document is

@@ -53,6 +53,52 @@ class DedupSpec extends SparkSpec {
     assert(hits.forall(_ >= 0.8))
   }
 
+  test("ngram pairs: a planted stopword shingle changes no pairs and never funnels into one window task") {
+    import spark.implicits._
+    // 20 docs + 20 near-dup copies (last token dropped), EVERY doc
+    // ending in the same three tokens — the pure-suffix shingle has
+    // df = 40, far above the spec threshold of 5, while all other
+    // shingles stay cold (df <= 2)
+    def tokens(i: Long, n: Int) = (0 until n).map(t => s"u${i}x$t").mkString(" ")
+    val docs = (0L until 20L).flatMap { i =>
+      Seq((i, s"${tokens(i, 10)} zz yy xx"),
+        (i + 100L, s"${tokens(i, 9)} zz yy xx"))
+    }.toDF("doc_id", "text")
+    // brute-force exact Jaccard over the unhashed shingle sets
+    val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(expected.size == 20, "fixture must plant exactly the 20 near-dup pairs")
+
+    val guarded = Dedup.ngramJaccardPairs(docs, 3, 0.5, "text", "doc_id",
+      hotShingleDf = 5)
+    val got = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet, "guard must not change the pair set")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-9) }
+
+    // plan shape: the window count runs over the COLD branch only (hot
+    // rows filtered out before it) and hot rows attach via broadcast —
+    // no window task ever owns a stopword shingle's full row set
+    val logical = guarded.queryExecution.optimizedPlan.toString
+    assert(logical.contains("isnull(hot_df"),
+      "window input must exclude hot shingles")
+    assert(guarded.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "hot df must attach via broadcast")
+
+    // dormant guard (default threshold): identical output through the
+    // original single-window plan
+    val dormant = Dedup.ngramJaccardPairs(docs, 3, 0.5, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(dormant.keySet == expected.keySet)
+    dormant.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-9) }
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve to min-id keepers") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 (all three edges), pair 20-21
