@@ -165,6 +165,61 @@ object ExtraQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_partkey"), col("l_returnflag"))
 
+  /** Per-stratum sizes of the exact reservoir tier — the engine-
+    * independent face of seeded sampling: whatever the rand stream
+    * picks, exactPerGroup returns exactly min(1000, |stratum|) rows,
+    * which DuckDB replays as LEAST(1000, count(*)). The sampling
+    * tier's count-contract hash row. */
+  def qSampleReservoirCounts(s: SparkSession, d: String): DataFrame =
+    qSampleReservoir(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qSampleReservoirCountsSql: String =
+    """SELECT l_returnflag, LEAST(1000, count(*)) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic hash-stratified sample — the reproducible
+    * train/test-split pattern a 100 TB pipeline wants: a seeded
+    * rand() stream (q_sample_stratified) is engine- and
+    * partition-layout-specific, but here each row's fate is a pure
+    * function of its key, so any engine — and any re-run over
+    * re-partitioned or re-ordered data — selects the SAME rows. The
+    * bucket is a multiplicative hash in overflow-safe integer
+    * arithmetic, portable to DuckDB verbatim, which makes this the
+    * sampling tier's full-row hash oracle. Per-stratum fractions:
+    * A 10%, N 5%, R 10% (nominal; the hash decides). */
+  def qSampleHashStratified(s: SparkSession, d: String): DataFrame = {
+    val key = col("l_orderkey") * lit(7L) + col("l_linenumber")
+    // (key % 1000003) * 2654435761 ≤ ~2.7e15 — no 64-bit overflow in
+    // either engine; % 1e6 yields the sampling bucket
+    val bucket = ((key % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
+    Tables.lineitem(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") <
+        when(col("l_returnflag") === "A", lit(100000L))
+          .when(col("l_returnflag") === "N", lit(50000L))
+          .when(col("l_returnflag") === "R", lit(100000L))
+          .otherwise(lit(0L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"))
+  }
+
+  val qSampleHashStratifiedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag
+      |FROM (
+      |  SELECT *,
+      |    (((l_orderkey * 7 + l_linenumber) % 1000003) * 2654435761) % 1000000 AS bucket
+      |  FROM lineitem)
+      |WHERE bucket < CASE l_returnflag
+      |  WHEN 'A' THEN 100000 WHEN 'N' THEN 50000 WHEN 'R' THEN 100000
+      |  ELSE 0 END
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey""".stripMargin
+
   /** Approximate distinct counts (HLL) — the 100 TB replacement for
     * exact countDistinct. Sketch layouts differ per engine → rows-only;
     * the spec bounds relative error against the exact count. */
@@ -299,6 +354,8 @@ object ExtraQueries {
     "q_cube" -> (qCube _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_reservoir" -> (qSampleReservoir _),
+    "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
+    "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -310,5 +367,7 @@ object ExtraQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
-    "q_cube" -> qCubeSql)
+    "q_cube" -> qCubeSql,
+    "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
+    "q_sample_hash_stratified" -> qSampleHashStratifiedSql)
 }

@@ -30,4 +30,42 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(a.forall(all.contains))
   }
+
+  test("hash-stratified sample is layout-independent and hits its nominal fractions") {
+    // each row's fate is a pure function of its key, so repartitioning
+    // the input must select the SAME rows — the property a rand-stream
+    // sample cannot give, and the point of the hash tier
+    val base = ExtraQueries.qSampleHashStratified(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val li = Tables.lineitem(spark, sf001)
+    val spark2 = spark
+    import spark2.implicits._
+    val repartitioned = li.repartition(7, col("l_partkey"))
+    // replay the query body over the shuffled layout
+    val key = col("l_orderkey") * lit(7L) + col("l_linenumber")
+    val bucket = ((key % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
+    val again = repartitioned.withColumn("bucket", bucket)
+      .filter(col("bucket") <
+        when(col("l_returnflag") === "A", lit(100000L))
+          .when(col("l_returnflag") === "N", lit(50000L))
+          .when(col("l_returnflag") === "R", lit(100000L))
+          .otherwise(lit(0L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"))
+      .collect().map(_.toString).toSeq
+    assert(base == again, "hash sampling must not depend on partition layout")
+    // nominal fractions hold within multiplicative-hash wobble (±50%)
+    val strata = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = ExtraQueries.qSampleHashStratified(spark, sf001)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.10).foreach { case (f, frac) =>
+      val expected = strata(f) * frac
+      assert(got(f) > expected * 0.5 && got(f) < expected * 1.5,
+        s"stratum $f: ${got(f)} vs nominal $expected")
+    }
+  }
 }
