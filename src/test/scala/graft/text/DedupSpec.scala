@@ -138,4 +138,38 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b) // seeded LSH is reproducible
   }
+
+  test("sketch tiers vs exact tier: recall floors over the PPJoin pair set at sf0.1") {
+    // Ground truth = the EXACT n-gram Jaccard tier (recall 1.0 by the
+    // prefix-filter theorem), 6009 pairs on the sf0.1 near-dup corpus
+    // (5000 planted + natural J>=0.8 pairs). Both sketches are
+    // hash-seeded with no RNG, so the measured recalls are exactly
+    // reproducible, not distribution tails:
+    //  - minhash (16 hashes, 8 bands of 2): banding catch probability
+    //    at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997 and the verify threshold
+    //    (J >= 0.7) is looser than the truth set's 0.8 -> measured
+    //    recall 1.0000; floor 0.98 leaves room for corpus regeneration.
+    //  - simhash (hamming<=7, 8 bands): pigeonhole guarantees every
+    //    hamming<=7 pair is CANDIDATE-recalled, but a true J>=0.8 pair
+    //    may legitimately sit >7 bits apart (token weights, not set
+    //    overlap), so recall vs a Jaccard truth set is a corpus
+    //    property — measured 0.9702; floor 0.95.
+    val d = "/root/testdata/sf0.1"
+    val corpus = DedupQueries.corpusNear(spark, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+      assert(exact.size >= 5000, s"truth set collapsed: ${exact.size}")
+      val mhRecall = exact.count(pairSet(Dedup.minhashPairs(corpus)).contains)
+        .toDouble / exact.size
+      assert(mhRecall >= 0.98, f"minhash recall $mhRecall%.4f < 0.98")
+      val shRecall = exact.count(
+        pairSet(Dedup.simhashPairs(corpus, maxHamming = 7, numBands = 8)).contains)
+        .toDouble / exact.size
+      assert(shRecall >= 0.95, f"simhash recall $shRecall%.4f < 0.95")
+    } finally corpus.unpersist()
+  }
 }
