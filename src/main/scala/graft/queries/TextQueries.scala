@@ -7,9 +7,12 @@ import graft.text.TextAnalysis
 
 /** Text-analysis operators over the harness `documents` table, with
   * DuckDB oracles where the expression algebra is portable (token
-  * counts, quality ratios, normalization, language-ID); fingerprints
-  * stay rows-only (a char-level rolling hash has no reasonable SQL
-  * twin — semantics covered by TextAnalysisSpec on hand-built texts).
+  * counts, quality ratios, normalization, language-ID). The raw
+  * fingerprint VALUES stay rows-only (xxhash64 has no SQL twin), but
+  * the fingerprint's equivalence-class STRUCTURE is fully oracled by
+  * [[qFingerprintClasses]]: partitioning a perturbed corpus by
+  * fingerprint must coincide exactly with partitioning by the true
+  * normalized token sequence.
   */
 object TextQueries {
 
@@ -241,12 +244,119 @@ object TextQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Id offset for the fingerprint-class corpus copies (distinct from
+    * DedupQueries.IdOffset only by convention — the corpora never mix). */
+  val FpClassOffset = 100000L
+
+  /** Hash-checkable twin of [[qTextFingerprint]]: the fingerprint's
+    * 57-bit VALUES can't be replayed in SQL, but its equivalence
+    * classes can. Build documents ∪ a whitespace-mangled copy (must
+    * collapse into the original's class — the fingerprint normalizes
+    * case/whitespace) ∪ a token-reversed copy (must NOT collapse — the
+    * hash is order-sensitive), then label every row with the minimum
+    * doc_id sharing its fingerprint. The oracle computes the same
+    * labels partitioning by the true normalized token sequence, so a
+    * hash match proves normalization, order sensitivity, and
+    * collision-freedom on this corpus in one check (57-bit space,
+    * P[collision] ≈ n²/2⁵⁸ ≈ 1e-9 at sf0.1).
+    *
+    * Scale shape: one narrow (id, fp) shuffle into the class window;
+    * fp is a hash, so partitions are uniform by construction — no
+    * skew exposure, classes are ≤3 rows. */
+  def qFingerprintClasses(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mangled = docs.select((col("doc_id") + FpClassOffset).as("doc_id"),
+      concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit(" ")).as("text"))
+    val reversed = docs.select((col("doc_id") + 2 * FpClassOffset).as("doc_id"),
+      concat_ws(" ", reverse(TextAnalysis.tokens(col("text")))).as("text"))
+    docs.union(mangled).union(reversed)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+          .as("class_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintClassesSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $FpClassOffset, '  ' || regexp_replace(text, ' ', '   ', 'g') || ' '
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * FpClassOffset},
+       |    array_to_string(list_reverse(string_split_regex(lower(trim(text)), '\\s+')), ' ')
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ') AS k
+       |  FROM corpus
+       |)
+       |SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS class_rep
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+
+  /** PII redaction over a corpus with planted PII. The harness
+    * documents carry none, so (same pattern as the dedup corpora) each
+    * doc gets a deterministic doc_id-derived tail — an email, an IP, a
+    * phone number, or all three, by doc_id % 4 — and the query emits
+    * the per-type hit counts plus the scrubbed text. Everything is
+    * regex algebra in the Java∩RE2 common dialect, so the DuckDB twin
+    * replays injection and redaction verbatim and the whole operator
+    * is hash-checked, scrubbed strings included. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val tail = when(pmod(id, lit(4)) === 0,
+        concat(lit(" contact user"), id, lit("@example.com")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit(" from 10."), pmod(id, lit(256)), lit("."),
+          pmod(id * 7, lit(256)), lit("."), pmod(id * 13, lit(256))))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit(" call 555-"), lpad(pmod(id, lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+      .otherwise(concat(lit(" user"), id, lit("@example.com at 10.0.0."),
+        pmod(id, lit(256)), lit(" tel 555-123-4567")))
+    val injected = Tables.documents(s, d)
+      .select(id, concat(col("text"), tail).as("text"))
+    val counts = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    injected
+      .select(id +: counts :+ TextAnalysis.redactPii(col("text")).as("text_redacted"): _*)
+      .orderBy(id)
+  }
+
+  val qPiiRedactSql: String = {
+    // single-quoted SQL strings treat backslashes literally, so the
+    // shared pattern constants drop straight in (' needs no escaping —
+    // none of the patterns contain one)
+    val (em, ip, ph) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
+    s"""WITH injected AS (
+       |  SELECT doc_id, text || CASE doc_id % 4
+       |    WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+       |    WHEN 1 THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id * 7 % 256) || '.' || (doc_id * 13 % 256)
+       |    WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE ' user' || doc_id || '@example.com at 10.0.0.' || (doc_id % 256) || ' tel 555-123-4567'
+       |  END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$em')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS text_redacted
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_fingerprint_classes" -> (qFingerprintClasses _),
+    "q_pii_redact" -> (qPiiRedact _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _))
 
@@ -255,6 +365,8 @@ object TextQueries {
     "q_text_quality" -> qTextQualitySql,
     "q_text_normalize" -> qTextNormalizeSql,
     "q_text_langid" -> qTextLangIdSql,
+    "q_fingerprint_classes" -> qFingerprintClassesSql,
+    "q_pii_redact" -> qPiiRedactSql,
     "q_contamination" -> qContaminationSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc)

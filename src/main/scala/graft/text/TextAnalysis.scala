@@ -100,6 +100,36 @@ object TextAnalysis {
             + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)))))
   }
 
+  /** PII patterns, shared verbatim by the Spark expressions and the
+    * generated DuckDB oracle SQL so the two surfaces cannot drift.
+    * Restricted to the Java-regex ∩ RE2 common dialect: no lookaround,
+    * no backreferences; `\b`, `\d`, and non-capturing groups mean the
+    * same thing in both engines (ASCII inputs). */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before anything leaves the raw zone: emails, dotted-quad IPs, and
+    * NNN-NNN-NNNN phone numbers replaced by typed placeholder tags.
+    * Order is fixed (email → ip → phone) but the patterns cannot
+    * overlap: `\b` never fires inside a word run, so a phone-shaped
+    * substring inside an email local-part is not a match. Three
+    * codegen'd regexp_replace calls, narrow, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-type PII hit counts over the ORIGINAL text (audit columns to
+    * aggregate into a corpus PII report). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)))
+
   /** Modulus for the rolling fingerprint: just under 2^57, so
     * `acc*31 + (h mod M)` stays below 2^63 — no overflow under ANSI
     * mode (Spark 4 default) without try_* null-swallowing. */

@@ -75,6 +75,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("A") != fp("C"))    // content matters
   }
 
+  test("PII redaction: emails, IPs, phones scrubbed; word-embedded lookalikes kept") {
+    val df = Seq(
+      ("mail bob.smith+x@corp.example.org now", "mail <EMAIL> now", 1, 0, 0),
+      ("host 192.168.001.255 up", "host <IP> up", 0, 1, 0),
+      ("call 555-867-5309 today", "call <PHONE> today", 0, 0, 1),
+      ("a@b.co 1.2.3.4 111-222-3333", "<EMAIL> <IP> <PHONE>", 1, 1, 1),
+      // \b never fires inside a word run: digits glued to letters are
+      // not a phone; a trailing version string is not an IP
+      ("order x555-123-4567y build v1.2.3.4beta", "order x555-123-4567y build v1.2.3.4beta", 0, 0, 0),
+      ("no pii here", "no pii here", 0, 0, 0)
+    ).toDF("text", "want", "ne", "ni", "np")
+    val counts = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    df.select(Seq(TextAnalysis.redactPii(col("text")).as("got"), col("want"),
+        col("ne"), col("ni"), col("np")) ++ counts: _*)
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(1), r)
+        assert(r.getInt(5) == r.getInt(2) && r.getInt(6) == r.getInt(3)
+          && r.getInt(7) == r.getInt(4), r)
+      }
+  }
+
+  test("fingerprint classes: whitespace copies collapse, reversed copies stay apart") {
+    val out = TextQueries.qFingerprintClasses(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val off = TextQueries.FpClassOffset
+    assert(out.size == 1500) // 500 docs x 3 corpus members
+    (0L until 500L).foreach { i =>
+      assert(out(i) == i, s"original $i not its own class rep")
+      assert(out(i + off) == i, s"whitespace copy of $i escaped the class")
+      // every harness doc has >= 2 distinct tokens in distinct order at
+      // sf0.001, so the reversed copy must land in its own class
+      assert(out(i + 2 * off) == i + 2 * off, s"reversed copy of $i collapsed")
+    }
+  }
+
   test("harness corpus: docs classify en or und (english-vocab synthetic texts)") {
     val out = TextQueries.qTextLangId(spark, sf001).collect()
     assert(out.length == 500)
