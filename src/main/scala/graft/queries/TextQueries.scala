@@ -349,6 +349,46 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence packing over the documents stream: lay the corpus out as
+    * one doc_id-ordered token stream cut into 512-token training
+    * blocks, reporting each document's token interval and block span
+    * (graft.ops.Packing — the two-level distributed prefix scan; see
+    * its scaladoc for why NOT a bare global window). bucketWidth 1024
+    * keeps several buckets live even at sf0.01 so the scan's two-level
+    * path is what actually runs. The oracle replays the semantics with
+    * a plain global window — equivalent algebra, and DuckDB's
+    * single-node window is fine at oracle scale. */
+  def qPackBlocks(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    graft.ops.Packing.blockPack(weighted, "doc_id", "n_tokens",
+      blockSize = 512L, bucketWidth = 1024L)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("cum_start"), col("first_block"), col("last_block"), col("n_blocks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPackBlocksSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+      |  FROM w WHERE n_tokens > 0
+      |)
+      |SELECT doc_id, n_tokens,
+      |  cum_end - n_tokens AS cum_start,
+      |  (cum_end - n_tokens) // 512 AS first_block,
+      |  (cum_end - 1) // 512 AS last_block,
+      |  ((cum_end - 1) // 512) - ((cum_end - n_tokens) // 512) + 1 AS n_blocks
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -357,6 +397,7 @@ object TextQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_fingerprint_classes" -> (qFingerprintClasses _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_pack_blocks" -> (qPackBlocks _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _))
 
@@ -367,6 +408,7 @@ object TextQueries {
     "q_text_langid" -> qTextLangIdSql,
     "q_fingerprint_classes" -> qFingerprintClassesSql,
     "q_pii_redact" -> qPiiRedactSql,
+    "q_pack_blocks" -> qPackBlocksSql,
     "q_contamination" -> qContaminationSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc)
