@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain mixing — the composition-control op of a training-data
+  * pipeline: given a target corpus mix ("40% web, 30% books, 30%
+  * code"), select the LARGEST deterministic subset whose per-source
+  * composition hits the target exactly (up to integer rounding).
+  *
+  * Mechanics: with `share_s` in permille and `n_s` observed rows per
+  * source, the largest feasible output size is
+  * `O = min_s(n_s * 1000 div share_s)` (any larger and some source
+  * would need more rows than it has); each source then contributes the
+  * first `O * share_s div 1000` of its rows ordered by a portable
+  * multiplicative hash of the row key. Everything is integer
+  * arithmetic and hash-ordering, so the selection is a pure function
+  * of the data — reproducible across engines, re-runs, and partition
+  * layouts, and replayable verbatim as a SQL oracle.
+  *
+  * Scale shape: one tiny per-source aggregate (partial-aggregable;
+  * #sources rows), a broadcast join of the per-source quotas, and one
+  * row_number window PARTITIONED BY SOURCE. A skewed source makes a
+  * big window partition — same co-location any per-source op needs;
+  * for a pathological single-source corpus, pre-split the source
+  * label upstream. No driver-side row materialization anywhere.
+  */
+object DomainMix {
+
+  /** Portable multiplicative hash (same overflow discipline as the
+    * sampling tier): (key % 1000003) * 2654435761 ≤ ~2.7e15 — safe in
+    * 64-bit ANSI arithmetic in Spark and DuckDB alike. */
+  def portableBucket(key: Column): Column =
+    ((key % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
+
+  /** Resample `df` to the target mix. Sources absent from
+    * `sharePermille` (or with share 0) are dropped. `keyCol` must be a
+    * unique integral row key — it seeds the hash order and breaks ties
+    * deterministically. */
+  def resample(df: DataFrame, sourceCol: String, keyCol: String,
+      sharePermille: Map[String, Long]): DataFrame = {
+    require(sharePermille.values.sum == 1000L,
+      s"target shares must sum to 1000 permille: $sharePermille")
+    require(sharePermille.values.forall(_ > 0), "zero/negative share — drop the key instead")
+    val share = sharePermille.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_n_s"))
+      .withColumn("_share", share)
+      .filter(col("_share") > 0)
+    // largest feasible output size: a 1-row aggregate of the tiny
+    // per-source frame, cross-joined back (broadcast both ways)
+    val cap = counts.agg(min(expr("(_n_s * 1000) div _share")).as("_o"))
+    val quotas = counts.crossJoin(broadcast(cap))
+      .withColumn("_take", expr("(_o * _share) div 1000"))
+      .select(col(sourceCol), col("_take"))
+    val ranked = df.withColumn("_rk",
+      row_number().over(Window.partitionBy(col(sourceCol))
+        .orderBy(portableBucket(col(keyCol)), col(keyCol))))
+    ranked.join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk", "_take")
+  }
+}

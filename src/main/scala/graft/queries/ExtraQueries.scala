@@ -341,6 +341,54 @@ object ExtraQueries {
       .toDF("accuracy", "area_pr", "area_roc")
   }
 
+  /** Target corpus mix for [[qDomainMix]], permille by source: the
+    * head sources dominate, the tail is downweighted — the shape of a
+    * real pretraining mix. Sums to 1000 (DomainMix requires it); the
+    * DuckDB CASE arms are generated from this same map. */
+  val DomainShares: Seq[(String, Long)] =
+    (0 until 5).map(i => s"src$i" -> 100L) ++
+      (5 until 10).map(i => s"src$i" -> 60L) ++
+      (10 until 20).map(i => s"src$i" -> 20L)
+
+  /** Domain mixing (graft.ops.DomainMix): the largest deterministic
+    * subset of `documents` hitting [[DomainShares]] exactly (integer
+    * rounding aside). Pure integer arithmetic + portable hash order,
+    * so the oracle replays the whole op — quota computation included —
+    * and the row set hash-checks. */
+  def qDomainMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.DomainMix.resample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", DomainShares.toMap)
+      .orderBy(col("doc_id"))
+
+  val qDomainMixSql: String = {
+    val arms = DomainShares.map { case (src, p) =>
+      s"      WHEN '$src' THEN ${p}" }.mkString("\n")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_s,
+       |    CASE source
+       |$arms
+       |      ELSE 0 END AS share
+       |  FROM documents GROUP BY source
+       |), eligible AS (
+       |  SELECT * FROM counts WHERE share > 0
+       |), cap AS (
+       |  SELECT min(n_s * 1000 // share) AS o FROM eligible
+       |), quotas AS (
+       |  SELECT source, (SELECT o FROM cap) * share // 1000 AS take_s
+       |  FROM eligible
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.source
+       |FROM ranked r JOIN quotas q USING (source)
+       |WHERE r.rk <= q.take_s
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
     "q_shipping_priority" -> (qShippingPriority _),
@@ -356,7 +404,8 @@ object ExtraQueries {
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_domain_mix" -> (qDomainMix _))
 
   val oracles: Map[String, String] = Map(
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,
@@ -369,5 +418,6 @@ object ExtraQueries {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
-    "q_sample_hash_stratified" -> qSampleHashStratifiedSql)
+    "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
+    "q_domain_mix" -> qDomainMixSql)
 }
