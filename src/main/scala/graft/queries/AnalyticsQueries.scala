@@ -261,6 +261,76 @@ object AnalyticsQueries {
       |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin
       |ORDER BY g.user_id, bucket_ts""".stripMargin
 
+  // ------------------------------------------------------------ Interpolation
+  /** Linear interpolation — the gap-fill tier between ffill
+    * (qResampleFfill) and the GSOD median imputers: masked values are
+    * reconstructed from the nearest non-null neighbors in per-user
+    * event-time order, weighted by time distance; boundary gaps take
+    * the nearest side. The harness events carry no nulls, so a
+    * deterministic mask (event_id % 7 == 0) plants them — the oracle
+    * replays mask and fill alike.
+    *
+    * Scale shape: four ignore-nulls running extremes over ONE per-user
+    * window ordering (Spark evaluates the two frames in two passes of
+    * the same sort — no extra shuffle), arithmetic is pure projection.
+    * The equal-timestamp guard (next_us == prev_us → take prev) exists
+    * because Spark IEEE-divides doubles by zero while DuckDB returns
+    * NULL — the guard keeps the expression inside the portable
+    * algebra. */
+  def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")).as("value_masked"))
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val before = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = byTs.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col("value_masked")
+    ev
+      .withColumn("pv", last(v, ignoreNulls = true).over(before))
+      .withColumn("pu", last(when(v.isNotNull, col("us")), ignoreNulls = true).over(before))
+      .withColumn("nv", first(v, ignoreNulls = true).over(after))
+      .withColumn("nu", first(when(v.isNotNull, col("us")), ignoreNulls = true).over(after))
+      .withColumn("value_interp",
+        when(v.isNotNull, v)
+          .when(col("pv").isNotNull && col("nv").isNotNull && col("nu") > col("pu"),
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pu")).cast("double")
+                / (col("nu") - col("pu")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv"))))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), v, col("value_interp"))
+      .orderBy(col("event_id"))
+  }
+
+  val qInterpolateSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_masked
+      |  FROM events
+      |), f AS (
+      |  SELECT *,
+      |    last_value(value_masked IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN value_masked IS NOT NULL THEN us END IGNORE NULLS) OVER wb AS pu,
+      |    first_value(value_masked IGNORE NULLS) OVER wa AS nv,
+      |    first_value(CASE WHEN value_masked IS NOT NULL THEN us END IGNORE NULLS) OVER wa AS nu
+      |  FROM ev
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, make_timestamp(us) AS ts, value_masked,
+      |  CASE
+      |    WHEN value_masked IS NOT NULL THEN value_masked
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL AND nu > pu
+      |      THEN pv + (nv - pv) * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE))
+      |    ELSE coalesce(pv, nv)
+      |  END AS value_interp
+      |FROM f
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ Attribution
   /** Per-purchase click attribution: how many of the SAME user's clicks
     * fall in the 30 minutes before each purchase (zero-click purchases
@@ -351,6 +421,7 @@ object AnalyticsQueries {
     "q_group_quantiles" -> (qGroupQuantiles _),
     "q_attribution" -> (qAttribution _),
     "q_resample_ffill" -> (qResampleFfill _),
+    "q_interpolate" -> (qInterpolate _),
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +431,6 @@ object AnalyticsQueries {
     "q_group_quantiles" -> qGroupQuantilesSql,
     "q_attribution" -> qAttributionSql,
     "q_resample_ffill" -> qResampleFfillSql,
+    "q_interpolate" -> qInterpolateSql,
     "q_retention" -> qRetentionSql)
 }

@@ -20,6 +20,45 @@ class AnalyticsQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("interpolate: masked rows reconstruct from time-weighted neighbors; boundaries take nearest") {
+    val out = AnalyticsQueries.qInterpolate(spark, sf001).cache()
+    // non-masked rows pass through untouched
+    assert(out.filter(col("value_masked").isNotNull
+      && col("value_interp") =!= col("value_masked")).count() == 0)
+    // every masked row is filled (harness: every user has non-null rows)
+    assert(out.filter(col("value_masked").isNull).count() > 0)
+    assert(out.filter(col("value_masked").isNull && col("value_interp").isNull).count() == 0)
+    // interpolated values sit within the neighbor envelope: between the
+    // per-user min and max of unmasked values
+    val env = out.filter(col("value_masked").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("value_masked")).as("lo"), max(col("value_masked")).as("hi"))
+    val outside = out.filter(col("value_masked").isNull)
+      .join(env, Seq("user_id"))
+      .filter(col("value_interp") < col("lo") || col("value_interp") > col("hi"))
+    assert(outside.count() == 0)
+    out.unpersist()
+  }
+
+  test("interpolate: exact arithmetic on a hand-built gap") {
+    import spark.implicits._
+    // user 1: values at t=0s (10.0) and t=100s (30.0); the masked row at
+    // t=25s (event_id 7, 7%7==0) must land at 10 + 20*0.25 = 15.0
+    val rows = Seq(
+      (1L, 1L, 0L, 10.0), (7L, 1L, 25000000L, 99.0), (2L, 1L, 100000000L, 30.0))
+    // harness layout: ts is a nanos long (Tables.events does ts div 1000)
+    val df = rows.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        (col("us") * 1000).as("ts"), col("value"),
+        lit("x").as("event_type"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.qInterpolate(spark, dir)
+      .filter(col("event_id") === 7L).collect().head
+    assert(got.getAs[Any]("value_masked") == null)
+    assert(math.abs(got.getAs[Double]("value_interp") - 15.0) < 1e-12)
+  }
+
   test("tfidf: corpus-wide term present in every doc scores zero") {
     // a term with df == N has idf = ln(1) = 0, so its score must be 0
     val docs = Tables.documents(spark, sf001).count()
