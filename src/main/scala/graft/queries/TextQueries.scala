@@ -389,6 +389,102 @@ object TextQueries {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition signals — the within-doc quality filter
+    * (repeated boilerplate, keyword stuffing, degenerate generations):
+    * duplicate-trigram ratio plus the most-frequent-token share.
+    *
+    * Scale shape: trigram stats are per-row array algebra (no shuffle);
+    * the top-token share needs a (doc, token) count — partial-
+    * aggregable groupBy, then a per-doc max, both narrow fixed-width
+    * aggregates. No windows. */
+  def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val trig = base
+      .withColumn("trig",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(col("trig")).as("n_trigrams"),
+        size(array_distinct(col("trig"))).as("n_distinct_trigrams"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    trig.join(topTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_trigrams").cast("long").as("n_trigrams"),
+        col("n_distinct_trigrams").cast("long").as("n_distinct_trigrams"),
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("rep_ratio"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks) - 2),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END AS trig
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, max(c) AS top_cnt FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id
+      |)
+      |SELECT s.doc_id,
+      |  CAST(len(trig) AS BIGINT) AS n_trigrams,
+      |  CAST(len(list_distinct(trig)) AS BIGINT) AS n_distinct_trigrams,
+      |  CASE WHEN len(trig) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(trig)) AS DOUBLE) / len(trig)
+      |    ELSE 0.0 END AS rep_ratio,
+      |  CAST(m.top_cnt AS DOUBLE) / s.n_tokens AS top_token_ratio
+      |FROM s JOIN m USING (doc_id)
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Adjacent-pair frequencies over BPE-ish pre-tokenizer units — the
+    * counting step a BPE vocabulary induction iterates: the 20 most
+    * frequent unit bigrams corpus-wide (the first merge candidates).
+    *
+    * Scale shape: per-row unit extraction + pair explode, a partial-
+    * aggregable groupBy(pair) count, then top-k as orderBy+limit —
+    * TakeOrderedAndProject (per-partition heaps), NEVER a global
+    * row_number window over the vocab²-sized pair table. Tie-break on
+    * the pair string keeps the cut deterministic across engines. */
+  def qBpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(regexp_extract_all(lower(col("text")),
+        lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0)).as("units"))
+      .withColumn("pair",
+        explode(when(size(col("units")) >= 2,
+          expr("transform(sequence(1, size(units)-1), i -> concat_ws(' ', slice(units, i, 2)))"))
+          .otherwise(expr("cast(array() as array<string>)"))))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val qBpePairsSql: String =
+    """WITH u AS (
+      |  SELECT regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]') AS units
+      |  FROM documents
+      |), p AS (
+      |  SELECT array_to_string(units[i:i+1], ' ') AS pair
+      |  FROM u, unnest(generate_series(1, len(units) - 1)) t(i)
+      |  WHERE len(units) >= 2
+      |)
+      |SELECT pair, count(*) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -398,6 +494,8 @@ object TextQueries {
     "q_fingerprint_classes" -> (qFingerprintClasses _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_pack_blocks" -> (qPackBlocks _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_bpe_pairs" -> (qBpePairs _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _))
 
@@ -409,6 +507,8 @@ object TextQueries {
     "q_fingerprint_classes" -> qFingerprintClassesSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_pack_blocks" -> qPackBlocksSql,
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_bpe_pairs" -> qBpePairsSql,
     "q_contamination" -> qContaminationSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc)

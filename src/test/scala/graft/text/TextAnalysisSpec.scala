@@ -110,6 +110,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: a degenerate doc scores high, varied prose low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one token repeated
+      (2L, "the quick brown fox jumps over")    // all distinct
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qTextRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 4 trigrams, 1 distinct -> rep 0.75; top token 6/6
+    assert(out(1L).getAs[Long]("n_trigrams") == 4)
+    assert(out(1L).getAs[Long]("n_distinct_trigrams") == 1)
+    assert(math.abs(out(1L).getAs[Double]("rep_ratio") - 0.75) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("top_token_ratio") - 1.0) < 1e-12)
+    assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
+    assert(math.abs(out(2L).getAs[Double]("top_token_ratio") - 1.0 / 6) < 1e-12)
+  }
+
+  test("bpe pairs: top-k plan is TakeOrderedAndProject, never a global window") {
+    val plan = TextQueries.qBpePairs(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    val rows = TextQueries.qBpePairs(spark, sf001).collect()
+    assert(rows.length == 20)
+    // counts non-increasing, pairs are two space-joined units
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("pair").split(" ").length == 2))
+  }
+
   test("harness corpus: docs classify en or und (english-vocab synthetic texts)") {
     val out = TextQueries.qTextLangId(spark, sf001).collect()
     assert(out.length == 500)
