@@ -389,6 +389,26 @@ object ExtraQueries {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** Z-order layout key over (l_partkey, l_suppkey)
+    * (graft.ops.ZOrder): the Morton code that a two-dimensionally
+    * pruned 100 TB layout sorts by. Emitted per row (with the ordering
+    * the layout would apply) so the full bit-interleave arithmetic is
+    * hash-checked against the generated SQL twin. */
+  def qZorder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+
+  val qZorderSql: String = {
+    val z = graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  $z AS z
+       |FROM lineitem
+       |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
     "q_shipping_priority" -> (qShippingPriority _),
@@ -405,7 +425,8 @@ object ExtraQueries {
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_domain_mix" -> (qDomainMix _))
+    "q_domain_mix" -> (qDomainMix _),
+    "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,
@@ -419,5 +440,6 @@ object ExtraQueries {
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
-    "q_domain_mix" -> qDomainMixSql)
+    "q_domain_mix" -> qDomainMixSql,
+    "q_zorder" -> qZorderSql)
 }
