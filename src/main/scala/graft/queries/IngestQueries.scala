@@ -70,11 +70,40 @@ object IngestQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  private val jsonlCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** JSONL round-trip over `documents` — the interchange format LLM
+    * corpora actually ship in (one JSON object per line). Write the
+    * harness documents as JSON lines, read them back with an explicit
+    * schema (same no-inference discipline as the CSV path: inference
+    * would cost a second full pass at 100 TB), and hash against the
+    * parquet original — any escaping/Unicode/quoting defect in either
+    * direction breaks the match. JSONL splits per line like CSV, so
+    * the scan parallelizes per file split. */
+  def qJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val path = jsonlCache.computeIfAbsent(d, _ => {
+      val p = TempDirs.create("graft_jsonl_").toString
+      src.write.mode("overwrite").json(p)
+      p
+    })
+    s.read.schema(src.schema).json(path)
+      .orderBy(col("doc_id"))
+  }
+
+  val qJsonlRoundtripSql: String =
+    """SELECT doc_id, text, lang, source
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_partitioned_scan" -> (qPartitionedScan _))
 
   val oracles: Map[String, String] = Map(
     "q_csv_roundtrip" -> qCsvRoundtripSql,
+    "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_partitioned_scan" -> qPartitionedScanSql)
 }

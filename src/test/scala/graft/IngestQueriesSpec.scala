@@ -14,6 +14,30 @@ class IngestQueriesSpec extends SparkSpec {
     csv.zip(pq).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("jsonl roundtrip equals the parquet original; hostile strings survive") {
+    val js = IngestQueries.qJsonlRoundtrip(spark, sf001).collect()
+    val pq = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).collect()
+    assert(js.length == pq.length && js.length > 0)
+    js.zip(pq).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // escaping torture: quotes, backslashes, newlines, tabs, unicode,
+    // and a JSON-looking payload must survive the write/read intact
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "quote \" backslash \\ done"),
+      (2L, "line\nbreak and\ttab"),
+      (3L, "déjà vu 你好 😀"),
+      (4L, """{"not":"a struct","n":[1,2]}"""))
+      .toDF("doc_id", "text")
+    val dir = graft.TempDirs.create("graft_jsonl_spec_").toString
+    hostile.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(hostile.schema).json(dir)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = hostile.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+  }
+
   test("partitioned scan: the filter prunes at the partition level") {
     val df = IngestQueries.qPartitionedScan(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
