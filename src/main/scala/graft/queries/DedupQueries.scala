@@ -50,6 +50,46 @@ object DedupQueries {
        |GROUP BY text
        |ORDER BY keeper""".stripMargin
 
+  /** Incremental exact dedup (Dedup.incrementalExactDedup): documents
+    * are the already-curated corpus (represented only by their
+    * digests); the delta is verbatim copies (must die against the seen
+    * set) ∪ a perturbed copy ∪ the SAME perturbed copy again at a
+    * higher id (within-delta dup — exactly one of the two survives,
+    * min id wins). The oracle replays both rules with raw-text
+    * equality, so the digest representation is itself under test
+    * (a sha collision or truncation would flip a row). */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val keeperShas = docs.select(sha2(col("text"), 256).as("content_sha"))
+    val perturbed = docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    val delta = docs.select((col("doc_id") + IdOffset).as("doc_id"), col("text"))
+      .union(perturbed)
+      .union(perturbed.select((col("doc_id") + IdOffset).as("doc_id"), col("text")))
+    Dedup.incrementalExactDedup(keeperShas, delta)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH perturbed AS (
+       |  SELECT doc_id + ${2 * IdOffset} AS doc_id,
+       |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ') AS text
+       |  FROM documents
+       |), delta AS (
+       |  SELECT doc_id + $IdOffset AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text FROM perturbed
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset, text FROM perturbed
+       |), fresh AS (
+       |  SELECT * FROM delta
+       |  WHERE text NOT IN (SELECT text FROM documents)
+       |)
+       |SELECT doc_id FROM fresh f
+       |WHERE doc_id = (SELECT min(doc_id) FROM fresh g WHERE g.text = f.text)
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash LSH near-dup pairs — rows-only check (LSH bucket layout is
     * not SQL-reproducible); tests assert planted-pair recall. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -229,6 +269,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
@@ -237,6 +278,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_curation" -> qCurationSql)

@@ -91,6 +91,33 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the form dedup actually takes at
+    * 100 TB: a new DELTA batch is curated against the already-kept
+    * corpus WITHOUT rescanning it. The curated side is represented by
+    * its content digests alone (`keeperShas`: one 64-char sha2-256
+    * column, the running "seen set" a pipeline persists between
+    * ingests — fixed-width, a fraction of corpus size). A delta row
+    * survives iff its digest misses the seen set (left-anti join on
+    * the digest) AND it is the min-id row of its within-delta digest
+    * group. Returns the surviving delta rows with their digest, so the
+    * caller can append them to the seen set for the next batch.
+    *
+    * The banded sketch tiers compose the same way: persist keeper band
+    * keys ((band, key) longs) and equi-join the delta's bands against
+    * them — candidate generation never touches kept documents, only
+    * their precomputed signatures. */
+  def incrementalExactDedup(keeperShas: DataFrame, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shaCol: String = "content_sha"): DataFrame = {
+    val hashed = delta.withColumn(shaCol, sha2(col(textCol), 256))
+    val fresh = hashed.join(keeperShas.select(col(shaCol)), Seq(shaCol), "left_anti")
+    // min-id keeper within the delta's own digest groups (same rule as
+    // exactDedup); join back on (sha, id) rather than a window so the
+    // shuffle key stays the fixed-width digest
+    val keepers = fresh.groupBy(col(shaCol)).agg(min(col(idCol)).as(idCol))
+    fresh.join(keepers, Seq(shaCol, idCol))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token's
     * xxhash64 votes ±1 per bit position weighted by term frequency;
     * the sign of each bit-sum becomes the fingerprint bit. Near-dup

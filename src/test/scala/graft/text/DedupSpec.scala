@@ -24,6 +24,35 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("keeper") < IdOffset)) // original wins
   }
 
+  test("incremental dedup: seen-set hits die, fresh content survives once, min id wins") {
+    val out = DedupQueries.qDedupIncremental(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    // 500 docs: verbatim copies (+1*off) all die; of the two identical
+    // perturbed copies (+2*off, +3*off), exactly the lower id survives
+    assert(out.size == 500)
+    (0L until 500L).foreach { i =>
+      assert(!out.contains(i + IdOffset), s"verbatim copy $i survived the seen set")
+      assert(out.contains(i + 2 * IdOffset), s"perturbed copy $i missing")
+      assert(!out.contains(i + 3 * IdOffset), s"within-delta dup $i kept both")
+    }
+  }
+
+  test("incremental dedup == batch exact dedup restricted to the delta") {
+    import spark.implicits._
+    // equivalence law: running the union through exactDedup and keeping
+    // delta-side keepers must equal incremental over the same split
+    val existing = Seq((0L, "a a"), (1L, "b b")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a a"), (11L, "c c"), (12L, "c c"), (13L, "d d"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalExactDedup(
+      existing.select(sha2(col("text"), 256).as("content_sha")), delta)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.exactDedup(existing.union(delta))
+      .filter(col("keeper") >= 10L) // groups whose keeper is a delta row
+      .select("keeper").as[Long].collect().toSet
+    assert(inc == batch && inc == Set(11L, 13L))
+  }
+
   test("simhash: fingerprints of near-identical docs are close, random pairs far") {
     val corpus = DedupQueries.corpusNear(spark, sf001)
     val fp = Dedup.simhash(corpus).collect()
