@@ -485,6 +485,23 @@ object TextQueries {
       |ORDER BY n DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** Heavy hitters — approx_top_k (DataSketches frequent-items) over
+    * the corpus token stream: the 100 TB replacement for exact top-k
+    * term counting when the vocabulary doesn't fit an exact aggregate.
+    * The sketch is partial-aggregable (per-partition sketches merge),
+    * so the shuffle carries one sketch per partition, never the term
+    * counts. Rows-only like the HLL tier (sketch layout is
+    * engine-specific); TextAnalysisSpec pins the exact-phase contract:
+    * with maxItemsTracked above the corpus vocabulary, returned counts
+    * EQUAL the exact counts and the top-k set is the true one. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .agg(expr("approx_top_k(term, 10, 100000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("term"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -496,6 +513,7 @@ object TextQueries {
     "q_pack_blocks" -> (qPackBlocks _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _))
 

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import graft.queries.TextQueries
 
 class TextAnalysisSpec extends SparkSpec {
@@ -139,6 +139,21 @@ class TextAnalysisSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
     assert(rows.forall(_.getAs[String]("pair").split(" ").length == 2))
+  }
+
+  test("heavy hitters: exact-phase sketch equals true top-10 term counts") {
+    // maxItemsTracked (100k) far exceeds the harness vocabulary, so the
+    // frequent-items sketch never sheds and its counts are EXACT
+    val got = TextQueries.qHeavyHitters(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 10)
+    val exact = Tables.documents(spark, sf001)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").count()
+      .orderBy(col("count").desc, col("term"))
+      .limit(10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap == exact.toMap, s"sketch ${got.toSeq} vs exact ${exact.toSeq}")
   }
 
   test("harness corpus: docs classify en or und (english-vocab synthetic texts)") {
