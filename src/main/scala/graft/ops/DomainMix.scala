@@ -46,10 +46,14 @@ object DomainMix {
     val share = sharePermille.foldLeft(lit(0L)) { case (acc, (s, p)) =>
       when(col(sourceCol) === s, lit(p)).otherwise(acc)
     }
+    // #sources rows; persisted because BOTH the cap aggregate and the
+    // quota projection read it — without the persist each reference
+    // re-runs the full-corpus groupBy (one extra scan of df)
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("_n_s"))
       .withColumn("_share", share)
       .filter(col("_share") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // largest feasible output size: a 1-row aggregate of the tiny
     // per-source frame, cross-joined back (broadcast both ways)
     val cap = counts.agg(min(expr("(_n_s * 1000) div _share")).as("_o"))

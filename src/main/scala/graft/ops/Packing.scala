@@ -50,7 +50,12 @@ object Packing {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val withIntra = rows.withColumn("_intra", intra)
     // one row per bucket; the exclusive running total of PRIOR buckets
-    // is each bucket's global offset
+    // is each bucket's global offset. Deliberately aggregated from the
+    // raw rows, NOT from the window output (whose max running sum is
+    // also the total): the window subtree isn't materialized, so a
+    // second reference would re-run its shuffle+sort, while this
+    // branch partial-aggregates map-side to #buckets rows before its
+    // own (tiny) shuffle.
     val offsets = rows.groupBy(col("_bucket")).agg(sum(w).as("_btotal"))
       .withColumn("_offset",
         coalesce(
