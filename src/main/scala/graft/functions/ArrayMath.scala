@@ -99,17 +99,24 @@ object ArrayMath {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   /** Register graft expressions in the session's function registry
-    * (once per session; also makes them usable from `spark.sql`).
-    * The cheap `functionExists` probe on every call re-registers after
-    * a user's `DROP TEMPORARY FUNCTION` — the session guard alone
-    * would otherwise leave both the SQL name and graft's own Column
-    * surface permanently broken in that session. */
+    * (once per session; also makes them usable from `spark.sql`), plus
+    * the [[graft.plans.FuseDotProduct]] optimizer rule via
+    * `experimental.extraOptimizations` — the programmatic twin of
+    * installing [[graft.plans.GraftExtensions]] through
+    * `spark.sql.extensions`. The cheap `functionExists` probe on every
+    * call re-registers after a user's `DROP TEMPORARY FUNCTION` — the
+    * session guard alone would otherwise leave both the SQL name and
+    * graft's own Column surface permanently broken in that session. */
   def register(spark: SparkSession): Unit = {
     val firstUse = registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null
     if (firstUse || !spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseDotProduct
     }
   }
 

@@ -97,13 +97,42 @@ object IngestQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val orcCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** ORC round-trip over `orders` — the other columnar format large
+    * warehouses actually hold (Hive-era lakes are ORC; a 100 TB
+    * migration reads ORC and writes parquet, so both directions must be
+    * exact). Covers int64, double, string, AND timestamp — the type
+    * whose epoch/zone conventions differ most across formats; the hash
+    * against the parquet original catches any drift. ORC is a splittable
+    * columnar source with predicate pushdown, so the scan parallelizes
+    * per stripe like parquet. */
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+    val path = orcCache.computeIfAbsent(d, _ => {
+      val p = TempDirs.create("graft_orc_").toString
+      src.write.mode("overwrite").orc(p)
+      p
+    })
+    s.read.schema(src.schema).orc(path)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       o_orderdate, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_partitioned_scan" -> (qPartitionedScan _))
 
   val oracles: Map[String, String] = Map(
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_partitioned_scan" -> qPartitionedScanSql)
 }

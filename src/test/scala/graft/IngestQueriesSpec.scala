@@ -38,6 +38,15 @@ class IngestQueriesSpec extends SparkSpec {
     assert(back == want)
   }
 
+  test("orc roundtrip equals the parquet original, values and schema") {
+    val orc = IngestQueries.qOrcRoundtrip(spark, sf001)
+    val pq = Tables.orders(spark, sf001).orderBy(col("o_orderkey"))
+    assert(orc.schema == pq.schema)
+    val a = orc.collect(); val b = pq.collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("partitioned scan: the filter prunes at the partition level") {
     val df = IngestQueries.qPartitionedScan(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
