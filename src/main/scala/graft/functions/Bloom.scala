@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.call_function
+
+/** Bloom-filter surface over Spark's own sketch expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the pair the
+  * engine's runtime-filter injection uses internally, exposed here as
+  * session functions the way [[ArrayMath]] exposes `dot_product`).
+  *
+  * Why: the candidate-generation half of a semi-join can be a few-MB
+  * sketch instead of a shuffle. Build the bloom over the SMALL side's
+  * join keys (one partial-aggregable pass), broadcast the one-row
+  * result, and pre-filter the 100 TB side with `might_contain` BEFORE
+  * its distinct/shuffle — no false negatives means no lost matches, and
+  * false positives merely ride along to the exact join that follows, so
+  * composed pipelines stay hash-exact while the heavy shuffle shrinks
+  * to (fp-rate × big side + true matches).
+  *
+  * Both expressions take LONG keys (pre-hashed — graft's shingle and
+  * dedup tiers already key by xxhash64 longs, so no extra hash pass).
+  */
+object Bloom {
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** Register `graft_bloom_agg` / `graft_might_contain` in the
+    * session's function registry (same re-registration discipline as
+    * [[ArrayMath.register]]). */
+  def register(spark: SparkSession): Unit = {
+    val firstUse = registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null
+    if (firstUse || !spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_bloom_agg"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_agg",
+        (exprs: Seq[Expression]) =>
+          new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+            .toAggregateExpression(),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
+    }
+  }
+
+  /** Aggregate a LONG key column into a serialized bloom filter
+    * (BinaryType, one row). Size it from an (approximate) item count —
+    * `bitsPerItem = 8` gives ≈2% false positives, plenty for a
+    * pre-filter whose positives are re-checked exactly. */
+  def bloomAgg(key: Column, estimatedItems: Long, bitsPerItem: Long = 8L): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_bloom_agg", key,
+      org.apache.spark.sql.functions.lit(estimatedItems),
+      org.apache.spark.sql.functions.lit(estimatedItems * bitsPerItem))
+  }
+
+  /** Membership probe of a LONG key against a serialized bloom column
+    * (false ⇒ definitely absent; true ⇒ re-check exactly). */
+  def mightContain(bloom: Column, key: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_might_contain", bloom, key)
+  }
+}

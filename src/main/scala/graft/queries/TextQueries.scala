@@ -238,6 +238,59 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pre-filtered tier of [[qContaminationHashed]] — the shape
+    * that survives a 100 TB train split. The eval split (the SMALL
+    * side: eval benchmarks are thousands of docs) aggregates its
+    * distinct shingle hashes into a few-MB bloom sketch
+    * ([[graft.functions.Bloom]], one partial-aggregable pass, one-row
+    * result returned to the driver — the same small-collect contract
+    * as the IVF centroid table); the sketch is inlined as a constant
+    * into the `might_contain` probe (the bloom side of that expression
+    * must be a constant or scalar subquery — this is exactly how
+    * Spark's own runtime-filter injection ships its blooms), and the
+    * probe drops every train shingle the sketch rules out BEFORE the
+    * train-side distinct. The heavy shuffle shrinks from all-of-train to
+    * (≈2% false positives × train + true overlaps); no false
+    * negatives means no lost hits, and surviving false positives fail
+    * the exact join that follows — so the output is row-identical to
+    * the hashed tier and shares the literal tier's DuckDB oracle.
+    * TextQueriesSpec asserts tier equivalence and the pre-filter's
+    * place in the plan. */
+  def qContaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // same persist rationale as the hashed tier (shared by both
+    // branches; optimizer barrier against re-evaluating the hash
+    // pipeline under the explode)
+    val docSets = graft.text.Dedup
+      .shingleHashFrameTok(pre, 3, "doc_id", shortDocWholeText = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docSets.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val ev = sh.filter(col("doc_id") % 2 === 1)
+    // bloom over the eval side's distinct shingles; sized generously
+    // for the harness (at real scale: size from approx_count_distinct
+    // of the eval split — it's the small side, the count is cheap)
+    val bloomBytes = ev.select(col("sh")).distinct()
+      .agg(graft.functions.Bloom.bloomAgg(col("sh"), 1000000L).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val train = sh.filter(col("doc_id") % 2 === 0).select(col("sh"))
+      .filter(graft.functions.Bloom.mightContain(lit(bloomBytes), col("sh")))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val agg = ev.join(train, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint (rows-only). */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -515,7 +568,8 @@ object TextQueries {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_contamination" -> (qContamination _),
-    "q_contamination_hashed" -> (qContaminationHashed _))
+    "q_contamination_hashed" -> (qContaminationHashed _),
+    "q_contamination_bloom" -> (qContaminationBloom _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
@@ -529,6 +583,9 @@ object TextQueries {
     "q_bpe_pairs" -> qBpePairsSql,
     "q_contamination" -> qContaminationSql,
     // the hashed tier computes the same values over hashed keys, so the
-    // literal tier's SQL is its oracle too (see qContaminationHashed doc)
-    "q_contamination_hashed" -> qContaminationSql)
+    // literal tier's SQL is its oracle too (see qContaminationHashed doc);
+    // the bloom tier's false positives die in the exact join, so it
+    // shares the same oracle as well
+    "q_contamination_hashed" -> qContaminationSql,
+    "q_contamination_bloom" -> qContaminationSql)
 }

@@ -212,6 +212,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bloom contamination tier == hashed tier; pre-filter sits before the train distinct") {
+    // no false negatives ⇒ no lost hits; false positives die in the
+    // exact join ⇒ row-identical output
+    val hashed = TextQueries.qContaminationHashed(spark, sf001).collect()
+    val bloom = TextQueries.qContaminationBloom(spark, sf001).collect()
+    assert(hashed.length == bloom.length && hashed.nonEmpty)
+    hashed.zip(bloom).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3),
+        s"diverged: $a vs $b")
+    }
+    // the probe is in the plan (the 100 TB contract: train shingles are
+    // dropped by the sketch BEFORE the distinct's shuffle)
+    val plan = TextQueries.qContaminationBloom(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("contamination: only eval docs appear, ratios bounded, verbatim dup fully contaminated") {
     val out = TextQueries.qContamination(spark, sf001).cache()
     assert(out.filter(col("doc_id") % 2 === 0).count() == 0)
