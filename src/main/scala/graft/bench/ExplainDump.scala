@@ -20,7 +20,9 @@ object ExplainDump {
     "q_join_bucketed", "q_partitioned_scan",
     "q_range_join", "q_tfidf", "q_contamination", "q_retention",
     "q_ntile_approx", "q_contamination_hashed", "q_ml_indexed_features",
-    "q_attribution", "q_resample_ffill", "q_cube")
+    "q_attribution", "q_resample_ffill", "q_cube",
+    "q_pack_blocks", "q_domain_mix", "q_zorder", "q_interpolate",
+    "q_dedup_incremental", "q_heavy_hitters", "q_contamination_bloom")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
@@ -37,7 +39,13 @@ object ExplainDump {
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+      // inlined binary literals (e.g. the contamination bloom sketch)
+      // would otherwise dump megabytes of hex into the doc
+      val bounded = plan.linesIterator.map { l =>
+        if (l.length > 400) l.take(400) + s" …[${l.length - 400} chars elided]"
+        else l
+      }.mkString("\n")
+      sb.append(s"\n## $name\n\n```\n$bounded\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

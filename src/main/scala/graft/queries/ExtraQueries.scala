@@ -409,7 +409,39 @@ object ExtraQueries {
        |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** Top-3 orders by total price per order priority through the native
+    * bounded-heap aggregate ([[graft.functions.TopKBy]]). The window
+    * spelling (`row_number() OVER ... <= k`) shuffles EVERY order into
+    * a per-group sort; this one reduces each input partition to ≤ k
+    * pairs per group BEFORE the shuffle (ObjectHashAggregate partial
+    * merge — plan-asserted in TopKBySpec), so at 100 TB only
+    * k × partitions × groups tiny pairs ride the wire. Ties break on
+    * the smaller orderkey inside the aggregate, so the result is
+    * partitioning-independent and the oracle is the equivalent
+    * row_number window with the same tie-break. */
+  def qTopkGrouped(s: SparkSession, d: String): DataFrame = {
+    val winners = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKBy
+        .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("t"))
+      .select(col("o_orderpriority"),
+        col("t.score").as("o_totalprice"), col("t.id").as("o_orderkey"))
+    winners.orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+      col("o_orderkey"))
+  }
+
+  val qTopkGroupedSql: String =
+    """SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_grouped" -> (qTopkGrouped _),
     "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
     "q_shipping_priority" -> (qShippingPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -429,6 +461,7 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_topk_grouped" -> qTopkGroupedSql,
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,
     "q_shipping_priority" -> qShippingPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,

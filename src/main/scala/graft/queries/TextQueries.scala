@@ -267,12 +267,18 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docSets.select(col("doc_id"), explode(col("sh")).as("sh"))
     val ev = sh.filter(col("doc_id") % 2 === 1)
-    // bloom over the eval side's distinct shingles; sized generously
-    // for the harness (at real scale: size from approx_count_distinct
-    // of the eval split — it's the small side, the count is cheap)
-    val bloomBytes = ev.select(col("sh")).distinct()
-      .agg(graft.functions.Bloom.bloomAgg(col("sh"), 1000000L).as("bloom"))
+    // bloom over the eval side's distinct shingles, sized from an
+    // approx count of that side (it's the small side — the sketch pass
+    // is cheap, and sizing to the data keeps the filter at ~1 byte per
+    // item instead of a guessed constant that is either bloated or
+    // saturated); one job computes count + sketch-input together
+    val evKeys = ev.select(col("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = math.max(evKeys.count(), 1L)
+    val bloomBytes = evKeys
+      .agg(graft.functions.Bloom.bloomAgg(col("sh"), nEval).as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
+    evKeys.unpersist()
     val train = sh.filter(col("doc_id") % 2 === 0).select(col("sh"))
       .filter(graft.functions.Bloom.mightContain(lit(bloomBytes), col("sh")))
       .distinct()
