@@ -55,10 +55,30 @@ object Similarity {
     df.withColumn("norm", l2Normalize(asDouble(col(embCol))))
   }
 
+  /** Per-group top-k through the bounded-heap `top_k_by` aggregate
+    * ([[graft.functions.TopKBy]]): each input partition reduces a group
+    * to ≤ k (score, id) pairs BEFORE the shuffle, so shuffle volume is
+    * k × groups × partitions instead of every scored row (the
+    * row_number-window spelling this replaced sorted the full scored
+    * set per group — at 100 TB, the whole corpus through the wire once
+    * per query batch). Tie-break inside the aggregate (higher score,
+    * then smaller id) matches the window `ORDER BY score DESC, id ASC`,
+    * so results are bit-identical and stay hash-oracled. */
+  private def topKPerGroup(scored: DataFrame, groupCol: String,
+      scoreCol: String, idCol2: String, k: Int,
+      outScore: String, outId: String): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(graft.functions.TopKBy
+        .topKBy(col(scoreCol), col(idCol2), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as(outId), col("t.score").as(outScore))
+
   /** Exact top-k cosine neighbors for each query vector (self-matches
     * excluded). `queries` is expected to be small — it is broadcast, so
     * the corpus is scanned once with no shuffle until the final
-    * per-query top-k (TakeOrdered within window partitions). */
+    * per-query top-k (bounded-heap partial aggregation — see
+    * [[topKPerGroup]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = withNormalized(corpus, embCol)
@@ -67,10 +87,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("q_norm"), col("c_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerGroup(scored, "query_id", "cos", "neighbor_id", k, "cos", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -115,9 +132,7 @@ object Similarity {
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("q_norm"), col("c_norm")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    topKPerGroup(scored, "query_id", "cos", "neighbor_id", k, "cos", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
