@@ -229,6 +229,34 @@ object ExtraQueries {
       approx_count_distinct(col("l_orderkey"), 0.02).as("ad_order"),
       approx_count_distinct(col("l_quantity"), 0.02).as("ad_qty"))
 
+  /** Mergeable-sketch distinct counts (Datasketches HLL builtins):
+    * one sketch per corpus source, then a union row WITHOUT re-scanning
+    * the data — the sketches themselves merge. This is the incremental
+    * shape [[qApproxDistinct]] can't express: at 100 TB you persist
+    * yesterday's per-partition sketches (a few KB each) and fold new
+    * days in by union, never touching old rows again (SketchSpec
+    * proves the persist→reload→union round-trip). The sketch REGISTERS
+    * merge by max (associative, order-independent), but Datasketches
+    * drops the single-pass HIP estimator on union and falls back to
+    * the composite estimate — so a unioned estimate can differ
+    * slightly from a direct whole-corpus sketch; both stay inside the
+    * configured error bound, which is what SketchSpec asserts (vs the
+    * exact counts). Rows-only for the driver (sketch layouts differ
+    * per engine). */
+  def qSketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), xxhash64(col("text")).as("h"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(h)").as("sk"), count(lit(1)).as("n_rows"))
+    val unioned = perSource
+      .agg(expr("hll_union_agg(sk)").as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("__all__").as("source"), col("sk"), col("n_rows"))
+    perSource.unionByName(unioned)
+      .select(col("source"), col("n_rows"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
     * feature-correlation profiling). */
@@ -457,6 +485,7 @@ object ExtraQueries {
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_sketch_distinct" -> (qSketchDistinct _),
     "q_domain_mix" -> (qDomainMix _),
     "q_zorder" -> (qZorder _))
 
