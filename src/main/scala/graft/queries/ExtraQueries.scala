@@ -257,6 +257,34 @@ object ExtraQueries {
       .orderBy(col("source"))
   }
 
+  /** Sketch-space set algebra (Datasketches Theta builtins): estimated
+    * train/eval overlap WITHOUT a join. Each split folds to a theta
+    * sketch in one pass (mergeable like the HLL tier, so splits can be
+    * sketched incrementally); intersection/union/difference then run on
+    * the two sketch blobs alone. At 100 TB this answers "how much does
+    * corpus A overlap corpus B" for every pair of sources from persisted
+    * per-source sketches — no pairwise joins, no second scan. The exact
+    * twin of the overlap number is what [[graft.queries.TextQueries]]'s
+    * contamination tiers compute doc-by-doc; this is the cheap
+    * corpus-level screening that decides whether to run them. Rows-only
+    * (approximate); SketchSpec bounds each estimate vs exact. */
+  def qSketchOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val sk = docs.agg(
+      expr("theta_sketch_agg(CASE WHEN doc_id % 2 = 0 THEN h END)").as("sk_train"),
+      expr("theta_sketch_agg(CASE WHEN doc_id % 2 = 1 THEN h END)").as("sk_eval"))
+    sk.select(
+      expr("theta_sketch_estimate(sk_train)").as("est_train"),
+      expr("theta_sketch_estimate(sk_eval)").as("est_eval"),
+      expr("theta_sketch_estimate(theta_intersection(sk_train, sk_eval))")
+        .as("est_overlap"),
+      expr("theta_sketch_estimate(theta_union(sk_train, sk_eval))")
+        .as("est_union"),
+      expr("theta_sketch_estimate(theta_difference(sk_eval, sk_train))")
+        .as("est_eval_only"))
+  }
+
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
     * feature-correlation profiling). */
@@ -486,6 +514,7 @@ object ExtraQueries {
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sketch_distinct" -> (qSketchDistinct _),
+    "q_sketch_overlap" -> (qSketchOverlap _),
     "q_domain_mix" -> (qDomainMix _),
     "q_zorder" -> (qZorder _))
 

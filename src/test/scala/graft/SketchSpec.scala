@@ -29,6 +29,25 @@ class SketchSpec extends SparkSpec {
       s"union row ${out("__all__")} vs exact $wholeExact")
   }
 
+  test("theta overlap estimates bound against exact set sizes") {
+    val row = graft.queries.ExtraQueries.qSketchOverlap(spark, sf001).head()
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val train = docs.filter(col("doc_id") % 2 === 0).select(col("h")).distinct()
+    val ev = docs.filter(col("doc_id") % 2 === 1).select(col("h")).distinct()
+    val nTrain = train.count(); val nEval = ev.count()
+    val nOverlap = ev.intersect(train).count()
+    val nUnion = ev.union(train).distinct().count()
+    def ok(est: Long, exact: Long, what: String): Unit =
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 3),
+        s"$what: est $est vs exact $exact")
+    ok(row.getLong(0), nTrain, "train")
+    ok(row.getLong(1), nEval, "eval")
+    ok(row.getLong(2), nOverlap, "overlap")
+    ok(row.getLong(3), nUnion, "union")
+    ok(row.getLong(4), nEval - nOverlap, "eval_only")
+  }
+
   test("sketches persist to parquet, reload, and union incrementally") {
     val docs = Tables.documents(spark, sf001)
       .select(col("source"), xxhash64(col("text")).as("h"))
