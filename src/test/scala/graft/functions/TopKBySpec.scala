@@ -56,6 +56,27 @@ class TopKBySpec extends SparkSpec {
     assert(zero == 0)
   }
 
+  test("property: random inputs + arbitrary partition merges == sorted reference (30 seeded cases)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 30).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      // small score space forces ties; ids unique
+      val rows = (0 until n).map(i => (rnd.nextInt(5).toDouble, i.toLong))
+      val expected = rows.sortBy { case (s, id) => (-s, id) }.take(k)
+      // split into random partitions, heap each, merge in random order
+      val parts = rows.grouped(1 + rnd.nextInt(5)).toSeq
+      val bufs = parts.map { p =>
+        val b = new TopKBuffer(k); p.foreach { case (s, id) => b.offer(s, id) }; b
+      }
+      val merged = rnd.shuffle(bufs).foldLeft(new TopKBuffer(k)) { (acc, b) =>
+        (0 until b.size).foreach(i => acc.offer(b.scores(i), b.ids(i))); acc
+      }
+      assert(merged.sortedDesc.toSeq == expected,
+        s"k=$k n=$n: ${merged.sortedDesc.toSeq} != $expected")
+    }
+  }
+
   test("top_k_by is callable from spark.sql after registration") {
     TopKBy.register(spark)
     graft.Tables.orders(spark, sf001).createOrReplaceTempView("orders_tk")
