@@ -118,6 +118,18 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup semantic dedup over corpus ∪ scaled copy: every scaled
+    * vector is an exact cosine-1 duplicate of its base, so its keeper
+    * must resolve to the base id (asserted in SimilaritySpec) —
+    * rows-only for the driver (k-means isn't SQL-expressible). */
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d)
+    val doubled = base.select((col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    Similarity.semanticDedup(base.union(doubled), nCells = 16)
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-dimension embedding profile by label: mean/min/max of each of
     * the 64 components — the drift/QA pass a feature store runs over
     * an embedding column. Long format (label, pos, …): no array
@@ -149,6 +161,7 @@ object SimilarityQueries {
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(

@@ -156,6 +156,40 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with seeded k-means (the
+    * same machinery as [[ivfIndex]]), generate candidate pairs only
+    * WITHIN a cluster, verify with exact cosine, and keep the minimum
+    * id of each connected duplicate group
+    * ([[graft.text.Dedup.connectedComponents]] — shared with the text
+    * dedup tiers). Returns (vec_id, keeper) for every clustered vector.
+    *
+    * Scale: the within-cell self-join bounds the quadratic term by the
+    * largest cell (nCells should grow with corpus size — SemDeDup used
+    * 50k cells at 1.3B docs; cell skew is visible in the cell-size agg
+    * and handled by raising nCells). Versus [[embeddingNearDupPairs]]
+    * (SRP banding): clustering recalls near-dups that differ on a few
+    * hyperplane signs but misses cross-cell pairs (boundary effect) —
+    * SimilaritySpec pins exact cosine-1 copies, which k-means provably
+    * co-assigns (identical normalized vectors get identical distances,
+    * tie-broken identically). */
+  def semanticDedup(corpus: DataFrame, nCells: Int, minCosine: Double = 0.95,
+      seed: Long = 42L, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (indexed, _) = ivfIndex(corpus, nCells, seed, idCol, embCol)
+    val a = indexed.select(col("cell"), col(idCol).as("id_a"), col("norm").as("na"))
+    val b = indexed.select(col("cell"), col(idCol).as("id_b"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("na"), col("nb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.text.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("component", "keeper")
+    indexed.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("keeper"), col(idCol)).as("keeper"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via signed-random-projection
     * (SRP) LSH: `numBits` fixed pseudo-random hyperplanes (seeded —
     * deterministic) give each vector a bit signature; signatures are

@@ -65,4 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.size >= 450, s"recall ${planted.size / 500.0}")
     planted.foreach(c => assert(c > 0.999999))
   }
+
+  test("semantic dedup: scaled copies resolve to their base keeper; non-dups keep themselves") {
+    val out = SimilarityQueries.qDedupSemantic(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 500L
+    assert(out.size == 2 * n)
+    // every planted copy must share its base's duplicate group: k-means
+    // co-assigns identical normalized vectors, exact cosine = 1 links
+    // them, CC labels the group by its min id (= the base id unless the
+    // base itself is a near-dup of a smaller id)
+    (0L until n).foreach { i =>
+      assert(out(i + DedupQueries.IdOffset) == out(i),
+        s"copy of $i: keeper ${out(i + DedupQueries.IdOffset)} != base keeper ${out(i)}")
+    }
+    // keepers are canonical: a keeper maps to itself
+    out.values.toSet.foreach { k: Long => assert(out(k) == k, s"keeper $k not canonical") }
+  }
 }
