@@ -280,6 +280,26 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Windowed top-3 leaderboard (10-minute tumbling windows, highest
+    * value wins, event_id tie-break) — the batch face of
+    * [[graft.streaming.Streaming.windowedTopK]] (StreamingSpec proves
+    * the streaming run bit-equal). Oracle = row_number window with the
+    * identical ordering. */
+  def qEventsWindowTopk(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.windowedTopK(Tables.events(s, d))
+      .orderBy(col("w_start"), col("rank"))
+
+  val qEventsWindowTopkSql: String =
+    """SELECT w_start, rank, event_id, value FROM (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+      |    event_id, value,
+      |    row_number() OVER (
+      |      PARTITION BY time_bucket(INTERVAL '10 minutes', ts)
+      |      ORDER BY value DESC, event_id) AS rank
+      |  FROM events)
+      |WHERE rank <= 3
+      |ORDER BY w_start, rank""".stripMargin
+
   /** Gap sessionization (30-minute inactivity) over `events`, batch
     * mode — the [[graft.streaming.Streaming.sessionizeBatch]] window
     * composition, oracle-checked against DuckDB's windowed gap-flag
@@ -323,7 +343,8 @@ object CoreQueries {
     "q_union" -> (qUnion _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
-    "q_events_time_window" -> (qEventsTimeWindow _))
+    "q_events_time_window" -> (qEventsTimeWindow _),
+    "q_events_window_topk" -> (qEventsWindowTopk _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -338,5 +359,6 @@ object CoreQueries {
     "q_union" -> qUnionSql,
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
-    "q_events_time_window" -> qEventsTimeWindowSql)
+    "q_events_time_window" -> qEventsTimeWindowSql,
+    "q_events_window_topk" -> qEventsWindowTopkSql)
 }

@@ -48,6 +48,26 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed top-k leaderboard — the k highest-value events per
+    * tumbling window, through the bounded-heap `top_k_by` aggregate
+    * ([[graft.functions.TopKBy]]). Works on a batch OR streaming frame
+    * unchanged; in streaming, the heap IS the state-store buffer
+    * (TypedImperativeAggregate serialize/merge), so state per window is
+    * ≤ k pairs instead of every event — the same shuffle/state math
+    * that makes the aggregate worth having in batch. Deterministic
+    * tie-break (smaller event_id) keeps stream and batch bit-equal. */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+      windowLength: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(graft.functions.TopKBy.topKBy(col("value"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("w_start"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("w_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("event_id"), col("t.score").as("value"))
+
   /** Streaming deduplication — the exactly-once ingest guard: drops
     * re-delivered events by id, keeping state only inside the
     * watermark horizon (`dropDuplicatesWithinWatermark`: an id whose

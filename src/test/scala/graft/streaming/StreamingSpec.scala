@@ -34,6 +34,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed top-k == batch windowed top-k (heap state, same transform)") {
+    val stream = Streaming.windowedTopK(Streaming.eventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory").queryName("topk_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("topk_out")
+      .orderBy(col("w_start"), col("rank")).collect()
+    val expected = Streaming.windowedTopK(Tables.events(spark, sf001))
+      .orderBy(col("w_start"), col("rank")).collect()
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
   test("watermark drops nothing when all data is within horizon (single batch)") {
     val stream = Streaming.windowedCounts(
       Streaming.eventsStream(spark, streamDir), watermark = "1 minutes")
