@@ -96,6 +96,36 @@ object DedupQueries {
     Dedup.minhashPairs(corpusNear(s, d))
       .orderBy(col("id_a"), col("id_b"))
 
+  // one persisted index generation per (process, scale dir): the
+  // artifact under test is the parquet round-trip + incremental join
+  private val mhIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental MinHash near-dup: history = `documents`, indexed ONCE
+    * and persisted to parquet ([[Dedup.minhashIndex]] frames — the
+    * daily-pipeline artifact); delta = the perturbed near-dup copies.
+    * The delta is banded fresh and joined against the RELOADED history
+    * index — history is never re-shingled. Output = verified pairs
+    * touching the delta; history↔history pairs (including the corpus's
+    * natural original↔original near-dups) are yesterday's output and
+    * do not reappear. DedupSpec asserts equality with the from-scratch
+    * run restricted to delta-touching pairs. Rows-only for the
+    * driver. */
+  def qDedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = mhIdxCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_mhidx_").toString
+      val (bands, sets) = Dedup.minhashIndex(docs)
+      bands.write.mode("overwrite").parquet(s"$p/bands")
+      sets.write.mode("overwrite").parquet(s"$p/sets")
+      p
+    })
+    val delta = docs.select((col("doc_id") + IdOffset).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    Dedup.incrementalMinhashPairs(
+        s.read.parquet(s"$dir/bands"), s.read.parquet(s"$dir/sets"), delta)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash near-dup pairs — rows-only check. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(corpusNear(s, d), maxHamming = 7, numBands = 8)
@@ -270,6 +300,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),

@@ -399,29 +399,32 @@ object Dedup {
     labels
   }
 
-  /** MinHash + LSH near-dup pairs — the classic
-    * shingle → minhash → band → bucket-join, in plain `functions._`:
+  /** MinHash LSH index of one corpus generation — the classic
+    * shingle → minhash → band pipeline in plain `functions._`:
     *
     *  1. per doc: distinct k-shingles, hashed with `numHashes`
     *     independent xxhash64 functions (seed mixed into the input);
     *     signature[i] = min hash_i over shingles;
     *  2. signatures grouped into `numBands` bands of r rows; each band
-    *     key is the hash of its row values;
-    *  3. equi-join on (band, key) → candidate pairs (OR-amplification:
-    *     P[candidate] = 1−(1−j^r)^b);
-    *  4. verify candidates with exact Jaccard over the shingle sets.
+    *     key is the hash of its row values (OR-amplification on join:
+    *     P[candidate] = 1−(1−j^r)^b).
+    *
+    * Returns (bands = (id, band, key), sets = (id, sh)) — the two
+    * PERSISTABLE frames of a dedup generation: write them to parquet
+    * and tomorrow's increment joins against them
+    * ([[incrementalMinhashPairs]]) without re-banding history.
     *
     * Scale: only (id, band-key) longs shuffle for candidate
-    * generation; shingle sets travel only to deduped candidate pairs.
-    * The signature table is persisted — it feeds both join sides.
-    * Fully deterministic (hash-seeded, no RNG).
+    * generation; shingle sets travel only to deduped candidate pairs
+    * ([[jaccardVerify]]). The signature table is persisted — it feeds
+    * both returned frames. Fully deterministic (hash-seeded, no RNG).
     *
     * This replaced an mllib MinHashLSH `approxSimilarityJoin` version
     * that shuffled 2^18-dim sparse vectors through every candidate
     * pair — measured 49s on a 1000-doc corpus vs ~2s for this form. */
-  def minhashPairs(df: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
+  def minhashIndex(df: DataFrame, k: Int = 3,
       numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     // Each shingle is string-hashed exactly ONCE (xxhash64 → [0, P));
@@ -464,13 +467,14 @@ object Dedup {
             (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)).as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sets = withShingles.select(col(idCol), col("sh"))
+    (banded, withShingles.select(col(idCol), col("sh")))
+  }
+
+  /** Exact-Jaccard verification of banded candidate pairs: sets attach
+    * only to the deduped candidates (the LSH contract — payloads never
+    * ride the band join). */
+  private def jaccardVerify(candidates: DataFrame, sets: DataFrame,
+      maxJaccardDist: Double, idCol: String): DataFrame =
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -479,5 +483,56 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("id_a"), col("id_b"), col("jaccard_dist"))
+
+  /** Near-dup pairs from one corpus generation's [[minhashIndex]]:
+    * band self-join for candidates, exact-Jaccard verify. */
+  def minhashPairsFromIndex(banded: DataFrame, sets: DataFrame,
+      maxJaccardDist: Double = 0.3, idCol: String = "doc_id"): DataFrame = {
+    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardVerify(candidates, sets, maxJaccardDist, idCol)
+  }
+
+  /** Incremental near-dup: pairs INVOLVING the delta, against a
+    * PERSISTED index generation ([[minhashIndex]] frames written to
+    * parquet by a previous run — the daily-ingest shape: history is
+    * never re-shingled, re-signed, or re-banded; only the delta pays
+    * the scan, and the band join touches history rows only where a
+    * band key collides. The hash families are fixed-seed, so bands
+    * computed by any run with the same (k, numHashes, numBands) are
+    * compatible — persist those parameters with the index.
+    *
+    * Output: verified pairs where at least one side is a delta doc —
+    * delta↔history and delta↔delta (history↔history pairs were
+    * yesterday's output). DedupSpec proves the result equals the full
+    * from-scratch run filtered to delta-touching pairs. */
+  def incrementalMinhashPairs(histBands: DataFrame, histSets: DataFrame,
+      delta: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (dBands, dSets) = minhashIndex(delta, k, numHashes, numBands, textCol, idCol)
+    val allBands = histBands.unionByName(dBands)
+    val candidates = dBands.select(col(idCol).as("id_x"), col("band"), col("key"))
+      .join(allBands.select(col(idCol).as("id_y"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    jaccardVerify(candidates, histSets.unionByName(dSets), maxJaccardDist, idCol)
+  }
+
+  /** MinHash LSH near-dup pairs over one corpus (banded candidates +
+    * exact-Jaccard verify) — [[minhashIndex]] composed with
+    * [[minhashPairsFromIndex]]. */
+  def minhashPairs(df: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (banded, sets) = minhashIndex(df, k, numHashes, numBands, textCol, idCol)
+    minhashPairsFromIndex(banded, sets, maxJaccardDist, idCol)
   }
 }

@@ -168,6 +168,25 @@ class DedupSpec extends SparkSpec {
     assert(a == b) // seeded LSH is reproducible
   }
 
+  test("incremental minhash via persisted index == from-scratch pairs over the same corpus") {
+    // the incremental run (history indexed+persisted to parquet, delta
+    // banded fresh) must reproduce exactly the full run's delta-touching
+    // pairs — history↔history pairs (natural near-dups among the
+    // originals, e.g. docs 0↔50 at sf0.001) are yesterday's output and
+    // must NOT reappear
+    val full = DedupQueries.qDedupMinhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((a, b), _) => a >= IdOffset || b >= IdOffset }
+    assert(expected.size < full.size,
+      "corpus must contain history-internal pairs for this test to bite")
+    val inc = DedupQueries.qDedupIncrementalMinhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.nonEmpty && inc.keySet == expected.keySet,
+      s"pair sets differ: only-inc=${(inc.keySet -- expected.keySet).take(5)} " +
+        s"only-expected=${(expected.keySet -- inc.keySet).take(5)}")
+    inc.foreach { case (pair, jd) => assert(jd == expected(pair), s"$pair: $jd != ${expected(pair)}") }
+  }
+
   test("sketch tiers vs exact tier: recall floors over the PPJoin pair set at sf0.1") {
     // Ground truth = the EXACT n-gram Jaccard tier (recall 1.0 by the
     // prefix-filter theorem), 6009 pairs on the sf0.1 near-dup corpus
