@@ -297,6 +297,57 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus report card — the profile a curation pipeline
+    * publishes per ingest source: volume (docs, tokens, chars),
+    * exact-duplicate rate (distinct digests vs rows — the 100 TB form
+    * counts 32-byte digests, never text bodies; oracle counts
+    * `DISTINCT text`, so the digest narrowing is itself checked), and
+    * mean composite quality. Composes the oracled per-doc signal
+    * queries into one partial-aggregable groupBy(source) — every
+    * aggregate here is map-side combinable, one shuffle of ~#sources
+    * groups regardless of corpus size. The quality CTE is the literal
+    * [[qTextQualitySql]] (minus its ORDER BY), so both engines compute
+    * the score from one definition. */
+  def qCorpusProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = TextAnalysis.withQualitySignals(docs)
+      .select(col("doc_id"), col("source"), col("text"), col("quality_score"))
+    quality
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(TextAnalysis.tokens(col("text"))))).as("total_tokens"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(sha2(col("text"), 256)).as("distinct_texts"),
+        avg(col("quality_score")).as("avg_quality"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("distinct_texts"),
+        (lit(1.0) - col("distinct_texts").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        col("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  val qCorpusProfileSql: String = {
+    val qualityCte = qTextQualitySql.replace("\nORDER BY doc_id", "")
+      .replace("ORDER BY doc_id", "")
+    s"""WITH q AS (
+       |$qualityCte
+       |)
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |           ELSE len(string_split_regex(lower(trim(d.text)), '\\s+')) END) AS total_tokens,
+       |  sum(length(d.text)) AS total_chars,
+       |  count(DISTINCT d.text) AS distinct_texts,
+       |  1.0 - CAST(count(DISTINCT d.text) AS DOUBLE) / count(*) AS dup_rate,
+       |  avg(q.quality_score) AS avg_quality
+       |FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
+
   /** Order-sensitive rolling-hash fingerprint (rows-only). */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -575,7 +626,8 @@ object TextQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _),
-    "q_contamination_bloom" -> (qContaminationBloom _))
+    "q_contamination_bloom" -> (qContaminationBloom _),
+    "q_corpus_profile" -> (qCorpusProfile _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
@@ -593,5 +645,6 @@ object TextQueries {
     // the bloom tier's false positives die in the exact join, so it
     // shares the same oracle as well
     "q_contamination_hashed" -> qContaminationSql,
-    "q_contamination_bloom" -> qContaminationSql)
+    "q_contamination_bloom" -> qContaminationSql,
+    "q_corpus_profile" -> qCorpusProfileSql)
 }
