@@ -22,7 +22,9 @@ object ExplainDump {
     "q_ntile_approx", "q_contamination_hashed", "q_ml_indexed_features",
     "q_attribution", "q_resample_ffill", "q_cube",
     "q_pack_blocks", "q_domain_mix", "q_zorder", "q_interpolate",
-    "q_dedup_incremental", "q_heavy_hitters", "q_contamination_bloom")
+    "q_dedup_incremental", "q_heavy_hitters", "q_contamination_bloom",
+    "q_topk_grouped", "q_events_window_topk", "q_corpus_profile",
+    "q_dedup_incremental_minhash", "q_sketch_overlap")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
