@@ -118,15 +118,32 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // build-once cluster assignment for the semantic-dedup corpus (same
+  // contract and cache discipline as ivfCache above)
+  private val semCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** SemDeDup semantic dedup over corpus ∪ scaled copy: every scaled
     * vector is an exact cosine-1 duplicate of its base, so its keeper
     * must resolve to the base id (asserted in SimilaritySpec) —
-    * rows-only for the driver (k-means isn't SQL-expressible). */
+    * rows-only for the driver (k-means isn't SQL-expressible). The
+    * k-means cluster assignment is the build-once artifact (persisted
+    * per scale dir, `semantic_cluster_build` in Bench's builds
+    * section); each run pays only pair-gen + verify + CC. */
   def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val base = corpus(s, d)
-    val doubled = base.select((col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
-      transform(col("embedding"), x => x * 2.0f).as("embedding"))
-    Similarity.semanticDedup(base.union(doubled), nCells = 16)
+    val path = semCache.compute(d, (_, cached) => {
+      if (cached != null &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cached))) cached
+      else graft.BuildTimes.timed("semantic_cluster_build") {
+        val base = corpus(s, d)
+        val doubled = base.select((col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+        val (indexed, _) = Similarity.ivfIndex(base.union(doubled), nCells = 16)
+        val p = graft.TempDirs.create("graft_sem_").toString
+        indexed.write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    Similarity.semanticDedupFromIndex(s.read.parquet(path))
       .orderBy(col("vec_id"))
   }
 

@@ -177,6 +177,16 @@ object Similarity {
       seed: Long = 42L, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val (indexed, _) = ivfIndex(corpus, nCells, seed, idCol, embCol)
+    semanticDedupFromIndex(indexed, minCosine, idCol)
+  }
+
+  /** Pair-gen + keeper resolution over a PRE-CLUSTERED corpus (`cell`,
+    * `norm` columns as produced by [[ivfIndex]]) — the per-run half of
+    * [[semanticDedup]]; the k-means assignment is the build-once
+    * artifact a pipeline persists (SimilarityQueries memoizes it per
+    * scale dir under the same build-once contract as the IVF index). */
+  def semanticDedupFromIndex(indexed: DataFrame, minCosine: Double = 0.95,
+      idCol: String = "vec_id"): DataFrame = {
     val a = indexed.select(col("cell"), col(idCol).as("id_a"), col("norm").as("na"))
     val b = indexed.select(col("cell"), col(idCol).as("id_b"), col("norm").as("nb"))
     val pairs = a.join(b, Seq("cell"))

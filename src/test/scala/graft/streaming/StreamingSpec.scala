@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 
+  test("streaming heavy hitters (approx_top_k sketch state) == batch exact counts") {
+    // maxItemsTracked (100) exceeds the event_type vocabulary (5), so
+    // the frequent-items sketch stays in its exact phase: the streaming
+    // state-store merge must produce the same counts as one batch pass
+    def hh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"))
+      .agg(expr("approx_top_k(event_type, 5, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    val q = hh(Streaming.eventsStream(spark, streamDir)).writeStream
+      .format("memory").queryName("hh_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hh_out")
+      .orderBy(col("n").desc, col("event_type")).collect()
+    val expected = hh(Tables.events(spark, sf001))
+      .orderBy(col("n").desc, col("event_type")).collect()
+    assert(got.nonEmpty && got.toSeq == expected.toSeq)
+    // and the sketch counts are the TRUE counts (exact phase)
+    val exact = Tables.events(spark, sf001).groupBy(col("event_type"))
+      .count().orderBy(col("count").desc, col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.take(5)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == exact)
+  }
+
   test("watermark drops nothing when all data is within horizon (single batch)") {
     val stream = Streaming.windowedCounts(
       Streaming.eventsStream(spark, streamDir), watermark = "1 minutes")
