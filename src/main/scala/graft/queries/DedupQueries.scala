@@ -251,6 +251,51 @@ object DedupQueries {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  // one persisted curation state per (process, scale dir) — the
+  // artifact under test is the state round-trip + incremental pass
+  private val curStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental curation (Curation.incrementalCurate): day 1 curates
+    * `documents` with the sketch tier and PERSISTS its SketchState to
+    * parquet (digests + survivor band index — three small frames, not
+    * the corpus); the delta (verbatim re-ingests ∪ perturbed near-dups
+    * ∪ repeated perturbed copies) is then curated against the RELOADED
+    * state. History is never re-scanned. Emits the delta survivors'
+    * ids — rows-only for the driver (the minhash stage isn't
+    * SQL-expressible); CurationSpec proves equality with the
+    * from-scratch sketch pipeline restricted to the delta. */
+  def qCurationIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = curStateCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_curstate_").toString
+      val day1 = graft.text.Curation.curateSketch(docs, CurationMinQuality,
+        withAccounting = false)
+      day1.state.digests.write.mode("overwrite").parquet(s"$p/digests")
+      day1.state.bands.write.mode("overwrite").parquet(s"$p/bands")
+      day1.state.sets.write.mode("overwrite").parquet(s"$p/sets")
+      p
+    })
+    val state = graft.text.Curation.SketchState(
+      s.read.parquet(s"$dir/digests"),
+      s.read.parquet(s"$dir/bands"),
+      s.read.parquet(s"$dir/sets"))
+    val perturbed = docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    // token-reversed docs are genuinely NEW content (shingles are
+    // order-sensitive) — the delta rows that must SURVIVE
+    val reversed = docs.select((col("doc_id") + 4 * IdOffset).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val delta = docs.select((col("doc_id") + IdOffset).as("doc_id"), col("text"))
+      .union(perturbed)
+      .union(perturbed.select((col("doc_id") + IdOffset).as("doc_id"), col("text")))
+      .union(reversed)
+    graft.text.Curation.incrementalCurate(state, delta, CurationMinQuality,
+        withAccounting = false)
+      .survivors
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val qCurationSql: String = {
     val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -305,7 +350,8 @@ object DedupQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_curation" -> (qCuration _))
+    "q_curation" -> (qCuration _),
+    "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,

@@ -95,4 +95,125 @@ object Curation {
 
     Result(survivors, acc.toList)
   }
+
+  /** The persistable curation state of a corpus generation: survivor
+    * content digests (`content_sha`) for the exact stage, and the
+    * survivor MinHash band index (`bands`, `sets` —
+    * [[Dedup.minhashIndex]] frames) for the near-dup stage. Three
+    * parquet writes a day; tomorrow's increment reads them back and
+    * never re-scans history. */
+  final case class SketchState(digests: DataFrame, bands: DataFrame, sets: DataFrame)
+
+  final case class SketchResult(survivors: DataFrame, state: SketchState,
+      accounting: Seq[(String, Long)])
+
+  /** [[curate]] with the MinHash sketch tier in the near-dup stage
+    * (instead of exact PPJoin — whose asc-df prefix ordering depends on
+    * GLOBAL document frequencies and therefore cannot be honestly
+    * incrementalized), returning the [[SketchState]] a later
+    * [[incrementalCurate]] consumes. Day-1 full run emits state;
+    * day-N increments fold into it. */
+  def curateSketch(docs: DataFrame, minQuality: Double,
+      k: Int = 3, maxJaccardDist: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id",
+      withAccounting: Boolean = true): SketchResult = {
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def account(stage: String, df: DataFrame): Unit =
+      if (withAccounting) acc += stage -> df.count()
+    account("input", docs)
+
+    val quality = TextAnalysis.withQualitySignals(docs, textCol)
+      .filter(col("quality_score") >= minQuality)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    account("quality", quality)
+
+    val keepers = Dedup.exactDedup(quality, textCol, idCol)
+      .select(col("keeper").as(idCol))
+    val exact = quality.join(keepers, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    account("exact-dedup", exact)
+
+    val (bands, sets) = Dedup.minhashIndex(exact, k, textCol = textCol, idCol = idCol)
+    val clusteredNonKeepers = Dedup
+      .connectedComponents(
+        Dedup.minhashPairsFromIndex(bands, sets, maxJaccardDist, idCol))
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    val survivors = exact.join(clusteredNonKeepers, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    account("near-dedup", survivors)
+    exact.unpersist()
+
+    val survivorIds = survivors.select(col(idCol))
+    SketchResult(survivors,
+      SketchState(
+        survivors.select(sha2(col(textCol), 256).as("content_sha")),
+        bands.join(survivorIds, Seq(idCol), "left_semi"),
+        sets.join(survivorIds, Seq(idCol), "left_semi")),
+      acc.toList)
+  }
+
+  /** Curate ONE DAY'S increment against the persisted [[SketchState]]
+    * of everything already curated — history is never re-scanned:
+    *
+    *  1. quality-gate the delta (per-doc, delta-only);
+    *  2. [[Dedup.incrementalExactDedup]] vs the survivor digest set —
+    *     verbatim re-ingests die, within-delta exact dups keep min id;
+    *  3. [[Dedup.incrementalMinhashPairs]] vs the survivor band index —
+    *     a delta doc clustered with ANY history survivor dies (the
+    *     component label is the min id, and history ids precede delta
+    *     ids); within-delta near-dup clusters keep their min id.
+    *
+    * A delta doc near-duplicating a doc that HISTORY dropped still
+    * dies: the content it matches survives in the history keeper, and
+    * the near-dup stage links them (CurationSpec proves incremental
+    * survivors == the from-scratch [[curateSketch]] over
+    * history-survivors ∪ delta, restricted to delta ids). One
+    * deliberate asymmetry of incremental curation: history survivors
+    * are never revoked — a delta doc can bridge two history docs into
+    * one cluster, but yesterday's published corpus stays published.
+    *
+    * Returns the delta survivors plus the UPDATED state (history state
+    * ∪ the delta survivors' digests/bands/sets) to persist for the
+    * next increment. */
+  def incrementalCurate(state: SketchState, delta: DataFrame,
+      minQuality: Double, k: Int = 3, maxJaccardDist: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id",
+      withAccounting: Boolean = true): SketchResult = {
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def account(stage: String, df: DataFrame): Unit =
+      if (withAccounting) acc += stage -> df.count()
+    account("input", delta)
+
+    val quality = TextAnalysis.withQualitySignals(delta, textCol)
+      .filter(col("quality_score") >= minQuality)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    account("quality", quality)
+
+    val fresh = Dedup.incrementalExactDedup(state.digests, quality, textCol, idCol)
+      .select(col(idCol), col(textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    account("exact-dedup", fresh)
+
+    val pairs = Dedup.incrementalMinhashPairs(state.bands, state.sets, fresh,
+      k, maxJaccardDist, textCol = textCol, idCol = idCol)
+    val deltaNonKeepers = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    val survivors = fresh.join(deltaNonKeepers, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    account("near-dedup", survivors)
+    fresh.unpersist()
+
+    val (dBands, dSets) = Dedup.minhashIndex(survivors, k, textCol = textCol, idCol = idCol)
+    SketchResult(survivors,
+      SketchState(
+        state.digests.unionByName(
+          survivors.select(sha2(col(textCol), 256).as("content_sha"))),
+        state.bands.unionByName(dBands),
+        state.sets.unionByName(dSets)),
+      acc.toList)
+  }
 }

@@ -26,6 +26,45 @@ class CurationSpec extends SparkSpec {
       "near-dedup" -> 1L)) // near-dup copy clustered with doc 1, dropped
   }
 
+  test("incremental curate == from-scratch sketch curate restricted to the delta") {
+    // day 1: curate the base documents, emit state
+    val history = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val minQ = DedupQueries.CurationMinQuality
+    val day1 = Curation.curateSketch(history, minQ, withAccounting = false)
+    // day 2 delta: verbatim re-ingests (die at exact), perturbed copies
+    // (die at near-dup vs history), and the perturbed copies AGAIN at
+    // higher ids (within-delta clusters — min id survives only if the
+    // history link also misses)
+    val off = DedupQueries.IdOffset
+    val perturbed = history.select((col("doc_id") + 2 * off).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    // token-reversed docs are genuinely new content and must survive
+    val reversed = history.select((col("doc_id") + 4 * off).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val delta = history.select((col("doc_id") + off).as("doc_id"), col("text"))
+      .union(perturbed)
+      .union(perturbed.select((col("doc_id") + off).as("doc_id"), col("text")))
+      .union(reversed)
+    val inc = Curation.incrementalCurate(day1.state, delta, minQ,
+      withAccounting = false)
+    val incIds = inc.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incIds.nonEmpty && incIds.forall(_ >= 4 * off),
+      s"expected only reversed docs to survive, got ${incIds.take(5)}")
+    // from-scratch twin over (day-1 survivors ∪ delta); history ids
+    // precede delta ids, so batch min-id keepers agree with incremental
+    val full = Curation.curateSketch(day1.survivors.union(delta), minQ,
+      withAccounting = false)
+    val fullDeltaIds = full.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet.filter(_ >= off)
+    assert(incIds == fullDeltaIds,
+      s"only-inc=${(incIds -- fullDeltaIds).take(5)} only-full=${(fullDeltaIds -- incIds).take(5)}")
+    // and the updated state covers exactly history ∪ delta survivors
+    val stateIds = inc.state.sets.select("doc_id").collect().map(_.getLong(0)).toSet
+    val day1Ids = day1.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == day1Ids ++ incIds)
+  }
+
   test("accounting is monotone non-increasing and survivors are input rows") {
     val r = Curation.curate(DedupQueries.corpusTriple(spark, sf001),
       DedupQueries.CurationMinQuality)
