@@ -112,13 +112,14 @@ object DedupQueries {
     * driver. */
   def qDedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val dir = mhIdxCache.computeIfAbsent(d, _ => {
-      val p = graft.TempDirs.create("graft_mhidx_").toString
-      val (bands, sets) = Dedup.minhashIndex(docs)
-      bands.write.mode("overwrite").parquet(s"$p/bands")
-      sets.write.mode("overwrite").parquet(s"$p/sets")
-      p
-    })
+    val dir = mhIdxCache.computeIfAbsent(d, _ =>
+      graft.BuildTimes.timed("minhash_index_build") {
+        val p = graft.TempDirs.create("graft_mhidx_").toString
+        val (bands, sets) = Dedup.minhashIndex(docs)
+        bands.write.mode("overwrite").parquet(s"$p/bands")
+        sets.write.mode("overwrite").parquet(s"$p/sets")
+        p
+      })
     val delta = docs.select((col("doc_id") + IdOffset).as("doc_id"),
       concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
     Dedup.incrementalMinhashPairs(
@@ -266,15 +267,16 @@ object DedupQueries {
     * from-scratch sketch pipeline restricted to the delta. */
   def qCurationIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val dir = curStateCache.computeIfAbsent(d, _ => {
-      val p = graft.TempDirs.create("graft_curstate_").toString
-      val day1 = graft.text.Curation.curateSketch(docs, CurationMinQuality,
-        withAccounting = false)
-      day1.state.digests.write.mode("overwrite").parquet(s"$p/digests")
-      day1.state.bands.write.mode("overwrite").parquet(s"$p/bands")
-      day1.state.sets.write.mode("overwrite").parquet(s"$p/sets")
-      p
-    })
+    val dir = curStateCache.computeIfAbsent(d, _ =>
+      graft.BuildTimes.timed("curation_state_build") {
+        val p = graft.TempDirs.create("graft_curstate_").toString
+        val day1 = graft.text.Curation.curateSketch(docs, CurationMinQuality,
+          withAccounting = false)
+        day1.state.digests.write.mode("overwrite").parquet(s"$p/digests")
+        day1.state.bands.write.mode("overwrite").parquet(s"$p/bands")
+        day1.state.sets.write.mode("overwrite").parquet(s"$p/sets")
+        p
+      })
     val state = graft.text.Curation.SketchState(
       s.read.parquet(s"$dir/digests"),
       s.read.parquet(s"$dir/bands"),
