@@ -297,6 +297,66 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Markup stripping, checked as an INVERSION: wrap each document in
+    * a deterministic tag soup (tags inside the text, a comment, plus a
+    * planted entity-encoded tail), strip it back, and hash against the
+    * expected recovery computed directly from the original text. Any
+    * under- or over-stripping (a tag survives, a comment leaks, an
+    * entity decodes wrong, whitespace fails to collapse) breaks the
+    * match. */
+  def qHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val html = concat(
+      lit("""<html><body class="doc"><h1></h1><!-- id --><p>"""),
+      regexp_replace(col("text"), " ", " <br/> "),
+      lit("""</p><p>&quot;A &amp; B&quot; &lt;ok&gt;&nbsp;end</p></body></html>"""))
+    docs.select(col("doc_id"),
+        TextAnalysis.stripMarkup(html).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qHtmlStripSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |    || ' "A & B" <ok> end' AS text_clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Within-doc repeated-line removal over a built corpus: each doc
+    * becomes three lines — text, text again (must collapse), and its
+    * normalized form (kept iff distinct from text). The oracle replays
+    * first-occurrence-wins with an ordered re-assembly. */
+  def qDedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val lined = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"), col("text"),
+        TextAnalysis.normalize(col("text")), col("text")).as("text"))
+    TextAnalysis.dedupLines(lined)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupLinesSql: String =
+    """WITH lined AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10), text, text,
+      |      trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')),
+      |      text) AS text
+      |  FROM documents
+      |), split AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+      |), lines AS (
+      |  SELECT doc_id, list_extract(ls, i) AS line, i AS pos
+      |  FROM split, unnest(range(1, len(ls) + 1)) t(i)
+      |), firsts AS (
+      |  SELECT doc_id, line, min(pos) AS first_pos
+      |  FROM lines GROUP BY doc_id, line
+      |)
+      |SELECT doc_id,
+      |  string_agg(line, chr(10) ORDER BY first_pos) AS text
+      |FROM firsts
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-source corpus report card — the profile a curation pipeline
     * publishes per ingest source: volume (docs, tokens, chars),
     * exact-duplicate rate (distinct digests vs rows — the 100 TB form
@@ -627,7 +687,9 @@ object TextQueries {
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _),
     "q_contamination_bloom" -> (qContaminationBloom _),
-    "q_corpus_profile" -> (qCorpusProfile _))
+    "q_corpus_profile" -> (qCorpusProfile _),
+    "q_html_strip" -> (qHtmlStrip _),
+    "q_dedup_lines" -> (qDedupLines _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
@@ -646,5 +708,7 @@ object TextQueries {
     // shares the same oracle as well
     "q_contamination_hashed" -> qContaminationSql,
     "q_contamination_bloom" -> qContaminationSql,
-    "q_corpus_profile" -> qCorpusProfileSql)
+    "q_corpus_profile" -> qCorpusProfileSql,
+    "q_html_strip" -> qHtmlStripSql,
+    "q_dedup_lines" -> qDedupLinesSql)
 }

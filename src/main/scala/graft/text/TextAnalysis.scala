@@ -51,6 +51,49 @@ object TextAnalysis {
       regexp_replace(lower(text), """[^\p{L}\p{N}\s]+""", " "),
       """\s+""", " "))
 
+  /** Markup stripping — the boilerplate-removal stage a crawl corpus
+    * passes through before any text analysis: HTML comments removed,
+    * tags → space, THEN the five core entities decoded (decode must
+    * come after tag-strip, or a decoded `&lt;b&gt;` would be eaten as
+    * a tag), whitespace collapsed. Pure codegen regexp chain — no UDF,
+    * no parser dependency; the deliberately non-HTML-aware trade
+    * (scripts/styles keep their text content) is the standard fast
+    * path at crawl scale. */
+  def stripMarkup(html: Column): Column = {
+    val noComments = regexp_replace(html, """<!--.*?-->""", " ")
+    val noTags = regexp_replace(noComments, """<[^>]*>""", " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, """&quot;""", "\""),
+              """&lt;""", "<"),
+            """&gt;""", ">"),
+          """&nbsp;""", " "),
+        """&amp;""", "&")
+    trim(regexp_replace(decoded, """\s+""", " "))
+  }
+
+  /** Within-document repeated-line removal (the Gopher/MassiveText
+    * dedup-lines rule): keep the FIRST occurrence of each distinct
+    * line, preserving original order. One posexplode + one
+    * (id, line)-keyed aggregate + an ordered re-assembly — all
+    * partial-aggregable, shuffle keyed by (id, line). */
+  def dedupLines(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("first_pos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("first_pos"), col("line")))),
+          x => x.getField("line")),
+        "\n").as(textCol))
+  }
+
   /** Whitespace token count (empty/blank text counts 0). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

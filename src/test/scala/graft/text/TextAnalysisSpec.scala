@@ -212,6 +212,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkup: comments die, tags die, entities decode AFTER tag strip, ws collapses") {
+    val got = Seq(
+      "<p>a  <b>bold</b> b</p>",
+      "<!-- secret --> visible",
+      "&lt;script&gt;alert(1)&lt;/script&gt;", // encoded markup must SURVIVE as text
+      "A &amp;&amp; B &nbsp; C",
+      "")
+      .toDF("h").select(TextAnalysis.stripMarkup(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "a bold b",
+      "visible",
+      "<script>alert(1)</script>",
+      "A && B C",
+      ""))
+  }
+
+  test("dedupLines: first occurrence wins, order preserved, distinct lines kept") {
+    val out = TextAnalysis.dedupLines(
+      Seq((1L, "b\na\nb\nc\na\nb"), (2L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "b\na\nc")
+    assert(out(2L) == "x")
+  }
+
   test("bloom contamination tier == hashed tier; pre-filter sits before the train distinct") {
     // no false negatives ⇒ no lost hits; false positives die in the
     // exact join ⇒ row-identical output
