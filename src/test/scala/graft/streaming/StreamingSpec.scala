@@ -71,6 +71,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == exact)
   }
 
+  test("streaming incremental curation: foreachBatch folds SketchState across trigger batches") {
+    import graft.text.{Curation, Dedup}
+    val minQ = graft.queries.DedupQueries.CurationMinQuality
+    val off = graft.queries.DedupQueries.IdOffset
+    val history = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val day0 = Curation.curateSketch(history, minQ, withAccounting = false)
+    // two delta files: reversed docs (new content) and verbatim copies
+    // of them at higher ids — whichever batch runs first claims the
+    // content, the other batch's copy must die AGAINST THE FOLDED STATE
+    // (cross-batch dedup is the property under test)
+    val reversed = history.select((col("doc_id") + 4 * off).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val copies = reversed.select((col("doc_id") + off).as("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-cur").toString
+    reversed.coalesce(1).write.mode("append").parquet(dir)
+    copies.coalesce(1).write.mode("append").parquet(dir)
+    val schema = reversed.schema
+    var state = day0.state
+    val survivorIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Curation.incrementalCurate(state, df, minQ, withAccounting = false)
+        survivorIds ++= r.survivors.select("doc_id").collect().map(_.getLong(0))
+        state = r.state
+        batches += 1
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple trigger batches, got $batches")
+    // exactly ONE survivor per reversed content across all batches
+    // (order-insensitive: either the reversed doc or its copy)
+    val expectedContents = reversed
+      .join(day0.survivors.select((col("doc_id") + 4 * off).as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet
+    val gotContents = survivorIds.map { id =>
+      val base = if (id >= 5 * off) id - 5 * off else id - 4 * off
+      base
+    }
+    assert(gotContents.distinct.size == gotContents.size,
+      "a content survived in more than one batch — state did not fold")
+    assert(survivorIds.nonEmpty && gotContents.toSet.subsetOf(
+      history.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // the folded state covers day0 + all streaming survivors
+    val stateIds = state.sets.select("doc_id").collect().map(_.getLong(0)).toSet
+    val day0Ids = day0.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == day0Ids ++ survivorIds)
+    assert(expectedContents.nonEmpty) // fixture sanity
+  }
+
   test("watermark drops nothing when all data is within horizon (single batch)") {
     val stream = Streaming.windowedCounts(
       Streaming.eventsStream(spark, streamDir), watermark = "1 minutes")
