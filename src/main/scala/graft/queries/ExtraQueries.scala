@@ -229,6 +229,32 @@ object ExtraQueries {
       approx_count_distinct(col("l_orderkey"), 0.02).as("ad_order"),
       approx_count_distinct(col("l_quantity"), 0.02).as("ad_qty"))
 
+  /** Arbitrary GROUPING SETS — the remaining member of the
+    * rollup/cube family: exactly {(returnflag), (linestatus), ()}
+    * (neither a rollup prefix chain nor a full cube), one pass via
+    * expand, `grouping_id` disambiguating the all-rows set from real
+    * NULL groups. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid,
+        |  sum(l_extendedprice) AS sum_price, count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  grouping_id(l_returnflag, l_linestatus) AS gid,
+      |  sum(l_extendedprice) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, rf, ls""".stripMargin
+
   /** Mergeable-sketch distinct counts (Datasketches HLL builtins):
     * one sketch per corpus source, then a union row WITHOUT re-scanning
     * the data — the sketches themselves merge. This is the incremental
@@ -508,6 +534,7 @@ object ExtraQueries {
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
@@ -528,6 +555,7 @@ object ExtraQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,

@@ -186,7 +186,36 @@ object WindowQueries {
       .orderBy(col("decile"))
   }
 
+  /** Relative-rank functions — percent_rank and cume_dist per supplier
+    * over order totals (the remaining members of the ranking family;
+    * used for percentile-based labeling without a global sort). The
+    * unique orderkey tiebreak keeps both values total-order
+    * deterministic. Same single shuffle as any suppkey window. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0) // bounded output at any SF
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("pr"), col("cd"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWindowDistSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, pr, cd FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |) t
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_dist" -> (qWindowDist _),
     "q_window_lead" -> (qWindowLead _),
     "q_window_rows_avg" -> (qWindowRowsAvg _),
     "q_window_rank" -> (qWindowRank _),
@@ -195,6 +224,7 @@ object WindowQueries {
     "q_ntile_approx" -> (qNtileApprox _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_dist" -> qWindowDistSql,
     "q_window_lead" -> qWindowLeadSql,
     "q_window_rows_avg" -> qWindowRowsAvgSql,
     "q_window_rank" -> qWindowRankSql,
