@@ -300,6 +300,35 @@ object CoreQueries {
       |WHERE rank <= 3
       |ORDER BY w_start, rank""".stripMargin
 
+  /** Gap sessionization through Spark's NATIVE `session_window`
+    * operator — the same 30-minute-gap semantics as [[qSessionize]]
+    * and the same oracle: merging session windows must produce
+    * identical (start, end=max ts, counts, sums), and the per-user
+    * ordinal re-derives the window composition's running session_id.
+    * Putting the native operator under the hash gate closes the loop
+    * the spec-level cross-validation opened: three implementations
+    * (window composition, session_window, mapGroupsWithState) now
+    * provably agree. Scale note: session_window is a streaming-capable
+    * grouping — state merges windows per key — while the batch twin is
+    * one sort per user partition; both shuffle once on user_id. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("n_events"), col("session_start"), col("session_end"),
+        col("sum_value"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Gap sessionization (30-minute inactivity) over `events`, batch
     * mode — the [[graft.streaming.Streaming.sessionizeBatch]] window
     * composition, oracle-checked against DuckDB's windowed gap-flag
@@ -344,11 +373,15 @@ object CoreQueries {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_events_time_window" -> (qEventsTimeWindow _),
-    "q_events_window_topk" -> (qEventsWindowTopk _))
+    "q_events_window_topk" -> (qEventsWindowTopk _),
+    "q_session_window" -> (qSessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q_sessionize" -> qSessionizeSql,
+    // the native session_window formulation computes the identical
+    // sessions, so it shares the window-composition oracle
+    "q_session_window" -> qSessionizeSql,
     "q_scan_filter" -> qScanFilterSql,
     "q_project_clean" -> qProjectCleanSql,
     "q_null_probe" -> qNullProbeSql,
