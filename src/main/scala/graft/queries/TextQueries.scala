@@ -357,6 +357,37 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** URL extraction + domain histogram — the crawl-side primitive
+    * behind domain mixing: pull every URL out of the text
+    * (regexp_extract_all), parse its host (`parse_url`), and count
+    * docs per host. The corpus has no URLs, so each doc gets a
+    * deterministic planted link derived from its source
+    * (`https://<source>.example.com/<doc_id>?ref=x`) — the oracle then
+    * knows the exact expected histogram from `source` alone, so any
+    * extraction or host-parsing defect (scheme variants, paths/query
+    * strings leaking into the host) breaks the hash. */
+  def qUrlDomains(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withUrls = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://"), col("source"), lit(".example.com/"),
+        col("doc_id"), lit("?ref=x and http://"), col("source"),
+        lit(".example.com/about")).as("text"))
+    withUrls
+      .select(explode(expr(
+        """regexp_extract_all(text, 'https?://[^\\s]+', 0)""")).as("url"))
+      .select(expr("parse_url(url, 'HOST')").as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("host"))
+  }
+
+  val qUrlDomainsSql: String =
+    """SELECT source || '.example.com' AS host, 2 * count(*) AS n_urls
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY host""".stripMargin
+
   /** Per-source corpus report card — the profile a curation pipeline
     * publishes per ingest source: volume (docs, tokens, chars),
     * exact-duplicate rate (distinct digests vs rows — the 100 TB form
@@ -689,7 +720,8 @@ object TextQueries {
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_corpus_profile" -> (qCorpusProfile _),
     "q_html_strip" -> (qHtmlStrip _),
-    "q_dedup_lines" -> (qDedupLines _))
+    "q_dedup_lines" -> (qDedupLines _),
+    "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
@@ -710,5 +742,6 @@ object TextQueries {
     "q_contamination_bloom" -> qContaminationSql,
     "q_corpus_profile" -> qCorpusProfileSql,
     "q_html_strip" -> qHtmlStripSql,
-    "q_dedup_lines" -> qDedupLinesSql)
+    "q_dedup_lines" -> qDedupLinesSql,
+    "q_url_domains" -> qUrlDomainsSql)
 }
