@@ -127,6 +127,35 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact bounded edit-distance pairs over short "titles" (first 24
+    * chars of each doc) ∪ planted single-substitution mutants — the
+    * string-metric tier ([[Dedup.editDistancePairs]]: length-banded
+    * candidates, recall 1.0 by the |len diff| ≤ d bound; thresholded
+    * levenshtein verify). The oracle replays the ALL-PAIRS definition,
+    * so the banding optimization is proven output-identical to the
+    * brute-force semantics. */
+  def qDedupEditdist(s: SparkSession, d: String): DataFrame = {
+    val titles = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+    val mutated = titles.select((col("doc_id") + IdOffset).as("doc_id"),
+      concat(lit("X"), substring(col("title"), 2, 23)).as("title"))
+    Dedup.editDistancePairs(titles.union(mutated), maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupEditdistSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, substring(text, 1, 24) AS title FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset,
+       |    'X' || substring(substring(text, 1, 24), 2, 23) FROM documents
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  levenshtein(a.title, b.title) AS dist
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE levenshtein(a.title, b.title) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash near-dup pairs — rows-only check. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(corpusNear(s, d), maxHamming = 7, numBands = 8)
@@ -351,6 +380,7 @@ object DedupQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_editdist" -> (qDedupEditdist _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_curation" -> (qCuration _),
     "q_curation_incremental" -> (qCurationIncremental _))
@@ -359,6 +389,7 @@ object DedupQueries {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_editdist" -> qDedupEditdistSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_curation" -> qCurationSql)
 }

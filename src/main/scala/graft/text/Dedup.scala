@@ -399,6 +399,43 @@ object Dedup {
     labels
   }
 
+  /** EXACT bounded edit-distance pairs for SHORT strings (titles,
+    * URLs, names — the string-metric dedup family; shingle tiers are
+    * wrong for strings a few tokens long). Candidate generation bands
+    * by LENGTH, which is exact for Levenshtein: |len(a) − len(b)| ≤
+    * d(a, b), so recall is 1.0 by construction — the shorter side of
+    * each pair emits band keys len..len+maxDist and equi-joins the
+    * longer side's exact length (no range join, no nested loop; a
+    * PlanSpec-style assert lives in DedupSpec). Verification uses
+    * Spark's thresholded `levenshtein(l, r, k)` (early-exits and
+    * returns −1 past the bound — O(k·len) not O(len²) per pair).
+    *
+    * Scale: band keys are (length, id) ints; texts are short by the
+    * operator's contract, so carrying them to candidates is narrow.
+    * Length is a weak partitioner on natural text (lengths cluster),
+    * so for 100 TB add a second band character (first char) — the
+    * standard refinement, same exactness for substitution-dominated
+    * workloads only, hence not the default. */
+  def editDistancePairs(df: DataFrame, maxDist: Int = 2,
+      textCol: String = "title", idCol: String = "doc_id"): DataFrame = {
+    val base = df.select(col(idCol), col(textCol),
+      length(col(textCol)).as("len"))
+    // each row probes at its own length..len+maxDist: the SHORTER side
+    // of a pair always reaches the longer side's length band (equal
+    // lengths match in both orientations — deduped below)
+    val probe = base.select(col(idCol).as("id_x"), col(textCol).as("t_x"),
+      explode(sequence(col("len"), col("len") + maxDist)).as("lb"))
+    val build = base.select(col(idCol).as("id_y"), col(textCol).as("t_y"),
+      col("len").as("lb"))
+    probe.join(build, Seq("lb"))
+      .filter(col("id_x") =!= col("id_y"))
+      .withColumn("dist", levenshtein(col("t_x"), col("t_y"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("dist"))
+      .distinct()
+  }
+
   /** MinHash LSH index of one corpus generation — the classic
     * shingle → minhash → band pipeline in plain `functions._`:
     *

@@ -168,6 +168,23 @@ class DedupSpec extends SparkSpec {
     assert(a == b) // seeded LSH is reproducible
   }
 
+  test("edit-distance pairs: planted mutants found at dist 1; length-band join, no nested loop") {
+    val out = DedupQueries.qDedupEditdist(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every planted single-substitution mutant pairs with its base at
+    // distance exactly 1 (titles are 24 chars; 'X' differs from the
+    // lowercase original first char)
+    (0L until 500L).foreach { i =>
+      assert(out.get((i, i + IdOffset)).contains(1),
+        s"planted mutant of $i: ${out.get((i, i + IdOffset))}")
+    }
+    // candidate generation is an equi-join on the length band — a
+    // range/theta formulation would plan a nested loop
+    val plan = DedupQueries.qDedupEditdist(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("incremental minhash via persisted index == from-scratch pairs over the same corpus") {
     // the incremental run (history indexed+persisted to parquet, delta
     // banded fresh) must reproduce exactly the full run's delta-touching
