@@ -34,8 +34,14 @@ object Bloom {
     * [[ArrayMath.register]]). */
   def register(spark: SparkSession): Unit = {
     val firstUse = registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null
-    if (firstUse || !spark.sessionState.functionRegistry.functionExists(
-        FunctionIdentifier("graft_bloom_agg"))) {
+    // probe BOTH names: a user's DROP TEMPORARY FUNCTION of either one
+    // must trigger re-registration, or that function stays broken for
+    // the session (the failure mode ArrayMath.register documents)
+    if (firstUse ||
+      !spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_bloom_agg")) ||
+      !spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_might_contain"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bloom_agg",
         (exprs: Seq[Expression]) =>

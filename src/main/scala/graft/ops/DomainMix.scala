@@ -35,25 +35,33 @@ object DomainMix {
     ((key % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
 
   /** Resample `df` to the target mix. Sources absent from
-    * `sharePermille` (or with share 0) are dropped. `keyCol` must be a
-    * unique integral row key — it seeds the hash order and breaks ties
-    * deterministically. */
+    * `sharePermille` are dropped; a zero or negative share is rejected
+    * (drop the key from the map instead). A target source with ZERO
+    * observed rows makes the only composition-honoring output the
+    * EMPTY set, and that is what comes back — the share map is the
+    * spine of the per-source count join, so missing sources count as
+    * n_s = 0 rather than silently vanishing from the feasibility cap.
+    * `keyCol` must be a unique integral row key — it seeds the hash
+    * order and breaks ties deterministically. */
   def resample(df: DataFrame, sourceCol: String, keyCol: String,
       sharePermille: Map[String, Long]): DataFrame = {
     require(sharePermille.values.sum == 1000L,
       s"target shares must sum to 1000 permille: $sharePermille")
     require(sharePermille.values.forall(_ > 0), "zero/negative share — drop the key instead")
-    val share = sharePermille.foldLeft(lit(0L)) { case (acc, (s, p)) =>
-      when(col(sourceCol) === s, lit(p)).otherwise(acc)
-    }
-    // #sources rows; persisted because BOTH the cap aggregate and the
-    // quota projection read it — without the persist each reference
-    // re-runs the full-corpus groupBy (one extra scan of df)
-    val counts = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("_n_s"))
-      .withColumn("_share", share)
-      .filter(col("_share") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shareTable = sharePermille.toSeq.toDF(sourceCol, "_share")
+    // #target-sources rows, share map as the JOIN SPINE (absent source
+    // → n_s = 0 → cap 0 → empty output, the only feasible mix);
+    // eagerly checkpointed because BOTH the cap aggregate and the
+    // quota projection read it — a plain persist would leak a cached
+    // frame per call (the checkpoint's RDD blocks are reaped by the
+    // ContextCleaner once the frame goes out of scope)
+    val counts = shareTable.join(
+        df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n_s")),
+        Seq(sourceCol), "left")
+      .na.fill(0L, Seq("_n_s"))
+      .localCheckpoint(true)
     // largest feasible output size: a 1-row aggregate of the tiny
     // per-source frame, cross-joined back (broadcast both ways)
     val cap = counts.agg(min(expr("(_n_s * 1000) div _share")).as("_o"))

@@ -193,9 +193,9 @@ object ExtraQueries {
     * A 10%, N 5%, R 10% (nominal; the hash decides). */
   def qSampleHashStratified(s: SparkSession, d: String): DataFrame = {
     val key = col("l_orderkey") * lit(7L) + col("l_linenumber")
-    // (key % 1000003) * 2654435761 ≤ ~2.7e15 — no 64-bit overflow in
-    // either engine; % 1e6 yields the sampling bucket
-    val bucket = ((key % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
+    // shared portable hash (one definition of the overflow-safe
+    // constants — the oracle's cross-engine agreement depends on them)
+    val bucket = graft.ops.DomainMix.portableBucket(key)
     Tables.lineitem(s, d)
       .withColumn("bucket", bucket)
       .filter(col("bucket") <

@@ -197,7 +197,8 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     account("exact-dedup", fresh)
 
-    val pairs = Dedup.incrementalMinhashPairs(state.bands, state.sets, fresh,
+    val (pairs, dBands, dSets) = Dedup.incrementalMinhashPairsWithIndex(
+      state.bands, state.sets, fresh,
       k, maxJaccardDist, textCol = textCol, idCol = idCol)
     val deltaNonKeepers = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))
@@ -207,13 +208,17 @@ object Curation {
     account("near-dedup", survivors)
     fresh.unpersist()
 
-    val (dBands, dSets) = Dedup.minhashIndex(survivors, k, textCol = textCol, idCol = idCol)
+    // the delta was shingled/banded ONCE (inside the pair generation);
+    // the state appends the survivors' slice of that same index
+    val survivorIds = survivors.select(col(idCol))
     SketchResult(survivors,
       SketchState(
         state.digests.unionByName(
           survivors.select(sha2(col(textCol), 256).as("content_sha"))),
-        state.bands.unionByName(dBands),
-        state.sets.unionByName(dSets)),
+        state.bands.unionByName(
+          dBands.join(survivorIds, Seq(idCol), "left_semi")),
+        state.sets.unionByName(
+          dSets.join(survivorIds, Seq(idCol), "left_semi"))),
       acc.toList)
   }
 }

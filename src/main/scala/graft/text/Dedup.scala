@@ -419,17 +419,26 @@ object Dedup {
     * thresholded `levenshtein(l, r, k)` verify (early-exits and
     * returns -1 past the bound — O(k*len) per pair, not O(len^2)).
     *
-    * Strings shorter than q have no grams and can only pair among
-    * themselves (|len diff| <= maxDist < q bounds the partner): they
-    * meet in one tiny length-banded bucket — negligible wherever the
-    * operator's short-string contract holds. */
+    * The prefix guarantee requires q*maxDist+1 grams, i.e. length >=
+    * q*(maxDist+1); shorter strings (whose whole gram set maxDist
+    * edits can destroy) band by LENGTH against every string of length
+    * <= q*(maxDist+1)-2+maxDist instead — a tiny bucket wherever the
+    * operator's short-string contract holds (DedupSpec checks the
+    * boundary against a brute-force reference). */
   def editDistancePairs(df: DataFrame, maxDist: Int = 2, q: Int = 3,
       textCol: String = "title", idCol: String = "doc_id"): DataFrame = {
     val prefixLen = q * maxDist + 1
+    // the prefix guarantee needs at least prefixLen grams to survive
+    // destruction: a string of length < q*(maxDist+1) has fewer than
+    // q*maxDist+1 grams, ALL of which maxDist edits can destroy — such
+    // strings take the length-banded path below instead
+    val shortThresh = q * (maxDist + 1)
+    // not persisted: a narrow projection over the caller's frame, read
+    // a handful of times — cheaper to recompute than to leak a cached
+    // copy per call (the operator offers no unpersist handle)
     val base = df.select(col(idCol), col(textCol),
       length(col(textCol)).as("len"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val long = base.filter(col("len") >= q)
+    val long = base.filter(col("len") >= shortThresh)
     // distinct q-grams per string (set semantics — the destruction
     // bound holds on sets)
     val grams = long.select(col(idCol),
@@ -450,13 +459,17 @@ object Dedup {
       .filter(col("id_x") < col("id_y"))
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
       .distinct()
-    // strings below q chars pair only among themselves (|len diff| <=
-    // maxDist < q bounds the partner) — banded equi-join on length,
-    // the shorter side emitting len..len+maxDist
-    val short = base.filter(col("len") < q)
+    // strings below the gram-guarantee threshold band by LENGTH
+    // against EVERY string short enough to be within maxDist (partner
+    // len <= shortThresh-1+maxDist, which includes gram-covered
+    // strings at the boundary). The short side emits len..len+maxDist
+    // band keys; the build side is the tiny sub-threshold-plus-margin
+    // slice of the corpus.
+    val short = base.filter(col("len") < shortThresh)
+    val nearShort = base.filter(col("len") <= shortThresh - 1 + maxDist)
     val shortPairs = short.select(col(idCol).as("id_x"),
         explode(sequence(col("len"), col("len") + maxDist)).as("lb"))
-      .join(short.select(col(idCol).as("id_y"), col("len").as("lb")), Seq("lb"))
+      .join(nearShort.select(col(idCol).as("id_y"), col("len").as("lb")), Seq("lb"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
@@ -586,7 +599,19 @@ object Dedup {
   def incrementalMinhashPairs(histBands: DataFrame, histSets: DataFrame,
       delta: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
       numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    incrementalMinhashPairsWithIndex(histBands, histSets, delta, k,
+      maxJaccardDist, numHashes, numBands, textCol, idCol)._1
+
+  /** [[incrementalMinhashPairs]] plus the delta's own (bands, sets)
+    * index frames — for callers that persist the delta's index anyway
+    * ([[Curation.incrementalCurate]] appends the survivors' slice to
+    * its state), so the delta is shingled/signed/banded exactly ONCE
+    * per increment. */
+  def incrementalMinhashPairsWithIndex(histBands: DataFrame, histSets: DataFrame,
+      delta: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
     val (dBands, dSets) = minhashIndex(delta, k, numHashes, numBands, textCol, idCol)
     val allBands = histBands.unionByName(dBands)
     val candidates = dBands.select(col(idCol).as("id_x"), col("band"), col("key"))
@@ -596,7 +621,8 @@ object Dedup {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    jaccardVerify(candidates, histSets.unionByName(dSets), maxJaccardDist, idCol)
+    (jaccardVerify(candidates, histSets.unionByName(dSets), maxJaccardDist, idCol),
+      dBands, dSets)
   }
 
   /** MinHash LSH near-dup pairs over one corpus (banded candidates +

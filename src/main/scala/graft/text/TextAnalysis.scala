@@ -60,7 +60,10 @@ object TextAnalysis {
     * (scripts/styles keep their text content) is the standard fast
     * path at crawl scale. */
   def stripMarkup(html: Column): Column = {
-    val noComments = regexp_replace(html, """<!--.*?-->""", " ")
+    // (?s): comments span lines in real crawl HTML (commented-out
+    // markup, license headers) — without DOTALL the content between
+    // the newlines would leak into the "clean" text
+    val noComments = regexp_replace(html, """(?s)<!--.*?-->""", " ")
     val noTags = regexp_replace(noComments, """<[^>]*>""", " ")
     val decoded =
       regexp_replace(

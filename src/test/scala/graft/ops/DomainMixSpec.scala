@@ -30,6 +30,16 @@ class DomainMixSpec extends SparkSpec {
     assert(!out.contains("junk"))
   }
 
+  test("resample: a target source with zero observed rows forces the empty output") {
+    // the only subset honoring a 50/50 (a, ghost) target when ghost has
+    // no rows is the empty set — the share map is the join spine, so
+    // the missing source enters the cap as n_s = 0 instead of vanishing
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "a")).toDF("id", "source")
+    val out = DomainMix.resample(df, "source", "id",
+      Map("a" -> 500L, "ghost" -> 500L))
+    assert(out.count() == 0, "non-empty output cannot honor the target mix")
+  }
+
   test("resample rejects shares that don't sum to 1000") {
     val df = Seq((0L, "a")).toDF("id", "source")
     intercept[IllegalArgumentException] {

@@ -185,6 +185,37 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("edit-distance pairs: the short/long length boundary loses nothing (brute-force reference)") {
+    import spark.implicits._
+    // strings straddling the gram-guarantee boundary at q=3, maxDist=2
+    // (threshold q*(maxDist+1) = 9): below it maxDist edits can destroy
+    // a string's ENTIRE gram set ('aaaa' vs 'aaba' share no 3-gram at
+    // distance 1), so those lengths must take the banded path — and
+    // short×long pairs across the boundary must not be dropped
+    val rnd = new scala.util.Random(3)
+    val alpha = "abcd"
+    val strs = (0L until 60L).map { i =>
+      val n = 1 + rnd.nextInt(12) // lengths 1..12 straddle the threshold 9
+      i -> (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val df = strs.toDF("doc_id", "title")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ta) <- strs; (ib, tb) <- strs if ia < ib
+      dist = lev(ta, tb) if dist <= 2
+    } yield (ia, ib) -> dist).toMap
+    val got = Dedup.editDistancePairs(df, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
+
   test("incremental minhash via persisted index == from-scratch pairs over the same corpus") {
     // the incremental run (history indexed+persisted to parquet, delta
     // banded fresh) must reproduce exactly the full run's delta-touching

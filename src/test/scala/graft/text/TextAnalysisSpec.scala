@@ -216,6 +216,7 @@ class TextAnalysisSpec extends SparkSpec {
     val got = Seq(
       "<p>a  <b>bold</b> b</p>",
       "<!-- secret --> visible",
+      "<!--\n<div>multi-line secret</div>\nnote\n--> kept",
       "&lt;script&gt;alert(1)&lt;/script&gt;", // encoded markup must SURVIVE as text
       "A &amp;&amp; B &nbsp; C",
       "")
@@ -224,6 +225,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(
       "a bold b",
       "visible",
+      "kept", // multi-line comment content must NOT leak
       "<script>alert(1)</script>",
       "A && B C",
       ""))
