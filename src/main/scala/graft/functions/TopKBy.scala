@@ -28,11 +28,18 @@ final class TopKBuffer(val k: Int) {
   var size = 0
 
   // true when (s1, i1) orders BELOW (s2, i2): lower score, or same
-  // score with larger id
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // score with larger id. Double.compare (not < / ==) makes the order
+  // TOTAL over NaN — NaN ranks above every number, exactly how Spark
+  // and DuckDB sort doubles DESC, so results stay deterministic and
+  // oracle-comparable when a score is NaN ([[offer]] normalizes -0.0
+  // to 0.0 so the compare's -0.0 < 0.0 distinction never bites)
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
-  def offer(s: Double, id: Long): Unit = {
+  def offer(s0: Double, id: Long): Unit = {
+    val s = s0 + 0.0 // -0.0 -> 0.0: SQL sorts them equal, Double.compare does not
     if (size < k) {
       var i = size
       scores(i) = s; ids(i) = id; size += 1
@@ -63,11 +70,12 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** Pairs best-first (score desc, id asc on ties). */
+  /** Pairs best-first (score desc, id asc on ties) — `a` precedes `b`
+    * iff `b` is strictly worse, the same total order the heap uses
+    * (consistent even for duplicate or NaN entries). */
   def sortedDesc: Array[(Double, Long)] = {
     val out = (0 until size).map(i => (scores(i), ids(i))).toArray
-    out.sortWith((a, b) => !worse(a._1, a._2, b._1, b._2) &&
-      !(a._1 == b._1 && a._2 == b._2))
+    out.sortWith((a, b) => worse(b._1, b._2, a._1, a._2))
   }
 }
 
@@ -110,6 +118,11 @@ case class TopKByAggregate(
     } else if (payloadExpr.dataType != LongType) {
       TypeCheckResult.TypeCheckFailure(
         s"top_k_by: id must be BIGINT, got ${payloadExpr.dataType.simpleString}")
+    } else if (kExpr.dataType != IntegerType && kExpr.dataType != LongType) {
+      // caught here as a clean analysis error, not a task-time failure
+      // inside the lazy k extraction
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: k must be an integer literal, got ${kExpr.dataType.simpleString}")
     } else if (kExpr.eval(InternalRow.empty) == null) {
       TypeCheckResult.TypeCheckFailure("top_k_by: k must not be null")
     } else TypeCheckResult.TypeCheckSuccess

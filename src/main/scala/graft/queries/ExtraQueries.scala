@@ -444,16 +444,18 @@ object ExtraQueries {
       .orderBy(col("doc_id"))
 
   val qDomainMixSql: String = {
-    val arms = DomainShares.map { case (src, p) =>
-      s"      WHEN '$src' THEN ${p}" }.mkString("\n")
-    s"""WITH counts AS (
-       |  SELECT source, count(*) AS n_s,
-       |    CASE source
-       |$arms
-       |      ELSE 0 END AS share
-       |  FROM documents GROUP BY source
+    val shareValues = DomainShares
+      .map { case (src, p) => s"('$src', ${p})" }.mkString(", ")
+    // the share map is the JOIN SPINE (matching DomainMix.resample): a
+    // target source with zero observed rows enters as n_s = 0 and
+    // forces the cap — and therefore the whole output — to empty
+    s"""WITH shares(source, share) AS (
+       |  VALUES $shareValues
+       |), observed AS (
+       |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
        |), eligible AS (
-       |  SELECT * FROM counts WHERE share > 0
+       |  SELECT s.source, coalesce(o.n_s, 0) AS n_s, s.share
+       |  FROM shares s LEFT JOIN observed o USING (source)
        |), cap AS (
        |  SELECT min(n_s * 1000 // share) AS o FROM eligible
        |), quotas AS (

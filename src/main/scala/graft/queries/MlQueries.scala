@@ -147,19 +147,24 @@ object MlQueries {
     * exactly Spark's dropLast contract). */
   def onehotIndicators(df: DataFrame, keepCols: Seq[String],
       catCol: String): DataFrame = {
+    // intermediate names are namespaced: this is a generic helper and a
+    // caller frame carrying its own "type_idx"/"v" column must not
+    // collide with (or be shadowed by) the working columns
+    val idxCol = "__graft_type_idx"; val vecCol = "__graft_type_vec"
+    val arrCol = "__graft_type_arr"
     val indexed = new org.apache.spark.ml.feature.StringIndexer()
-      .setInputCol(catCol).setOutputCol("type_idx")
+      .setInputCol(catCol).setOutputCol(idxCol)
       .setStringOrderType("frequencyDesc")
       .fit(df).transform(df)
     val model = new org.apache.spark.ml.feature.OneHotEncoder()
-      .setInputCol("type_idx").setOutputCol("type_vec")
+      .setInputCol(idxCol).setOutputCol(vecCol)
       .fit(indexed)
     val slots = model.categorySizes(0) - 1
     import org.apache.spark.ml.functions.vector_to_array
     model.transform(indexed)
-      .withColumn("v", vector_to_array(col("type_vec")))
+      .withColumn(arrCol, vector_to_array(col(vecCol)))
       .select(keepCols.map(col) ++
-        (0 until slots).map(i => col("v").getItem(i).as(s"c$i")): _*)
+        (0 until slots).map(i => col(arrCol).getItem(i).as(s"c$i")): _*)
   }
 
   /** M2 (OneHotEncoder, dropLast default) surfaced as a driver query:

@@ -317,8 +317,8 @@ object TextQueries {
 
   val qHtmlStripSql: String =
     """SELECT doc_id,
-      |  trim(regexp_replace(text, '\s+', ' ', 'g'))
-      |    || ' "A & B" <ok> end' AS text_clean
+      |  trim(trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |    || ' "A & B" <ok> end') AS text_clean
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

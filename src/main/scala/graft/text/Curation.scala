@@ -134,7 +134,8 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     account("exact-dedup", exact)
 
-    val (bands, sets) = Dedup.minhashIndex(exact, k, textCol = textCol, idCol = idCol)
+    val (bands, sets, mhHandle) =
+      Dedup.minhashIndexWithHandle(exact, k, textCol = textCol, idCol = idCol)
     val clusteredNonKeepers = Dedup
       .connectedComponents(
         Dedup.minhashPairsFromIndex(bands, sets, maxJaccardDist, idCol))
@@ -145,12 +146,19 @@ object Curation {
     account("near-dedup", survivors)
     exact.unpersist()
 
+    // the kept state slices are eagerly cut so the signature cache can
+    // be RELEASED now — without this, every curateSketch call would
+    // leak one cached signature table for the life of the session
     val survivorIds = survivors.select(col(idCol))
+    val stBands = bands.join(survivorIds, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val stSets = sets.join(survivorIds, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    mhHandle.unpersist()
     SketchResult(survivors,
       SketchState(
         survivors.select(sha2(col(textCol), 256).as("content_sha")),
-        bands.join(survivorIds, Seq(idCol), "left_semi"),
-        sets.join(survivorIds, Seq(idCol), "left_semi")),
+        stBands, stSets),
       acc.toList)
   }
 
@@ -161,9 +169,10 @@ object Curation {
     *  2. [[Dedup.incrementalExactDedup]] vs the survivor digest set —
     *     verbatim re-ingests die, within-delta exact dups keep min id;
     *  3. [[Dedup.incrementalMinhashPairs]] vs the survivor band index —
-    *     a delta doc clustered with ANY history survivor dies (the
-    *     component label is the min id, and history ids precede delta
-    *     ids); within-delta near-dup clusters keep their min id.
+    *     a delta doc clustered with ANY history survivor dies
+    *     (regardless of id ordering between the generations: the rule
+    *     checks component MEMBERSHIP, not the min label); purely
+    *     intra-delta near-dup clusters keep their min delta id.
     *
     * A delta doc near-duplicating a doc that HISTORY dropped still
     * dies: the content it matches survives in the history keeper, and
@@ -197,28 +206,48 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     account("exact-dedup", fresh)
 
-    val (pairs, dBands, dSets) = Dedup.incrementalMinhashPairsWithIndex(
+    val (pairs, dBands, dSets, mhHandle) = Dedup.incrementalMinhashPairsFull(
       state.bands, state.sets, fresh,
       k, maxJaccardDist, textCol = textCol, idCol = idCol)
-    val deltaNonKeepers = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("component"))
-      .select(col("doc_id").as(idCol))
+    // keeper rule WITHOUT any id-ordering assumption between history
+    // and delta: a delta doc in a component containing ANY history
+    // member dies (history is published and never revoked); a purely
+    // intra-delta component keeps its min DELTA id. (A min-label rule
+    // alone would let a delta doc with a smaller id than its matched
+    // history survivor slip through as its own "keeper".)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
+      .join(fresh.select(col(idCol)).withColumn("_delta", lit(1)),
+        Seq(idCol), "left")
+    val byComp = comp.groupBy(col("component")).agg(
+      max(when(col("_delta").isNull, 1).otherwise(0)).as("_has_hist"),
+      min(when(col("_delta") === 1, col(idCol))).as("_min_delta"))
+    val deltaNonKeepers = comp.filter(col("_delta") === 1)
+      .join(byComp, Seq("component"))
+      .filter(col("_has_hist") === 1 || col(idCol) =!= col("_min_delta"))
+      .select(col(idCol))
     val survivors = fresh.join(deltaNonKeepers, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     account("near-dedup", survivors)
     fresh.unpersist()
 
     // the delta was shingled/banded ONCE (inside the pair generation);
-    // the state appends the survivors' slice of that same index
+    // the state appends the survivors' slice of that same index. The
+    // slices are eagerly cut so the delta's signature cache releases
+    // per increment — the property that keeps a long-running
+    // foreachBatch ingest loop at bounded executor storage
     val survivorIds = survivors.select(col(idCol))
+    val newBands = dBands.join(survivorIds, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val newSets = dSets.join(survivorIds, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    mhHandle.unpersist()
     SketchResult(survivors,
       SketchState(
         state.digests.unionByName(
           survivors.select(sha2(col(textCol), 256).as("content_sha"))),
-        state.bands.unionByName(
-          dBands.join(survivorIds, Seq(idCol), "left_semi")),
-        state.sets.unionByName(
-          dSets.join(survivorIds, Seq(idCol), "left_semi"))),
+        state.bands.unionByName(newBands),
+        state.sets.unionByName(newSets)),
       acc.toList)
   }
 }

@@ -245,7 +245,13 @@ object Dedup {
     * then proves every window partition is bounded. df values are
     * identical either way, so the candidate set and the pair output
     * never change. Returns the attached frame plus the persisted hot
-    * table as an unpersist handle. */
+    * table as an unpersist handle. *
+    * NOTE: the hot/cold split probes `hot.isEmpty` EAGERLY at
+    * construction — one job over the (persisted, later reused) shingle
+    * frame. Callers composing lazily (explain-only, conditional
+    * pipelines) pay that scan at construction time rather than first
+    * action; the cost is inherent to choosing the plan shape by data.
+    */
   private[text] def attachShingleDf(exploded: DataFrame, idCol: String,
       hotShingleDf: Long): (DataFrame, Seq[DataFrame]) = {
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
@@ -511,6 +517,21 @@ object Dedup {
   def minhashIndex(df: DataFrame, k: Int = 3,
       numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val (bands, sets, _) = minhashIndexWithHandle(df, k, numHashes, numBands, textCol, idCol)
+    (bands, sets)
+  }
+
+  /** [[minhashIndex]] plus the persisted signature frame as an
+    * UNPERSIST HANDLE — for per-increment loops
+    * ([[Curation.curateSketch]]/[[Curation.incrementalCurate]]), which
+    * would otherwise leak one cached signature table per batch; the
+    * caller eagerly materializes what it keeps and unpersists the
+    * handle. One-shot callers can ignore it (session teardown or
+    * `spark.catalog.clearCache()` reaps it — the documented cache
+    * contract). */
+  private[graft] def minhashIndexWithHandle(df: DataFrame, k: Int = 3,
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     // Each shingle is string-hashed exactly ONCE (xxhash64 → [0, P));
@@ -553,7 +574,7 @@ object Dedup {
             (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)).as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    (banded, withShingles.select(col(idCol), col("sh")))
+    (banded, withShingles.select(col(idCol), col("sh")), withShingles)
   }
 
   /** Exact-Jaccard verification of banded candidate pairs: sets attach
@@ -612,7 +633,18 @@ object Dedup {
       delta: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
       numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
-    val (dBands, dSets) = minhashIndex(delta, k, numHashes, numBands, textCol, idCol)
+    val (p, b, st, _) = incrementalMinhashPairsFull(histBands, histSets, delta,
+      k, maxJaccardDist, numHashes, numBands, textCol, idCol)
+    (p, b, st)
+  }
+
+  /** [[incrementalMinhashPairsWithIndex]] plus the delta signature
+    * frame as an unpersist handle (see [[minhashIndexWithHandle]]). */
+  private[graft] def incrementalMinhashPairsFull(histBands: DataFrame, histSets: DataFrame,
+      delta: DataFrame, k: Int = 3, maxJaccardDist: Double = 0.3,
+      numHashes: Int = 16, numBands: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (dBands, dSets, handle) = minhashIndexWithHandle(delta, k, numHashes, numBands, textCol, idCol)
     val allBands = histBands.unionByName(dBands)
     val candidates = dBands.select(col(idCol).as("id_x"), col("band"), col("key"))
       .join(allBands.select(col(idCol).as("id_y"), col("band"), col("key")),
@@ -622,7 +654,7 @@ object Dedup {
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
     (jaccardVerify(candidates, histSets.unionByName(dSets), maxJaccardDist, idCol),
-      dBands, dSets)
+      dBands, dSets, handle)
   }
 
   /** MinHash LSH near-dup pairs over one corpus (banded candidates +

@@ -77,6 +77,22 @@ class TopKBySpec extends SparkSpec {
     }
   }
 
+  test("NaN scores rank above every number, deterministically, matching the window form") {
+    val df = Seq(
+      ("g", Double.NaN, 1L), ("g", 5.0, 2L), ("g", 6.0, 3L), ("g", Double.NaN, 4L))
+      .toDF("g", "s", "id").repartition(5)
+    val top = df.groupBy(col("g"))
+      .agg(TopKBy.topKBy(col("s"), col("id"), 3).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.score"), col("p.id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // Spark sorts NaN as greatest: window ORDER BY s DESC, id ASC gives
+    // (NaN,1),(NaN,4),(6.0,3) — the heap must agree whatever the
+    // partitioning/arrival order
+    assert(top.map(_._2) == Seq(1L, 4L, 3L), s"got $top")
+    assert(top(0)._1.isNaN && top(1)._1.isNaN && top(2)._1 == 6.0)
+  }
+
   test("top_k_by is callable from spark.sql after registration") {
     TopKBy.register(spark)
     graft.Tables.orders(spark, sf001).createOrReplaceTempView("orders_tk")

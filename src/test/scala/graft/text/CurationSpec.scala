@@ -65,6 +65,26 @@ class CurationSpec extends SparkSpec {
     assert(stateIds == day1Ids ++ incIds)
   }
 
+  test("incremental keeper rule is id-order independent: a small-id delta near-dup of history still dies") {
+    // history ids are LARGE; the delta re-ingests near-dups under
+    // SMALLER ids — a min-label keeper rule would crown the delta doc
+    // and publish duplicate content
+    val history = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog and it is a fine day in the park today ok"),
+      (1001L, "completely different words describing a completely different topic in plain simple prose here"))
+      .toDF("doc_id", "text")
+    val day1 = Curation.curateSketch(history, minQuality = 0.5, withAccounting = false)
+    val delta = Seq(
+      (1L, "quick brown fox jumps over the lazy dog and it is a fine day in the park today ok"), // near-dup of 1000, smaller id
+      (2L, "an entirely novel sentence about gardens rivers mountains and the weather we had last spring"))
+      .toDF("doc_id", "text")
+    val inc = Curation.incrementalCurate(day1.state, delta, minQuality = 0.5,
+      maxJaccardDist = 0.3, withAccounting = false)
+    val ids = inc.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L), "small-id delta near-dup of a history survivor must die")
+    assert(ids.contains(2L), "novel delta content must survive")
+  }
+
   test("accounting is monotone non-increasing and survivors are input rows") {
     val r = Curation.curate(DedupQueries.corpusTriple(spark, sf001),
       DedupQueries.CurationMinQuality)
