@@ -257,6 +257,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("bloom pre-filter selectivity: survivors ≈ true overlap + the configured fp rate") {
+    import spark.implicits._
+    // disjoint-by-construction sides: train = 30k distinct longs,
+    // eval = 1k longs of which 100 overlap train — survivors of the
+    // eval-sized bloom must be ≈ 100 + fp_rate × 29 900, nowhere near
+    // the full train side (the pruning that shrinks the 100 TB shuffle)
+    val train = (0L until 30000L).toDF("sh")
+    val ev = ((0L until 100L) ++ (1000000L until 1000900L)).toDF("sh")
+    val bloomBytes = ev.agg(
+      graft.functions.Bloom.bloomAgg(col("sh"), 1000L).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val survivors = train.filter(
+      graft.functions.Bloom.mightContain(lit(bloomBytes), col("sh"))).count()
+    assert(survivors >= 100, "no false negatives: every true overlap survives")
+    // 8 bits/item ⇒ ~2% fp; allow 4× headroom and it is still a >95% cut
+    assert(survivors <= 100 + (0.08 * 29900).toLong,
+      s"pre-filter barely pruned: $survivors of 30000 train keys survived")
+  }
+
   test("contamination: only eval docs appear, ratios bounded, verbatim dup fully contaminated") {
     val out = TextQueries.qContamination(spark, sf001).cache()
     assert(out.filter(col("doc_id") % 2 === 0).count() == 0)
