@@ -4,12 +4,17 @@ engine code never depends on this). Usage:
   check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Loads each <verifyOutDir>/<name> parquet, runs oracle_sql.json[name] in
 DuckDB with harness tables registered as views, sorts columns by name,
-compares row-by-row with float tolerance."""
+compares row-by-row with float tolerance. Pass --strict to require
+bit-exact float equality (replicates the driver's hash gate — a query
+that is [OK] here but [STRICT-FAIL] is one partial-agg reorder away
+from a red driver row)."""
 import sys, json, glob, math
 import duckdb
 
-sf, out = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+args = [a for a in sys.argv[1:] if a != "--strict"]
+STRICT = "--strict" in sys.argv[1:]
+sf, out = args[0], args[1]
+only = set(args[2:])
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -36,7 +41,10 @@ for name, sql in sorted(oracles.items()):
             try:
                 fa, fb = float(a), float(b)
                 if math.isnan(fa) and math.isnan(fb): continue
-                if not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
+                if STRICT:
+                    if fa != fb:
+                        print(f"[FAIL] {name}: col {c} row {i}: {a!r} != {b!r}"); ok = False; break
+                elif not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
                     print(f"[FAIL] {name}: col {c} row {i}: {a!r} != {b!r}"); ok = False; break
             except (TypeError, ValueError):
                 if str(a) != str(b):

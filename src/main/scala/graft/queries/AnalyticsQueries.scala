@@ -50,8 +50,14 @@ object AnalyticsQueries {
     // doesn't — still partial-aggregated, never a single-reducer window.
     val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val withDf = tf.join(dfTable, "term")
+    // round(…, 9) BEFORE ranking: ln() is libm-dependent (~1 ulp across
+    // engines), so ranking raw scores could flip near-tied ranks between
+    // Spark and the oracle. Rounded scores rank identically, with the
+    // term tie-break resolving exact-9-decimal ties (float-determinism
+    // policy, COVERAGE.md).
     val scored = withDf.crossJoin(broadcast(n))
-      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
       .filter(col("rk") <= 3)
@@ -69,11 +75,14 @@ object AnalyticsQueries {
       |    count(*) OVER (PARTITION BY term) AS df,
       |    (SELECT count(*) FROM documents) AS n_docs
       |  FROM tf
-      |), sc AS (
-      |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
-      |    row_number() OVER (PARTITION BY doc_id
-      |                       ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term) AS rk
+      |), sc0 AS (
+      |  SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS score
       |  FROM wf
+      |), sc AS (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, term) AS rk
+      |  FROM sc0
       |)
       |SELECT doc_id, term, score, rk FROM sc WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin

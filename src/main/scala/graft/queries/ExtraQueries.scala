@@ -313,21 +313,24 @@ object ExtraQueries {
 
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
-    * feature-correlation profiling). */
+    * feature-correlation profiling). Outputs rounded to 9 decimals on
+    * both sides: corr/covar accumulate moments in engine-specific
+    * order, so the raw doubles diverge by ~1 ulp across engines
+    * (float-determinism policy, COVERAGE.md). */
   def qCorr(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
-        corr(col("l_discount"), col("l_tax")).as("corr_disc_tax"))
+        round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 9).as("cov_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 9).as("corr_disc_tax"))
       .orderBy(col("l_returnflag"))
 
   val qCorrSql: String =
     """SELECT l_returnflag,
-      |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
-      |  covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
-      |  corr(l_discount, l_tax) AS corr_disc_tax
+      |  round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 9) AS cov_qty_price,
+      |  round(corr(l_discount, l_tax), 9) AS corr_disc_tax
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

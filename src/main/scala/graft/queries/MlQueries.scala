@@ -30,9 +30,12 @@ object MlQueries {
     scaled
       .withColumn("sv", vector_to_array(col("scaled")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
-        col("sv").getItem(0).as("s_quantity"),
-        col("sv").getItem(1).as("s_discount"),
-        col("sv").getItem(2).as("s_tax"))
+        // round(…, 9): MLlib's Summarizer and SQL stddev_samp accumulate
+        // variance in different orders → ~1 ulp divergence
+        // (float-determinism policy, COVERAGE.md).
+        round(col("sv").getItem(0), 9).as("s_quantity"),
+        round(col("sv").getItem(1), 9).as("s_discount"),
+        round(col("sv").getItem(2), 9).as("s_tax"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
   }
 
@@ -218,9 +221,9 @@ object MlQueries {
     "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
-        |  l_quantity / stddev_samp(l_quantity) OVER () AS s_quantity,
-        |  l_discount / stddev_samp(l_discount) OVER () AS s_discount,
-        |  l_tax / stddev_samp(l_tax) OVER () AS s_tax
+        |  round(l_quantity / stddev_samp(l_quantity) OVER (), 9) AS s_quantity,
+        |  round(l_discount / stddev_samp(l_discount) OVER (), 9) AS s_discount,
+        |  round(l_tax / stddev_samp(l_tax) OVER (), 9) AS s_tax
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey""".stripMargin)
 }

@@ -21,7 +21,8 @@ object SimilarityQueries {
 
   /** Exact brute-force cosine top-5 for the first 10 vectors. */
   def qSimBruteForce(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK)
+    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK,
+      roundScoreTo = Some(9))
       .orderBy(col("query_id"), col("rank"))
 
   val qSimBruteForceSql: String =
@@ -29,8 +30,8 @@ object SimilarityQueries {
        |           FROM embeddings WHERE vec_id < $NumQueries),
        |scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-       |                           CAST(e.embedding AS DOUBLE[])) AS cos
+       |    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 9) AS cos
        |  FROM q, embeddings e
        |  WHERE e.vec_id <> q.query_id
        |), ranked AS (

@@ -411,7 +411,11 @@ object TextQueries {
           .otherwise(size(TextAnalysis.tokens(col("text"))))).as("total_tokens"),
         sum(length(col("text"))).as("total_chars"),
         countDistinct(sha2(col("text"), 256)).as("distinct_texts"),
-        avg(col("quality_score")).as("avg_quality"))
+        // round(…, 9): avg over a sum of non-dyadic ratios is
+        // summation-order sensitive in the last 1-2 bits; the driver's
+        // hash gate needs bit-identical doubles (float-determinism
+        // policy, COVERAGE.md).
+        round(avg(col("quality_score")), 9).as("avg_quality"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("total_chars"), col("distinct_texts"),
         (lit(1.0) - col("distinct_texts").cast("double") / col("n_docs"))
@@ -433,7 +437,7 @@ object TextQueries {
        |  sum(length(d.text)) AS total_chars,
        |  count(DISTINCT d.text) AS distinct_texts,
        |  1.0 - CAST(count(DISTINCT d.text) AS DOUBLE) / count(*) AS dup_rate,
-       |  avg(q.quality_score) AS avg_quality
+       |  round(avg(q.quality_score), 9) AS avg_quality
        |FROM documents d JOIN q ON d.doc_id = q.doc_id
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin

@@ -80,13 +80,22 @@ object Similarity {
     * per-query top-k (bounded-heap partial aggregation — see
     * [[topKPerGroup]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      roundScoreTo: Option[Int] = None): DataFrame = {
     val c = withNormalized(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("norm").as("c_norm"))
     val q = withNormalized(queries, embCol)
       .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    // roundScoreTo rounds cos BEFORE the top-k heap: dot-product fold
+    // order and sqrt normalization differ ~1 ulp across engines, so an
+    // exact-hash consumer (the DuckDB oracle gate) ranks on rounded
+    // scores with the id tie-break deciding exact ties (float-
+    // determinism policy, COVERAGE.md). Callers that feed recall
+    // metrics keep the raw doubles.
+    val scored0 = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("q_norm"), col("c_norm")))
+    val scored = roundScoreTo.fold(scored0)(p =>
+      scored0.withColumn("cos", round(col("cos"), p)))
     topKPerGroup(scored, "query_id", "cos", "neighbor_id", k, "cos", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
