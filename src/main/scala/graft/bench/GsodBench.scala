@@ -23,10 +23,30 @@ object GsodBench {
   /** Distributed deterministic GSOD-shaped generator: `nStations`
     * stations × `daysPerStation` days, ~2% sentinel rate per numeric
     * column plus planted long null-runs. Generated per-partition on
-    * executors — no driver materialization. */
+    * executors — no driver materialization.
+    *
+    * The temperature columns carry LEARNABLE structure, like real
+    * weather (the reference's LR reaches R² ≈ 0.93 on GSOD,
+    * BASELINE.md): a persistent per-station offset plus a seasonal
+    * sine is shared by temp/max/min, with small iid hash noise per
+    * column. Tomorrow's max = offset + season(day+1) + noise, and
+    * season moves ≤ 0.26°/day, so a linear model that denoises the
+    * shared signal from today's three readings recovers R² in the
+    * reference band — the analytic ceiling is
+    * 1 − (σ²_noise + σ²_noise/3) / (σ²_station + σ²_season + σ²_noise)
+    * ≈ 0.93 with the amplitudes below. Rain/prcp share a persistent
+    * station-wetness class so the classification label is likewise
+    * better-than-chance predictable. */
   def generate(spark: SparkSession, nStations: Int, daysPerStation: Int): DataFrame = {
     import spark.implicits._
     val base = LocalDate.of(2023, 1, 1).toEpochDay
+    // station offset in [-10, 9.9]; seasonal swing ±15; per-column iid
+    // noise in [-5, 4.9] (var ≈ 8.3 ≪ signal var ≈ 146)
+    val stnBase = pmod(xxhash64(col("sid"), lit(7)), lit(200)) / 10.0 - 10.0
+    val season = sin(col("day") * (2.0 * math.Pi / 365.0)) * 15.0
+    def noise(k: Int) = pmod(xxhash64(col("h"), lit(k)), lit(100)) / 10.0 - 5.0
+    // persistent station-wetness class 0..3 (drives prcp level + rain odds)
+    val wet = pmod(xxhash64(col("sid"), lit(11)), lit(4))
     spark.range(0, nStations.toLong * daysPerStation, 1,
         spark.sparkContext.defaultParallelism)
       .select(
@@ -42,7 +62,7 @@ object GsodBench {
         // ~2% sentinels via hash buckets; one station in 50 gets a
         // 40-day null run in visib (exercises widening + fallback)
         when(pmod(col("h"), lit(50)) === 0, 9999.9)
-          .otherwise(lit(30.0) + pmod(col("h"), lit(600)) / 10.0).as("temp"),
+          .otherwise(lit(60.0) + stnBase + season + noise(1)).as("temp"),
         when((pmod(col("sid"), lit(50)) === 0 && col("day").between(100, 140)) ||
             pmod(col("h"), lit(47)) === 0, 999.9)
           .otherwise(lit(1.0) + pmod(col("h"), lit(90)) / 10.0).as("visib"),
@@ -51,13 +71,14 @@ object GsodBench {
         when(pmod(col("h"), lit(59)) === 0, 999.9)
           .otherwise(lit(5.0) + pmod(col("h"), lit(200)) / 10.0).as("mxpsd"),
         when(pmod(col("h"), lit(61)) === 0, 9999.9)
-          .otherwise(lit(40.0) + pmod(col("h"), lit(350)) / 10.0).as("max"),
+          .otherwise(lit(70.0) + stnBase + season + noise(2)).as("max"),
         when(pmod(col("h"), lit(67)) === 0, 9999.9)
-          .otherwise(lit(10.0) + pmod(col("h"), lit(280)) / 10.0).as("min"),
+          .otherwise(lit(45.0) + stnBase + season + noise(3)).as("min"),
         when(pmod(col("h"), lit(11)) === 0, 99.99)
-          .otherwise(pmod(col("h"), lit(20)) / 10.0).as("prcp"),
+          .otherwise(wet * 0.5 + pmod(col("h"), lit(10)) / 10.0).as("prcp"),
         pmod(col("h"), lit(2)).cast("int").as("fog"),
-        pmod(col("h"), lit(3)).equalTo(0).cast("int").as("rain_drizzle"),
+        (wet + pmod(xxhash64(col("h"), lit(13)), lit(4)) >= 4)
+          .cast("int").as("rain_drizzle"),
         pmod(col("h"), lit(31)).equalTo(0).cast("int").as("snow_ice_pellets"),
         pmod(col("h"), lit(37)).equalTo(0).cast("int").as("hail"),
         pmod(col("h"), lit(13)).equalTo(0).cast("int").as("thunder"),

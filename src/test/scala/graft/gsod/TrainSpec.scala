@@ -79,6 +79,19 @@ class TrainSpec extends SparkSpec {
       .subsetOf(result.imputeAccounting.keySet))
   }
 
+  test("GsodBench generator plants learnable signal: LR recovers R2 >= 0.8 (reference band ~0.93)") {
+    // 20 stations x 365 days: full seasonal cycle, station offsets, iid
+    // noise — the same generator GsodBench times at 4M rows, so this
+    // floor is the fixture-scale evidence behind the BASELINE.md
+    // model-quality row.
+    val raw = graft.bench.GsodBench.generate(spark, 20, 365)
+    val (imputed, _) = GsodPipeline.prepare(raw)
+    val (featurized, _) = Features.featurize(imputed)
+    val (tr, te) = Train.split(featurized)
+    val m = Train.evaluateRegression(Train.linearRegression(tr).transform(te))
+    assert(m.r2 >= 0.8, s"lr_r2=${m.r2}")
+  }
+
   test("prepare leaves zero nulls in all numeric columns (ipynb c20:out)") {
     val (prepared, _) = GsodPipeline.prepare(Fixture.df(spark))
     val numeric = GsodSchema.numericColumns.filter(prepared.columns.contains)
