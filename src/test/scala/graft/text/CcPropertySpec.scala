@@ -37,6 +37,18 @@ class CcPropertySpec extends SparkSpec {
       } yield (math.min(a, b), math.max(a, b)))
     }
 
+  test("1000-node chain converges within default maxIter (O(log n) rounds, not O(diameter))") {
+    import spark.implicits._
+    // a single path 0-1-2-…-1000: diameter 1000, so label propagation
+    // would need >20 rounds — large/small-star must finish well inside
+    // the default maxIter=20 and label every vertex with component 0
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1001)
+    assert(got.forall(_._2 == 0L), s"non-zero components: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("random graphs: Spark CC == union-find reference (12 seeded cases)") {
     import spark.implicits._
     (1 to 12).foreach { i =>
