@@ -58,13 +58,43 @@ object Bloom {
   /** Aggregate a LONG key column into a serialized bloom filter
     * (BinaryType, one row). Size it from an (approximate) item count —
     * `bitsPerItem = 8` gives ≈2% false positives, plenty for a
-    * pre-filter whose positives are re-checked exactly. */
+    * pre-filter whose positives are re-checked exactly.
+    *
+    * CLAMP AT SCALE: Spark's `BloomFilterAggregate` silently caps the
+    * requested size at `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (default 4M items) and `.maxNumBits` (default
+    * 67 108 864 bits = 8 MiB). Past ~8M distinct keys at the default
+    * confs the filter saturates: results stay CORRECT (positives are
+    * always re-checked exactly) but the advertised ~2% false-positive
+    * rate — i.e. the pre-filter's selectivity — silently degrades.
+    * A 100 TB deployment must raise those two confs to match its key
+    * cardinality; this helper warns (once per process per conf) when
+    * the request exceeds the session's cap instead of letting the
+    * degradation pass unnoticed. */
   def bloomAgg(key: Column, estimatedItems: Long, bitsPerItem: Long = 8L): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    SparkSession.getActiveSession.foreach { spark =>
+      register(spark)
+      val maxItems = spark.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = spark.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      if ((estimatedItems > maxItems || estimatedItems * bitsPerItem > maxBits)
+          && clampWarned.add(s"$maxItems/$maxBits"))
+        System.err.println(
+          s"[graft.Bloom] requested sketch ($estimatedItems items × " +
+            s"$bitsPerItem bits) exceeds the session cap " +
+            s"(maxNumItems=$maxItems, maxNumBits=$maxBits); Spark will " +
+            "clamp it and the false-positive rate will degrade — raise " +
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+            "maxNumBits to keep the pre-filter selective")
+    }
     call_function("graft_bloom_agg", key,
       org.apache.spark.sql.functions.lit(estimatedItems),
       org.apache.spark.sql.functions.lit(estimatedItems * bitsPerItem))
   }
+
+  private val clampWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Membership probe of a LONG key against a serialized bloom column
     * (false ⇒ definitely absent; true ⇒ re-check exactly). */

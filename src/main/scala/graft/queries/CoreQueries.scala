@@ -379,8 +379,14 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q_sessionize" -> qSessionizeSql,
-    // the native session_window formulation computes the identical
-    // sessions, so it shares the window-composition oracle
+    // q_session_window shares the sessionize oracle INCLUDING the
+    // exact-gap boundary: Spark's session_window merges two sessions
+    // when next.start <= prev.end (= prev.ts + gap), so an event
+    // landing exactly `gap` after its predecessor stays in the SAME
+    // session — identical to this oracle's strictly-greater split.
+    // SessionizeBatchSpec pins that boundary agreement on a
+    // handcrafted exact-gap fixture, so a future Spark semantics
+    // change fails there with a diagnosis, not as a red driver hash.
     "q_session_window" -> qSessionizeSql,
     "q_scan_filter" -> qScanFilterSql,
     "q_project_clean" -> qProjectCleanSql,

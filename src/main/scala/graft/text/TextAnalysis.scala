@@ -82,11 +82,17 @@ object TextAnalysis {
     * dedup-lines rule): keep the FIRST occurrence of each distinct
     * line, preserving original order. One posexplode + one
     * (id, line)-keyed aggregate + an ordered re-assembly — all
-    * partial-aggregable, shuffle keyed by (id, line). */
+    * partial-aggregable, shuffle keyed by (id, line).
+    *
+    * CONTRACT: the output schema is exactly (idCol, textCol) — every
+    * other input column is dropped (re-join them by id if needed).
+    * NULL text is treated as the empty document: the row SURVIVES with
+    * textCol = "" (without the coalesce, posexplode over
+    * split(null) would silently drop the whole row). */
   def dedupLines(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     lines.groupBy(col(idCol), col("line"))
       .agg(min(col("pos")).as("first_pos"))
       .groupBy(col(idCol))

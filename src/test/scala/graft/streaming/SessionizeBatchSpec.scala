@@ -47,6 +47,31 @@ class SessionizeBatchSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 2L)
   }
 
+  test("exact-gap boundary: native session_window and sessionizeBatch AGREE (both merge)") {
+    // Measured on this Spark version: session_window merges sessions
+    // when next.start <= prev.ts + gap, so an event exactly `gap`
+    // after its predecessor stays in the SAME session — the same
+    // strictly-greater split as sessionizeBatch/qSessionizeSql. This
+    // boundary agreement is why q_session_window can share the
+    // sessionize oracle; if a Spark upgrade flips session_window to
+    // half-open ([ts, ts+gap)) semantics, this test fails with this
+    // diagnosis instead of the driver hash silently going red.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:30:00"), 1L))
+      .map { case (id, t, u) => (id, t, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ours = Streaming.sessionizeBatch(events, gapMinutes = 30).collect()
+    assert(ours.length == 1, "sessionizeBatch keeps an exact-gap pair in ONE session")
+    val native = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect()
+    assert(native.length == 1,
+      "native session_window no longer merges an exact-gap pair — " +
+        "q_session_window needs its own >=-split oracle now")
+  }
+
   test("batch sessionize: ts ties share one session id") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

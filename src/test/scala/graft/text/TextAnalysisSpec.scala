@@ -239,6 +239,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == "x")
   }
 
+  test("dedupLines contract: NULL text survives as empty doc; extra columns dropped") {
+    val in = Seq((1L, Option("a\na"), "keep"), (2L, Option.empty[String], "keep"))
+      .toDF("doc_id", "text", "extra")
+    val out = TextAnalysis.dedupLines(in)
+    assert(out.columns.toSeq == Seq("doc_id", "text"),
+      "output schema is exactly (id, text) — callers re-join the rest by id")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 2, "a NULL-text row must NOT be dropped")
+    assert(m(1L) == "a")
+    assert(m(2L) == "")
+  }
+
   test("bloom contamination tier == hashed tier; pre-filter sits before the train distinct") {
     // no false negatives ⇒ no lost hits; false positives die in the
     // exact join ⇒ row-identical output
