@@ -423,7 +423,65 @@ object AnalyticsQueries {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Unigram-LM perplexity scoring — the CCNet-style statistical
+    * quality signal of a curation pipeline: documents whose token
+    * distribution diverges from the corpus LM (gibberish, boilerplate,
+    * wrong-language) score a high perplexity and can be threshold-
+    * filtered. Model = add-one-smoothed unigram LM fit on the corpus
+    * itself: P(w) = (c(w)+1) / (T+V).
+    *
+    * Scale shape, same discipline as [[qTfidf]]: one (doc, term)
+    * partial agg, the model is the |vocab|-bounded term-count table
+    * joined back (AQE broadcasts when it fits, degrades to a shuffle
+    * join when it doesn't — never a per-term window), T and V ride a
+    * 1-row broadcast cross join. Scoring is a per-doc partial agg.
+    * avg_nll/ppl are rounded (9/6) on both engines: ln() is libm-
+    * dependent and the per-doc sum is order-sensitive in the last bits
+    * (float-determinism policy, COVERAGE.md). */
+  def qLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("t_tokens"), count(lit(1)).as("v_size"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", col("tf") *
+        log((col("cnt") + 1).cast("double") / (col("t_tokens") + col("v_size"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("sum_lp") / col("n_tokens"), 9).as("avg_nll"),
+        round(exp(-col("sum_lp") / col("n_tokens")), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+      |), vocab AS (
+      |  SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+      |), tot AS (
+      |  SELECT sum(cnt) AS t_tokens, count(*) AS v_size FROM vocab
+      |), sc AS (
+      |  SELECT f.doc_id, f.tf,
+      |    f.tf * ln(CAST(v.cnt + 1 AS DOUBLE) / (t.t_tokens + t.v_size)) AS lp
+      |  FROM tf f JOIN vocab v USING (term) CROSS JOIN tot t
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(-sum(lp) / sum(tf), 9) AS avg_nll,
+      |  round(exp(-sum(lp) / sum(tf)), 6) AS ppl
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> (qLmScore _),
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
     "q_range_join" -> (qRangeJoin _),
@@ -434,6 +492,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" -> qLmScoreSql,
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,

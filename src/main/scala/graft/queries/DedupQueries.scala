@@ -381,7 +381,50 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Leakage-safe train/val/test split — the assignment op every
+    * training pipeline needs BETWEEN dedup and training: a plain
+    * per-document hash split leaks near-duplicates across the
+    * train/eval boundary (the eval twin of a train doc inflates the
+    * score exactly like verbatim contamination). Here the split key is
+    * the document's near-dup CLUSTER KEEPER (connected-component min
+    * over the ngram-Jaccard pair graph; unpaired docs keep themselves),
+    * so an entire near-dup cluster lands on ONE side — by construction
+    * no pair straddles the boundary. The 80/10/10 bucket comes from the
+    * same portable multiplicative hash as the sampling tier, so the
+    * assignment is a pure function of the data, reproducible across
+    * engines (hash-oracled) and cluster layouts. Scale shape: the pair
+    * graph + CC the dedup tier already pays, one left join, and a
+    * per-row integer hash — no extra shuffle beyond CC itself. */
+  def qLeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusNear(s, d)
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+    val bucket = pmod(graft.ops.DomainMix.portableBucket(col("keeper")), lit(10L))
+    corpus.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $nearCorpusCte, ${ngramPairCtes("corpus")}, $ccCtes,
+       |comp AS (
+       |  SELECT src AS doc_id, min(lbl) AS component FROM reach GROUP BY src
+       |), keyed AS (
+       |  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS keeper
+       |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
+       |)
+       |SELECT doc_id, keeper,
+       |  CASE WHEN ((keeper % 1000003) * 2654435761) % 1000000 % 10 < 8 THEN 'train'
+       |       WHEN ((keeper % 1000003) * 2654435761) % 1000000 % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
@@ -394,6 +437,7 @@ object DedupQueries {
     "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -707,7 +707,17 @@ object TextQueries {
       .select(col("e.item").as("term"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("term"))
 
+  /** BPE tokenizer TRAINING (vs [[qBpePairs]], which only counts one
+    * round of pairs): learn the first 10 merges from the corpus word-
+    * frequency table — see [[graft.text.Bpe]] for the scale shape.
+    * Iterative argmax is not SQL-expressible → rows-only; `BpeSpec`
+    * pins the merge sequence against an in-memory reference. */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.mergeTable(s,
+      Tables.documents(s, d).select(col("text")), numMerges = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> (qBpeTrain _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_normalize" -> (qTextNormalize _),

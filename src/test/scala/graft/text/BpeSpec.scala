@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference BPE (Sennrich et al., ACL'16, alg. 1) on a word-freq
+    * map: count adjacent symbol pairs weighted by word freq, merge the
+    * most frequent (ties: lexicographic), repeat. */
+  private def referenceBpe(wordFreq: Map[String, Long],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), f)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  test("learned merges match the in-memory reference on a handcrafted corpus") {
+    // classic BPE example shape: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest"))
+      .flatten.mkString(" ")
+    val df = Seq(docs).toDF("text")
+    val got = Bpe.learnMerges(df, numMerges = 8)
+      .map(m => (m.left, m.right, m.pairCount))
+    val want = referenceBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("merge application is left-to-right non-overlapping (aaa + (a,a) -> [aa, a])") {
+    val df = Seq("aaa aaa").toDF("text")
+    val got = Bpe.learnMerges(df, numMerges = 2).map(m => (m.left, m.right, m.pairCount))
+    // round 1: (a,a) appears twice per 'aaa' sliding, weighted 2 words -> 4;
+    // the reference counts overlapping slides too, so both sides must agree
+    val want = referenceBpe(Map("aaa" -> 2L), 2)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("early exhaustion: single-char vocabulary stops before numMerges") {
+    val df = Seq("a b c a b").toDF("text")
+    assert(Bpe.learnMerges(df, numMerges = 5).isEmpty)
+  }
+
+  test("q_bpe_train on the harness corpus: 10 ranked merges, counts non-increasing") {
+    val out = graft.queries.TextQueries.qBpeTrain(spark, sf001).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getInt(0)).toSeq == (0 until 10))
+    val counts = out.map(_.getLong(4))
+    // merge counts are non-increasing ONLY per fixed pair universe; a
+    // merge can create a new high-frequency pair, so assert positivity
+    // and determinism instead
+    assert(counts.forall(_ > 0))
+    val again = graft.queries.TextQueries.qBpeTrain(spark, sf001).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "merge table must be deterministic across runs")
+  }
+}
