@@ -25,7 +25,8 @@ object ExplainDump {
     "q_dedup_incremental", "q_heavy_hitters", "q_contamination_bloom",
     "q_topk_grouped", "q_events_window_topk", "q_corpus_profile",
     "q_dedup_incremental_minhash", "q_sketch_overlap",
-    "q_lm_score", "q_leakage_safe_split")
+    "q_lm_score", "q_leakage_safe_split",
+    "q_curation", "q_dedup_embedding")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
