@@ -707,6 +707,56 @@ object TextQueries {
       .select(col("e.item").as("term"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("term"))
 
+  /** Hash-checkable companion of [[qHeavyHitters]] — the exact
+    * re-count phase a production heavy-hitter pipeline runs after the
+    * sketch pass: sketch → small candidate set → broadcast semi-join →
+    * exact count of candidates only. Counts leave the sketch, so the
+    * driver's hash gate applies.
+    *
+    * Uses the φ-frequent formulation (all terms with count > N/200,
+    * φ = 0.5%) rather than a top-k cut: a top-k boundary can tie and
+    * the sketch's internal tie-break need not match the oracle's,
+    * whereas an integer count vs the exact N/200.0 threshold compares
+    * identically on both engines — no tie fragility. At most 199 terms
+    * can exceed N/200, so k = 200 sketch candidates is a guaranteed
+    * superset while maxItemsTracked covers the vocabulary (then sketch
+    * counts are exact); if the vocabulary ever exceeded it, the
+    * classic sketch guarantee (reported ≥ true − εN, ε = 1/tracked)
+    * still keeps every φ-frequent term in the candidate set because
+    * φ ≫ ε.
+    *
+    * Scale shape: two passes over the token stream, but the second
+    * counts only candidate matches after a ≤200-row broadcast
+    * semi-join — the full-vocabulary groupBy never happens, which is
+    * the point of the sketch at 100 TB. The total-count scalar rides
+    * in on a 1-row broadcast. */
+  def qHeavyHittersExact(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val candidates = toks
+      .agg(expr("approx_top_k(term, 200, 100000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"))
+    toks.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") > col("total") / 200.0)
+      .select(col("term"), col("n"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  val qHeavyHittersExactSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), c AS (
+      |  SELECT term, count(*) AS n FROM t GROUP BY term
+      |)
+      |SELECT term, n FROM c
+      |WHERE n > (SELECT sum(n) FROM c) / 200.0
+      |ORDER BY n DESC, term""".stripMargin
+
   /** BPE tokenizer TRAINING (vs [[qBpePairs]], which only counts one
     * round of pairs): learn the first 10 merges from the corpus word-
     * frequency table — see [[graft.text.Bpe]] for the scale shape.
@@ -729,6 +779,7 @@ object TextQueries {
     "q_text_repetition" -> (qTextRepetition _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_hitters_exact" -> (qHeavyHittersExact _),
     "q_contamination" -> (qContamination _),
     "q_contamination_hashed" -> (qContaminationHashed _),
     "q_contamination_bloom" -> (qContaminationBloom _),
@@ -747,6 +798,7 @@ object TextQueries {
     "q_pack_blocks" -> qPackBlocksSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_bpe_pairs" -> qBpePairsSql,
+    "q_heavy_hitters_exact" -> qHeavyHittersExactSql,
     "q_contamination" -> qContaminationSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc);
