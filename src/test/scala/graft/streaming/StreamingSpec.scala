@@ -122,6 +122,87 @@ class StreamingSpec extends SparkSpec {
     assert(expectedContents.nonEmpty) // fixture sanity
   }
 
+  test("incremental curation crash recovery: restart from persisted state + checkpoint resumes identically") {
+    // The claim a 100 TB continuous-ingest operator actually relies
+    // on: kill the stream after batch N, start a NEW query from the
+    // same checkpoint, reload SketchState from parquet, and batch N+1
+    // produces EXACTLY what an uninterrupted run would have. State is
+    // versioned by batchId so a replayed batch overwrites its own
+    // version (idempotent commit, the foreachBatch exactly-once
+    // recipe) instead of double-folding.
+    import graft.text.{Curation, Dedup}
+    val minQ = graft.queries.DedupQueries.CurationMinQuality
+    val off = graft.queries.DedupQueries.IdOffset
+    val history = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val day0 = Curation.curateSketch(history, minQ, withAccounting = false)
+
+    // batch 0: reversed docs (genuinely new content — must survive);
+    // batch 1: verbatim copies of batch 0 at higher ids — every copy
+    // must die against batch 0's folded state ACROSS the restart
+    val reversed = history.select((col("doc_id") + 4 * off).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val copies = reversed.select((col("doc_id") + off).as("doc_id"), col("text"))
+
+    val inDir = Files.createTempDirectory("graft-crash-in").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val stateRoot = Files.createTempDirectory("graft-crash-state").toString
+    def writeState(st: Curation.SketchState, v: Long): Unit = {
+      st.digests.write.mode("overwrite").parquet(s"$stateRoot/v$v/digests")
+      st.bands.write.mode("overwrite").parquet(s"$stateRoot/v$v/bands")
+      st.sets.write.mode("overwrite").parquet(s"$stateRoot/v$v/sets")
+    }
+    def latestStateVersion: Long =
+      new java.io.File(stateRoot).listFiles().map(_.getName.drop(1).toLong).max
+    def readState(v: Long): Curation.SketchState = Curation.SketchState(
+      spark.read.parquet(s"$stateRoot/v$v/digests"),
+      spark.read.parquet(s"$stateRoot/v$v/bands"),
+      spark.read.parquet(s"$stateRoot/v$v/sets"))
+    writeState(day0.state, 0L)
+
+    val outByBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val schema = reversed.schema
+    def startQuery() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // reload from DISK every trigger — nothing in-memory carries
+        // over, so the restarted process exercises the same path
+        val st = readState(latestStateVersion)
+        val r = Curation.incrementalCurate(st, df, minQ, withAccounting = false)
+        writeState(r.state, batchId + 1)
+        outByBatch(batchId) =
+          r.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+
+    reversed.coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // CRASH after batch 0
+
+    copies.coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = startQuery() // fresh query object, same checkpoint + state dir
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the checkpoint must have skipped batch 0's file on restart
+    assert(outByBatch.keySet == Set(0L, 1L), s"batches: ${outByBatch.keySet}")
+
+    // twin: uninterrupted in-memory fold, no parquet, no restart
+    val r1 = Curation.incrementalCurate(day0.state, reversed, minQ, withAccounting = false)
+    val r2 = Curation.incrementalCurate(r1.state, copies, minQ, withAccounting = false)
+    val want1 = r1.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want2 = r2.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want1.nonEmpty) // fixture sanity: new content survives
+    assert(outByBatch(0L) == want1)
+    assert(outByBatch(1L) == want2)
+    // every batch-1 verbatim copy died against the reloaded state
+    assert(outByBatch(1L).intersect(want1.map(_ + off)).isEmpty)
+    // final persisted state covers exactly the uninterrupted run's state
+    val finalState = readState(latestStateVersion)
+    assert(finalState.sets.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      r2.state.sets.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(finalState.digests.count() == r2.state.digests.count())
+  }
+
   test("watermark drops nothing when all data is within horizon (single batch)") {
     val stream = Streaming.windowedCounts(
       Streaming.eventsStream(spark, streamDir), watermark = "1 minutes")
