@@ -464,9 +464,50 @@ object Dedup {
     * edits can destroy) band by LENGTH against every string of length
     * <= q*(maxDist+1)-2+maxDist instead — a tiny bucket wherever the
     * operator's short-string contract holds (DedupSpec checks the
-    * boundary against a brute-force reference). */
+    * boundary against a brute-force reference).
+    *
+    * Low-entropy guard (`dfCapFraction`): on an adversarial corpus
+    * where EVERY gram is common, the rarest-grams-first prefix stops
+    * pruning and the gram self-join manufactures ~prefixLen·df
+    * candidates per string plus a same-sized distinct shuffle — worse
+    * than the naive length-band join it was meant to beat. Strings
+    * whose rarest gram still has df > max(dfCapFraction·N, 8) are
+    * therefore routed OUT of the gram index into a two-sided
+    * length-band join against the whole long slice: degradation is
+    * bounded at the length-band cost (such corpora genuinely hold
+    * quadratically many near-pairs — no filter can make them cheap,
+    * the guard just stops paying the gram-join overhead ON TOP).
+    * Exactness is unaffected: routed strings meet every length-
+    * compatible partner, unrouted pairs keep the prefix guarantee
+    * (DedupSpec: planted low-entropy corpus — brute-force equality +
+    * measured candidate blow-up with the guard off vs on). */
   def editDistancePairs(df: DataFrame, maxDist: Int = 2, q: Int = 3,
-      textCol: String = "title", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "title", idCol: String = "doc_id",
+      dfCapFraction: Double = 0.1): DataFrame = {
+    val base = df.select(col(idCol), col(textCol),
+      length(col(textCol)).as("len"))
+    editDistanceCandidates(base, maxDist, q, textCol, idCol, dfCapFraction)
+      .join(base.select(col(idCol).as("id_a"), col(textCol).as("t_a"),
+        col("len").as("len_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col(textCol).as("t_b"),
+        col("len").as("len_b")), Seq("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Candidate (id_a, id_b) pairs for [[editDistancePairs]], pre-
+    * verify — split out so the candidate volume (the thing the prefix
+    * filter and the low-entropy guard exist to bound) is directly
+    * measurable. `base` must carry (idCol, textCol, len).
+    * `dedupe = false` skips the per-branch `distinct()` so specs can
+    * measure the RAW join volume — the rows the distinct shuffle has
+    * to pay for — not just the collapsed pair count. */
+  private[graft] def editDistanceCandidates(base: DataFrame, maxDist: Int,
+      q: Int, textCol: String, idCol: String,
+      dfCapFraction: Double, dedupe: Boolean = true): DataFrame = {
+    def maybeDistinct(d: DataFrame): DataFrame = if (dedupe) d.distinct() else d
     val prefixLen = q * maxDist + 1
     // the prefix guarantee needs at least prefixLen grams to survive
     // destruction: a string of length < q*(maxDist+1) has fewer than
@@ -476,8 +517,6 @@ object Dedup {
     // not persisted: a narrow projection over the caller's frame, read
     // a handful of times — cheaper to recompute than to leak a cached
     // copy per call (the operator offers no unpersist handle)
-    val base = df.select(col(idCol), col(textCol),
-      length(col(textCol)).as("len"))
     val long = base.filter(col("len") >= shortThresh)
     // distinct q-grams per string (set semantics — the destruction
     // bound holds on sets)
@@ -486,19 +525,45 @@ object Dedup {
         s"transform(sequence(1, len - ${q - 1}), i -> substring($textCol, i, $q))")))
         .as("g"))
     // global asc-df order, ties by gram text (total, deterministic);
-    // per-string prefix = first prefixLen grams in that order
+    // per-string prefix = first prefixLen grams in that order. min_df
+    // (the rarest gram's df) rides along for the low-entropy route.
     val dfTable = grams.groupBy(col("g")).agg(count(lit(1)).as("g_df"))
-    val prefix = grams.join(dfTable, Seq("g"))
+    // the df cap is a PLAN PARAMETER (like AQE's runtime stats), so one
+    // driver-side count action inlines it as a literal — attaching it
+    // as a 1-row joined scalar would plan a nested loop, and this
+    // operator's contract is equi-joins only. Absolute floor of 8
+    // keeps tiny corpora (where any df is a large fraction of N) on
+    // the gram path.
+    val dfCap = math.max(long.count() * dfCapFraction, 8.0)
+    val perString = grams.join(dfTable, Seq("g"))
       .groupBy(col(idCol))
       .agg(slice(
         expr("transform(array_sort(collect_list(struct(g_df, g))), x -> x.g)"),
-        1, prefixLen).as("pg"))
+        1, prefixLen).as("pg"),
+        min(col("g_df")).as("min_df"))
+      .withColumn("low_e", col("min_df") > lit(dfCap))
+    val prefix = perString.filter(!col("low_e"))
       .select(col(idCol), explode(col("pg")).as("g"))
-    val candidates = prefix.select(col(idCol).as("id_x"), col("g"))
-      .join(prefix.select(col(idCol).as("id_y"), col("g")), Seq("g"))
-      .filter(col("id_x") < col("id_y"))
-      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-      .distinct()
+    val candidates = maybeDistinct(
+      prefix.select(col(idCol).as("id_x"), col("g"))
+        .join(prefix.select(col(idCol).as("id_y"), col("g")), Seq("g"))
+        .filter(col("id_x") < col("id_y"))
+        .select(col("id_x").as("id_a"), col("id_y").as("id_b")))
+    // low-entropy strings leave the gram index entirely: a two-sided
+    // length band (len±maxDist) against EVERY long string covers
+    // (low, low) and (low, gram-indexed) pairs in both directions;
+    // (low, short) pairs are the short path's job (a low string within
+    // maxDist of a short one has len <= shortThresh-1+maxDist, so it
+    // is inside nearShort below)
+    val lowIds = perString.filter(col("low_e")).select(col(idCol))
+    val lowPairs = maybeDistinct(
+      base.join(lowIds, Seq(idCol), "left_semi")
+        .select(col(idCol).as("id_x"),
+          explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("lb"))
+        .join(long.select(col(idCol).as("id_y"), col("len").as("lb")), Seq("lb"))
+        .filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b")))
     // strings below the gram-guarantee threshold band by LENGTH
     // against EVERY string short enough to be within maxDist (partner
     // len <= shortThresh-1+maxDist, which includes gram-covered
@@ -507,22 +572,14 @@ object Dedup {
     // slice of the corpus.
     val short = base.filter(col("len") < shortThresh)
     val nearShort = base.filter(col("len") <= shortThresh - 1 + maxDist)
-    val shortPairs = short.select(col(idCol).as("id_x"),
-        explode(sequence(col("len"), col("len") + maxDist)).as("lb"))
-      .join(nearShort.select(col(idCol).as("id_y"), col("len").as("lb")), Seq("lb"))
-      .filter(col("id_x") =!= col("id_y"))
-      .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"))
-      .distinct()
-    candidates.unionByName(shortPairs)
-      .join(base.select(col(idCol).as("id_a"), col(textCol).as("t_a"),
-        col("len").as("len_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col(textCol).as("t_b"),
-        col("len").as("len_b")), Seq("id_b"))
-      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val shortPairs = maybeDistinct(
+      short.select(col(idCol).as("id_x"),
+          explode(sequence(col("len"), col("len") + maxDist)).as("lb"))
+        .join(nearShort.select(col(idCol).as("id_y"), col("len").as("lb")), Seq("lb"))
+        .filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b")))
+    candidates.unionByName(lowPairs).unionByName(shortPairs)
   }
 
   /** MinHash LSH index of one corpus generation — the classic

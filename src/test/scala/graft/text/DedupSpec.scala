@@ -216,6 +216,77 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
   }
 
+  test("editdist low-entropy guard: exact vs brute force, blow-up measured and bounded") {
+    import spark.implicits._
+    // Adversarial corpus for any gram-prefix scheme: 200 strings over
+    // the two-letter alphabet {a,b} — only 8 possible 3-grams exist,
+    // so every string's RAREST gram still appears in most of the
+    // corpus and asc-df prefix ordering has nothing rare to pick.
+    // Lengths spread 15..40 so the length band retains selectivity the
+    // gram join cannot see.
+    val rnd = new scala.util.Random(11)
+    val bases = (0L until 120L).map { i =>
+      val n = 15 + (i % 26).toInt
+      i -> (0 until n).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+    }
+    // plant near-pairs: 80 single-edit mutants (flip or delete) of the
+    // first 80 bases — the pairs the operator must recover exactly
+    val strs = bases ++ bases.take(80).map { case (i, t) =>
+      val p = rnd.nextInt(t.length)
+      val mutated =
+        if (i % 2 == 0) t.updated(p, if (t(p) == 'a') 'b' else 'a')
+        else t.substring(0, p) + t.substring(p + 1)
+      (i + 1000L) -> mutated
+    }
+    val df = strs.toDF("doc_id", "title")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ta) <- strs; (ib, tb) <- strs if ia < ib
+      dist = lev(ta, tb) if dist <= 2
+    } yield (ia, ib) -> dist).toMap
+    assert(expected.nonEmpty) // fixture sanity: planted near-pairs exist
+    // exactness WITH the guard firing (default dfCapFraction)
+    val got = Dedup.editDistancePairs(df, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    // blow-up, measured on the RAW candidate volume (the rows the
+    // distinct shuffle pays for): dfCapFraction = 1.0 disables the
+    // guard (no gram df can exceed N), 0.1 is the default
+    val base = df.select(col("doc_id"), col("title"), length(col("title")).as("len"))
+    val unguarded = Dedup.editDistanceCandidates(base, 2, 3, "title", "doc_id",
+      dfCapFraction = 1.0, dedupe = false).count()
+    val guarded = Dedup.editDistanceCandidates(base, 2, 3, "title", "doc_id",
+      dfCapFraction = 0.1, dedupe = false).count()
+    // the guard must route EVERY string here (all grams common), so
+    // its raw volume is exactly the two-sided length-band volume —
+    // computable from lengths alone; and the unguarded gram join must
+    // measurably blow past it
+    val lens = strs.map(_._2.length)
+    val bandVolume = (for { la <- lens; lb <- lens if math.abs(la - lb) <= 2 } yield 1L).sum - lens.size
+    assert(guarded == bandVolume,
+      s"guard did not route all strings: raw=$guarded, band volume=$bandVolume")
+    assert(unguarded > 3 * guarded,
+      s"expected gram-join blow-up on low-entropy corpus: unguarded=$unguarded guarded=$guarded")
+    // on the HIGH-entropy corpus of the brute-force test above, the
+    // guard must not fire: candidates identical with it on and off
+    val hi = (0L until 80L).map { i =>
+      val n = 10 + rnd.nextInt(8)
+      i -> (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val hiBase = hi.toDF("doc_id", "title")
+      .select(col("doc_id"), col("title"), length(col("title")).as("len"))
+    def pairSet(fr: Double) = Dedup.editDistanceCandidates(hiBase, 2, 3, "title", "doc_id",
+      dfCapFraction = fr).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(0.1) == pairSet(1.0))
+  }
+
   test("incremental minhash via persisted index == from-scratch pairs over the same corpus") {
     // the incremental run (history indexed+persisted to parquet, delta
     // banded fresh) must reproduce exactly the full run's delta-touching
