@@ -1,0 +1,131 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables, TempDirs}
+
+/** sf1 soak of the banded dedup tier — the off-paper check that the
+  * candidate-generation math (LSH bands, PPJoin prefix filter)
+  * actually collapsed the quadratic term: if any tier were secretly
+  * all-pairs, a 10× corpus would cost ~100×, and the measured scaling
+  * exponent log(t_S/t_1)/log(S) would read ≈2 instead of ≈1.
+  *
+  * The scaled corpus must preserve the sf0.1 corpus's STATISTICS for
+  * the exponent to mean anything: S variants of the documents table at
+  * disjoint id ranges, variant 0 verbatim and variant j ≥ 1 with a
+  * per-variant letter suffixed to every token. Each variant keeps the
+  * original's doc lengths, dup structure, and dup rate, while variant
+  * vocabularies are disjoint — no shingle ever matches across
+  * variants, so ground-truth pair counts scale exactly linearly (a
+  * naive "10 verbatim copies" corpus would instead inflate every dup
+  * cluster 10×, i.e. pair count ~45×, and measure a different
+  * workload, not a bigger one).
+  *
+  *   SPARK_GRAFT_CPUS=16 scripts/run.sh graft.bench.Soak [maxScale]
+  *
+  * Prints one JSON line per query with per-scale wall times and the
+  * fitted exponent; results are recorded in COVERAGE.md §soak.
+  */
+object Soak {
+
+  val Queries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram")
+
+  /** Variant id stride: far above every IdOffset-derived id the query
+    * corpora synthesize (≤ 5 × IdOffset + base ids). */
+  val VariantStride = 10000000L
+
+  def scaledDocs(s: SparkSession, src: String, scale: Int): DataFrame = {
+    val docs = Tables.documents(s, src)
+    // stopwords keep their surface form: suffixing them would zero the
+    // stopword-ratio quality signal and the quality gate would kill
+    // every variant doc (measured: survivors stuck at 1x). Shingles
+    // made ONLY of stopwords can still match across variants, but a
+    // handful of shared shingles cannot reach the J >= 0.7 verify
+    // threshold against disjoint content vocab — pair linearity holds
+    // (counts mode proves it).
+    val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
+    val stopArr = array(stop.map(lit): _*)
+    (0 until scale).map { j =>
+      if (j == 0) docs
+      else {
+        val suffix = ('a' + j).toChar.toString
+        docs.withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
+          .withColumn("text",
+            concat_ws(" ", transform(split(col("text"), "\\s+"),
+              t => when(array_contains(stopArr, lower(t)), t)
+                .otherwise(concat(t, lit(suffix))))))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,3,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // one dir per scale, documents.parquet only (the dedup queries
+    // read nothing else)
+    val dirs: Map[Int, String] = scales.map { sc =>
+      val dir = TempDirs.create(s"graft_soak_${sc}x_").toString
+      scaledDocs(spark, src, sc)
+        .repartition(math.max(4, sc * 4))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      sc -> dir
+    }.toMap
+
+    def execOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+
+    // `counts` mode: print output row counts per scale instead of
+    // timing — the linearity sanity check behind the exponent claim
+    // (a silently-truncating tier would also time sub-linear)
+    if (args.contains("counts")) {
+      scales.foreach { sc =>
+        val cs = Queries.map(q =>
+          s"$q=${SparkEntry.queries(q)(spark, dirs(sc)).count()}")
+        spark.catalog.clearCache()
+        println(s"""[soak-counts] scale=${sc}x ${cs.mkString(" ")}""")
+      }
+      spark.stop()
+      return
+    }
+
+    // JIT/classloader warm-up on the small tier so per-scale times
+    // measure the engine
+    Queries.foreach(q => execOnce(q, "/root/testdata/sf0.01"))
+
+    // min of 2 runs per point: at these absolute sizes (seconds) a
+    // single run's scheduler noise can swamp the 3x−1x delta
+    Queries.foreach { q =>
+      val times = scales.map(sc =>
+        sc -> (1 to 2).map(_ => execOnce(q, dirs(sc))).min)
+      val (s1, t1) = times.head
+      val (sN, tN) = times.last
+      val (sM, tM) = times(times.length - 2)
+      // exp_total folds the per-job fixed overhead in (reads LOW at
+      // small absolute times); exp_marginal between the two largest
+      // scales is the scale-sensitive signal — a quadratic tier would
+      // read ≈2 on both
+      val expTotal = math.log(tN / t1) / math.log(sN.toDouble / s1)
+      val expMarginal = math.log(tN / tM) / math.log(sN.toDouble / sM)
+      val ts = times.map { case (sc, t) => s""""${sc}x":${f"$t%.2f"}""" }.mkString(",")
+      println(s"""{"query":"$q","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+    }
+    spark.stop()
+  }
+}
