@@ -5,9 +5,10 @@ engine code never depends on this). Usage:
 Loads each <verifyOutDir>/<name> parquet, runs oracle_sql.json[name] in
 DuckDB with harness tables registered as views, sorts columns by name,
 compares row-by-row with float tolerance. Pass --strict to require
-bit-exact float equality (replicates the driver's hash gate — a query
-that is [OK] here but [STRICT-FAIL] is one partial-agg reorder away
-from a red driver row)."""
+bit-exact float equality AND matching numeric dtype kinds (int vs
+float) — together these approximate the driver's hash gate: a query
+that is [OK] here but fails --strict is one partial-agg reorder or
+one un-CAST DuckDB integer sum away from a red driver row."""
 import sys, json, glob, math
 import duckdb
 
@@ -35,7 +36,22 @@ for name, sql in sorted(oracles.items()):
     if len(got) != len(exp):
         print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}"); fail += 1; continue
     ok = True
+    # dtype-kind gate: the value loop coerces through float(), which
+    # erases int-vs-float differences (DuckDB sum(INTEGER) -> HUGEINT
+    # rendered 1435.0 vs Spark BIGINT 1435) — exactly the class the
+    # driver's hash gate fails on. Compare pandas dtype kinds first;
+    # treat int ('i','u') vs float ('f') as a mismatch under --strict.
+    if STRICT:
+        NUM_KINDS = {"i": "int", "u": "int", "f": "float"}
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            gn, en = NUM_KINDS.get(gk), NUM_KINDS.get(ek)
+            if gn and en and gn != en:
+                print(f"[FAIL] {name}: col {c} dtype kind {gk!r} != {ek!r} "
+                      f"(int-vs-float oracle typing bug — CAST the DuckDB sum)")
+                ok = False
     for c in got.columns:
+        if not ok: break
         for i, (a, b) in enumerate(zip(got[c], exp[c])):
             if a is None and b is None: continue
             try:

@@ -425,6 +425,9 @@ object TextQueries {
   }
 
   val qCorpusProfileSql: String = {
+    // DuckDB sum(INTEGER) returns HUGEINT (surfaces as float64) while
+    // Spark's sum over ints is BIGINT — CAST both integer sums or the
+    // driver's hash gate reads 1435.0 != 1435 (COVERAGE.md typing rule).
     val qualityCte = qTextQualitySql.replace("\nORDER BY doc_id", "")
       .replace("ORDER BY doc_id", "")
     s"""WITH q AS (
@@ -432,9 +435,9 @@ object TextQueries {
        |)
        |SELECT d.source,
        |  count(*) AS n_docs,
-       |  sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
-       |           ELSE len(string_split_regex(lower(trim(d.text)), '\\s+')) END) AS total_tokens,
-       |  sum(length(d.text)) AS total_chars,
+       |  CAST(sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |           ELSE len(string_split_regex(lower(trim(d.text)), '\\s+')) END) AS BIGINT) AS total_tokens,
+       |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
        |  count(DISTINCT d.text) AS distinct_texts,
        |  1.0 - CAST(count(DISTINCT d.text) AS DOUBLE) / count(*) AS dup_rate,
        |  round(avg(q.quality_score), 9) AS avg_quality
