@@ -43,12 +43,26 @@ object Expectations {
 
   /** Column values are unique (primary-key property). Violation
     * fraction = 1 − distinct/total: 0 for a key, 0.5 when every value
-    * occurs twice. */
+    * occurs twice. An all-NULL column is vacuously unique (0.0) — the
+    * unguarded 0/0 would read NaN, which `coalesce` does not catch and
+    * engines disagree on (pair a Complete check to reject the NULLs
+    * themselves). */
   final case class Unique(col: String, tolerance: Double = 0.0) extends Check {
     val name = s"unique($col)"
+    def violationFraction: Column = {
+      val nonNull = count(when(expr(col).isNotNull, 1))
+      when(nonNull === 0, lit(0.0))
+        .otherwise(lit(1.0) - countDistinct(expr(col)).cast("double") / nonNull)
+    }
+  }
+
+  /** Table has at least `minRows` rows — the explicit emptiness gate
+    * (the report also fails ALL checks on a zero-row table, but a Size
+    * row names the condition in the report instead of implying it). */
+  final case class Size(minRows: Long, tolerance: Double = 0.0) extends Check {
+    val name = s"size(>=$minRows)"
     def violationFraction: Column =
-      lit(1.0) - countDistinct(expr(col)).cast("double") /
-        count(when(expr(col).isNotNull, 1))
+      when(count(lit(1)) < minRows, lit(1.0)).otherwise(lit(0.0))
   }
 
   /** Non-null values fall in [lo, hi]. */
@@ -88,14 +102,24 @@ object Expectations {
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names")
     val aggs = checks.zipWithIndex.map { case (c, i) =>
-      round(coalesce(c.violationFraction, lit(0.0)), 9).as(s"_m$i")
-    }
+      round(c.violationFraction, 9).as(s"_m$i")
+    } :+ count(lit(1)).as("_n")
     val stackArgs = checks.zipWithIndex.map { case (c, i) =>
       s"'${c.name.replace("'", "''")}', _m$i, CAST(${c.tolerance} AS DOUBLE)"
     }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
+      .select(col("_n"), expr(
         s"stack(${checks.size}, $stackArgs) AS (check, violation_fraction, tolerance)"))
+      // Fail-closed: a zero-row table fails EVERY check (avg over zero
+      // rows is NULL, and the old NULL→0.0 coalesce silently PASSED an
+      // empty table through the gate); any remaining NULL/NaN fraction
+      // on non-empty input also reads as a violation, never a pass.
+      .withColumn("violation_fraction",
+        when(col("_n") === 0, lit(1.0))
+          .otherwise(coalesce(
+            nanvl(col("violation_fraction"), lit(null).cast("double")),
+            lit(1.0))))
+      .drop("_n")
       .withColumn("passed", col("violation_fraction") <= col("tolerance"))
       .orderBy(col("check"))
   }

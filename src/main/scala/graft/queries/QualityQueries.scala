@@ -23,6 +23,7 @@ object QualityQueries {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val liReport = Expectations.report(li, Seq(
+      Size(1),
       Complete("l_orderkey"),
       Unique("l_orderkey"),
       InRange("l_quantity", 1.0, 50.0),
@@ -31,6 +32,7 @@ object QualityQueries {
       Satisfies("positive_price", col("l_extendedprice") > 0.0)))
       .select(lit("lineitem").as("tbl"), col("*"))
     val oReport = Expectations.report(o, Seq(
+      Size(1),
       Unique("o_orderkey"),
       Complete("o_custkey"),
       InSet("o_orderstatus", Seq("O", "F", "P")),
@@ -45,6 +47,7 @@ object QualityQueries {
   val qExpectationsSql: String =
     """WITH li AS (
       |  SELECT
+      |    round(CAST(CASE WHEN count(*) < 1 THEN 1.0 ELSE 0.0 END AS DOUBLE), 9) AS m_size,
       |    round(avg(CASE WHEN l_orderkey IS NULL THEN 1.0 ELSE 0.0 END), 9) AS m_complete,
       |    round(1.0 - CAST(count(DISTINCT l_orderkey) AS DOUBLE)
       |      / count(CASE WHEN l_orderkey IS NOT NULL THEN 1 END), 9) AS m_unique,
@@ -55,6 +58,7 @@ object QualityQueries {
       |  FROM lineitem
       |), o AS (
       |  SELECT
+      |    round(CAST(CASE WHEN count(*) < 1 THEN 1.0 ELSE 0.0 END AS DOUBLE), 9) AS m_size,
       |    round(1.0 - CAST(count(DISTINCT o_orderkey) AS DOUBLE)
       |      / count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END), 9) AS m_unique,
       |    round(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 9) AS m_complete,
@@ -73,6 +77,8 @@ object QualityQueries {
       |  UNION ALL SELECT 'lineitem', 'in_range(l_discount)', m_disc, 0.6, m_disc <= 0.6 FROM li
       |  UNION ALL SELECT 'lineitem', 'in_set(l_returnflag)', m_flag, 0.0, m_flag <= 0.0 FROM li
       |  UNION ALL SELECT 'lineitem', 'positive_price', m_price, 0.0, m_price <= 0.0 FROM li
+      |  UNION ALL SELECT 'lineitem', 'size(>=1)', m_size, 0.0, m_size <= 0.0 FROM li
+      |  UNION ALL SELECT 'orders', 'size(>=1)', m_size, 0.0, m_size <= 0.0 FROM o
       |  UNION ALL SELECT 'orders', 'unique(o_orderkey)', m_unique, 0.0, m_unique <= 0.0 FROM o
       |  UNION ALL SELECT 'orders', 'complete(o_custkey)', m_complete, 0.0, m_complete <= 0.0 FROM o
       |  UNION ALL SELECT 'orders', 'in_set(o_orderstatus)', m_status, 0.0, m_status <= 0.0 FROM o
