@@ -1,7 +1,8 @@
 package graft.bench
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.SparkEntry
 
 /** Dumps `.explain("formatted")` for a representative set of queries to
@@ -28,6 +29,69 @@ object ExplainDump {
     "q_lm_score", "q_leakage_safe_split",
     "q_curation", "q_dedup_embedding")
 
+  /** Stage-wise frames for the pipelines whose per-stage
+    * `localCheckpoint` hides the real operators behind a
+    * `Scan ExistingRDD` shell in the end-to-end dump (q_curation,
+    * q_curation_incremental): each stage is rebuilt UN-checkpointed so
+    * its full plan — the one a 100×-scale reviewer must audit — prints.
+    * Construction mirrors [[graft.text.Curation]] stage for stage. */
+  def curationStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    import graft.queries.DedupQueries
+    import graft.text.{Dedup, TextAnalysis}
+    val corpus = DedupQueries.corpusTriple(spark, sf)
+    val quality = TextAnalysis.withQualitySignals(corpus)
+      .filter(col("quality_score") >= DedupQueries.CurationMinQuality)
+      .select(col("doc_id"), col("text"))
+    // each later stage prints over its PREDECESSOR'S checkpoint — what
+    // the real pipeline executes — both because that is the honest
+    // per-stage plan and because an un-checkpointed chain re-prints the
+    // whole upstream subtree at every self-join (a 27k-line dump for
+    // the anti-join stage alone)
+    val qualityCp = quality.localCheckpoint(true)
+    val keepers = Dedup.exactDedup(qualityCp).select(col("keeper").as("doc_id"))
+    val exact = qualityCp.join(keepers, Seq("doc_id"), "left_semi")
+    val exactCp = exact.localCheckpoint(true)
+    val pairs = Dedup.ngramJaccardPairs(exactCp)
+    val edgesCp = Dedup.canonicalEdges(pairs).localCheckpoint(true)
+    val round = Dedup.ccRound(edgesCp)
+    val nonKeepers = round.localCheckpoint(true).select(col("b").as("doc_id"))
+    val survivors = exactCp.join(nonKeepers, Seq("doc_id"), "left_anti")
+    Seq(
+      "q_curation stage 1: quality gate" -> quality,
+      "q_curation stage 2: exact-dedup keeper semi-join" -> exact,
+      "q_curation stage 3: ngram-Jaccard pair generation (PPJoin)" -> pairs,
+      "q_curation stage 4: one CC large/small-star round" -> round,
+      "q_curation stage 5: cluster-keeper anti-join" -> survivors)
+  }
+
+  /** Same for the incremental pipeline: the delta-vs-state stages of
+    * [[graft.text.Curation.incrementalCurate]], state read from the
+    * same parquet layout the query persists. */
+  def incrementalStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    import graft.queries.DedupQueries
+    import graft.text.{Curation, Dedup, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val day1 = Curation.curateSketch(docs, DedupQueries.CurationMinQuality,
+      withAccounting = false)
+    val delta = docs.select((col("doc_id") + 2 * DedupQueries.IdOffset).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    val quality = TextAnalysis.withQualitySignals(delta)
+      .filter(col("quality_score") >= DedupQueries.CurationMinQuality)
+      .select(col("doc_id"), col("text"))
+    // per-stage checkpoints, same rationale as curationStages
+    val qualityCp = quality.localCheckpoint(true)
+    val fresh = Dedup.incrementalExactDedup(day1.state.digests, qualityCp)
+      .select(col("doc_id"), col("text"))
+    val (pairs, _, _, mhHandle) = Dedup.incrementalMinhashPairsFull(
+      day1.state.bands, day1.state.sets, fresh.localCheckpoint(true), 3, 0.2)
+    val stages = Seq(
+      "q_curation_incremental stage 1: delta quality gate" -> quality,
+      "q_curation_incremental stage 2: incremental exact dedup vs persisted digests" -> fresh,
+      "q_curation_incremental stage 3: incremental minhash pairs vs persisted band index" -> pairs)
+    mhHandle.unpersist()
+    stages
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/EXPLAINS.md")
     val spark = SparkSession.builder().master("local[8]")
@@ -39,8 +103,7 @@ object ExplainDump {
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (sf0.001, regenerate via ")
     sb.append("`scripts/run.sh graft.bench.ExplainDump`)\n")
-    Showcase.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
+    def dump(name: String, df: DataFrame): Unit = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       // inlined binary literals (e.g. the contamination bloom sketch)
@@ -51,6 +114,13 @@ object ExplainDump {
       }.mkString("\n")
       sb.append(s"\n## $name\n\n```\n$bounded\n```\n")
     }
+    Showcase.foreach { name =>
+      dump(name, SparkEntry.queries(name)(spark, sf))
+    }
+    // checkpointed pipelines: end-to-end plans above print a Scan
+    // ExistingRDD shell, so their stages are dumped individually
+    (curationStages(spark, sf) ++ incrementalStages(spark, sf))
+      .foreach { case (name, df) => dump(name, df) }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
