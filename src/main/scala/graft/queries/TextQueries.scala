@@ -769,7 +769,22 @@ object TextQueries {
     graft.text.Bpe.mergeTable(s,
       Tables.documents(s, d).select(col("text")), numMerges = 10)
 
+  /** BPE tokenizer APPLICATION — train on the corpus, then encode the
+    * corpus with the learned table and report per-doc whitespace-token
+    * vs BPE-piece counts (the number packing/budgeting actually
+    * needs). The per-word greedy merge loop is not SQL-expressible →
+    * rows-only; `BpeSpec` pins the encoder against an in-memory
+    * replay of the learned merges. See [[graft.text.Bpe.encodeStats]]
+    * for the vocab-bounded distribution shape. */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val merges = graft.text.Bpe.learnMerges(docs, numMerges = 30)
+    graft.text.Bpe.encodeStats(docs, merges)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),

@@ -71,6 +71,74 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learnMerges(df, numMerges = 5).isEmpty)
   }
 
+  test("hybrid: distributed loop == in-memory loop on the harness corpus") {
+    // maxDriverWords = 0 forces the distributed per-merge path; the
+    // default takes the collect-when-small path — the merge tables must
+    // be identical (same data, same tie-break, same replacement order)
+    val docs = graft.Tables.documents(spark, sf001).limit(200)
+    val fast = Bpe.learnMerges(docs, numMerges = 12)
+    val dist = Bpe.learnMerges(docs, numMerges = 12, maxDriverWords = 0L)
+    assert(fast == dist, s"fast=$fast dist=$dist")
+  }
+
+  test("early exhaustion on the in-memory path too") {
+    val df = Seq("a b c a b").toDF("text")
+    // in-memory path is the default; force it explicitly for clarity
+    assert(Bpe.learnMerges(df, numMerges = 5,
+      maxDriverWords = Bpe.DefaultMaxDriverWords).isEmpty)
+  }
+
+  test("encodeWord: greedy lowest-rank merges with a handcrafted table") {
+    val rank = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("e", "r") -> 2)
+    assert(Bpe.encodeWord("low", rank).toSeq == Seq("low"))
+    assert(Bpe.encodeWord("lower", rank).toSeq == Seq("low", "er"))
+    assert(Bpe.encodeWord("wool", rank).toSeq == Seq("w", "o", "o", "l"))
+    assert(Bpe.encodeWord("", rank).toSeq == Seq())
+    assert(Bpe.encodeWord("x", Map.empty[(String, String), Int]).toSeq == Seq("x"))
+  }
+
+  test("greedy encode == rank-order replay of the learned merges on the harness vocab") {
+    // replay applies merges strictly in rank order (the training
+    // loop's own application); greedy picks the lowest rank present.
+    // On words from the training corpus both must land on the
+    // training end-state — divergence would mean the encoder does not
+    // reproduce the tokenizer it claims to apply.
+    def replay(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+      var s = word.map(_.toString).toVector
+      merges.foreach { m =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == m.left && s(i + 1) == m.right) {
+            out += (m.left + m.right); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s
+    }
+    val docs = graft.Tables.documents(spark, sf001).select($"text")
+    val merges = Bpe.learnMerges(docs, numMerges = 30)
+    val rank = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val vocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextAnalysis.tokens($"text")).as("w"))
+      .filter($"w" =!= "").distinct().as[String].collect()
+    vocab.foreach { w =>
+      assert(Bpe.encodeWord(w, rank).toSeq == replay(w, merges),
+        s"greedy != replay for word '$w'")
+    }
+  }
+
+  test("q_bpe_encode: piece counts bounded by tokens below and chars above") {
+    val out = graft.queries.TextQueries.qBpeEncode(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tokens, pieces) = (r.getLong(1), r.getLong(2))
+      assert(pieces >= tokens, "every word is at least one piece")
+    }
+  }
+
   test("q_bpe_train on the harness corpus: 10 ranked merges, counts non-increasing") {
     val out = graft.queries.TextQueries.qBpeTrain(spark, sf001).collect()
     assert(out.length == 10)
