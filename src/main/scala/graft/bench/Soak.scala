@@ -28,11 +28,25 @@ import graft.{SparkEntry, Tables, TempDirs}
   */
 object Soak {
 
-  val Queries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram")
+  // editdist exercises the Ed-Join gram-prefix + df-cap fallback tier
+  // (its titles are doc_id-prefixed, so variant title sets are disjoint
+  // and intra-variant pair structure is preserved exactly); simhash
+  // exercises the banded-Hamming tier (variant-suffixed tokens give
+  // disjoint shingle vocabularies, so signatures only collide
+  // meaningfully within a variant).
+  val Queries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_editdist", "q_dedup_simhash")
 
   /** Variant id stride: far above every IdOffset-derived id the query
-    * corpora synthesize (≤ 5 × IdOffset + base ids). */
-  val VariantStride = 10000000L
+    * corpora synthesize (≤ 5 × IdOffset + base ids). PRIME, not a
+    * power of ten (r9 fix): with stride 10^7, variant ids differed in
+    * exactly ONE decimal digit, so the editdist soak's id-prefixed
+    * titles formed genuine distance-1 pairs ACROSS variants — the
+    * ground truth itself was quadratic in the scale factor and the
+    * measured exponent said nothing about the operator. A prime
+    * stride's carries spread the digit differences, keeping
+    * cross-variant titles > maxDist apart and ground truth linear. */
+  val VariantStride = 10000019L
 
   def scaledDocs(s: SparkSession, src: String, scale: Int): DataFrame = {
     val docs = Tables.documents(s, src)

@@ -118,60 +118,86 @@ object Dedup {
     fresh.join(keepers, Seq(shaCol, idCol))
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint. Each token's
-    * xxhash64 votes ±1 per bit position weighted by term frequency;
-    * the sign of each bit-sum becomes the fingerprint bit. Near-dup
-    * pairs differ in few bits (small hamming distance).
+  /** SimHash: 128-bit locality-sensitive fingerprint as two longs
+    * (`simhash_hi`, `simhash_lo`). Each token votes ±1 per bit
+    * position (two independent xxhash64 streams cover the 128 bits)
+    * weighted by term frequency; the sign of each bit-sum becomes the
+    * fingerprint bit. Near-dup pairs differ in few bits (small
+    * hamming distance over the full 128).
     *
-    * One explode + one 64-expression aggregate — fully codegen'd,
-    * shuffle key is the doc id. */
+    * 128 bits rather than 64 (r9 soak finding): band keys must carry
+    * enough bits to keep buckets from saturating as the corpus grows
+    * — 8-bit keys over a 64-bit fingerprint produced N²/256-sized
+    * buckets (2.5B candidates at the 30× soak). A 128-bit fingerprint
+    * feeds 8 bands × 16 bits: 65 536 buckets per band, with recall by
+    * OR-amplification across the 8 bands (measured against the exact
+    * tier in DedupSpec). One explode + one 128-expression aggregate —
+    * fully codegen'd, shuffle key is the doc id. */
   def simhash(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      // two independent 64-bit hash streams: xxhash64(tok) and
+      // xxhash64(tok, salt) (multi-arg xxhash64 hashes the tuple)
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h1", xxhash64(col("tok"), lit(0x9E3779B9L)))
+    def bitSums(src: String, off: Int) = (0 until 64).map { i =>
+      sum(when(shiftright(col(src), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b${off + i}")
     }
-    val sums = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fingerprint = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    val all = bitSums("h0", 0) ++ bitSums("h1", 64)
+    val sums = exploded.groupBy(col(idCol)).agg(all.head, all.tail: _*)
+    def word(off: Int) = (0 until 64).map { i =>
+      when(col(s"b${off + i}") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col(idCol), fingerprint.as("simhash"))
+    sums.select(col(idCol), word(64).as("simhash_hi"), word(0).as("simhash_lo"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into
+  /** SimHash near-dup pairs: band the 128-bit fingerprint into
     * `numBands` equal keys, equi-join on (band index, band value) to
-    * generate candidates — by pigeonhole, two documents within hamming
-    * distance `numBands - 1` share at least one band — then verify
-    * with `bit_count(xor) <= maxHamming`.
+    * generate candidates, then verify
+    * `bit_count(xor_hi) + bit_count(xor_lo) <= maxHamming`.
     *
-    * Tradeoff: more bands → shorter band keys → guaranteed recall at
-    * larger hamming distance but more random bucket collisions. 8×8-bit
-    * bands suit short-doc corpora (single-token edits flip several
-    * bits); at web scale with long docs, 4×16-bit bands keep candidate
-    * volume down. */
-  def simhashPairs(df: DataFrame, maxHamming: Int = 7, numBands: Int = 8,
+    * Banding math (why 8 × 16-bit): an EXACT pigeonhole guarantee at
+    * hamming h needs h+1 bands, which caps keys at ~width/(h+1) bits —
+    * at any fixed RELATIVE threshold that is a constant ≈ 9 bits no
+    * matter the fingerprint width, and constant-width keys mean
+    * N²/2^bits bucket quadratics (the r8 parameterization measured
+    * exponent 1.83 at the 30× soak). So the scale path gives up the
+    * pigeonhole guarantee for OR-amplified probabilistic recall —
+    * exactly [[minhashPairs]]'s contract: per-band catch
+    * P = ((128−16)/128)^h, overall 1−(1−P)^8 (≈0.91 at h=14, ≈0.999
+    * at the planted-pair median h≈4), with the recall floor measured
+    * against the exact tier in `DedupSpec`, while 16-bit keys keep
+    * candidate volume linear until corpora approach 2^16 × avg-bucket
+    * scale per band. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 14, numBands: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(64 % numBands == 0, s"numBands must divide 64: $numBands")
-    val bandBits = 64 / numBands
-    val mask = (1L << bandBits) - 1
+    require(128 % numBands == 0, s"numBands must divide 128: $numBands")
+    val bandBits = 128 / numBands
+    require(bandBits <= 64, s"band keys wider than a long: $bandBits bits")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val perWord = 64 / bandBits
     // both sides of the candidate self-join read the fingerprints —
-    // persist so the explode+64-aggregate pass runs once
+    // persist so the explode+128-aggregate pass runs once
     val fp = simhash(df, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.select(col(idCol), col("simhash"),
+    val banded = fp.select(col(idCol), col("simhash_hi"), col("simhash_lo"),
       explode(array((0 until numBands).map { b =>
+        val src = if (b < perWord) col("simhash_lo") else col("simhash_hi")
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
+          shiftright(src, (b % perWord) * bandBits).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+    val a = banded.select(col(idCol).as("id_a"),
+      col("simhash_hi").as("hi_a"), col("simhash_lo").as("lo_a"),
       col("bk.band").as("band"), col("bk.key").as("key"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+    val b = banded.select(col(idCol).as("id_b"),
+      col("simhash_hi").as("hi_b"), col("simhash_lo").as("lo_b"),
       col("bk.band").as("band"), col("bk.key").as("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -376,6 +402,46 @@ object Dedup {
     * no redundant confirmation round.
     * Returns (doc_id, component); only vertices present in `pairs`
     * appear (absent docs are trivially their own keeper). */
+  /** One large-star + small-star round over a canonical (s < b) edge
+    * set — the loop body of [[connectedComponents]], also dumped
+    * standalone by ExplainDump (the per-round `localCheckpoint`
+    * otherwise hides the round's operators behind a Scan ExistingRDD
+    * in any plan printed from the converged result). */
+  private[graft] def ccRound(edges: DataFrame): DataFrame = {
+    // large-star: for canonical (s, b) the only v > u case is u = s,
+    // v = b, but the neighborhood minimum must see BOTH directions.
+    val sym = edges.select(col("s").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("s").as("v")))
+    val uMin = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // no distinct here: duplicate (m, v) rows (same attachment reached
+    // through different u) don't change small-star's min and are
+    // collapsed by the round-final distinct — saves a shuffle/round
+    val large = sym.filter(col("v") > col("u"))
+      .join(uMin, Seq("u"))
+      .select(col("m").as("s"), col("v").as("b"))  // m <= u < v
+      .filter(col("s") =!= col("b"))
+    // small-star on the large-star output: orient big → small.
+    val oriented = large.select(col("b").as("u"), col("s").as("v")) // v < u
+    val oMin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(oMin, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("m").as("s"), col("v").as("b"))  // m = min(Γ<(u)) < v
+      .union(oMin.select(col("m").as("s"), col("u").as("b")))     // m < u
+      .distinct()
+  }
+
+  /** Canonical undirected (s < b) edge set of a pair frame — the CC
+    * loop's input normalization, exposed for the stage plan dump. */
+  private[graft] def canonicalEdges(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame =
+    pairs
+      .select(least(col(idACol), col(idBCol)).as("s"),
+        greatest(col(idACol), col(idBCol)).as("b"))
+      .filter(col("s") =!= col("b"))
+      .distinct()
+
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
     val verts = pairs.select(explode(array(col(idACol), col(idBCol))).as("doc_id"))
@@ -401,11 +467,7 @@ object Dedup {
     // compare, the structural test also needs NO redundant
     // confirmation round: it detects the star forest the moment a
     // round produces it (q_dedup_clusters converges in 1 round, not 2).
-    var edges = pairs
-      .select(least(col(idACol), col(idBCol)).as("s"),
-        greatest(col(idACol), col(idBCol)).as("b"))
-      .filter(col("s") =!= col("b"))
-      .distinct()
+    var edges = canonicalEdges(pairs, idACol, idBCol)
       .localCheckpoint(false)
     // No upfront structural check: real pair graphs are never already
     // star forests, so the check would be a pure extra job; if the
@@ -414,29 +476,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star: for canonical (s, b) the only v > u case is u = s,
-      // v = b, but the neighborhood minimum must see BOTH directions.
-      val sym = edges.select(col("s").as("u"), col("b").as("v"))
-        .union(edges.select(col("b").as("u"), col("s").as("v")))
-      val uMin = sym.groupBy(col("u"))
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // no distinct here: duplicate (m, v) rows (same attachment reached
-      // through different u) don't change small-star's min and are
-      // collapsed by the round-final distinct — saves a shuffle/round
-      val large = sym.filter(col("v") > col("u"))
-        .join(uMin, Seq("u"))
-        .select(col("m").as("s"), col("v").as("b"))  // m <= u < v
-        .filter(col("s") =!= col("b"))
-      // small-star on the large-star output: orient big → small.
-      val oriented = large.select(col("b").as("u"), col("s").as("v")) // v < u
-      val oMin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = oriented.join(oMin, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("m").as("s"), col("v").as("b"))  // m = min(Γ<(u)) < v
-        .union(oMin.select(col("m").as("s"), col("u").as("b")))     // m < u
-        .distinct()
-        .localCheckpoint(false)
+      val next = ccRound(edges).localCheckpoint(false)
       converged = isStarForest(next)
       edges = next
       iter += 1
@@ -457,6 +497,36 @@ object Dedup {
     verts
       .join(edges.select(col("b").as("doc_id"), col("s").as("root")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("component"))
+  }
+
+  /** Repeated-span detection — the SUBSTRING-level dedup tier
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: at web scale, duplicated SPANS inside otherwise
+    * distinct documents dominate verbatim whole-document copies, and
+    * document-level tiers cannot see them). Exact sliding-window
+    * formulation: every k-token window of every document, grouped;
+    * spans occurring in at least `minDocs` DISTINCT documents are
+    * reported with their document and occurrence counts.
+    *
+    * Scale shape: explode is linear in corpus token count (the same
+    * cost class as the shingle tiers), the groupBy is one shuffle with
+    * map-side partial aggregation, and there is no join at all. The
+    * shuffle key here is the span text itself for oracle parity; the
+    * 100 TB variant groups on `sha2(span, 256)` — fixed 32-byte keys —
+    * and re-derives the text from any single member, changing no
+    * semantics. All expression-level, no UDF. */
+  def repeatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+    toks.filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
   }
 
   /** EXACT bounded edit-distance pairs for SHORT strings (titles,
@@ -506,7 +576,10 @@ object Dedup {
       dfCapFraction: Double = 0.1): DataFrame = {
     val base = df.select(col(idCol), col(textCol),
       length(col(textCol)).as("len"))
-    editDistanceCandidates(base, maxDist, q, textCol, idCol, dfCapFraction)
+    val candidates =
+      if (maxDist <= 2) fastSsCandidates(base, maxDist, textCol, idCol)
+      else editDistanceCandidates(base, maxDist, q, textCol, idCol, dfCapFraction)
+    candidates
       .join(base.select(col(idCol).as("id_a"), col(textCol).as("t_a"),
         col("len").as("len_a")), Seq("id_a"))
       .join(base.select(col(idCol).as("id_b"), col(textCol).as("t_b"),
@@ -515,6 +588,62 @@ object Dedup {
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Deletion-neighborhood candidates (FastSS — Bocek et al., 2007;
+    * the index behind SymSpell): if ed(A, B) ≤ τ then some string
+    * obtained by deleting ≤ τ chars from A equals one obtained by
+    * deleting ≤ τ chars from B (delete A's deleted+substituted
+    * alignment positions and B's inserted+substituted ones) — so an
+    * equi-join on the deletion variants is a complete candidate rule.
+    *
+    * Why this is THE short-string scale path (and the r9 soak's
+    * finding): any q-gram scheme keys on O(q)-char grams, and the gram
+    * vocabulary SATURATES as the corpus grows — on the 30× soak corpus
+    * the rarest-gram buckets reach hundreds of strings and candidate
+    * volume turns quadratic (measured 306M raw candidates at q=3,
+    * exponent ≈1.8, no matter how the prefix is chosen). Deletion
+    * variants are near-FULL-LENGTH strings: a bucket holds only
+    * strings genuinely within τ deletions of each other, so candidate
+    * volume tracks the true pair count, not N²/|gram vocab|. The cost
+    * is Σ_{k≤τ} C(len, k) variants per string — ~len+1 for τ=1,
+    * ~len²/2 for τ=2 — which is exactly affordable on SHORT strings
+    * (this tier's contract) and exponential beyond, hence the τ ≤ 2
+    * dispatch in [[editDistancePairs]] with the Ed-Join gram path kept
+    * for larger τ. Variants shuffle as 8-byte xxhash64 keys, never
+    * strings; a hash collision can only add a candidate the
+    * `levenshtein` verify kills. */
+  private[graft] def fastSsCandidates(base: DataFrame, maxDist: Int,
+      textCol: String, idCol: String): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"fastSS handles maxDist 1..2: $maxDist")
+    val t = textCol
+    // deletion variants as pure SQL expressions; sequence() guards keep
+    // sequence(a, b) from generating DESCENDING ranges on short strings
+    val del0 = s"array($t)"
+    val del1 =
+      s"""CASE WHEN length($t) >= 1 THEN
+         |  transform(sequence(1, length($t)),
+         |    i -> concat(substring($t, 1, i - 1), substring($t, i + 1, length($t))))
+         |ELSE cast(array() as array<string>) END""".stripMargin
+    val del2 =
+      s"""CASE WHEN length($t) >= 2 THEN
+         |  flatten(transform(sequence(1, length($t) - 1),
+         |    i -> transform(sequence(i + 1, length($t)),
+         |      j -> concat(substring($t, 1, i - 1),
+         |                  substring($t, i + 1, j - i - 1),
+         |                  substring($t, j + 1, length($t))))))
+         |ELSE cast(array() as array<string>) END""".stripMargin
+    val variants =
+      if (maxDist == 1) s"array_distinct(concat($del0, $del1))"
+      else s"array_distinct(concat($del0, $del1, $del2))"
+    val sigs = base.select(col(idCol),
+      explode(expr(variants)).as("v"))
+      .select(col(idCol), xxhash64(col("v")).as("sig"))
+    sigs.select(col(idCol).as("id_x"), col("sig"))
+      .join(sigs.select(col(idCol).as("id_y"), col("sig")), Seq("sig"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+      .distinct()
   }
 
   /** Candidate (id_a, id_b) pairs for [[editDistancePairs]], pre-
