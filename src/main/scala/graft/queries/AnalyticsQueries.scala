@@ -480,7 +480,62 @@ object AnalyticsQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Perplexity keep-gate threshold: the corpus LM's median doc ppl
+    * sits at ≈30.0 on the harness corpus, so 30.0 exercises both
+    * branches. A production pipeline derives this per-corpus from a
+    * quantile; the report below is what that derivation reads. */
+  val PplKeepThreshold = 30.0
+
+  /** Perplexity-filtered curation report — the CCNet-style gate that
+    * consumes [[qLmScore]]: documents above the LM perplexity
+    * threshold are dropped, reported as per-source keep rates (the
+    * actionable artifact: which sources are gibberish-heavy). Scale
+    * shape: the LM scoring pipeline unchanged, one join back to the
+    * (doc, source) projection, one partial-aggregable groupBy(source)
+    * — nothing new shuffles more than ~#sources groups. keep_rate is
+    * an avg over exact 0/1 doubles of per-doc flags (dyadic sum,
+    * class-1 exact); n_keep CASTs in the oracle per the integer-typing
+    * rule. */
+  def qPerplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val scored = qLmScore(s, d).select(col("doc_id"), col("ppl"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    scored.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ppl") <= PplKeepThreshold, 1L).otherwise(0L)).as("n_keep"),
+        round(avg(when(col("ppl") <= PplKeepThreshold, 1.0).otherwise(0.0)), 9)
+          .as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  val qPerplexityFilterSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+       |), vocab AS (
+       |  SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+       |), tot AS (
+       |  SELECT sum(cnt) AS t_tokens, count(*) AS v_size FROM vocab
+       |), sc AS (
+       |  SELECT f.doc_id, f.tf,
+       |    f.tf * ln(CAST(v.cnt + 1 AS DOUBLE) / (t.t_tokens + t.v_size)) AS lp
+       |  FROM tf f JOIN vocab v USING (term) CROSS JOIN tot t
+       |), ppl AS (
+       |  SELECT doc_id, round(exp(-sum(lp) / sum(tf)), 6) AS ppl
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN p.ppl <= $PplKeepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  round(avg(CASE WHEN p.ppl <= $PplKeepThreshold THEN 1.0 ELSE 0.0 END), 9) AS keep_rate
+       |FROM ppl p JOIN documents d ON p.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity_filter" -> (qPerplexityFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
@@ -492,6 +547,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_perplexity_filter" -> qPerplexityFilterSql,
     "q_lm_score" -> qLmScoreSql,
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,

@@ -166,7 +166,7 @@ object DedupQueries {
 
   /** SimHash near-dup pairs — rows-only check. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(corpusNear(s, d), maxHamming = 7, numBands = 8)
+    Dedup.simhashPairs(corpusNear(s, d), maxHamming = 14, numBands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   /** N-gram Jaccard near-dup pairs — EXACT (prefix-filtered set-
@@ -423,7 +423,35 @@ object DedupQueries {
        |FROM keyed
        |ORDER BY doc_id""".stripMargin
 
+  /** Repeated 8-token spans across the near-dup corpus — the
+    * substring-level tier ([[Dedup.repeatedSpans]]): the perturbed copy
+    * shares every span of its source except those touching the dropped
+    * first token, so the oracle exercises real cross-document span
+    * structure, not incidental collisions. Hash-checked end to end
+    * (same tokenization, same window rule, same distinct-doc
+    * threshold on both engines). */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(corpusNear(s, d), k = 8, minDocs = 2)
+      .orderBy(col("span"))
+
+  val qSpanDedupSql: String =
+    s"""WITH $nearCorpusCte, toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+       |  FROM corpus
+       |), spans AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+       |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+       |  WHERE len(toks) >= 8
+       |)
+       |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+       |FROM spans
+       |GROUP BY span
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY span""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (qSpanDedup _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -437,6 +465,7 @@ object DedupQueries {
     "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_span_dedup" -> qSpanDedupSql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

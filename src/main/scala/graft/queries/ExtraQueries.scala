@@ -527,7 +527,44 @@ object ExtraQueries {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Key-skew diagnostics — the report a pipeline operator consults
+    * BEFORE choosing a salted-agg / AQE-skew-join strategy for a key
+    * (the decision input to [[graft.ops.SaltedAgg]]): the 10 heaviest
+    * keys with their corpus share and skew factor (multiple of the
+    * mean group size). One groupBy (map-side combinable) plus a 1-row
+    * broadcast of the totals; the top-10 rides TakeOrdered, so nothing
+    * key-cardinality-sized ever reaches the driver. share and skew_x
+    * are single divisions of exact longs (deterministic, class-1 of
+    * the float policy) — rounded anyway as they feed the report. */
+  def qSkewDiagnostics(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt") / col("total"), 9).as("share"),
+        round(col("cnt") * col("n_keys") / col("total"), 9).as("skew_x"),
+        col("n_keys"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val qSkewDiagnosticsSql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+      |), t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c
+      |)
+      |SELECT user_id, cnt,
+      |  round(CAST(cnt AS DOUBLE) / total, 9) AS share,
+      |  round(CAST(cnt * n_keys AS DOUBLE) / total, 9) AS skew_x,
+      |  n_keys
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_diagnostics" -> (qSkewDiagnostics _),
     "q_topk_grouped" -> (qTopkGrouped _),
     "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
     "q_shipping_priority" -> (qShippingPriority _),
@@ -551,6 +588,7 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_diagnostics" -> qSkewDiagnosticsSql,
     "q_topk_grouped" -> qTopkGroupedSql,
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,
     "q_shipping_priority" -> qShippingPrioritySql,
