@@ -85,8 +85,25 @@ object Bench {
       }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val (best, spread) = exec(n); (n, best, spread)
+    // Calibration probe: ONE fixed tiny query re-run at intervals
+    // through the whole bench. Identical plan + warm codegen every
+    // time, so its run-to-run ratio isolates the MACHINE (scheduler
+    // contention), unlike the per-query best-of-2 spread, which folds
+    // in run 1's planning/codegen and reads ~1.5 even on an idle box.
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q_null_probe")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        calib += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    calibrate(); calibrate() // warm the probe's own plan before sampling
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (n, i) =>
+        if (i % 10 == 9) calibrate()
+        val (best, spread) = exec(n); (n, best, spread)
     }
     // Contended-window defense: when the spread median says the window
     // was noisy, the slowest queries are exactly where phantom
@@ -94,7 +111,19 @@ object Bench {
     // code hadn't changed; the idle re-run was 12% FASTER than r7) —
     // grant them one extra best-of run each, and self-label the JSON so
     // a reader doesn't have to re-litigate the window.
-    val hint = contentionHint(results.map(_._3))
+    // hint = median/min of the calibration samples (the first two
+    // probe-warming samples included — they are post-JVM-warm-up and
+    // identically planned). Idle boxes read ~1.0–1.3 (pure scheduler
+    // noise on a ~0.1 s query); a contended window inflates most
+    // samples, and median/min is robust to a single outlier in either
+    // direction. Falls back to the legacy per-query spread median when
+    // the probe produced < 3 samples.
+    val spreadHint = contentionHint(results.map(_._3))
+    val hint =
+      if (calib.length >= 3) {
+        val sorted = calib.toSeq.sorted
+        sorted(sorted.length / 2) / sorted.head
+      } else spreadHint
     val contended = hint > 1.45
     val finalResults =
       if (!contended) results
@@ -113,22 +142,19 @@ object Bench {
     val qs = finalResults.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).filter(_ >= 0).sum
-    // Contention disclaimer: on an idle machine the two best-of-2 runs
-    // of a query agree closely (median max/min spread ≈ 1.0–1.3); under
-    // a contended driver window spreads blow out across the board
-    // (BENCH_r03 1.85×, r04 2.7× vs judge idle re-runs). The MEDIAN
-    // spread is robust to the handful of queries whose run 1 legitimately
-    // amortizes a one-time build into run 2 — so a reader can flag a
-    // contended window (hint ≳ 1.5) without an idle re-run. Queries with
-    // a failed run or a sub-ms floor carry no signal and are excluded
-    // (runSpread) rather than entering as a fake 1.0 or an absurd ratio.
+    // The legacy spread hint (median per-query best-of-2 max/min) rides
+    // along as spread_hint for cross-round comparability with r3–r8
+    // artifacts; it conflates planning/codegen with contention (idle
+    // boxes read ~1.5), which is why the calibration probe replaced it
+    // as the labeled signal. Queries with a failed run or a sub-ms
+    // floor carry no spread signal and are excluded (runSpread).
     // One-time build costs (model fits, IVF index) amortize across the
     // per-query numbers under the build-once-per-process contract; the
     // `builds` section reports them explicitly so a build regression
     // can't hide behind warm-cache query times.
     val builds = BuildTimes.snapshot.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$hint,"contended":$contended,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$hint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)
