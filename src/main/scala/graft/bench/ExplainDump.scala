@@ -27,7 +27,9 @@ object ExplainDump {
     "q_topk_grouped", "q_events_window_topk", "q_corpus_profile",
     "q_dedup_incremental_minhash", "q_sketch_overlap",
     "q_lm_score", "q_leakage_safe_split",
-    "q_curation", "q_dedup_embedding")
+    "q_curation", "q_dedup_embedding",
+    "q_span_dedup", "q_skew_diagnostics", "q_perplexity_filter",
+    "q_dedup_editdist")
 
   /** Stage-wise frames for the pipelines whose per-stage
     * `localCheckpoint` hides the real operators behind a

@@ -55,4 +55,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("skew diagnostics: TakeOrdered top-10, totals broadcast, no cartesian blow-up") {
+    val p = plan(graft.queries.ExtraQueries.qSkewDiagnostics(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$p")
+    // the 1-row totals attach must be a broadcast nested loop over ONE
+    // row, never a shuffled/cartesian join of the counts table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("span dedup: one grouped aggregation with map-side partials, no join") {
+    val p = plan(graft.queries.DedupQueries.qSpanDedup(spark, sf001))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+  }
 }
