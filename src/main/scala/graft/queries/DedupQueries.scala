@@ -450,7 +450,79 @@ object DedupQueries {
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY span""".stripMargin
 
+  /** Quality-based cluster keeper selection — the keeper POLICY
+    * production dedup actually wants: within each near-dup cluster,
+    * keep the HIGHEST-QUALITY member (ties by min id), not the
+    * smallest id. A crawl's best copy of a page is rarely the first
+    * one ingested; min-id keeper silently prefers ingestion order.
+    * Scale shape: the CC labels the dedup tier already pays, one join
+    * to the per-doc quality signal, and one grouped arg-max
+    * (`max(struct(q, -id))` — partial-aggregable, no window over the
+    * corpus). The quality score is bit-identical across engines
+    * (q_text_quality passes the strict gate unrounded), so the
+    * arg-max ranks identically; rounded on output per the report
+    * convention. */
+  def qDedupKeeperQuality(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusNear(s, d)
+    val quality = graft.text.TextAnalysis.withQualitySignals(corpus)
+      .select(col("doc_id"), col("quality_score").as("q"))
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+    quality.join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("q"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("w.nid")).as("keeper"),
+        round(col("w.q"), 9).as("keeper_quality"), col("n_members"))
+      .orderBy(col("component"))
+  }
+
+  val qDedupKeeperQualitySql: String = {
+    val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $nearCorpusCte, ${ngramPairCtes("corpus")}, $ccCtes,
+       |comp AS (
+       |  SELECT src AS doc_id, min(lbl) AS component FROM reach GROUP BY src
+       |), quality AS (
+       |  SELECT doc_id,
+       |    least(1.0, greatest(0.0,
+       |      0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+       |      + 0.25 * alpha_ratio
+       |      + 0.25 * (1.0 - punct_ratio)
+       |      + 0.25 * least(stopword_ratio * 5.0, 1.0))) AS q
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |      CASE WHEN length(text) > 0
+       |           THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+       |           ELSE 0.0 END AS alpha_ratio,
+       |      CASE WHEN length(text) > 0
+       |           THEN CAST(length(regexp_replace(text, '[^\\p{P}\\p{S}]', '', 'g')) AS DOUBLE) / length(text)
+       |           ELSE 0.0 END AS punct_ratio,
+       |      CASE WHEN n_tokens > 0
+       |           THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                      t -> list_contains($stop, t))) AS DOUBLE) / n_tokens
+       |           ELSE 0.0 END AS stopword_ratio
+       |    FROM corpus)
+       |), labeled AS (
+       |  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.q
+       |  FROM quality q LEFT JOIN comp c ON q.doc_id = c.doc_id
+       |)
+       |SELECT component, doc_id AS keeper, round(q, 9) AS keeper_quality, n_members
+       |FROM (
+       |  SELECT component, doc_id, q,
+       |    count(*) OVER (PARTITION BY component) AS n_members,
+       |    row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn
+       |  FROM labeled)
+       |WHERE rn = 1
+       |ORDER BY component""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -465,6 +537,7 @@ object DedupQueries {
     "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -178,6 +178,32 @@ class DedupSpec extends SparkSpec {
     assert(out.keys.forall(_.contains("w")))
   }
 
+  test("quality keeper: argmax quality within each cluster, ties by min id, differs from min-id") {
+    val out = DedupQueries.qDedupKeeperQuality(spark, sf001).collect()
+    val byComp = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // recompute cluster membership + per-doc quality independently
+    val corpus = DedupQueries.corpusNear(spark, sf001)
+    val q = graft.text.TextAnalysis.withQualitySignals(corpus)
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val members = comp.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    members.foreach { case (c, ms) =>
+      val (keeper, kq, n) = byComp(c)
+      assert(n == ms.length, s"component $c member count")
+      val best = ms.map(m => (q(m), -m)).max
+      assert(keeper == -best._2, s"component $c keeper $keeper != argmax ${-best._2}")
+      assert(math.abs(kq - q(keeper)) < 2e-9)
+    }
+    // the policy must actually diverge from min-id keeper selection on
+    // this corpus, or the query demonstrates nothing
+    assert(out.count(r => r.getLong(1) != r.getLong(0)) > 100,
+      "keeper == component everywhere — policy indistinguishable from min-id")
+  }
+
   test("minhash LSH pairs: recall >= 0.9 on planted near-dups, deterministic") {
     val a = DedupQueries.qDedupMinhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
