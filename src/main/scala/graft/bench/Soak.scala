@@ -34,8 +34,14 @@ object Soak {
   // exercises the banded-Hamming tier (variant-suffixed tokens give
   // disjoint shingle vocabularies, so signatures only collide
   // meaningfully within a variant).
-  val Queries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_editdist", "q_dedup_simhash")
+  val DefaultQueries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_editdist", "q_dedup_simhash", "q_span_dedup")
+
+  /** GRAFT_SOAK_QUERIES=q_a,q_b soaks a subset (dev iteration on one
+    * tier without paying the full matrix). */
+  def Queries: Seq[String] = sys.env.get("GRAFT_SOAK_QUERIES")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(DefaultQueries)
 
   /** Variant id stride: far above every IdOffset-derived id the query
     * corpora synthesize (≤ 5 × IdOffset + base ids). PRIME, not a
