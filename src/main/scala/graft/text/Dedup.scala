@@ -615,7 +615,7 @@ object Dedup {
     * `levenshtein` verify kills. */
   private[graft] def fastSsCandidates(base: DataFrame, maxDist: Int,
       textCol: String, idCol: String): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 2, s"fastSS handles maxDist 1..2: $maxDist")
+    require(maxDist >= 0 && maxDist <= 2, s"fastSS handles maxDist 0..2: $maxDist")
     val t = textCol
     // deletion variants as pure SQL expressions; sequence() guards keep
     // sequence(a, b) from generating DESCENDING ranges on short strings
@@ -633,9 +633,11 @@ object Dedup {
          |                  substring($t, i + 1, j - i - 1),
          |                  substring($t, j + 1, length($t))))))
          |ELSE cast(array() as array<string>) END""".stripMargin
-    val variants =
-      if (maxDist == 1) s"array_distinct(concat($del0, $del1))"
-      else s"array_distinct(concat($del0, $del1, $del2))"
+    val variants = maxDist match {
+      case 0 => del0 // exact equality: the string is its own signature
+      case 1 => s"array_distinct(concat($del0, $del1))"
+      case _ => s"array_distinct(concat($del0, $del1, $del2))"
+    }
     val sigs = base.select(col(idCol),
       explode(expr(variants)).as("v"))
       .select(col(idCol), xxhash64(col("v")).as("sig"))

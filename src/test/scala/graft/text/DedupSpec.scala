@@ -159,6 +159,14 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 450, s"clustered ${hits / 500.0}")
   }
 
+  test("editdist maxDist=0 degenerates to exact equality (FastSS identity signature)") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "title")
+    val out = Dedup.editDistancePairs(df, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 0)))
+  }
+
   test("repeated spans: cross-document spans reported, intra-document repeats alone are not") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"w$i").mkString(" ")
@@ -233,11 +241,12 @@ class DedupSpec extends SparkSpec {
 
   test("edit-distance pairs: the short/long length boundary loses nothing (brute-force reference)") {
     import spark.implicits._
-    // strings straddling the gram-guarantee boundary at q=3, maxDist=2
-    // (threshold q*(maxDist+1) = 9): below it maxDist edits can destroy
-    // a string's ENTIRE gram set ('aaaa' vs 'aaba' share no 3-gram at
-    // distance 1), so those lengths must take the banded path — and
-    // short×long pairs across the boundary must not be dropped
+    // random strings with lengths 1..12 and a tiny alphabet — dense
+    // true-pair structure including degenerate lengths (empty-adjacent,
+    // single-char). Exercises the FastSS deletion-neighborhood path at
+    // maxDist=2 (the r9 dispatch) end-to-end against brute force; the
+    // gram path's own boundary behavior is covered by the low-entropy
+    // guard test below, which calls editDistanceCandidates directly.
     val rnd = new scala.util.Random(3)
     val alpha = "abcd"
     val strs = (0L until 60L).map { i =>
