@@ -145,6 +145,117 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * d-dim normalized embedding splits into `m` subspaces of d/m
+    * dims, and each subspace gets its own `k`-centroid k-means
+    * codebook. A vector is then stored as m small codes — at
+    * (m=8, k=16) that is 8 nibbles = 4 bytes instead of 256 bytes of
+    * floats, the 64× memory compression that lets a 100 TB corpus's
+    * index live in RAM. Seeded → deterministic. Returns
+    * codebooks(j)(c) = centroid c of subspace j. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      seed: Long = 42L, embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    // eager cut: the m concurrent fits below otherwise race jobs over
+    // the SHARED normalize subtree, and a finished execution
+    // unregistering its SQL-metric accumulators while a sibling's
+    // tasks still report spams "Failed to update accumulator" ERRORs
+    val normed = withNormalized(corpus, embCol)
+      .select(col("norm")).localCheckpoint(true)
+    val dim = normed.select(size(col("norm"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // the m sub-space fits are independent — submit them concurrently
+    // and let Spark's scheduler interleave their (many, tiny) jobs;
+    // sequential fits paid m × per-fit scheduling latency (measured
+    // 35 s → ~8 s at sf0.1 for m=8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until m).map { j =>
+      Future {
+        val sliced = normed.select(
+          array_to_vector(slice(col("norm"), j * sub + 1, sub)).as("features"))
+        val km = new KMeans().setK(k).setSeed(seed + j)
+          .setFeaturesCol("features").setPredictionCol("c")
+        km.fit(sliced).clusterCenters.map(_.toArray)
+      }
+    }
+    Await.result(Future.sequence(fits), Duration.Inf).toArray
+  }
+
+  /** Encode the corpus against PQ codebooks: one `codes` array per
+    * vector (code j = index of the nearest subspace-j centroid, ties
+    * to the lowest index). Pure expressions — the codebooks travel as
+    * a literal nested array, the argmin is an `array_position` over
+    * per-centroid squared distances; no UDF, no shuffle beyond the
+    * scan. */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(element_at(cb, (j + 1).cast("int")), c =>
+        aggregate(
+          zip_with(slice(col("norm"), j * lit(sub) + 1, lit(sub)), c,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    withNormalized(corpus, embCol)
+      .select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k with exact re-rank — the production
+    * ANN shape at memory-bound scale: (1) ADC scan — score every
+    * CODE row against each query by summing per-subspace dot products
+    * between the query's subvector and the centroid the code names
+    * (reads 4-byte codes, never the vectors); (2) bounded-heap
+    * shortlist of `shortlist` candidates per query; (3) exact cosine
+    * re-rank of the shortlist only (the single place full vectors are
+    * fetched — a semi-join-sized read, not a corpus scan). Returned
+    * scores are the EXACT re-ranked cosines, so output rows agree
+    * with [[bruteForceTopK]] wherever the shortlist contains the true
+    * neighbors — recall is the shortlist's to lose, measured in
+    * SimilaritySpec. */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = withNormalized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    // ADC: approx_cos = sum_j q_sub_j · codebook[j][code_j]
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+      val centroid = element_at(element_at(cb, (j + 1).cast("int")),
+        (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int"))
+      acc + aggregate(
+        zip_with(slice(col("q_norm"), j * lit(sub) + 1, lit(sub)), centroid,
+          (a, b) => a * b),
+        lit(0.0), (a2, v) => a2 + v)
+    })
+    val short = topKPerGroup(
+      codes.select(col(idCol).as("neighbor_id"), col("codes"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx_cos", approx),
+      "query_id", "approx_cos", "neighbor_id", shortlist, "approx_cos", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: fetch full vectors for shortlist rows only
+    val c = withNormalized(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("norm").as("c_norm"))
+    val scored0 = short
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", dot(col("q_norm"), col("c_norm")))
+    val scored = roundScoreTo.fold(scored0)(p =>
+      scored0.withColumn("cos", round(col("cos"), p)))
+    topKPerGroup(scored, "query_id", "cos", "neighbor_id", k, "cos", "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH near-neighbor pairs over normalized vectors: euclidean
     * threshold d = sqrt(2(1−minCosine)). Seeded → deterministic. */
   def lshNeighbors(corpus: DataFrame, minCosine: Double,

@@ -58,6 +58,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall at nProbe=${centroids.size / 2}")
   }
 
+  test("PQ top-k: ADC shortlist + exact re-rank recall@5 vs brute force, scores exact on hits") {
+    val d = "/root/testdata/sf0.1"
+    val exactRows = SimilarityQueries.qSimBruteForce(spark, d).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactCos = exactRows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approxRows = SimilarityQueries.qSimPqTopK(spark, d).collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // uniform-random embeddings are quantization's worst case (no
+    // manifold for the codebooks to learn) — the N/10 shortlist +
+    // exact re-rank still holds a 0.6 floor; measured value recorded
+    // in the assert message for the curve's history
+    assert(recall >= 0.6, s"PQ recall $recall")
+    // wherever PQ returns a true neighbor, the EXACT re-rank must
+    // reproduce the brute-force cosine bit-for-bit (both rounded 9)
+    approxRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactCos.get(key).foreach(c =>
+        assert(c == r.getDouble(3), s"re-ranked score differs on $key"))
+    }
+  }
+
   test("embedding near-dup: scaled copies found as exact cosine-1 pairs") {
     val pairs = SimilarityQueries.qDedupEmbedding(spark, sf001).collect()
     val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
