@@ -15,7 +15,10 @@ object PqProbe {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = graft.queries.SimilarityQueries.qSimPqTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    println(s"[pqprobe] dir=$d recall@5=${(exact & approx).size.toDouble / exact.size}")
+    val ivfpq = graft.queries.SimilarityQueries.qSimIvfPqTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    println(s"[pqprobe] dir=$d pq_recall@5=${(exact & approx).size.toDouble / exact.size} " +
+      s"ivfpq_recall@5=${(exact & ivfpq).size.toDouble / exact.size}")
     spark.stop()
   }
 }

@@ -151,6 +151,27 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composition (FAISS IVFADC layout): the prebuilt coarse
+    * index supplies cell pruning, the prebuilt PQ codes supply the
+    * 4-byte ADC scan, and the exact re-rank touches only the
+    * shortlist. Probes half the cells (the uniform-random-corpus
+    * default the IVF query documents) with the PQ query's N/10
+    * shortlist drawn from the probed half. Rows-only; recall floor in
+    * SimilaritySpec. */
+  def qSimIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val (ivfPath, localCentroids) = ivfIndexFor(s, d)
+    val (cb, pqPath) = pqIndexFor(s, d)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val cellCodes = s.read.parquet(ivfPath).select(col("vec_id"), col("cell"))
+      .join(s.read.parquet(pqPath), Seq("vec_id"))
+    val n = cellCodes.count()
+    Similarity.ivfPqTopK(cellCodes, centroids, cb, corpus(s, d), queriesDf(s, d),
+      TopK, nProbe = math.max(2, localCentroids.size / 2),
+      shortlist = math.max(50, (n / 10).toInt), roundScoreTo = Some(9))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs on corpus ∪ scaled copy (scaled
     * vectors are exact cosine-1 duplicates) — rows-only check. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
@@ -221,6 +242,7 @@ object SimilarityQueries {
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_pq_topk" -> (qSimPqTopK _),
+    "q_sim_ivfpq_topk" -> (qSimIvfPqTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embedding_stats" -> (qEmbeddingStats _))

@@ -219,17 +219,13 @@ object Similarity {
     * with [[bruteForceTopK]] wherever the shortlist contains the true
     * neighbors — recall is the shortlist's to lose, measured in
     * SimilaritySpec. */
-  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
-      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
-      idCol: String = "vec_id", embCol: String = "embedding",
-      roundScoreTo: Option[Int] = None): DataFrame = {
+  /** ADC score column: approx_cos = Σ_j q_sub_j · codebook[j][code_j],
+    * over a frame carrying `q_norm` and `codes`. */
+  private def adcScore(codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = withNormalized(queries, embCol)
-      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
-    // ADC: approx_cos = sum_j q_sub_j · codebook[j][code_j]
-    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
       val centroid = element_at(element_at(cb, (j + 1).cast("int")),
         (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int"))
       acc + aggregate(
@@ -237,13 +233,13 @@ object Similarity {
           (a, b) => a * b),
         lit(0.0), (a2, v) => a2 + v)
     })
-    val short = topKPerGroup(
-      codes.select(col(idCol).as("neighbor_id"), col("codes"))
-        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("approx_cos", approx),
-      "query_id", "approx_cos", "neighbor_id", shortlist, "approx_cos", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: fetch full vectors for shortlist rows only
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist —
+    * the only place full vectors are read. */
+  private def exactRerank(short: DataFrame, corpus: DataFrame, q: DataFrame,
+      k: Int, idCol: String, embCol: String,
+      roundScoreTo: Option[Int]): DataFrame = {
     val c = withNormalized(corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col("norm").as("c_norm"))
     val scored0 = short
@@ -254,6 +250,56 @@ object Similarity {
       scored0.withColumn("cos", round(col("cos"), p)))
     topKPerGroup(scored, "query_id", "cos", "neighbor_id", k, "cos", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val q = withNormalized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    val short = topKPerGroup(
+      codes.select(col(idCol).as("neighbor_id"), col("codes"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx_cos", adcScore(codebooks)),
+      "query_id", "approx_cos", "neighbor_id", shortlist, "approx_cos", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, corpus, q, k, idCol, embCol, roundScoreTo)
+  }
+
+  /** IVF-PQ (the FAISS IVFADC layout — Jégou et al. TPAMI'11 §V): the
+    * coarse quantizer prunes to `nProbe` cells, the ADC scan scores
+    * only the probed cells' CODES, and the exact re-rank touches only
+    * the shortlist. The three reductions compose: candidate volume
+    * ≈ N·nProbe/nCells code rows (4-byte payloads), then `shortlist`
+    * full vectors, then k results — at 100 TB that is cell-pruned
+    * partition reads of a RAM-resident code table, with the vector
+    * store hit only per shortlist row. `cellCodes` carries
+    * (idCol, cell, codes). */
+  def ivfPqTopK(cellCodes: DataFrame, centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, shortlist: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val q = withNormalized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    // probe-cell choice: same euclidean ranking as ivfTopK
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("q_norm"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_norm"), col("cell"))
+    val short = topKPerGroup(
+      cellCodes.select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
+        .join(broadcast(qCells), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx_cos", adcScore(codebooks)),
+      "query_id", "approx_cos", "neighbor_id", shortlist, "approx_cos", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, corpus, q, k, idCol, embCol, roundScoreTo)
   }
 
   /** LSH near-neighbor pairs over normalized vectors: euclidean

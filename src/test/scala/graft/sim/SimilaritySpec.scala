@@ -80,6 +80,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ top-k: cell-pruned ADC recall@5 vs brute force") {
+    val d = "/root/testdata/sf0.1"
+    val exact = SimilarityQueries.qSimBruteForce(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityQueries.qSimIvfPqTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // measured 0.88 at sf0.1 (half the cells probed, N/10 shortlist,
+    // uniform-random worst case); floor leaves regeneration margin
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+  }
+
   test("embedding near-dup: scaled copies found as exact cosine-1 pairs") {
     val pairs = SimilarityQueries.qDedupEmbedding(spark, sf001).collect()
     val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
