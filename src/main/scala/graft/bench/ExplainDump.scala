@@ -29,7 +29,8 @@ object ExplainDump {
     "q_lm_score", "q_leakage_safe_split",
     "q_curation", "q_dedup_embedding",
     "q_span_dedup", "q_skew_diagnostics", "q_perplexity_filter",
-    "q_dedup_editdist")
+    "q_dedup_editdist", "q_sim_pq_topk", "q_sim_ivfpq_topk",
+    "q_dedup_keeper_quality")
 
   /** Stage-wise frames for the pipelines whose per-stage
     * `localCheckpoint` hides the real operators behind a
