@@ -244,15 +244,46 @@ object DedupQueries {
        |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
 
+  // Build-once near-dup cluster map per scale dir (same cache
+  // discipline as SimilarityQueries.ivfCache: the parquet artifact
+  // survives spark.catalog.clearCache(), and compute() keeps the build
+  // single-flight under Verify's thread pool).
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The (doc_id, component) cluster map over the near-dup corpus —
+    * connected components of the exact ngram-Jaccard pair graph,
+    * computed ONCE per (process, scale dir) and persisted to a scratch
+    * parquet. Three downstream policies consume the same labels
+    * (cluster resolution, quality-argmax keepers, leakage-safe
+    * splitting); production would never re-run CC per consumer, it
+    * labels the corpus snapshot once and joins the label map wherever
+    * needed. Build cost is reported as `cc_cluster_build` in Bench's
+    * builds section ([[graft.BuildTimes]]) so amortization stays
+    * visible rather than hidden. */
+  def clusterMapFor(s: SparkSession, d: String): DataFrame = {
+    val path = ccCache.compute(d, (_, cached) => {
+      if (cached != null &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cached))) cached
+      else graft.BuildTimes.timed("cc_cluster_build") {
+        val comp = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8))
+        val p = graft.TempDirs.create("graft_cc_").toString
+        comp.write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Duplicate-cluster resolution: connected components over the exact
     * ngram pairs, labeling every clustered doc with its keeper (min
     * reachable id). Oracle-checked — the pair graph is exact and
     * deterministic, so DuckDB replays it with a recursive
-    * transitive-closure CTE. */
+    * transitive-closure CTE. Reads the shared [[clusterMapFor]]
+    * artifact (the cache-miss path runs the actual CC). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(corpusNear(s, d), k = 3, minJaccard = 0.8))
-      .orderBy(col("doc_id"))
+    clusterMapFor(s, d).orderBy(col("doc_id"))
 
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $nearCorpusCte, ${ngramPairCtes("corpus")}, $ccCtes
@@ -397,8 +428,7 @@ object DedupQueries {
     * per-row integer hash — no extra shuffle beyond CC itself. */
   def qLeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusNear(s, d)
-    val comp = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+    val comp = clusterMapFor(s, d)
     val bucket = pmod(graft.ops.DomainMix.portableBucket(col("keeper")), lit(10L))
     corpus.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
@@ -466,8 +496,7 @@ object DedupQueries {
     val corpus = corpusNear(s, d)
     val quality = graft.text.TextAnalysis.withQualitySignals(corpus)
       .select(col("doc_id"), col("quality_score").as("q"))
-    val comp = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8))
+    val comp = clusterMapFor(s, d)
     quality.join(comp, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"), col("q"))
