@@ -311,6 +311,37 @@ object ExtraQueries {
         .as("est_eval_only"))
   }
 
+  /** Mergeable-sketch quantiles (KLL, [[graft.functions.KllSketch]]):
+    * per-source document-length sketches, then a corpus-wide union row
+    * WITHOUT re-scanning the data — the quantile member of the
+    * mergeable tier next to [[qSketchDistinct]] (HLL) and
+    * [[qSketchOverlap]] (Theta). This is the shape `approx_percentile`
+    * can't express: the sketch blob is STATE — persist per-partition
+    * blobs (a few KB each) at ingest, answer quantile queries over any
+    * union of partitions later by merging blobs, never touching old
+    * rows again (SketchSpec proves the persist→reload→merge
+    * round-trip and the ε(k=200)≈1.65% rank-error bound vs exact).
+    * Rows-only for the driver: KLL compaction is randomized, so two
+    * runs may return different (equally valid) input members near a
+    * rank boundary. */
+  def qSketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllSketch._
+    val docs = Tables.documents(s, d)
+      .select(col("source"), length(col("text")).cast("double").as("len"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(kllSketchAgg(col("len")).as("sk"), count(lit(1)).as("n_rows"))
+    val unioned = perSource
+      .agg(kllMergeAgg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("__all__").as("source"), col("sk"), col("n_rows"))
+    perSource.unionByName(unioned)
+      .select(col("source"), col("n_rows"), kllN(col("sk")).as("n_sketch"),
+        kllQuantile(col("sk"), 0.10).as("p10"),
+        kllQuantile(col("sk"), 0.50).as("p50"),
+        kllQuantile(col("sk"), 0.90).as("p90"),
+        kllQuantile(col("sk"), 0.99).as("p99"))
+      .orderBy(col("source"))
+  }
+
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
     * feature-correlation profiling). Outputs rounded to 9 decimals on
@@ -584,6 +615,7 @@ object ExtraQueries {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_overlap" -> (qSketchOverlap _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_domain_mix" -> (qDomainMix _),
     "q_zorder" -> (qZorder _))
 

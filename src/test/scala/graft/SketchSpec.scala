@@ -71,4 +71,63 @@ class SketchSpec extends SparkSpec {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
     assert(merged == again, "union estimate must be deterministic")
   }
+
+  // ---- KLL quantile sketch tier (q_sketch_quantiles) ----
+
+  /** KLL's contract is on RANK, not value: the returned value's exact
+    * normalized rank must be within ε of the requested rank. ε(k=200)
+    * ≈ 1.65% at 99% confidence; compaction is randomized, so assert at
+    * 2ε to keep the spec deterministic in practice. */
+  private def rankOf(sorted: Array[Double], v: Double): Double =
+    sorted.count(_ <= v).toDouble / sorted.length
+
+  test("kll quantiles within the normalized rank-error bound vs exact") {
+    val out = graft.queries.ExtraQueries.qSketchQuantiles(spark, sf001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lens = Tables.documents(spark, sf001)
+      .select(length(col("text")).cast("double")).collect().map(_.getDouble(0)).sorted
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(graft.functions.KllSketch.DefaultK, false)
+    val all = out("__all__")
+    assert(all.getLong(1) == lens.length && all.getLong(2) == lens.length,
+      "kll_n must be exact through merge")
+    Seq(0.10 -> 3, 0.50 -> 4, 0.90 -> 5, 0.99 -> 6).foreach { case (p, i) =>
+      val est = all.getDouble(i)
+      assert(lens.contains(est), s"p$p estimate $est must be an input member")
+      assert(math.abs(rankOf(lens, est) - p) <= 2 * eps + 1.0 / lens.length,
+        s"p$p: value $est has exact rank ${rankOf(lens, est)}")
+    }
+  }
+
+  test("kll sketches persist to parquet, reload, and merge incrementally") {
+    import graft.functions.KllSketch._
+    val docs = Tables.documents(spark, sf001)
+      .select(col("source"), length(col("text")).cast("double").as("len"))
+    val dir = TempDirs.create("graft_kll_").toString
+    // day 1: persist per-source sketch blobs (KB each, not the rows)
+    docs.groupBy(col("source")).agg(kllSketchAgg(col("len")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    // later: merge the persisted blobs — no re-scan of day 1's rows
+    val merged = spark.read.parquet(dir)
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+      .select(kllN(col("sk")), kllQuantile(col("sk"), 0.5)).head()
+    val lens = docs.select(col("len")).collect().map(_.getDouble(0)).sorted
+    assert(merged.getLong(0) == lens.length, "merged N must be exact")
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(graft.functions.KllSketch.DefaultK, false)
+    assert(math.abs(rankOf(lens, merged.getDouble(1)) - 0.5) <= 2 * eps + 1.0 / lens.length,
+      s"merged p50 ${merged.getDouble(1)} outside rank bound")
+  }
+
+  test("kll empty-group and null handling: empty sketch yields NULL quantile") {
+    import graft.functions.KllSketch._
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("g", "v")
+    val row = df.groupBy(col("g")).agg(kllSketchAgg(col("v")).as("sk"))
+      .select(kllN(col("sk")).as("n"), kllQuantile(col("sk"), 0.5).as("q"))
+      .orderBy(col("n")).head()
+    assert(row.getLong(0) == 0L, "null values must not rank")
+    assert(row.isNullAt(1), "empty sketch quantile must be NULL")
+  }
 }
