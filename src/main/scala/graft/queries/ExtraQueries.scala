@@ -311,6 +311,74 @@ object ExtraQueries {
         .as("est_eval_only"))
   }
 
+  /** SCD2 merge/upsert ([[graft.ops.Scd2]]): one change batch applied
+    * to a type-2 dimension snapshot. The batch is derived
+    * deterministically from the customer dimension so the oracle can
+    * replay it: keys ≡0 (mod 3) change their balance (close + open),
+    * keys ≡1 (mod 3) arrive unchanged (must NOT version — the no-op
+    * guard), keys ≡0 (mod 10) reappear shifted as brand-new keys
+    * (insert path). Hash-oracled end to end — every row class (kept,
+    * closed, opened, inserted) is exercised. */
+  def qScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+      to_date(lit("2020-01-01")).as("effective_from"),
+      lit(null).cast("date").as("effective_to"),
+      lit(true).as("is_current"))
+    val batch = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+        (col("c_acctbal") + 100.0).as("acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"),
+          lit("NEW").as("segment"), lit(0.0).as("acctbal")))
+    graft.ops.Scd2.merge(base, batch, "key", Seq("segment", "acctbal"),
+        to_date(lit("2026-01-01")))
+      .orderBy(col("key"), col("effective_from"))
+  }
+
+  val qScd2MergeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS acctbal,
+      |         DATE '2020-01-01' AS effective_from,
+      |         CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+      |  FROM customer
+      |), batch AS (
+      |  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal + 100.0 AS acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 3 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 10 = 0
+      |), curjoin AS (
+      |  SELECT cur.*, b.key AS b_key, b.segment AS b_segment, b.acctbal AS b_acctbal
+      |  FROM base cur LEFT JOIN batch b ON cur.key = b.key
+      |), changedjoin AS (
+      |  SELECT *,
+      |    (b_key IS NOT NULL AND (segment IS DISTINCT FROM b_segment
+      |                            OR acctbal IS DISTINCT FROM b_acctbal)) AS chg
+      |  FROM curjoin
+      |), kept_or_closed AS (
+      |  SELECT key, segment, acctbal, effective_from,
+      |    CASE WHEN chg THEN DATE '2026-01-01' ELSE effective_to END AS effective_to,
+      |    NOT chg AS is_current
+      |  FROM changedjoin
+      |), opened AS (
+      |  SELECT b.key, b.segment, b.acctbal,
+      |    DATE '2026-01-01' AS effective_from,
+      |    CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+      |  FROM batch b LEFT JOIN base cur ON b.key = cur.key
+      |  WHERE cur.key IS NULL OR (b.segment IS DISTINCT FROM cur.segment
+      |                            OR b.acctbal IS DISTINCT FROM cur.acctbal)
+      |)
+      |SELECT * FROM kept_or_closed
+      |UNION ALL
+      |SELECT * FROM opened
+      |ORDER BY key, effective_from""".stripMargin
+
   /** Mergeable-sketch quantiles (KLL, [[graft.functions.KllSketch]]):
     * per-source document-length sketches, then a corpus-wide union row
     * WITHOUT re-scanning the data — the quantile member of the
@@ -616,6 +684,7 @@ object ExtraQueries {
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
+    "q_scd2_merge" -> (qScd2Merge _),
     "q_domain_mix" -> (qDomainMix _),
     "q_zorder" -> (qZorder _))
 
@@ -634,6 +703,7 @@ object ExtraQueries {
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
+    "q_scd2_merge" -> qScd2MergeSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_zorder" -> qZorderSql)
 }
