@@ -124,13 +124,52 @@ object IngestQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  private val evoCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Schema evolution across table generations — the read-side reality
+    * of a long-lived 100 TB table: files written before a column
+    * existed sit next to files written after. Generation 1 (orders
+    * with even keys) lacks `o_orderpriority`; generation 2 (odd keys)
+    * carries it. `mergeSchema` reconciles the footers at planning time
+    * — old files surface the missing column as NULL, no rewrite of
+    * historical data. The generation directory doubles as a partition
+    * column, so generation-targeted reads still prune. Oracle replays
+    * the semantics directly off the source table (priority nulled for
+    * gen-1 rows). */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+    val path = evoCache.computeIfAbsent(d, _ => {
+      val p = TempDirs.create("graft_evo_").toString + "/orders"
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.parquet(p + "/gen=1")
+      src.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.parquet(p + "/gen=2")
+      p
+    })
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("gen").cast("int").as("gen"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qSchemaEvolutionSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_partitioned_scan" -> (qPartitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,

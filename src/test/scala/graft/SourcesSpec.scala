@@ -41,4 +41,18 @@ class SourcesSpec extends SparkSpec {
       .filter(col("l_returnflag") === "R").count()
     assert(pruned.count() == expected)
   }
+
+  test("mergeSchema reconciles generations: missing column reads as NULL, gen pruning works") {
+    val out = graft.queries.IngestQueries.qSchemaEvolution(spark, sf001)
+    // gen-1 rows (no priority column in their files) surface NULL;
+    // gen-2 rows carry the value
+    assert(out.filter(col("gen") === 1 && col("o_orderpriority").isNotNull).count() == 0)
+    assert(out.filter(col("gen") === 2 && col("o_orderpriority").isNull).count() == 0)
+    val total = Tables.orders(spark, sf001).count()
+    assert(out.count() == total)
+    // generation-targeted reads still prune at the directory level
+    val pruned = out.filter(col("gen") === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
 }
