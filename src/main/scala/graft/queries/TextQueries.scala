@@ -783,7 +783,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping token-window chunking ([[graft.text.Chunker]]):
+    * 64-token windows, stride 48 (16 tokens of overlap). Hash-checked
+    * end to end — window starts, short-tail handling, the
+    * at-least-one-chunk rule, and the empty-doc exclusion are all
+    * replayed by the oracle's generate_series twin. */
+  def qChunkDocuments(s: SparkSession, d: String): DataFrame =
+    graft.text.Chunker.chunk(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      sizeTokens = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val qChunkDocumentsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), sized AS (
+      |  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+      |)
+      |SELECT doc_id, u.k AS chunk_id,
+      |  least(64, n - u.k * 48) AS n_tokens,
+      |  array_to_string(list_slice(toks, u.k * 48 + 1, u.k * 48 + 64), ' ') AS chunk_text
+      |FROM sized,
+      |  unnest(generate_series(0, greatest(0, CAST(ceil((n - 64) / 48.0) AS INT)))) AS u(k)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_documents" -> (qChunkDocuments _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_tokens" -> (qTextTokens _),
@@ -807,6 +834,7 @@ object TextQueries {
     "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_normalize" -> qTextNormalizeSql,
