@@ -581,4 +581,83 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - sumV) < 1e-6)
     }
   }
+
+  test("streaming SCD2 maintenance: foreachBatch folds change batches into the snapshot") {
+    // Continuous dimension maintenance — the streaming twin of
+    // q_scd2_merge: change batches arrive as files, each carries its
+    // own change_date, and foreachBatch folds them into the SCD2
+    // snapshot with Scd2.merge. Batches touch DISJOINT keys so the
+    // final snapshot is independent of trigger order (same
+    // order-insensitivity discipline as the incremental-curation
+    // test above).
+    import spark.implicits._
+    var snapshot = Seq(
+      (1L, "AUTO", 10.0, "2020-01-01"),
+      (2L, "AUTO", 20.0, "2020-01-01"),
+      (3L, "BIKE", 30.0, "2020-01-01"))
+      .toDF("key", "segment", "acctbal", "ef")
+      .select(col("key"), col("segment"), col("acctbal"),
+        to_date(col("ef")).as("effective_from"),
+        lit(null).cast("date").as("effective_to"), lit(true).as("is_current"))
+      .localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-scd2-stream").toString
+    // batch A: key 1 changes; batch B: key 2 changes + key 9 inserts
+    Seq((1L, "AUTO", 11.0, "2024-06-01"))
+      .toDF("key", "segment", "acctbal", "change_date")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, "CAR", 20.0, "2024-07-01"), (9L, "NEW", 0.0, "2024-07-01"))
+      .toDF("key", "segment", "acctbal", "change_date")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    var batches = 0
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          // asOf rides WITH the batch (each file is one day's changes)
+          val asOf = df.select(max(col("change_date"))).head().getString(0)
+          snapshot = graft.ops.Scd2.merge(snapshot,
+            df.select(col("key"), col("segment"), col("acctbal")),
+            "key", Seq("segment", "acctbal"), to_date(lit(asOf)))
+            .localCheckpoint() // truncate lineage across folds
+          batches += 1
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected one trigger per file, got $batches")
+
+    // exactly one current row per live key
+    val current = snapshot.filter(col("is_current")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(current.keySet == Set(1L, 2L, 3L, 9L))
+    assert(current(1L).getDouble(2) == 11.0
+      && current(1L).getDate(3).toString == "2024-06-01")
+    assert(current(2L).getString(1) == "CAR"
+      && current(2L).getDate(3).toString == "2024-07-01")
+    assert(current(3L).getDate(3).toString == "2020-01-01", "untouched key")
+    assert(current(9L).getDate(3).toString == "2024-07-01", "inserted key")
+    // closed history: exactly the two changed keys, closed at their
+    // own batch's date
+    val closed = snapshot.filter(!col("is_current")).collect()
+      .map(r => r.getLong(0) -> r.getDate(4).toString).toMap
+    assert(closed == Map(1L -> "2024-06-01", 2L -> "2024-07-01"))
+    // and the fold equals the sequential batch replay (disjoint keys
+    // make the order irrelevant)
+    val replay = graft.ops.Scd2.merge(
+      graft.ops.Scd2.merge(
+        Seq((1L, "AUTO", 10.0, "2020-01-01"), (2L, "AUTO", 20.0, "2020-01-01"),
+          (3L, "BIKE", 30.0, "2020-01-01"))
+          .toDF("key", "segment", "acctbal", "ef")
+          .select(col("key"), col("segment"), col("acctbal"),
+            to_date(col("ef")).as("effective_from"),
+            lit(null).cast("date").as("effective_to"), lit(true).as("is_current")),
+        Seq((1L, "AUTO", 11.0)).toDF("key", "segment", "acctbal"),
+        "key", Seq("segment", "acctbal"), to_date(lit("2024-06-01"))),
+      Seq((2L, "CAR", 20.0), (9L, "NEW", 0.0)).toDF("key", "segment", "acctbal"),
+      "key", Seq("segment", "acctbal"), to_date(lit("2024-07-01")))
+    assert(snapshot.exceptAll(replay).isEmpty && replay.exceptAll(snapshot).isEmpty)
+  }
 }
