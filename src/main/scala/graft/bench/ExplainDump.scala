@@ -30,7 +30,9 @@ object ExplainDump {
     "q_curation", "q_dedup_embedding",
     "q_span_dedup", "q_skew_diagnostics", "q_perplexity_filter",
     "q_dedup_editdist", "q_sim_pq_topk", "q_sim_ivfpq_topk",
-    "q_dedup_keeper_quality")
+    "q_dedup_keeper_quality",
+    "q_scd2_merge", "q_sketch_quantiles", "q_chunk_documents",
+    "q_schema_evolution")
 
   /** Stage-wise frames for the pipelines whose per-stage
     * `localCheckpoint` hides the real operators behind a
