@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Expectations
+import graft.ops.{Budget, Expectations}
 import graft.ops.Expectations._
 
 /** Data-quality gate queries — the validation pass a training
@@ -87,9 +87,50 @@ object QualityQueries {
       |)
       |ORDER BY tbl, "check"""".stripMargin
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose cumulative whitespace-token count fits 1/4 of the corpus's
+    * total tokens — the data-mix step that turns a scored crawl into a
+    * pretraining corpus. Runs [[graft.ops.Budget.selectByBudget]]'s
+    * two-level distributed prefix sum; the oracle is the naive global
+    * window cumsum, so the hash gate proves the scale-safe plan
+    * computes exactly the single-task semantics. */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.TextAnalysis
+      .withQualitySignals(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    Budget.selectByBudget(scored, "quality_score", "n_tokens", "doc_id",
+        num = 1L, den = 4L)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("cum_weight").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenBudgetSql: String = {
+    val qualityCte = TextQueries.qTextQualitySql
+      .replace("\nORDER BY doc_id", "").replace("ORDER BY doc_id", "")
+    // CAST both the window sum and the total: DuckDB sum(INTEGER) is
+    // HUGEINT vs Spark's BIGINT (COVERAGE.md typing rule).
+    s"""WITH q AS (
+       |$qualityCte
+       |), w AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q
+       |), t AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q
+       |)
+       |SELECT doc_id, n_tokens, quality_score, cum_tokens
+       |FROM w, t
+       |WHERE cum_tokens * 4 <= total
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_expectations" -> (qExpectations _))
+    "q_expectations" -> (qExpectations _),
+    "q_token_budget" -> (qTokenBudget _))
 
   val oracles: Map[String, String] = Map(
-    "q_expectations" -> qExpectationsSql)
+    "q_expectations" -> qExpectationsSql,
+    "q_token_budget" -> qTokenBudgetSql)
 }
