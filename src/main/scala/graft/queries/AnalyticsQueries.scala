@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -534,7 +534,84 @@ object AnalyticsQueries {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------ Domain-graph PageRank
+  /** Damped PageRank over the planted domain link graph — the
+    * link-graph quality prior crawl curation attaches to every
+    * document's host (the web-scale sibling of [[qPerplexityFilter]]'s
+    * content prior). The corpus has no real links, so each document
+    * contributes one deterministic edge from its own host to the host
+    * whose sorted-source index is `(idx + 1 + doc_id % (n-1)) % n` —
+    * a rotation spread by doc_id, so the oracle can rebuild the exact
+    * multigraph from `(source, doc_id)` alone and any defect in edge
+    * extraction, out-degree normalization, or the iteration itself
+    * moves the ranks.
+    *
+    * Scale shape: the only corpus-proportional stage is the
+    * per-document edge derivation + groupBy(src,dst) weight count
+    * (map-side combinable to |domains|² rows max); the 5 power
+    * iterations in [[graft.graph.PageRank]] then run on the reduced
+    * graph. Host-index maps are broadcast. Ranks round to 9 decimals
+    * on both engines (COVERAGE.md float policy — per-dst contribution
+    * sums are order-sensitive in the last bits). */
+  def qDomainPagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+    val n = srcIdx.count()
+    val host = (src: Column) => concat(src, lit(".example.com"))
+    val edges = docs.join(broadcast(srcIdx), "source")
+      .select(host(col("source")).as("src"),
+        ((col("idx") + 1L + col("doc_id") % lit(math.max(1L, n - 1L)))
+          % lit(n)).as("di"))
+      .join(broadcast(srcIdx.select(col("idx").as("di"),
+        host(col("source")).as("dst"))), "di")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    graft.graph.PageRank.pageRank(edges, iters = 5, damping = 0.85)
+      .select(col("node").as("host"), round(col("pr"), 9).as("pr"))
+      .orderBy(col("host"))
+  }
+
+  val qDomainPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, (1.0 - 0.85) / nc.n + 0.85 * coalesce(c.ir, 0.0) AS pr
+         |  FROM nodes n CROSS JOIN nc
+         |  LEFT JOIN (
+         |    SELECT p.dst, sum(p.p * r.pr) AS ir
+         |    FROM p JOIN $prev r ON p.src = r.node GROUP BY p.dst
+         |  ) c ON n.node = c.dst
+         |)""".stripMargin
+    val iters = (1 to 5)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH srcs AS (
+       |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |), nn AS (SELECT count(*) AS n FROM srcs),
+       |edges AS (
+       |  SELECT a.source || '.example.com' AS src,
+       |         b.source || '.example.com' AS dst,
+       |         count(*) AS w
+       |  FROM documents d
+       |  JOIN srcs a ON d.source = a.source
+       |  CROSS JOIN nn
+       |  JOIN srcs b
+       |    ON b.idx = (a.idx + 1 + d.doc_id % greatest(1, nn.n - 1)) % nn.n
+       |  GROUP BY 1, 2
+       |), out_w AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+       |p AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS p
+       |  FROM edges e JOIN out_w o ON e.src = o.src
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), nc AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nc.n AS pr FROM nodes CROSS JOIN nc),
+       |$iters
+       |SELECT node AS host, round(pr, 9) AS pr FROM r5 ORDER BY host""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_pagerank" -> (qDomainPagerank _),
     "q_perplexity_filter" -> (qPerplexityFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_tfidf" -> (qTfidf _),
@@ -547,6 +624,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_domain_pagerank" -> qDomainPagerankSql,
     "q_perplexity_filter" -> qPerplexityFilterSql,
     "q_lm_score" -> qLmScoreSql,
     "q_tfidf" -> qTfidfSql,
