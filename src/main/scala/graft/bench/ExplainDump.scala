@@ -32,7 +32,34 @@ object ExplainDump {
     "q_dedup_editdist", "q_sim_pq_topk", "q_sim_ivfpq_topk",
     "q_dedup_keeper_quality",
     "q_scd2_merge", "q_sketch_quantiles", "q_chunk_documents",
-    "q_schema_evolution")
+    "q_schema_evolution", "q_token_budget")
+
+  /** PageRank's per-iteration `localCheckpoint` hides the loop body
+    * the same way curation's stages are hidden: dump the
+    * corpus-proportional edge derivation and ONE un-checkpointed
+    * power-iteration round over a checkpointed edge frame. */
+  def pagerankStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+    val n = srcIdx.count()
+    val edges = docs.join(broadcast(srcIdx), "source")
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        ((col("idx") + 1L + col("doc_id") % lit(math.max(1L, n - 1L)))
+          % lit(n)).as("di"))
+      .join(broadcast(srcIdx.select(col("idx").as("di"),
+        concat(col("source"), lit(".example.com")).as("dst"))), "di")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    val round = graft.graph.PageRank.pageRank(
+      edges.localCheckpoint(true), iters = 1, damping = 0.85,
+      checkpoint = false)
+    Seq(
+      "q_domain_pagerank stage 1: edge derivation + weight aggregation" -> edges,
+      "q_domain_pagerank stage 2: one power-iteration round" -> round)
+  }
 
   /** Stage-wise frames for the pipelines whose per-stage
     * `localCheckpoint` hides the real operators behind a
@@ -124,7 +151,8 @@ object ExplainDump {
     }
     // checkpointed pipelines: end-to-end plans above print a Scan
     // ExistingRDD shell, so their stages are dumped individually
-    (curationStages(spark, sf) ++ incrementalStages(spark, sf))
+    (curationStages(spark, sf) ++ incrementalStages(spark, sf) ++
+      pagerankStages(spark, sf))
       .foreach { case (name, df) => dump(name, df) }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
