@@ -54,8 +54,7 @@ object ExplainDump {
         concat(col("source"), lit(".example.com")).as("dst"))), "di")
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
     val round = graft.graph.PageRank.pageRank(
-      edges.localCheckpoint(true), iters = 1, damping = 0.85,
-      checkpoint = false)
+      edges.localCheckpoint(true), iters = 1, damping = 0.85)
     Seq(
       "q_domain_pagerank stage 1: edge derivation + weight aggregation" -> edges,
       "q_domain_pagerank stage 2: one power-iteration round" -> round)

@@ -8,9 +8,7 @@ class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
   private def ranks(edges: Seq[(String, String, Long)], iters: Int = 5) =
-    PageRank.pageRank(
-        edges.toDF("src", "dst", "weight"), iters, damping = 0.85,
-        checkpoint = false)
+    PageRank.pageRank(edges.toDF("src", "dst", "weight"), iters, damping = 0.85)
       .as[(String, Double)].collect().toMap
 
   test("uniform ring keeps the uniform distribution exactly") {
@@ -49,11 +47,12 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(inB / inC - 3.0) < 1e-9)
   }
 
-  test("checkpointed and plain lineage agree") {
+  test("per-round checkpointing and bounded plain lineage agree") {
     val edges = (0 until 40)
       .map(i => (s"n${i % 8}", s"n${(i * 3 + 1) % 8}", (i % 4 + 1).toLong))
-    val plain = ranks(edges)
-    val ck = PageRank.pageRank(edges.toDF("src", "dst", "weight"), 5, 0.85)
+    val plain = ranks(edges) // interval 8 > iters 5: never cuts
+    val ck = PageRank.pageRank(edges.toDF("src", "dst", "weight"), 5, 0.85,
+        checkpointInterval = 1)
       .as[(String, Double)].collect().toMap
     assert(plain.keySet == ck.keySet)
     plain.foreach { case (k, v) => assert(math.abs(v - ck(k)) < 1e-12) }
