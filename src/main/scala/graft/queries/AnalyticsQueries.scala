@@ -480,6 +480,77 @@ object AnalyticsQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Importance-resampling target: the corpus slice whose
+    * distribution selection should move toward. `lang` is the one
+    * trusted label on the harness corpus; a production run feeds a
+    * curated seed corpus instead. */
+  val DsirTargetLang = "en"
+
+  // ----------------------------------- DSIR importance resampling
+  /** Targeted data selection by importance weighting — the DSIR recipe
+    * (Xie et al., NeurIPS 2023): fit two add-1-smoothed unigram LMs
+    * over the SAME vocabulary (a target slice vs the raw corpus), and
+    * weight every document by its mean per-token log-likelihood RATIO;
+    * docs that look more target-like than corpus-like (`avg_llr > 0`)
+    * are kept. Shares [[qLmScore]]'s scale shape: tf and the two
+    * vocab-bounded count tables partial-aggregate map-side, the 1-row
+    * totals frame broadcasts, and the doc-level reduce is one
+    * partial-aggregable groupBy. The target model rides the SAME tf
+    * frame (a filtered re-aggregation, not a second corpus scan).
+    * `keep` derives from the ROUNDED weight on both engines, so the
+    * boundary boolean can never disagree while the value matches. */
+  def qImportanceWeights(s: SparkSession, d: String): DataFrame = {
+    val tok = graft.text.TextAnalysis.tokens(col("text"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tok).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(
+      sum(col("tf")).as("cnt_r"),
+      sum(when(col("lang") === DsirTargetLang, col("tf")).otherwise(0L))
+        .as("cnt_t"))
+    val totals = vocab.agg(sum(col("cnt_r")).as("t_r"),
+      sum(col("cnt_t")).as("t_t"), count(lit(1)).as("v"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", col("tf") *
+        (log((col("cnt_t") + 1).cast("double") / (col("t_t") + col("v")))
+          - log((col("cnt_r") + 1).cast("double") / (col("t_r") + col("v")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lr")).as("sum_lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lr") / col("n_tokens"), 9).as("avg_llr"))
+      .withColumn("keep", col("avg_llr") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qImportanceWeightsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, lang, term, count(*) AS tf
+       |  FROM tok WHERE term <> '' GROUP BY doc_id, lang, term
+       |), vocab AS (
+       |  SELECT term, sum(tf) AS cnt_r,
+       |    sum(CASE WHEN lang = '$DsirTargetLang' THEN tf ELSE 0 END) AS cnt_t
+       |  FROM tf GROUP BY term
+       |), tot AS (
+       |  SELECT sum(cnt_r) AS t_r, sum(cnt_t) AS t_t, count(*) AS v FROM vocab
+       |), sc AS (
+       |  SELECT f.doc_id, f.tf,
+       |    f.tf * (ln(CAST(v.cnt_t + 1 AS DOUBLE) / (t.t_t + t.v))
+       |          - ln(CAST(v.cnt_r + 1 AS DOUBLE) / (t.t_r + t.v))) AS lr
+       |  FROM tf f JOIN vocab v USING (term) CROSS JOIN tot t
+       |)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  round(sum(lr) / sum(tf), 9) AS avg_llr,
+       |  round(sum(lr) / sum(tf), 9) > 0.0 AS keep
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Perplexity keep-gate threshold: the corpus LM's median doc ppl
     * sits at ≈30.0 on the harness corpus, so 30.0 exercises both
     * branches. A production pipeline derives this per-corpus from a
@@ -612,6 +683,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_domain_pagerank" -> (qDomainPagerank _),
+    "q_importance_weights" -> (qImportanceWeights _),
     "q_perplexity_filter" -> (qPerplexityFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_tfidf" -> (qTfidf _),
@@ -625,6 +697,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_domain_pagerank" -> qDomainPagerankSql,
+    "q_importance_weights" -> qImportanceWeightsSql,
     "q_perplexity_filter" -> qPerplexityFilterSql,
     "q_lm_score" -> qLmScoreSql,
     "q_tfidf" -> qTfidfSql,

@@ -239,4 +239,26 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(week0 == users, s"offset-0 sum $week0 != $users users")
     r.unpersist()
   }
+
+  test("importance weights: target-language docs score higher; keep tracks the sign") {
+    val w = AnalyticsQueries.qImportanceWeights(spark, sf001).cache()
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"))
+    val byTarget = w.join(docs, Seq("doc_id"))
+      .groupBy(col("lang") === AnalyticsQueries.DsirTargetLang)
+      .agg(avg(col("avg_llr")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the weight is a target-vs-corpus likelihood ratio: the target
+    // slice must sit above the rest on average — that separation IS
+    // the operator's purpose
+    assert(byTarget(true) > byTarget(false),
+      s"target ${byTarget(true)} <= rest ${byTarget(false)}")
+    assert(w.filter((col("avg_llr") > 0.0) =!= col("keep")).count() == 0)
+    // every doc with at least one token is scored exactly once
+    val nonEmpty = graft.text.TextAnalysis
+      .withQualitySignals(Tables.documents(spark, sf001))
+      .filter(col("n_tokens") > 0).count()
+    assert(w.count() == nonEmpty)
+    w.unpersist()
+  }
 }
