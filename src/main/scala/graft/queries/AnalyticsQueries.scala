@@ -681,7 +681,225 @@ object AnalyticsQueries {
        |SELECT node AS host, round(pr, 9) AS pr FROM r5 ORDER BY host""".stripMargin
   }
 
+  // ------------------------------------------------------------ BM25
+  /** Okapi BM25 ranking of the corpus against a fixed keyword query —
+    * the retrieval scorer behind query-targeted data selection (pull
+    * the documents most relevant to an eval domain). Extends
+    * [[qTfidf]] with document-length normalization (k1 = 1.2,
+    * b = 0.75) and the +0.5-smoothed idf of Robertson & Zaragoza 2009.
+    *
+    * Scale shape, same discipline as [[qTfidf]]: one explode +
+    * groupBy(doc, term) partial aggregate; df and avgdl are
+    * |vocab|-sized / 1-row aggregates that broadcast back (never a
+    * per-term window — a stop word would pin a reducer at 100 TB).
+    * Scores round to 9 decimals BEFORE the top-k rank so libm `ln`
+    * ulps cannot flip near-ties across engines; doc_id breaks exact
+    * ties. Top-10 via window row_number → TakeOrdered shape, not a
+    * global sort of the corpus. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "query", "join")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // 1-row corpus stats: N and avgdl (sum/count of ints — exact IEEE).
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 9).as("score"), count(lit(1)).as("n_terms"))
+    // TakeOrderedAndProject for the global top-10 (never a full sort or
+    // an unpartitioned window over the scored corpus); the rank column
+    // is attached by a window over the 10 surviving rows only.
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"), col("n_terms"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val qBm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok2
+      |  WHERE term IN ('spark','query','join') GROUP BY doc_id, term
+      |), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |    round(sum(
+      |      ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      |      (t.tf * 2.2) /
+      |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+      |    ), 9) AS score,
+      |    count(*) AS n_terms
+      |  FROM tf t JOIN dft f ON t.term = f.term
+      |  JOIN dl l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY t.doc_id
+      |), rk AS (
+      |  SELECT doc_id, score, n_terms,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |  FROM sc
+      |)
+      |SELECT doc_id, score, n_terms, rk FROM rk WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
+  // ------------------------------------------- Robust outliers (MAD)
+  /** Per-source robust outlier detection on document length: median +
+    * median-absolute-deviation, flagging |x − med| > 3·1.4826·MAD —
+    * the scale-free anomaly gate a curation pipeline runs per corpus
+    * slice (a source whose length distribution grows a heavy tail is a
+    * scraper bug). Two grouped exact medians (ints → interpolated
+    * doubles, exact by construction — float policy class 1), so no
+    * rounding is needed anywhere.
+    *
+    * Scale shape: two shuffles on `source` (bounded group count), with
+    * the |sources|-sized median frames broadcast back onto the 100 TB
+    * document scan; the flag itself is a per-row expression. */
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(median(col("n_chars")).as("med"))
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(median(col("adev")).as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  val qMadOutliersSql: String =
+    """WITH med AS (
+      |  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+      |), dev AS (
+      |  SELECT d.source, abs(d.n_chars - m.med) AS adev, m.med
+      |  FROM documents d JOIN med m ON d.source = m.source
+      |), mad AS (
+      |  SELECT source, median(adev) AS mad FROM dev GROUP BY source
+      |)
+      |SELECT dev.source, count(*) AS n_docs,
+      |  any_value(dev.med) AS med, any_value(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON dev.source = mad.source
+      |GROUP BY dev.source
+      |ORDER BY dev.source""".stripMargin
+
+  // --------------------------------------------- Triangle counting
+  /** Global triangle census of the planted domain link graph (same
+    * deterministic multigraph as [[qDomainPagerank]], de-weighted to a
+    * simple undirected graph): node/edge/triangle counts and the
+    * global clustering coefficient — the graph-shape diagnostic that
+    * tells a crawl pipeline whether its link structure looks organic
+    * (high closure) or spammy (star farms, closure ≈ 0).
+    *
+    * Scale shape — the standard oriented two-path join (Suri & Vassilvitskii
+    * WWW'11 "Counting Triangles and the Curse of the Last Reducer",
+    * degree-ordered orientation): orient every edge low→high endpoint,
+    * self-join oriented edges on the middle vertex to enumerate wedges,
+    * then semi-join wedge closures against the edge set. Orientation
+    * bounds each join key's fan-out by out-degree ≤ √(2|E|) on any
+    * graph, so no "last reducer" hot key; wedge volume — not |V|² — is
+    * the working set. Clustering = 3·T / Σ deg·(deg−1)/2, a single
+    * exact integer division (float policy class 1). */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+    val n = srcIdx.count()
+    val host = (src: Column) => concat(src, lit(".example.com"))
+    // Same rotation edges as qDomainPagerank, de-weighted + undirected:
+    // each edge kept once as (a < b).
+    val edges = docs.join(broadcast(srcIdx), "source")
+      .select(host(col("source")).as("src"),
+        ((col("idx") + 1L + col("doc_id") % lit(math.max(1L, n - 1L)))
+          % lit(n)).as("di"))
+      .join(broadcast(srcIdx.select(col("idx").as("di"),
+        host(col("source")).as("dst"))), "di")
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // referenced 3× below; cut the corpus-scan lineage
+    val wedges = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triangles = wedges.join(edges,
+      wedges("x") === edges("a") && wedges("z") === edges("b"), "left_semi")
+    val degrees = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedgeTotal = degrees
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedgeTotal)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+
+  val qGraphTrianglesSql: String =
+    """WITH srcs AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), nn AS (SELECT count(*) AS n FROM srcs),
+      |raw AS (
+      |  SELECT a.source || '.example.com' AS src,
+      |         b.source || '.example.com' AS dst
+      |  FROM documents d
+      |  JOIN srcs a ON d.source = a.source
+      |  CROSS JOIN nn
+      |  JOIN srcs b
+      |    ON b.idx = (a.idx + 1 + d.doc_id % greatest(1, nn.n - 1)) % nn.n
+      |), edges AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM raw WHERE src <> dst
+      |), tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+      |), deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+      |  ) GROUP BY v
+      |), wt AS (
+      |  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+      |    count(*) AS n_nodes FROM deg
+      |)
+      |SELECT wt.n_nodes, (SELECT count(*) FROM edges) AS n_edges,
+      |  tri.n_triangles,
+      |  3.0 * tri.n_triangles / wt.n_wedges AS clustering
+      |FROM tri CROSS JOIN wt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_graph_triangles" -> (qGraphTriangles _),
     "q_domain_pagerank" -> (qDomainPagerank _),
     "q_importance_weights" -> (qImportanceWeights _),
     "q_perplexity_filter" -> (qPerplexityFilter _),
@@ -696,6 +914,9 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" -> qBm25Sql,
+    "q_mad_outliers" -> qMadOutliersSql,
+    "q_graph_triangles" -> qGraphTrianglesSql,
     "q_domain_pagerank" -> qDomainPagerankSql,
     "q_importance_weights" -> qImportanceWeightsSql,
     "q_perplexity_filter" -> qPerplexityFilterSql,

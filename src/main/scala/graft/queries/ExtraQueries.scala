@@ -662,7 +662,76 @@ object ExtraQueries {
       |FROM c CROSS JOIN t
       |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 
+  /** Unpivot (melt): the per-user wide event-type spend matrix back to
+    * long `(user_id, event_type, total)` form — the inverse of
+    * [[qPivot]] and the canonical wide→long reshape a feature store
+    * needs before a long-format consumer. Uses Spark's native
+    * `Dataset.unpivot` (a generate, not a UNION of re-scans: the wide
+    * frame is read once). NULL cells (user never produced that event
+    * type) are dropped on both engines — Spark's unpivot omits null
+    * values by definition, matching the oracle's explicit filter.
+    *
+    * Scale shape: one shuffle for the pivot aggregate (bounded at
+    * |users| × 5 cells), then unpivot is a narrow per-row generate —
+    * no second shuffle. Double sums round per float policy class 2. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(round(sum(col("value")), 9))
+    wide.unpivot(
+        ids = Array(col("user_id")),
+        values = types.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "total")
+      .filter(col("total").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT user_id, event_type, round(sum(value), 9) AS total
+      |FROM events
+      |WHERE event_type IN ('click','error','purchase','signup','view')
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Equi-width histogram of the event value distribution: fixed
+    * [0, 500) domain in 10 buckets of 50 — the one-pass distribution
+    * profile a quality dashboard draws. Fixed bounds (not data-driven
+    * min/max) keep the op a single partial-aggregable scan; bucket
+    * boundaries are exact-by-construction (multiples of 50 are
+    * representable doubles and IEEE division at a representable
+    * quotient is exact, so `floor(value/50)` agrees bit-for-bit across
+    * engines).
+    *
+    * Scale shape: ONE scan + groupBy on a 10-value key — map-side
+    * combine collapses each partition to ≤ 10 rows before the shuffle.
+    * The per-bucket double mass rounds per float policy class 2. */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(floor(col("value") / lit(50.0)).cast("long").as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 9).as("mass"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  round(sum(value), 9) AS mass,
+      |  min(value) AS lo,
+      |  max(value) AS hi
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
+    "q_histogram" -> (qHistogram _),
     "q_skew_diagnostics" -> (qSkewDiagnostics _),
     "q_topk_grouped" -> (qTopkGrouped _),
     "q_revenue_filter_agg" -> (qRevenueFilterAgg _),
@@ -689,6 +758,8 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
+    "q_histogram" -> qHistogramSql,
     "q_skew_diagnostics" -> qSkewDiagnosticsSql,
     "q_topk_grouped" -> qTopkGroupedSql,
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,

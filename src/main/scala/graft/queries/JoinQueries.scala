@@ -186,7 +186,55 @@ object JoinQueries {
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- §2.4 J+
+  /** Full-outer join of two derived per-user aggregates: big-ticket
+    * (value > 150) click spend vs big-ticket purchase spend. Users on
+    * one side only survive with a NULL other side — the reconciliation
+    * pattern behind coverage audits ("which users appear in stream A
+    * but not B?"). The 150 threshold is what makes the harness data
+    * actually exercise all three row classes (matched, left-only,
+    * right-only) at sf0.001 and sf0.01 — unfiltered, every user has
+    * every event type and a full outer degenerates to an inner.
+    * Completes the join-type surface (inner / left / semi / anti /
+    * as-of / bucketed already covered).
+    *
+    * Scale shape: both sides are partial-aggregated per-user frames
+    * (map-side combine on the 100 TB event log), then one shuffle on
+    * user_id for the full-outer merge — full outer cannot broadcast
+    * (both sides must keep unmatched rows), so the co-partitioned SMJ
+    * is the right 100 TB plan. Double sums round to 9 decimals on both
+    * engines (COVERAGE.md float policy class 2). */
+  def qJoinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
+    def side(tpe: String, alias: String) =
+      ev.filter(col("event_type") === tpe && col("value") > 150.0)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 9).as(alias), count(lit(1)).as(s"n_$alias"))
+    val clicks = side("click", "click_value")
+    val purchases = side("purchase", "purchase_value")
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .orderBy(col("user_id"))
+  }
+
+  val qJoinFullOuterSql: String =
+    """WITH c AS (
+      |  SELECT user_id, round(sum(value), 9) AS click_value,
+      |    count(*) AS n_click_value
+      |  FROM events WHERE event_type = 'click' AND value > 150.0
+      |  GROUP BY user_id
+      |), p AS (
+      |  SELECT user_id, round(sum(value), 9) AS purchase_value,
+      |    count(*) AS n_purchase_value
+      |  FROM events WHERE event_type = 'purchase' AND value > 150.0
+      |  GROUP BY user_id
+      |)
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  c.click_value, c.n_click_value, p.purchase_value, p.n_purchase_value
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_full_outer" -> (qJoinFullOuter _),
     "q_join_bucketed" -> (qBucketedJoin _),
     "q_join_median_fill" -> (qJoinMedianFill _),
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
@@ -194,6 +242,7 @@ object JoinQueries {
     "q_join_anti" -> (qJoinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_full_outer" -> qJoinFullOuterSql,
     "q_join_bucketed" -> qBucketedJoinSql,
     "q_join_median_fill" -> qJoinMedianFillSql,
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQueries, ExtraQueries, JoinQueries}
+
+/** Specs for the round-9 relational/retrieval additions: full-outer
+  * join, unpivot, histogram, BM25, MAD outliers, triangle census.
+  * BM25 / MAD / triangles are cross-checked against independent
+  * in-memory recomputations from the collected sf0.001 tables (500
+  * docs, 20 sources — small enough to brute-force exactly).
+  */
+class RelationalExtSpec extends SparkSpec {
+
+  test("full outer: matched, left-only and right-only row classes all present") {
+    val df = JoinQueries.qJoinFullOuter(spark, sf001).cache()
+    assert(df.filter(col("click_value").isNotNull && col("purchase_value").isNotNull).count() > 0)
+    assert(df.filter(col("click_value").isNull && col("purchase_value").isNotNull).count() > 0)
+    assert(df.filter(col("click_value").isNotNull && col("purchase_value").isNull).count() > 0)
+    // never a row with neither side, and user_id is unique
+    assert(df.filter(col("click_value").isNull && col("purchase_value").isNull).count() == 0)
+    assert(df.count() == df.select(col("user_id")).distinct().count())
+    df.unpersist()
+  }
+
+  test("full outer plan: no broadcast — both sides must keep unmatched rows") {
+    val plan = JoinQueries.qJoinFullOuter(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"))
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+
+  test("unpivot inverts pivot: equals the direct long-form aggregate") {
+    val got = ExtraQueries.qUnpivot(spark, sf001)
+    val direct = Tables.events(spark, sf001)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(round(sum(col("value")), 9).as("total"))
+      .select(col("user_id"), col("event_type"), col("total"))
+    assert(got.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(got).count() == 0)
+  }
+
+  test("histogram: counts conserve the scan, values sit inside their bucket") {
+    val df = ExtraQueries.qHistogram(spark, sf001).cache()
+    val total = Tables.events(spark, sf001).count()
+    assert(df.agg(sum(col("n"))).head.getLong(0) == total)
+    val bad = df.filter(
+      col("lo") < col("bucket") * 50.0 || col("hi") >= (col("bucket") + 1) * 50.0)
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("bm25: exact match against an in-memory reference scorer") {
+    val qTerms = Set("spark", "query", "join")
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val dl = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val n = docs.length.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docs.flatMap { case (id, t) =>
+      t.filter(qTerms).groupBy(identity).map { case (term, occ) => (id, term, occ.length.toLong) }
+    }
+    val dfT = tf.groupBy(_._2).map { case (term, rows) => term -> rows.length.toLong }
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scores = tf.groupBy(_._1).map { case (id, rows) =>
+      val s = rows.map { case (_, term, f) =>
+        val df = dfT(term)
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sum
+      id -> r9(s)
+    }
+    val expect = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = AnalyticsQueries.qBm25(spark, sf001)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expect)
+  }
+
+  test("mad outliers: exact match against an in-memory reference on every source") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2.0
+    }
+    val rows = Tables.documents(spark, sf001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val xs = rs.map(_._2).toSeq
+      val med = median(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = median(devs)
+      val out = devs.count(_ > 3.0 * 1.4826 * mad).toLong
+      src -> (xs.length.toLong, med, mad, out)
+    }
+    val got = AnalyticsQueries.qMadOutliers(spark, sf001).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nd, med, mad, out) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getDouble(2) == med
+        && r.getDouble(3) == mad && r.getLong(4) == out,
+        s"source ${r.getString(0)}")
+    }
+  }
+
+  test("triangles: exact match against an in-memory census of the planted graph") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val srcs = docs.map(_._2).distinct.sorted
+    val idx = srcs.zipWithIndex.toMap
+    val n = srcs.length.toLong
+    val edges = docs.map { case (id, src) =>
+      val a = idx(src).toLong
+      val b = (a + 1L + id % math.max(1L, n - 1L)) % n
+      val (x, y) = (srcs(a.toInt), srcs(b.toInt))
+      if (x < y) (x, y) else (y, x)
+    }.filter { case (x, y) => x != y }.toSet
+    val verts = edges.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    // inner generator must be a Seq: a Set-typed inner collection would
+    // collapse the yielded wedges per outer edge and undercount
+    val tri = (for {
+      (a, b) <- edges.toSeq
+      (b2, c) <- edges.toSeq if b2 == b
+      if edges.contains((a, c))
+    } yield 1).size.toLong
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map(_._2.length.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val row = AnalyticsQueries.qGraphTriangles(spark, sf001).collect().head
+    assert(row.getLong(0) == verts.distinct.length.toLong)
+    assert(row.getLong(1) == edges.size.toLong)
+    assert(row.getLong(2) == tri)
+    assert(row.getDouble(3) == 3.0 * tri / wedges)
+  }
+}
