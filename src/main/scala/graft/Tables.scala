@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-provided TPC-H-ish parquet harness tables
   * (TESTDATA.md). One parquet per table under `sfDir`.
@@ -8,22 +10,102 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Parquet scans are the 100 TB path: explicit column selection in each
   * query lets Catalyst prune the scan (`ReadSchema`), and filters are
   * pushed to the parquet reader (`PushedFilters`).
+  *
+  * == Drift-proofing ==
+  * The harness regenerates `/root/testdata` between rounds and has
+  * changed physical encodings before (r9: `events.ts` went from parquet
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS), silently breaking every
+  * consumer that assumed the nanos-as-long workaround). Every loader now
+  * goes through [[canon]], which (a) asserts the expected column set with
+  * a named error on mismatch, and (b) adapts timestamp columns to a
+  * stable post-load type regardless of the on-disk encoding:
+  *
+  *   - parquet TIMESTAMP(NANOS) loads as a nanos `long` (under
+  *     `spark.sql.legacy.parquet.nanosAsLong`) → integer-divide to
+  *     micros and convert;
+  *   - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false loads as
+  *     TIMESTAMP_NTZ → cast to the declared canonical type (the session
+  *     runs in UTC, so NTZ↔LTZ casts are instant-preserving);
+  *   - already-canonical columns pass through untouched.
+  *
+  * Canonical types are chosen per column to preserve the exact output
+  * types the DuckDB oracle compare has already hash-verified:
+  * `events.ts` is session-local TimestampType (what the pre-r9 nanos
+  * conversion produced; hash-green through r8), while
+  * `lineitem.l_shipdate` / `orders.o_orderdate` stay TIMESTAMP_NTZ
+  * (their natural load type; hash-green in r9 for queries that project
+  * them raw, e.g. SCD2).
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Expected column name → canonical Spark type. `null` means "any
+    * non-temporal type as loaded" (only temporal encodings have drifted
+    * so far; names are the cheap invariant for everything else). */
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> null, "r_name" -> null),
+    "nation" -> Seq("n_nationkey" -> null, "n_name" -> null, "n_regionkey" -> null),
+    "customer" -> Seq("c_custkey" -> null, "c_name" -> null, "c_nationkey" -> null,
+      "c_acctbal" -> null, "c_mktsegment" -> null),
+    "supplier" -> Seq("s_suppkey" -> null, "s_name" -> null, "s_nationkey" -> null,
+      "s_acctbal" -> null),
+    "part" -> Seq("p_partkey" -> null, "p_name" -> null, "p_brand" -> null,
+      "p_type" -> null, "p_size" -> null, "p_retailprice" -> null),
+    "orders" -> Seq("o_orderkey" -> null, "o_custkey" -> null, "o_orderstatus" -> null,
+      "o_totalprice" -> null, "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> null),
+    "lineitem" -> Seq("l_orderkey" -> null, "l_partkey" -> null, "l_suppkey" -> null,
+      "l_linenumber" -> null, "l_quantity" -> null, "l_extendedprice" -> null,
+      "l_discount" -> null, "l_tax" -> null, "l_returnflag" -> null,
+      "l_linestatus" -> null, "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> null, "ts" -> TimestampType, "user_id" -> null,
+      "event_type" -> null, "value" -> null, "props" -> null),
+    "documents" -> Seq("doc_id" -> null, "text" -> null, "lang" -> null,
+      "source" -> null, "n_chars" -> null),
+    "embeddings" -> Seq("vec_id" -> null, "embedding" -> null, "label" -> null)
+  )
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read it as a nanos long (legacy conf) and
-    * convert losslessly to a micros TimestampType (the harness data is
-    * micro-resolution; integer `div` avoids double-precision loss on
-    * ~1.7e18 nano values). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Adapt one column to its canonical temporal type, whatever encoding
+    * the current testdata generation produced. Shared with the
+    * structured-streaming events reader (same drift surface). */
+  def adapt(c: String, loaded: DataType, target: DataType): Column =
+    (loaded, target) match {
+      case (l, t) if l == t => col(c)
+      // TIMESTAMP(NANOS) read as a nanos long via the legacy conf:
+      // integer `div` avoids double-precision loss on ~1.7e18 values.
+      case (LongType, _) => expr(s"timestamp_micros($c div 1000)").cast(target).as(c)
+      // NTZ ↔ LTZ: instant-preserving under the UTC session timezone.
+      case (TimestampNTZType, TimestampType) => col(c).cast(TimestampType).as(c)
+      case (TimestampType, TimestampNTZType) => col(c).cast(TimestampNTZType).as(c)
+      case (l, t) =>
+        throw new IllegalStateException(
+          s"Tables: testdata drift — column `$c` loaded as $l, cannot adapt to canonical $t")
+    }
+
+  /** Assert no unknown columns and canonicalize declared temporal
+    * columns. A renamed/added column in a regenerated harness fails here
+    * with a named error instead of an opaque analysis exception deep
+    * inside a query. Missing columns are tolerated: unit-test fixtures
+    * synthesize subset-schema tables (e.g. doc_id+text documents); a
+    * *harness* regeneration that drops a column is pinned by
+    * SourcesSpec's canonical-schema case on the real testdata dirs. */
+  private def canon(name: String, df: DataFrame): DataFrame = {
+    val spec = expected(name)
+    val want = spec.map(_._1).toSet
+    val extra = df.columns.toSet -- want
+    require(extra.isEmpty,
+      s"Tables: testdata drift in `$name` — unexpected columns " +
+        s"${extra.toSeq.sorted.mkString(",")} (canonical: ${spec.map(_._1).mkString(",")})")
+    val have = df.columns.toSet
+    spec.collect { case (c, t) if t != null && have(c) && df.schema(c).dataType != t => c -> t }
+      .foldLeft(df) { case (d, (c, t)) => d.withColumn(c, adapt(c, d.schema(c).dataType, t)) }
   }
 
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // No-op for micros files; lets a TIMESTAMP(NANOS) regeneration load
+    // as a long (which `canon` then converts) instead of erroring.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    canon(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

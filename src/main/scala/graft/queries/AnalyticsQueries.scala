@@ -844,14 +844,32 @@ object AnalyticsQueries {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint() // referenced 3× below; cut the corpus-scan lineage
-    val wedges = edges.alias("e1")
-      .join(edges.alias("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val triangles = wedges.join(edges,
-      wedges("x") === edges("a") && wedges("z") === edges("b"), "left_semi")
     val degrees = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // Degree orientation (the Suri–Vassilvitskii guarantee the r9
+    // lexicographic canonicalization lacked): re-orient every edge from
+    // its lower-(degree, name) endpoint to its higher one. Out-degree is
+    // then ≤ √(2|E|) on ANY graph — a hub's Σdeg² wedge explosion
+    // becomes Σ indeg·outdeg ≤ |E|·√(2|E|), so no "last reducer" even on
+    // crawl graphs where one domain touches everything. The vertex-side
+    // degree table is |domains|-sized; AQE broadcasts it.
+    val lower = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val oriented = edges
+      .join(degrees.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(degrees.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint() // referenced 3× (e1, e2, closure probe)
+    // Wedge (x→y→z) with x ≺ y ≺ z in (degree, name) order; the triangle
+    // closes iff the oriented edge x→z exists — each triangle counted
+    // exactly once from its lowest-precedence vertex.
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"), col("e1.w") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+    val triangles = wedges.join(oriented,
+      wedges("x") === oriented("u") && wedges("z") === oriented("w"), "left_semi")
     val wedgeTotal = degrees
       .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
         count(lit(1)).as("n_nodes"))

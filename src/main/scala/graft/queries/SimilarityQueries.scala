@@ -13,6 +13,19 @@ object SimilarityQueries {
   val NumQueries = 10
   val TopK = 5
 
+  /** Candidate budget for the PQ / IVF-PQ exact re-rank shortlist:
+    * `max(50, 2·k·√N)`. Sublinear by construction — at 100× the corpus
+    * the shortlist grows 10×, not 100×, so the re-rank never degenerates
+    * into a linear scan wearing an ANN costume (the r9 `N/10` rule did
+    * exactly that). At the harness scales (N ≤ 2000, uniform-random
+    * embeddings — quantization's worst case) the budget is actually
+    * *wider* than N/10 (447 vs 200 at sf0.1), so SimilaritySpec's recall
+    * floors arbitrate both directions. Real embedding corpora
+    * concentrate on low-dim manifolds where the same √N budget buys far
+    * higher recall. */
+  def pqShortlist(n: Long, k: Int = TopK): Int =
+    math.max(50, (2.0 * k * math.sqrt(n.toDouble)).ceil.toInt)
+
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
 
@@ -135,19 +148,17 @@ object SimilarityQueries {
 
   /** PQ ADC top-5 with exact re-rank — rows-only (k-means is not
     * SQL-expressible); recall vs brute force asserted in
-    * SimilaritySpec. The shortlist is N/10 (min 50): the harness
-    * embeddings are uniform random — quantization's worst case, no
-    * cluster structure for the codebooks to exploit — so the demo
-    * keeps a generous shortlist; real embedding corpora concentrate
-    * on low-dim manifolds where PQ shortlists are far tighter for the
-    * same recall. Scored rows agree with the brute-force oracle rows
-    * wherever the shortlist holds the true neighbor (exact re-rank). */
+    * SimilaritySpec. The shortlist is the sublinear [[pqShortlist]]
+    * budget (2·k·√N): the ADC scan ranks all codes cheaply (4 bytes per
+    * vector), the exact re-rank touches only the budget. Scored rows
+    * agree with the brute-force oracle rows wherever the shortlist
+    * holds the true neighbor (exact re-rank). */
   def qSimPqTopK(s: SparkSession, d: String): DataFrame = {
     val (cb, path) = pqIndexFor(s, d)
     val codes = s.read.parquet(path)
     val n = codes.count()
     Similarity.pqTopK(codes, cb, corpus(s, d), queriesDf(s, d), TopK,
-      shortlist = math.max(50, (n / 10).toInt), roundScoreTo = Some(9))
+      shortlist = pqShortlist(n), roundScoreTo = Some(9))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -155,9 +166,9 @@ object SimilarityQueries {
     * index supplies cell pruning, the prebuilt PQ codes supply the
     * 4-byte ADC scan, and the exact re-rank touches only the
     * shortlist. Probes half the cells (the uniform-random-corpus
-    * default the IVF query documents) with the PQ query's N/10
-    * shortlist drawn from the probed half. Rows-only; recall floor in
-    * SimilaritySpec. */
+    * default the IVF query documents) with the PQ query's sublinear
+    * [[pqShortlist]] budget drawn from the probed half. Rows-only;
+    * recall floor in SimilaritySpec. */
   def qSimIvfPqTopK(s: SparkSession, d: String): DataFrame = {
     val (ivfPath, localCentroids) = ivfIndexFor(s, d)
     val (cb, pqPath) = pqIndexFor(s, d)
@@ -168,7 +179,7 @@ object SimilarityQueries {
     val n = cellCodes.count()
     Similarity.ivfPqTopK(cellCodes, centroids, cb, corpus(s, d), queriesDf(s, d),
       TopK, nProbe = math.max(2, localCentroids.size / 2),
-      shortlist = math.max(50, (n / 10).toInt), roundScoreTo = Some(9))
+      shortlist = pqShortlist(n), roundScoreTo = Some(9))
       .orderBy(col("query_id"), col("rank"))
   }
 

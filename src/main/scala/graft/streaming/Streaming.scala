@@ -19,19 +19,19 @@ object Streaming {
   final case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, sum_value: Double)
 
-  /** Streaming read of events parquet (nanos ts → micros, like
-    * Tables.events). `dir` must be a directory of parquet files. */
+  /** Streaming read of events parquet, drift-proof like `Tables.events`:
+    * readStream needs a declared schema, so probe the dir's footer with a
+    * one-off batch read (metadata only — no data scan) and adapt `ts`
+    * from whatever temporal encoding this testdata generation used
+    * (nanos-as-long, micros NTZ, micros LTZ) to session-local
+    * TimestampType. `dir` must be a directory of parquet files. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    raw.withColumn("ts",
+      graft.Tables.adapt("ts", schema("ts").dataType,
+        org.apache.spark.sql.types.TimestampType))
   }
 
   /** Tumbling event-time aggregation with watermark — works on a batch

@@ -67,9 +67,9 @@ class SimilaritySpec extends SparkSpec {
     val approx = approxRows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // uniform-random embeddings are quantization's worst case (no
-    // manifold for the codebooks to learn) — the N/10 shortlist +
-    // exact re-rank still holds a 0.6 floor; measured value recorded
-    // in the assert message for the curve's history
+    // manifold for the codebooks to learn) — the sublinear 2·k·√N
+    // shortlist + exact re-rank still holds a 0.6 floor; measured
+    // value recorded in the assert message for the curve's history
     assert(recall >= 0.6, s"PQ recall $recall")
     // wherever PQ returns a true neighbor, the EXACT re-rank must
     // reproduce the brute-force cosine bit-for-bit (both rounded 9)
@@ -87,9 +87,24 @@ class SimilaritySpec extends SparkSpec {
     val approx = SimilarityQueries.qSimIvfPqTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // measured 0.88 at sf0.1 (half the cells probed, N/10 shortlist,
-    // uniform-random worst case); floor leaves regeneration margin
+    // measured 0.88 at sf0.1 (half the cells probed, 2·k·√N
+    // shortlist, uniform-random worst case); floor leaves margin
     assert(recall >= 0.6, s"IVF-PQ recall $recall")
+  }
+
+  test("PQ re-rank shortlist budget is sublinear in corpus size") {
+    // the r9 N/10 rule re-ranked 10% of the corpus — a linear scan in
+    // ANN costume. The 2·k·√N budget must grow ~10× (not 100×) per
+    // 100× corpus growth, and stay far below any linear fraction.
+    val k = SimilarityQueries.TopK
+    val n0 = 2000L
+    val s0 = SimilarityQueries.pqShortlist(n0, k)
+    val s2 = SimilarityQueries.pqShortlist(n0 * 100, k)
+    val s4 = SimilarityQueries.pqShortlist(n0 * 10000, k)
+    assert(s2 <= 11 * s0, s"budget grew ${s2.toDouble / s0}x over 100x corpus")
+    assert(s4 <= 11 * s2, s"budget grew ${s4.toDouble / s2}x over 100x corpus")
+    // at 20M vectors the re-rank touches <0.3% of the corpus
+    assert(s4.toDouble / (n0 * 10000) < 0.003)
   }
 
   test("embedding near-dup: scaled copies found as exact cosine-1 pairs") {
