@@ -105,12 +105,6 @@ object Bench {
         if (i % 10 == 9) calibrate()
         val (best, spread) = exec(n); (n, best, spread)
     }
-    // Contended-window defense: when the spread median says the window
-    // was noisy, the slowest queries are exactly where phantom
-    // regressions land (r8's driver window read 1.6× on queries whose
-    // code hadn't changed; the idle re-run was 12% FASTER than r7) —
-    // grant them one extra best-of run each, and self-label the JSON so
-    // a reader doesn't have to re-litigate the window.
     // hint = median/min of the calibration samples (the first two
     // probe-warming samples included — they are post-JVM-warm-up and
     // identically planned). Idle boxes read ~1.0–1.3 (pure scheduler
@@ -119,26 +113,37 @@ object Bench {
     // direction. Falls back to the legacy per-query spread median when
     // the probe produced < 3 samples.
     val spreadHint = contentionHint(results.map(_._3))
-    val hint =
-      if (calib.length >= 3) {
-        val sorted = calib.toSeq.sorted
+    def calibHint(samples: Seq[Double], fallback: Double): Double =
+      if (samples.length >= 3) {
+        val sorted = samples.sorted
         sorted(sorted.length / 2) / sorted.head
-      } else spreadHint
-    val contended = hint > 1.45
-    val finalResults =
-      if (!contended) results
+      } else fallback
+    val hint = calibHint(calib.toSeq, spreadHint)
+    // Contended-window defense: when the calibration probe says pass 1
+    // ran in a noisy window, retry the ENTIRE pass once (single run per
+    // query — pass 1 already paid best-of-2) with its own calibration
+    // samples, and keep the per-query minimum. A phantom regression
+    // then needs BOTH windows contended to survive, and the JSON is
+    // labeled contended only in that both-noisy case (r8/r9 driver
+    // windows read 1.5–1.6× on unchanged code; the idle re-runs were
+    // faster than the prior round).
+    val (finalResults, finalHint) =
+      if (hint <= 1.45) (results, hint)
       else {
-        val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
         System.err.println(
-          f"[bench] contention_hint=$hint%.2f > 1.45 — re-running slowest: ${slowest.mkString(", ")}")
-        results.map { case r @ (n, best, spread) =>
-          if (!slowest(n)) r
-          else {
-            val again = execOnce(n)
-            (n, if (again >= 0 && again < best) again else best, spread)
-          }
+          f"[bench] contention_hint=$hint%.2f > 1.45 — retrying the whole pass once")
+        calib.clear()
+        calibrate(); calibrate()
+        val retried = results.zipWithIndex.map { case ((n, best, spread), i) =>
+          if (i % 10 == 9) calibrate()
+          val again = execOnce(n)
+          (n, if (again >= 0 && (best < 0 || again < best)) again else best, spread)
         }
+        val hint2 = calibHint(calib.toSeq, spreadHint)
+        System.err.println(f"[bench] retry pass contention_hint=$hint2%.2f")
+        (retried, math.min(hint, hint2))
       }
+    val contended = finalHint > 1.45
     val qs = finalResults.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).filter(_ >= 0).sum
@@ -154,7 +159,7 @@ object Bench {
     // can't hide behind warm-cache query times.
     val builds = BuildTimes.snapshot.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$hint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$finalHint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)

@@ -32,7 +32,7 @@ object ExplainDump {
     "q_dedup_editdist", "q_sim_pq_topk", "q_sim_ivfpq_topk",
     "q_dedup_keeper_quality",
     "q_scd2_merge", "q_sketch_quantiles", "q_chunk_documents",
-    "q_schema_evolution", "q_token_budget")
+    "q_schema_evolution", "q_token_budget", "q_ntile_approx_bounds")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the
@@ -58,6 +58,28 @@ object ExplainDump {
     Seq(
       "q_domain_pagerank stage 1: edge derivation + weight aggregation" -> edges,
       "q_domain_pagerank stage 2: one power-iteration round" -> round)
+  }
+
+  /** Triangle census stages (`q_graph_triangles`): the end-to-end dump
+    * hides the oriented wedge join behind the two `localCheckpoint`
+    * shells, so each stage prints over its predecessor's checkpoint —
+    * the plan the pipeline really executes. The orientation stage is the
+    * 100×-scale audit point: edges re-oriented low-(degree, name) →
+    * high before the self-join, so wedge volume is Σ indeg·outdeg ≤
+    * |E|·√(2|E|) (out-degree ≤ √(2|E|) under degree orientation) rather
+    * than the Σ deg² a lexicographic canonicalization leaves exposed to
+    * hub domains. */
+  def triangleStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    import graft.queries.AnalyticsQueries
+    val edges = AnalyticsQueries.triangleEdges(spark, sf)
+    val edgesCp = edges.localCheckpoint(true)
+    val degrees = AnalyticsQueries.triangleDegrees(edgesCp)
+    val oriented = AnalyticsQueries.orientByDegree(edgesCp, degrees)
+    val closed = AnalyticsQueries.closedWedges(oriented.localCheckpoint(true))
+    Seq(
+      "q_graph_triangles stage 1: undirected canonical edge derivation" -> edges,
+      "q_graph_triangles stage 2: degree orientation (low-(deg,name) → high)" -> oriented,
+      "q_graph_triangles stage 3: oriented wedge self-join + closure semi-join" -> closed)
   }
 
   /** Stage-wise frames for the pipelines whose per-stage
@@ -151,7 +173,7 @@ object ExplainDump {
     // checkpointed pipelines: end-to-end plans above print a Scan
     // ExistingRDD shell, so their stages are dumped individually
     (curationStages(spark, sf) ++ incrementalStages(spark, sf) ++
-      pagerankStages(spark, sf))
+      pagerankStages(spark, sf) ++ triangleStages(spark, sf))
       .foreach { case (name, df) => dump(name, df) }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -824,16 +824,18 @@ object AnalyticsQueries {
     * graph, so no "last reducer" hot key; wedge volume — not |V|² — is
     * the working set. Clustering = 3·T / Σ deg·(deg−1)/2, a single
     * exact integer division (float policy class 1). */
-  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+  /** Undirected canonical edge set of the planted domain graph (each
+    * edge kept once as a < b) — same rotation edges as
+    * [[qDomainPagerank]], de-weighted. Un-checkpointed so ExplainDump
+    * can print the corpus-proportional derivation. */
+  private[graft] def triangleEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val srcIdx = docs.select(col("source")).distinct()
       .withColumn("idx",
         row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
     val n = srcIdx.count()
     val host = (src: Column) => concat(src, lit(".example.com"))
-    // Same rotation edges as qDomainPagerank, de-weighted + undirected:
-    // each edge kept once as (a < b).
-    val edges = docs.join(broadcast(srcIdx), "source")
+    docs.join(broadcast(srcIdx), "source")
       .select(host(col("source")).as("src"),
         ((col("idx") + 1L + col("doc_id") % lit(math.max(1L, n - 1L)))
           % lit(n)).as("di"))
@@ -843,33 +845,49 @@ object AnalyticsQueries {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // referenced 3× below; cut the corpus-scan lineage
-    val degrees = edges.select(col("a").as("v"))
+  }
+
+  /** Per-vertex undirected degree of a canonical (a < b) edge frame. */
+  private[graft] def triangleDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // Degree orientation (the Suri–Vassilvitskii guarantee the r9
-    // lexicographic canonicalization lacked): re-orient every edge from
-    // its lower-(degree, name) endpoint to its higher one. Out-degree is
-    // then ≤ √(2|E|) on ANY graph — a hub's Σdeg² wedge explosion
-    // becomes Σ indeg·outdeg ≤ |E|·√(2|E|), so no "last reducer" even on
-    // crawl graphs where one domain touches everything. The vertex-side
-    // degree table is |domains|-sized; AQE broadcasts it.
+
+  /** Degree orientation (the Suri–Vassilvitskii guarantee the r9
+    * lexicographic canonicalization lacked): re-orient every edge from
+    * its lower-(degree, name) endpoint to its higher one. Out-degree is
+    * then ≤ √(2|E|) on ANY graph — a hub's Σdeg² wedge explosion
+    * becomes Σ indeg·outdeg ≤ |E|·√(2|E|), so no "last reducer" even on
+    * crawl graphs where one domain touches everything. The vertex-side
+    * degree table is |domains|-sized; AQE broadcasts it. */
+  private[graft] def orientByDegree(edges: DataFrame, degrees: DataFrame): DataFrame = {
     val lower = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
-    val oriented = edges
+    edges
       .join(degrees.select(col("v").as("a"), col("deg").as("dega")), "a")
       .join(degrees.select(col("v").as("b"), col("deg").as("degb")), "b")
       .select(when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("w"))
-      .localCheckpoint() // referenced 3× (e1, e2, closure probe)
-    // Wedge (x→y→z) with x ≺ y ≺ z in (degree, name) order; the triangle
-    // closes iff the oriented edge x→z exists — each triangle counted
-    // exactly once from its lowest-precedence vertex.
+  }
+
+  /** Wedge (x→y→z) with x ≺ y ≺ z in (degree, name) order; the triangle
+    * closes iff the oriented edge x→z exists — each triangle counted
+    * exactly once from its lowest-precedence vertex. */
+  private[graft] def closedWedges(oriented: DataFrame): DataFrame = {
     val wedges = oriented.alias("e1")
       .join(oriented.alias("e2"), col("e1.w") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
-    val triangles = wedges.join(oriented,
+    wedges.join(oriented,
       wedges("x") === oriented("u") && wedges("z") === oriented("w"), "left_semi")
+  }
+
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = triangleEdges(s, d)
+      .localCheckpoint() // referenced 3× below; cut the corpus-scan lineage
+    val degrees = triangleDegrees(edges)
+    val oriented = orientByDegree(edges, degrees)
+      .localCheckpoint() // referenced 3× (e1, e2, closure probe)
+    val triangles = closedWedges(oriented)
     val wedgeTotal = degrees
       .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
         count(lit(1)).as("n_nodes"))

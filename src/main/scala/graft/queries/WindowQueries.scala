@@ -186,6 +186,40 @@ object WindowQueries {
       .orderBy(col("decile"))
   }
 
+  /** Oracle row for the approx-quantile tier: [[qNtileApprox]] itself is
+    * rows-only (the GK sketch's cut-points are engine-specific), but the
+    * sketch's *rank-error contract* is exactly checkable — for the i-th
+    * approximate decile cut, the true rank fraction
+    * |{price ≤ cut_i}| / N must sit within ε of i/10. accuracy=10000
+    * guarantees rank error ≤ N/10000; the check allows 10× that
+    * (0.001). The result is deterministic when the contract holds — 9
+    * rows of (i, true) — so the DuckDB twin generates that literal
+    * frame and the driver's hash compare becomes the property's gate.
+    *
+    * One scan: the 9 true ranks are 9 conditional sums in a single
+    * partial-aggregable pass against the broadcast cut-point row, then
+    * posexplode of the 1-row result — no window, no sort, 100 TB-safe. */
+  def qNtileApproxBounds(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(col("o_totalprice"))
+    val cuts = orders.agg(
+      expr("approx_percentile(o_totalprice, " +
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("cuts"))
+    val ranks = orders.crossJoin(broadcast(cuts)).agg(
+      count(lit(1)).as("n"),
+      (1 to 9).map(i => sum(when(col("o_totalprice") <=
+        element_at(col("cuts"), i), 1L).otherwise(0L)).as(s"r$i")): _*)
+    ranks
+      .select(col("n"), posexplode(array((1 to 9).map(i => col(s"r$i")): _*)))
+      .select((col("pos") + 1).as("i"),
+        (abs(col("col") / col("n") - (col("pos") + 1) / lit(10.0)) <= 0.001)
+          .as("within_bounds"))
+      .orderBy(col("i"))
+  }
+
+  val qNtileApproxBoundsSql: String =
+    """SELECT CAST(r.range AS INT) AS i, true AS within_bounds
+      |FROM range(1, 10) r ORDER BY i""".stripMargin
+
   /** Relative-rank functions — percent_rank and cume_dist per supplier
     * over order totals (the remaining members of the ranking family;
     * used for percentile-based labeling without a global sort). The
@@ -221,7 +255,8 @@ object WindowQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_window_range" -> (qWindowRange _),
     "q_ntile" -> (qNtile _),
-    "q_ntile_approx" -> (qNtileApprox _))
+    "q_ntile_approx" -> (qNtileApprox _),
+    "q_ntile_approx_bounds" -> (qNtileApproxBounds _))
 
   val oracles: Map[String, String] = Map(
     "q_window_dist" -> qWindowDistSql,
@@ -229,5 +264,6 @@ object WindowQueries {
     "q_window_rows_avg" -> qWindowRowsAvgSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_range" -> qWindowRangeSql,
-    "q_ntile" -> qNtileSql)
+    "q_ntile" -> qNtileSql,
+    "q_ntile_approx_bounds" -> qNtileApproxBoundsSql)
 }

@@ -1,20 +1,32 @@
 package graft.bench
+
 import org.apache.spark.sql.SparkSession
-/** Dev timing harness: `scripts/run.sh graft.bench.TimeQ <query>...`
-  * runs each named query 3x against sf0.1 with the noop sink. */
+
+/** Dev timing for individual registered queries (bench conditions:
+  * noop sink, clearCache between runs, two runs to show warm-up).
+  *
+  *   SPARK_GRAFT_SF_DIR=... scripts/run.sh graft.bench.TimeQ <query>...
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args; i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-        .write.format("noop").mode("overwrite").save()
-      println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // match Bench's contract: no persisted frames survive between runs
-      spark.catalog.clearCache()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[timeq] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
