@@ -34,6 +34,13 @@ object Soak {
   // exercises the banded-Hamming tier (variant-suffixed tokens give
   // disjoint shingle vocabularies, so signatures only collide
   // meaningfully within a variant).
+  // NOTE: q_graph_triangles is deliberately NOT soaked — its planted
+  // rotation edges couple every source through the global source index,
+  // so scaling the corpus densifies the graph toward complete (the
+  // ground-truth wedge volume is itself superlinear; a 1.4 measured
+  // exponent says nothing about the operator). The orientation claim is
+  // measured by graft.bench.WedgeProfile instead (hub-graph wedge
+  // volume, lexicographic vs degree-oriented).
   val DefaultQueries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_editdist", "q_dedup_simhash", "q_span_dedup")
 

@@ -75,4 +75,63 @@ object DomainMix {
       .filter(col("_rk") <= col("_take"))
       .drop("_rk", "_take")
   }
+
+  /** Exact integer square root, `floor(√n)`: the double `sqrt` is
+    * correctly rounded (IEEE 754) but `floor` of it can still land one
+    * off when √n sits within an ulp of an integer, so both neighbours
+    * are checked with pure 64-bit integer arithmetic. Every engine that
+    * follows IEEE sqrt + 64-bit ints computes the identical value —
+    * which is what lets a temperature-weighted selection hash-check
+    * against a SQL twin (a float weight normalization would die on
+    * summation order). */
+  def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = when((s0 + 1) * (s0 + 1) <= n, s0 + 1).otherwise(s0)
+    when(s1 * s1 > n, s1 - 1).otherwise(s1)
+  }
+
+  /** SQL twin of [[isqrt]] over an expression string. */
+  def isqrtSql(e: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($e) AS DOUBLE))) AS BIGINT)"
+    s"""(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($e) THEN $s0 + 1
+       |      WHEN $s0 * $s0 > ($e) THEN $s0 - 1 ELSE $s0 END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Temperature-scaled resampling (α = 1/2) — the tail-upweighting mix
+    * rule of multilingual/pretraining pipelines (sampling probability ∝
+    * count^α, T5 §3.4.3 / XLM §3.1): source s receives
+    * `budget · isqrt(n_s) div Σ isqrt(n_t)` rows (never more than n_s),
+    * chosen per source in portable-hash order. α = 1/2 is computed as an
+    * EXACT integer square root, and the normalization is an integer sum
+    * of ≤ #sources terms — no float accumulates anywhere, so the whole
+    * selection replays verbatim in the SQL oracle.
+    *
+    * Scale shape: identical to [[resample]] — a per-source count
+    * aggregate, a broadcast quota join, one per-source window.
+    *
+    * `budget` is an aggregate Column evaluated over the per-source
+    * count frame (per-source row counts visible as `_n_s`) — use
+    * [[corpusFraction]] for the usual "1/k of the corpus" budget. */
+  def resampleTemperature(df: DataFrame, sourceCol: String, keyCol: String,
+      budget: Column): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n_s"))
+      .withColumn("_w", isqrt(col("_n_s")))
+      .localCheckpoint(true) // read by both the total and the quotas
+    require(counts.columns.contains("_n_s"), "internal frame contract")
+    val total = counts.agg(sum(col("_w")).as("_tw"), budget.as("_budget"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("_take", least(col("_n_s"),
+        expr("(_budget * _w) div _tw")))
+      .select(col(sourceCol), col("_take"))
+    val ranked = df.withColumn("_rk",
+      row_number().over(Window.partitionBy(col(sourceCol))
+        .orderBy(portableBucket(col(keyCol)), col(keyCol))))
+    ranked.join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk", "_take")
+  }
+
+  /** Budget of `corpus rows div den`, as an aggregate over the
+    * per-source count frame of [[resampleTemperature]]. */
+  def corpusFraction(den: Long): Column = expr(s"sum(_n_s) div $den")
 }

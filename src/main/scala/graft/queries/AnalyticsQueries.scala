@@ -932,7 +932,57 @@ object AnalyticsQueries {
       |  3.0 * tri.n_triangles / wt.n_wedges AS clustering
       |FROM tri CROSS JOIN wt""".stripMargin
 
+  // ------------------------------------ Rolling-origin evaluation folds
+  /** Expanding-window time-series cross-validation folds over events
+    * (rolling-origin evaluation, Bergmeir & Benítez Inf.Sci.'12 — the
+    * split discipline for any model trained on time-ordered data, where
+    * a random split leaks the future into the train set). The time span
+    * is cut at quarter points with pure integer arithmetic on epoch
+    * micros; fold f ∈ {1,2,3} trains on [t_min, cut_f) and tests on
+    * [cut_f, cut_{f+1}) — train windows expand, test windows roll.
+    *
+    * Scale shape: ONE corpus scan — each row fans out to the folds
+    * whose horizon covers it via an array-filter explode (≤ 3×, then
+    * immediately partial-aggregated), with the 1-row bounds frame
+    * broadcast. No per-fold rescan, no window. */
+  def qTimeFolds(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("tmin"),
+      (max(col("us")) + 1L).as("tend"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("fold", explode(expr(
+        "filter(array(1, 2, 3), f -> us < tmin + (CAST(f AS BIGINT) + 1) * (tend - tmin) div 4)")))
+      .withColumn("split", when(
+        col("us") < expr("tmin + CAST(fold AS BIGINT) * (tend - tmin) div 4"),
+        lit("train")).otherwise(lit("test")))
+      .groupBy(col("fold"), col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value")).as("sum_value"))
+      .orderBy(col("fold"), col("split"))
+  }
+
+  val qTimeFoldsSql: String =
+    """WITH b AS (
+      |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) + 1 AS tend
+      |  FROM events
+      |), e AS (SELECT epoch_us(ts) AS us, user_id, value FROM events),
+      |x AS (
+      |  SELECT f.f AS fold,
+      |    CASE WHEN e.us < b.tmin + f.f * (b.tend - b.tmin) // 4
+      |         THEN 'train' ELSE 'test' END AS split,
+      |    e.user_id, e.value
+      |  FROM e CROSS JOIN b CROSS JOIN (VALUES (1), (2), (3)) f(f)
+      |  WHERE e.us < b.tmin + (f.f + 1) * (b.tend - b.tmin) // 4
+      |)
+      |SELECT fold, split, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users, sum(value) AS sum_value
+      |FROM x GROUP BY fold, split
+      |ORDER BY fold, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_folds" -> (qTimeFolds _),
     "q_bm25" -> (qBm25 _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -950,6 +1000,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_time_folds" -> qTimeFoldsSql,
     "q_bm25" -> qBm25Sql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_graph_triangles" -> qGraphTrianglesSql,

@@ -203,6 +203,37 @@ object CoreQueries {
         "disc_q25", "disc_q50", "disc_q75")
   }
 
+  /** Exact global median WITHOUT sorting or buffering the row stream —
+    * the selection tier between built-in `median` (per-group value
+    * buffering) and the GK sketch (approximate): aggregate the column
+    * into a value histogram (one partial-aggregable shuffle of
+    * ≤ |distinct values| rows), running-sum the tiny histogram, and
+    * read both middle order statistics off it. Exact whenever
+    * |distinct| ≪ |rows| (ints, fixed-point prices, lengths) — at
+    * 100 TB the row stream is never sorted; the only ordered structure
+    * is the histogram, and the single-task window is bounded by
+    * |distinct|, not |rows|. Even-N interpolation matches DuckDB's
+    * `median()` exactly ((x_⌈N/2⌉ + x_⌈(N+1)/2⌉)/2). */
+  def qMedianHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val hist = Tables.documents(s, d).select(col("n_chars"))
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars"))).as("_lo"),
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("n_chars"))).as("_hi"),
+        first(col("n")).as("n"))
+      .select(((col("_lo") + col("_hi")) / 2.0).as("med"), col("n"))
+  }
+
+  val qMedianHistogramSql: String =
+    """SELECT median(n_chars) AS med, count(*) AS n FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- §2.7 O1
   /** Top-k by sort key (TakeOrderedAndProject): top 10 orders by price.
     * At scale this is per-partition top-k + driver merge, never a full
@@ -367,6 +398,7 @@ object CoreQueries {
     "q_null_probe" -> (qNullProbe _),
     "q_stats_summary" -> (qStatsSummary _),
     "q_median" -> (qMedian _),
+    "q_median_histogram" -> (qMedianHistogram _),
     "q_mode" -> (qMode _),
     "q_topk" -> (qTopK _),
     "q_union" -> (qUnion _),
@@ -393,6 +425,7 @@ object CoreQueries {
     "q_null_probe" -> qNullProbeSql,
     "q_stats_summary" -> qStatsSummarySql,
     "q_median" -> qMedianSql,
+    "q_median_histogram" -> qMedianHistogramSql,
     "q_mode" -> qModeSql,
     "q_topk" -> qTopKSql,
     "q_union" -> qUnionSql,

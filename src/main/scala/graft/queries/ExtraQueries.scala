@@ -575,6 +575,46 @@ object ExtraQueries {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** Temperature-scaled domain mixing (graft.ops.DomainMix
+    * .resampleTemperature): sampling weight ∝ √n_s (α = 1/2 — the
+    * tail-upweighting rule of T5 §3.4.3 / XLM multilingual sampling),
+    * budget = a third of the corpus, computed in-query so the op is
+    * scale-free. Exact integer square roots and integer quota
+    * arithmetic mean the ENTIRE selection — weights, quotas, hash
+    * order — replays in the SQL twin and hash-checks. */
+  def qDomainMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    graft.ops.DomainMix.resampleTemperature(
+      docs, "source", "doc_id",
+      budget = graft.ops.DomainMix.corpusFraction(3))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDomainMixTemperatureSql: String = {
+    val w = graft.ops.DomainMix.isqrtSql("n_s")
+    s"""WITH observed AS (
+       |  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+       |), weighted AS (
+       |  SELECT source, n_s, $w AS w FROM observed
+       |), total AS (
+       |  SELECT sum(w) AS tw, (SELECT count(*) FROM documents) // 3 AS budget
+       |  FROM weighted
+       |), quotas AS (
+       |  SELECT source, least(n_s, (SELECT budget FROM total) * w
+       |                             // (SELECT tw FROM total)) AS take_s
+       |  FROM weighted
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.source
+       |FROM ranked r JOIN quotas q USING (source)
+       |WHERE r.rk <= q.take_s
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** Z-order layout key over (l_partkey, l_suppkey)
     * (graft.ops.ZOrder): the Morton code that a two-dimensionally
     * pruned 100 TB layout sorts by. Emitted per row (with the ordering
@@ -755,6 +795,7 @@ object ExtraQueries {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_domain_mix" -> (qDomainMix _),
+    "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
@@ -776,5 +817,6 @@ object ExtraQueries {
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_domain_mix" -> qDomainMixSql,
+    "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql)
 }

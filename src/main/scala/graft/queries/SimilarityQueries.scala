@@ -249,7 +249,40 @@ object SimilarityQueries {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** MMR diverse top-5 for the first query vector (λ = 0.7) — rows-only
+    * (the greedy trajectory is not SQL-expressible); the
+    * diversity-vs-relevance behavior and the hand-computable tiny case
+    * are spec'd in SimilaritySpec. */
+  def qSimMmr(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrTopK(corpus(s, d),
+      corpus(s, d).filter(col("vec_id") === 0), k = TopK, lambda = 0.7)
+      .orderBy(col("rank"))
+
+  /** Incremental IVF index update: scaled copies of the corpus (exact
+    * cosine-duplicates at new ids) assigned to the EXISTING centroids —
+    * no re-clustering, history untouched. Output = per-cell base vs
+    * delta counts; since a scaled copy normalizes to the identical unit
+    * vector, every cell must show n_delta == n_base (spec-pinned), and
+    * the assignment rule is spec-pinned equal to KMeans.transform. */
+  def qSimIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val (ivfPath, localCentroids) = ivfIndexFor(s, d)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val delta = corpus(s, d).select(
+      (col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val assigned = Similarity.ivfAssign(delta, centroids)
+    val base = s.read.parquet(ivfPath).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    base.join(assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_delta")),
+      Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_mmr" -> (qSimMmr _),
+    "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_pq_topk" -> (qSimPqTopK _),

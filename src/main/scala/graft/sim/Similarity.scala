@@ -413,4 +413,85 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * SIGIR'98): greedily select k candidates maximizing
+    * `λ·cos(q, e) − (1−λ)·max_{s∈S} cos(e, s)` — relevance traded
+    * against redundancy with the already-selected set, the selection
+    * rule for diverse retrieval / few-shot example picking where plain
+    * top-k returns k near-copies of the same document.
+    *
+    * Scale shape: MMR is inherently sequential in k, so the driver loop
+    * runs exactly k rounds (k = a result page or few-shot budget — a
+    * small constant, the documented budget). Each round is ONE
+    * partial-aggregable argmax over the candidate frame (max_by struct
+    * ordering, no sort, no window), and the diversity penalty updates
+    * against the single just-selected vector broadcast as a 1-row
+    * frame. Per-round `localCheckpoint` keeps lineage depth O(1)
+    * instead of O(k). Scores are rounded (id tie-break) so the greedy
+    * trajectory is deterministic — float-determinism policy class 2. */
+  def mmrTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      lambda: Double = 0.7, idCol: String = "vec_id",
+      embCol: String = "embedding", roundTo: Int = 9): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = withNormalized(query, embCol)
+      .select(col(idCol).as("query_id"), col("norm").as("q_norm"))
+    // candidates carry (id, norm, rel, pen): pen = max cos to the
+    // selected set so far (0 for the empty set, the standard MMR base)
+    var cand = withNormalized(corpus, embCol)
+      .select(col(idCol).as("id"), col("norm"))
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("rel", round(dot(col("q_norm"), col("norm")), roundTo))
+      .select(col("id"), col("norm"), col("rel"), lit(0.0).as("pen"))
+      .localCheckpoint(true)
+    val picked = Seq.newBuilder[(Int, Long, Double, Double)]
+    for (rank <- 1 to k) {
+      val top = cand
+        .withColumn("mmr", round(lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("pen"), roundTo))
+        // deterministic argmax: higher mmr, then smaller id (struct
+        // comparison is lexicographic; -id makes max prefer small ids)
+        .agg(max(struct(col("mmr"), -col("id"), col("id").as("sid"),
+          col("rel").as("srel"), col("norm").as("snorm"))).as("t"))
+        .select(col("t.sid"), col("t.srel"), col("t.mmr"), col("t.snorm"))
+        .collect()(0) // 1 row per round, k rounds — the documented budget
+      val (selId, selRel, selMmr) = (top.getLong(0), top.getDouble(1), top.getDouble(2))
+      picked += ((rank, selId, selRel, selMmr))
+      if (rank < k) {
+        val sel = Seq(Tuple1(top.getSeq[Double](3))).toDF("sel_norm")
+        cand = cand.filter(col("id") =!= selId)
+          .crossJoin(broadcast(sel))
+          .withColumn("pen", greatest(col("pen"),
+            round(dot(col("norm"), col("sel_norm")), roundTo)))
+          .drop("sel_norm")
+          .localCheckpoint(true)
+      }
+    }
+    picked.result().toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  /** Incremental IVF maintenance: assign a batch of NEW vectors to the
+    * nearest existing centroid — the index-update path that does NOT
+    * re-run k-means or touch the already-indexed corpus (the ANN twin
+    * of the incremental-dedup contract: history is never re-processed).
+    * Assignment ranks cells by the same Euclidean expansion the search
+    * path uses (`|c|² − 2·e·c`; `|e|²` is constant per vector), which
+    * is exactly KMeans.transform's nearest-centroid rule — equivalence
+    * is spec-pinned. Appending the result to the cell-partitioned index
+    * parquet is a partition-local write; probed-cell search then sees
+    * old and new vectors alike. */
+  def ivfAssign(delta: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val d = withNormalized(delta, embCol)
+      .select(col(idCol), col("norm"))
+    d.join(broadcast(centroids), lit(true))
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("norm"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("cell"), col("norm"))
+  }
 }

@@ -67,4 +67,37 @@ class DomainMixSpec extends SparkSpec {
     }
     assert(n > 0)
   }
+
+  test("isqrt: exact at perfect squares and their neighbours, incl. large magnitudes") {
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 999999L, 1000000L, 1000001L,
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31)) ++
+      Seq(4503599627370496L /* 2^52 */, 4503599627370497L)
+    val got = ns.toDF("n").select(col("n"), DomainMix.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val s = got(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
+  test("temperature resample: quotas bounded, within budget, tail over-represented vs proportional") {
+    // head source 900 rows, tail sources 100 and 25 rows
+    val df = ((0L until 900L).map(_ -> "head") ++ (900L until 1000L).map(_ -> "mid")
+      ++ (1000L until 1025L).map(_ -> "tail")).toDF("id", "source")
+    val out = DomainMix.resampleTemperature(df, "source", "id",
+      DomainMix.corpusFraction(4)).collect() // budget = 1025/4 = 256
+    val bySrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // exact integer replay: w = isqrt(n) = 30, 10, 5 (tw = 45);
+    // take_s = min(n_s, 256*w div 45) = 170, 56, 25
+    assert(bySrc("head") == 170 && bySrc("mid") == 56 && bySrc("tail") == 25, bySrc.toString)
+    assert(out.length <= 256)
+    // α = 1/2 upweights the tail relative to proportional sampling:
+    // tail share of output > tail share of corpus
+    assert(bySrc("tail").toDouble / out.length > 25.0 / 1025.0)
+    assert(bySrc("head").toDouble / out.length < 900.0 / 1025.0)
+    // deterministic pure function of the data
+    val again = DomainMix.resampleTemperature(df, "source", "id",
+      DomainMix.corpusFraction(4)).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

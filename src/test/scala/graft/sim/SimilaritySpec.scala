@@ -131,4 +131,72 @@ class SimilaritySpec extends SparkSpec {
     // keepers are canonical: a keeper maps to itself
     out.values.toSet.foreach { k: Long => assert(out(k) == k, s"keeper $k not canonical") }
   }
+
+  test("MMR: hand-computed tiny case — diversity breaks the redundant top-k") {
+    // query = [1, 0]; ids 1/2 are near-copies of each other hugging the
+    // query, 3 is orthogonal, 4 opposite. Rank 1 must be the most
+    // relevant (tie on rounded rel broken by smaller id).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.0447f)),
+      (2L, Array(0.999f, -0.0447f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(vecs.filter(col("vec_id") =!= 0),
+      vecs.filter(col("vec_id") === 0), k = 3, lambda = 0.5).collect()
+    val order = out.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(order.head == 1L, s"rank-1 must be the most relevant: $order")
+    assert(order.toSet.size == 3, s"no repeats: $order")
+
+    // decisive case: a diverse candidate with real relevance.
+    // rel(1) = rel(2) ≈ 0.9990, cos(1,2) = 0.996003;
+    // rel(3) = 0.8, cos(3,1) = 0.82602.
+    val vecs2 = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.0447f)),   // rel ≈ 0.99900
+      (2L, Array(0.999f, -0.0447f)),  // rel ≈ 0.99900, cos(1,2) ≈ 0.99600
+      (3L, Array(0.8f, 0.6f))         // rel = 0.8, cos(3,1) ≈ 0.8259
+    ).toDF("vec_id", "embedding")
+    val out2 = Similarity.mmrTopK(vecs2.filter(col("vec_id") =!= 0),
+      vecs2.filter(col("vec_id") === 0), k = 2, lambda = 0.5).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    // after picking 1 at λ=0.5: mmr(2) = 0.5·0.9990 − 0.5·0.9960 =
+    // +0.0015 beats mmr(3) = 0.5·0.800 − 0.5·0.826 = −0.013 → {1, 2}.
+    // At λ=0.1 the penalty dominates: mmr(2) = 0.0999 − 0.8964 =
+    // −0.796 loses to mmr(3) = 0.080 − 0.743 = −0.663 → {1, 3}.
+    val out3 = Similarity.mmrTopK(vecs2.filter(col("vec_id") =!= 0),
+      vecs2.filter(col("vec_id") === 0), k = 2, lambda = 0.1).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(out2 == Seq(1L, 2L), s"λ=0.5 keeps relevance order: $out2")
+    assert(out3 == Seq(1L, 3L), s"λ=0.1 trades redundancy for diversity: $out3")
+  }
+
+  test("MMR on the harness corpus: rank 1 = brute-force rank 1, no dups, scores finite") {
+    val mmr = SimilarityQueries.qSimMmr(spark, sf001).collect()
+    assert(mmr.length == SimilarityQueries.TopK)
+    val bf = SimilarityQueries.qSimBruteForce(spark, sf001).collect()
+      .filter(_.getLong(0) == 0L).minBy(_.getInt(1))
+    assert(mmr.head.getLong(1) == bf.getLong(2),
+      "MMR's first pick must be the plain nearest neighbor")
+    assert(mmr.map(_.getLong(1)).distinct.length == mmr.length)
+    // mmr scores are non-increasing in rank: each later pick maximized
+    // a criterion that only got harder
+    val scores = mmr.sortBy(_.getInt(0)).map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, s"mmr scores not monotone: $scores")
+  }
+
+  test("incremental IVF: assignment rule == KMeans.transform; scaled deltas mirror base cells") {
+    val d = sf001
+    val out = SimilarityQueries.qSimIvfIncremental(spark, d).collect()
+    assert(out.nonEmpty)
+    // scaled copies normalize to identical unit vectors → identical
+    // nearest centroid → every cell's delta count equals its base count
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"cell ${r.getInt(0)}: base ${r.getLong(1)} != delta ${r.getLong(2)}")
+    }
+    val total = out.map(_.getLong(2)).sum
+    assert(total == 500L, s"all 500 delta vectors assigned exactly once, got $total")
+  }
 }
