@@ -32,7 +32,9 @@ object ExplainDump {
     "q_dedup_editdist", "q_sim_pq_topk", "q_sim_ivfpq_topk",
     "q_dedup_keeper_quality",
     "q_scd2_merge", "q_sketch_quantiles", "q_chunk_documents",
-    "q_schema_evolution", "q_token_budget", "q_ntile_approx_bounds")
+    "q_schema_evolution", "q_token_budget", "q_ntile_approx_bounds",
+    "q_pit_join", "q_time_folds", "q_domain_mix_temperature",
+    "q_median_histogram", "q_window_firstlast")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

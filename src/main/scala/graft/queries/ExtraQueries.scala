@@ -379,6 +379,52 @@ object ExtraQueries {
       |SELECT * FROM opened
       |ORDER BY key, effective_from""".stripMargin
 
+  /** Point-in-time (PIT) join — the feature-store correctness op: each
+    * order reads the customer attribute that was valid AT ORDER TIME
+    * from a type-2 dimension, never the current value (which would leak
+    * the future into training features). Because SCD2 versions
+    * PARTITION each key's timeline, the interval predicate
+    * `effective_from ≤ t < effective_to` reduces to a backward as-of on
+    * `effective_from` — the window-composition [[graft.ops.AsOfJoin]]
+    * (one shuffle on the key), not a range nested-loop; the oracle
+    * replays the explicit interval join, so the hash gate proves the
+    * reduction. Dimension: balance bumps +100 at 1996-01-01 for keys
+    * ≡ 0 (mod 3) — the TPC-H order dates (1992–1998) straddle the cut,
+    * exercising both versions; orders whose key has no dimension row
+    * surface NULL (left-join semantics). */
+  def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val start = lit("1992-01-01").cast("timestamp_ntz")
+    val cut = lit("1996-01-01").cast("timestamp_ntz")
+    val dim = cust.select(col("c_custkey").as("key"),
+        col("c_acctbal").as("acctbal"), start.as("effective_from"))
+      .unionByName(cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("key"),
+          (col("c_acctbal") + 100.0).as("acctbal"), cut.as("effective_from")))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").as("key"), col("o_orderdate"), col("o_totalprice"))
+    AsOfJoin.backward(orders, dim, "key", "o_orderdate", "effective_from",
+      attach = Map("acctbal" -> "pit_acctbal"), tieBreak = "key")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qPitJoinSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS key, c_acctbal AS acctbal,
+      |         TIMESTAMP '1992-01-01' AS effective_from,
+      |         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1996-01-01' END AS effective_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 100.0, TIMESTAMP '1996-01-01', NULL
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |)
+      |SELECT o.o_orderkey, o.o_custkey AS key, o.o_orderdate, o.o_totalprice,
+      |  d.acctbal AS pit_acctbal
+      |FROM orders o LEFT JOIN dim d
+      |  ON o.o_custkey = d.key AND o.o_orderdate >= d.effective_from
+      |  AND (d.effective_to IS NULL OR o.o_orderdate < d.effective_to)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** Mergeable-sketch quantiles (KLL, [[graft.functions.KllSketch]]):
     * per-source document-length sketches, then a corpus-wide union row
     * WITHOUT re-scanning the data — the quantile member of the
@@ -794,6 +840,7 @@ object ExtraQueries {
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_scd2_merge" -> (qScd2Merge _),
+    "q_pit_join" -> (qPitJoin _),
     "q_domain_mix" -> (qDomainMix _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _))
@@ -816,6 +863,7 @@ object ExtraQueries {
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_scd2_merge" -> qScd2MergeSql,
+    "q_pit_join" -> qPitJoinSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql)

@@ -12,6 +12,11 @@ import graft.gsod.Train
   */
 object MlQueries {
 
+  // scaler fit = one full Summarizer pass over lineitem; build-once per
+  // (process, dir) like every other fitted artifact (gbtRegCache below)
+  private val scalerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.feature.StandardScalerModel]
+
   /** M3+M4 feature shape: assemble + scale lineitem numerics, return
     * the scaled vector unpacked to columns (deterministic, orderable). */
   def qMlScaledFeatures(s: SparkSession, d: String): DataFrame = {
@@ -22,10 +27,14 @@ object MlQueries {
       .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
       .setOutputCol("numerical_features")
       .transform(li)
-    val scaler = new StandardScaler()
-      .setInputCol("numerical_features").setOutputCol("scaled")
-      .setWithMean(false).setWithStd(true)
-    val scaled = scaler.fit(assembled).transform(assembled)
+    val model = scalerCache.computeIfAbsent(d, _ =>
+      graft.BuildTimes.timed("scaler_fit") {
+        new StandardScaler()
+          .setInputCol("numerical_features").setOutputCol("scaled")
+          .setWithMean(false).setWithStd(true)
+          .fit(assembled)
+      })
+    val scaled = model.transform(assembled)
     import org.apache.spark.ml.functions.vector_to_array
     scaled
       .withColumn("sv", vector_to_array(col("scaled")))

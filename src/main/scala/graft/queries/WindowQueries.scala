@@ -186,6 +186,42 @@ object WindowQueries {
       .orderBy(col("decile"))
   }
 
+  /** Value-navigation window family — first_value / last_value /
+    * nth_value / lag over the per-user event timeline (lead is W1):
+    * each event annotated with its user's first event value, the
+    * running latest, the 3rd overall, and the previous one. All four
+    * share ONE window spec → Catalyst evaluates them in a single
+    * window operator over a single user_id shuffle (no per-function
+    * pass). The frame is pinned explicitly: last_value over the
+    * default RANGE frame would read the CURRENT row, not the
+    * partition's last — the running form here is the deterministic,
+    * streaming-equivalent reading. */
+  def qWindowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("first_v", first(col("value")).over(w))
+      .withColumn("running_last_v", last(col("value")).over(w))
+      .withColumn("third_v", nth_value(col("value"), 3).over(w))
+      .withColumn("prev_v", lag(col("value"), 1)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("first_v"), col("running_last_v"), col("third_v"), col("prev_v"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowFirstLastSql: String =
+    """SELECT event_id, user_id, value,
+      |  first_value(value) OVER w AS first_v,
+      |  last_value(value) OVER w AS running_last_v,
+      |  nth_value(value, 3) OVER w AS third_v,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Oracle row for the approx-quantile tier: [[qNtileApprox]] itself is
     * rows-only (the GK sketch's cut-points are engine-specific), but the
     * sketch's *rank-error contract* is exactly checkable — for the i-th
@@ -251,6 +287,7 @@ object WindowQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_dist" -> (qWindowDist _),
     "q_window_lead" -> (qWindowLead _),
+    "q_window_firstlast" -> (qWindowFirstLast _),
     "q_window_rows_avg" -> (qWindowRowsAvg _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_range" -> (qWindowRange _),
@@ -261,6 +298,7 @@ object WindowQueries {
   val oracles: Map[String, String] = Map(
     "q_window_dist" -> qWindowDistSql,
     "q_window_lead" -> qWindowLeadSql,
+    "q_window_firstlast" -> qWindowFirstLastSql,
     "q_window_rows_avg" -> qWindowRowsAvgSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_range" -> qWindowRangeSql,
