@@ -311,6 +311,27 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Windowed distinct users — the EXACT batch/oracle face of
+    * [[graft.streaming.Streaming.windowedApproxUsers]] (whose streaming
+    * face swaps in the HLL sketch for bounded state; StreamingSpec ties
+    * the two within the sketch's error). Exact distinct per (window,
+    * type) is a two-phase hash aggregate — fine in batch, unbounded
+    * state in streaming, which is exactly the trade the sketch tier
+    * documents. */
+  def qEventsWindowUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_users"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val qEventsWindowUsersSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** Windowed top-3 leaderboard (10-minute tumbling windows, highest
     * value wins, event_id tie-break) — the batch face of
     * [[graft.streaming.Streaming.windowedTopK]] (StreamingSpec proves
@@ -406,6 +427,7 @@ object CoreQueries {
     "q_except" -> (qExcept _),
     "q_events_time_window" -> (qEventsTimeWindow _),
     "q_events_window_topk" -> (qEventsWindowTopk _),
+    "q_events_window_users" -> (qEventsWindowUsers _),
     "q_session_window" -> (qSessionWindow _))
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +454,6 @@ object CoreQueries {
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
     "q_events_time_window" -> qEventsTimeWindowSql,
-    "q_events_window_topk" -> qEventsWindowTopkSql)
+    "q_events_window_topk" -> qEventsWindowTopkSql,
+    "q_events_window_users" -> qEventsWindowUsersSql)
 }

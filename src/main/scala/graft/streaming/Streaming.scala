@@ -48,6 +48,26 @@ object Streaming {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed distinct-user profile. The streaming face uses the HLL
+    * sketch (`approx_count_distinct`): exact streaming distinct would
+    * hold EVERY user id per open window in the state store, while the
+    * sketch holds a fixed register array per (window, type) — the same
+    * bounded-state argument as the top-k heap below. HLL merging is a
+    * register-wise max, so the estimate is independent of trigger
+    * boundaries and arrival order — StreamingSpec pins stream == batch
+    * bit-equal, and the estimate within the sketch's rsd of exact. The
+    * batch/oracle face ([[graft.queries.CoreQueries.qEventsWindowUsers]])
+    * keeps EXACT countDistinct — hash-gated vs DuckDB. */
+  def windowedApproxUsers(events: DataFrame,
+      windowLength: String = "10 minutes",
+      watermark: String = "30 minutes",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_users"))
+
   /** Windowed top-k leaderboard — the k highest-value events per
     * tumbling window, through the bounded-heap `top_k_by` aggregate
     * ([[graft.functions.TopKBy]]). Works on a batch OR streaming frame

@@ -71,4 +71,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
     assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
   }
+
+  test("pit join: interval predicate reduced to window composition — no range nested-loop") {
+    // the SCD2 interval predicate (from <= t < to) would plan as a
+    // BroadcastNestedLoopJoin if written as a range join; the as-of
+    // reduction must keep the plan to union + window
+    val p = plan(graft.queries.ExtraQueries.qPitJoin(spark, sf001))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range nested-loop leaked into the PIT join:\n$p")
+    assert(p.contains("Window"), s"as-of window composition missing:\n$p")
+    assert(p.contains("Union"), s"union tagging missing:\n$p")
+  }
+
+  test("median histogram: the row stream is never globally sorted — only the distinct-value frame") {
+    val df = CoreQueries.qMedianHistogram(spark, sf001)
+    val p = plan(df)
+    // the aggregate over raw n_chars must come BEFORE any Sort: the
+    // only Sort in the plan feeds the window over the histogram frame
+    // (post-aggregate), so every Sort node must sit above a
+    // HashAggregate in the operator chain — equivalently, no Sort may
+    // read the parquet scan directly
+    val lines = p.linesIterator.toSeq
+    val scanDepths = lines.filter(_.contains("Scan parquet")).map(_.indexOf("Scan"))
+    assert(scanDepths.nonEmpty)
+    lines.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b.contains("Scan parquet") && a.contains("Sort"))
+          fail(s"Sort directly over the row scan:\n$p")
+      case _ => ()
+    }
+    assert(p.contains("HashAggregate"), s"no histogram aggregate:\n$p")
+  }
+
+  test("time folds: one scan with bounded generate fan-out, no per-fold rescans") {
+    val p = plan(graft.queries.AnalyticsQueries.qTimeFolds(spark, sf001))
+    // one corpus scan + one 1-row bounds scan — a per-fold union would
+    // read the events parquet 3 times (ReusedExchange acceptable)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans <= 2, s"per-fold rescans of events ($scans):\n$p")
+    assert(p.contains("Generate"), s"array-filter explode missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("temperature mix: per-source quotas broadcast, single window on source") {
+    val p = plan(graft.queries.ExtraQueries.qDomainMixTemperature(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ for tiny quotas:\n$p")
+    assert(p.contains("Window"), s"per-source rank window missing:\n$p")
+  }
 }

@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed approx users == batch; sketch within rsd of exact") {
+    val stream = Streaming.windowedApproxUsers(Streaming.eventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory").queryName("users_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("users_out")
+      .orderBy(col("w_start"), col("event_type")).collect()
+    // HLL register-merge is order-insensitive → stream must equal the
+    // batch run of the SAME transform bit-for-bit
+    val batch = Streaming.windowedApproxUsers(Tables.events(spark, sf001))
+      .orderBy(col("w_start"), col("event_type")).collect()
+    assert(got.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "stream and batch HLL estimates diverge")
+    // and the sketch must sit within its error band of the exact tier
+    val exact = graft.queries.CoreQueries.qEventsWindowUsers(spark, sf001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      val est = r.getLong(2).toDouble
+      val ex = exact(key).toDouble
+      assert(math.abs(est - ex) / math.max(ex, 1.0) < 0.10,
+        s"window $key: estimate $est vs exact $ex")
+    }
+  }
+
   test("streaming windowed top-k == batch windowed top-k (heap state, same transform)") {
     val stream = Streaming.windowedTopK(Streaming.eventsStream(spark, streamDir))
     val q = stream.writeStream
