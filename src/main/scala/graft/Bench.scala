@@ -41,7 +41,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the ONE stdout JSON line, and
+    // log4j warnings interleaving mid-line have broken that capture
+    // before (BENCH_r09 "parsed": null) — bench_out.json is the backup,
+    // but the stdout line should stay clean too
+    spark.sparkContext.setLogLevel("ERROR")
 
     def execOnce(name: String): Double = {
       val t0 = System.nanoTime()

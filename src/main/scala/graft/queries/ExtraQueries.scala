@@ -379,6 +379,30 @@ object ExtraQueries {
       |SELECT * FROM opened
       |ORDER BY key, effective_from""".stripMargin
 
+  /** Skew-proof grouped ranking ([[graft.ops.SaltedWindow]]): top-100
+    * events per type by value through the two-level bucketed window —
+    * the plan that survives a hub group (one event type owning half
+    * the firehose) where the naive `PARTITION BY event_type` window
+    * sorts that group in a single task. The oracle IS the naive window
+    * spelling, so the driver's hash gate proves the two-level plan
+    * computes the identical ranking. */
+  def qSaltedRank(s: SparkSession, d: String): DataFrame =
+    graft.ops.SaltedWindow.groupedRank(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", "event_id")
+      .filter(col("rank") <= 100)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rank"))
+
+  val qSaltedRankSql: String =
+    """SELECT event_type, rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rank
+      |  FROM events)
+      |WHERE rank <= 100
+      |ORDER BY event_type, rank""".stripMargin
+
   /** Point-in-time (PIT) join — the feature-store correctness op: each
     * order reads the customer attribute that was valid AT ORDER TIME
     * from a type-2 dimension, never the current value (which would leak
@@ -841,6 +865,7 @@ object ExtraQueries {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_pit_join" -> (qPitJoin _),
+    "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _))
@@ -864,6 +889,7 @@ object ExtraQueries {
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_pit_join" -> qPitJoinSql,
+    "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql)

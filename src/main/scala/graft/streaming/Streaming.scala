@@ -288,14 +288,24 @@ object Streaming {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             val merged =
               mergeByGap(prev.toList ::: gapSessions(userId, sorted, gap), gap)
-            // a session touched this trigger has end >= an event ts >= wm,
-            // so `open` always contains at least the current session
             val (closed, open) =
               merged.partition(_.session_end.getTime + gap < wm)
-            state.update(SessionBuffer(open))
-            state.setTimeoutTimestamp(evictionTarget(open, gap, wm))
-            val prevSet = prev.toSet
-            (closed ++ open.filterNot(prevSet)).iterator
+            // `open` is USUALLY non-empty (a session touched this trigger
+            // has end >= some event ts), but not always: unlike streaming
+            // aggregates, (flat)MapGroupsWithState input is not
+            // watermark-filtered, so a far-late burst (ts + gap < wm) can
+            // seal every session in one call — emit the closures and free
+            // the key instead of scheduling a timeout off an empty set
+            // (observed as an empty.min crash under multi-trigger replay).
+            if (open.isEmpty) {
+              state.remove()
+              closed.iterator
+            } else {
+              state.update(SessionBuffer(open))
+              state.setTimeoutTimestamp(evictionTarget(open, gap, wm))
+              val prevSet = prev.toSet
+              (closed ++ open.filterNot(prevSet)).iterator
+            }
           }
       }
   }
@@ -339,15 +349,19 @@ object Streaming {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             val merged =
               mergeByGap(prev.toList ::: gapSessions(userId, sorted, gap), gap)
-            // trim sealed sessions (no closure records in this variant);
-            // the session holding this trigger's events is never sealed
+            // trim sealed sessions (no closure records in this variant)
             val open = merged.filter(_.session_end.getTime + gap >= wm)
-            state.update(SessionBuffer(open))
-            // evict only when ALL sessions are sealed: the newest one
-            // seals last, so target its close boundary
-            state.setTimeoutTimestamp(math.max(
-              open.map(_.session_end.getTime).max + gap,
-              if (wm == Long.MinValue) Long.MinValue + 1 else wm + 1))
+            // same far-late guard as sessionizeAll: input is not
+            // watermark-filtered, so everything can arrive sealed
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionBuffer(open))
+              // evict only when ALL sessions are sealed: the newest one
+              // seals last, so target its close boundary
+              state.setTimeoutTimestamp(math.max(
+                open.map(_.session_end.getTime).max + gap,
+                if (wm == Long.MinValue) Long.MinValue + 1 else wm + 1))
+            }
             merged.last
           }
       }
