@@ -36,7 +36,26 @@ object PageRank {
     * 5-round loop stopped checkpointing. Long runs (tens of rounds)
     * still need the cut or the optimizer re-plans a deepening tree. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-      checkpointInterval: Int = 8): DataFrame = {
+      checkpointInterval: Int = 8): DataFrame =
+    iterate(edges, None, iters, damping, checkpointInterval)
+
+  /** Warm-start power iteration: resume from persisted ranks of a
+    * PREVIOUS graph snapshot — the incremental path when the link graph
+    * drifts by a small delta between crawls (the graph twin of the
+    * incremental dedup/IVF contracts: history's work is reused, never
+    * redone). Nodes present in the prior keep their rank as the
+    * starting point, new nodes enter at the uniform floor, departed
+    * nodes drop with the node set, and the start vector is renormalized
+    * to unit mass. Power iteration contracts toward the new graph's
+    * fixed point at rate `damping` per round regardless of start, so a
+    * near-fixed-point prior needs a fraction of the cold-start rounds
+    * (PageRankSpec measures it). */
+  def pageRankFrom(edges: DataFrame, prior: DataFrame, iters: Int,
+      damping: Double, checkpointInterval: Int = 8): DataFrame =
+    iterate(edges, Some(prior), iters, damping, checkpointInterval)
+
+  private def iterate(edges: DataFrame, prior: Option[DataFrame],
+      iters: Int, damping: Double, checkpointInterval: Int): DataFrame = {
     require(iters >= 0 && damping >= 0.0 && damping <= 1.0)
     require(checkpointInterval > 0)
     // Materialize the REDUCED graph once: the caller's `edges` plan
@@ -53,7 +72,19 @@ object PageRank {
       .union(probs.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var ranks = prior match {
+      case None => nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      case Some(p) =>
+        // prior ranks on the CURRENT node set, uniform floor for new
+        // nodes, renormalized to unit mass (1-row total broadcast)
+        val filled = nodes
+          .join(p.select(col("node"), col("pr").as("_prior")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("_prior"), lit(1.0 / n)).as("_pr0"))
+        val tot = filled.agg(sum(col("_pr0")).as("_t"))
+        filled.crossJoin(broadcast(tot))
+          .select(col("node"), (col("_pr0") / col("_t")).as("pr"))
+          .localCheckpoint()
+    }
     for (i <- 1 to iters) {
       val contrib = probs.join(ranks, probs("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(col("_p") * col("pr")).as("_in"))
