@@ -32,6 +32,55 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document character-level Shannon entropy — the quality signal
+    * that catches what token statistics miss: near-zero entropy flags
+    * repeated-character/boilerplate junk, abnormally high entropy flags
+    * minified blobs and binary-ish noise (both standard pre-training
+    * filter axes alongside perplexity).
+    *
+    * Scale shape: computed ENTIRELY inside each row with higher-order
+    * array functions — a pure projection over the scan, no explode, no
+    * shuffle (the explode+groupBy spelling would shuffle |total chars|
+    * rows). Counting is a single run-length fold over the SORTED char
+    * array, O(L log L) per row — the per-distinct `filter` re-scan
+    * (O(|alphabet|·L)) measured 4.8 s vs ~1 s at sf0.1. Run terms
+    * accumulate in sorted-char order, the same order as the oracle's
+    * sorted-distinct fold, so the float sum is engine-identical and the
+    * rounded entropy hash-checks. */
+  def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n", length(col("text")).cast("double"))
+      .select(col("doc_id"),
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(round(expr(
+            """aggregate(array_sort(split(text, '')),
+              |  named_struct('prev', '', 'run', 0D, 'acc', 0D),
+              |  (st, c) -> IF(c = st.prev,
+              |    named_struct('prev', st.prev, 'run', st.run + 1D, 'acc', st.acc),
+              |    named_struct('prev', c, 'run', 1D,
+              |      'acc', st.acc - IF(st.run = 0D, 0D,
+              |                         (st.run / n) * log2(st.run / n)))),
+              |  st -> st.acc - IF(st.run = 0D, 0D,
+              |                    (st.run / n) * log2(st.run / n)))""".stripMargin), 9))
+          .as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  val qCharEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text, string_split(text, '') AS ch FROM documents
+      |), w AS (
+      |  SELECT doc_id, text, CAST(len(ch) AS DOUBLE) AS n,
+      |    list_transform(list_sort(list_distinct(ch)),
+      |                   c2 -> len(list_filter(ch, x -> x = c2))) AS ks
+      |  FROM c
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE round(list_sum(list_transform(ks, k -> -(k / n) * log2(k / n))), 9)
+      |  END AS char_entropy
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality signals + composite score per document. */
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withQualitySignals(Tables.documents(s, d))
@@ -815,6 +864,7 @@ object TextQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -837,6 +887,7 @@ object TextQueries {
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
+    "q_char_entropy" -> qCharEntropySql,
     "q_text_normalize" -> qTextNormalizeSql,
     "q_text_langid" -> qTextLangIdSql,
     "q_fingerprint_classes" -> qFingerprintClassesSql,
