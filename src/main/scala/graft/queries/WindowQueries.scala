@@ -256,22 +256,39 @@ object WindowQueries {
     """SELECT CAST(r.range AS INT) AS i, true AS within_bounds
       |FROM range(1, 10) r ORDER BY i""".stripMargin
 
-  /** Relative-rank functions — percent_rank and cume_dist per supplier
-    * over order totals (the remaining members of the ranking family;
-    * used for percentile-based labeling without a global sort). The
-    * unique orderkey tiebreak keeps both values total-order
-    * deterministic. Same single shuffle as any suppkey window. */
-  def qWindowDist(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+  /** Relative-rank functions — percent_rank and cume_dist per order
+    * priority over order totals (the remaining members of the ranking
+    * family; used for percentile-based labeling without a global
+    * sort). o_orderpriority has only 5 values, so the naive
+    * `PARTITION BY o_orderpriority` window is exactly the hot-group
+    * shape [[graft.ops.SaltedWindow]] exists for: 5 window tasks each
+    * sorting N/5 rows — a last-reducer at 100 TB. Instead both
+    * functions are DERIVED from the two-level bucketed ranking: with
+    * the unique o_orderkey tie-break the window ordering is total, so
+    * `rank()` = `row_number()`, every peer group is a single row, and
+    *   percent_rank = (rank − 1) / (n − 1)   (0 when n = 1)
+    *   cume_dist   = rank / n
+    * where (rank, n) come from
+    * [[graft.ops.SaltedWindow.groupedRankWithTotal]] — a hot priority
+    * fans out over `buckets` parallel sort tasks. The oracle replays
+    * the naive percent_rank/cume_dist window spelling, so the
+    * driver's hash gate is a plan-equivalence proof (same contract as
+    * q_salted_rank); both divisions are the exact integer-operand IEEE
+    * divisions DuckDB's own definitions perform, so the hash is safe. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame =
+    graft.ops.SaltedWindow.groupedRankWithTotal(
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      "o_orderpriority", "o_totalprice", "o_orderkey",
+      buckets = 64, ascending = true)
+      .withColumn("pr",
+        when(col("group_n") === 1, lit(0.0))
+          .otherwise((col("rank") - 1) / (col("group_n") - 1)))
+      .withColumn("cd", col("rank") / col("group_n"))
       .filter(col("o_orderkey") % 100 === 0) // bounded output at any SF
       .select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice"), col("pr"), col("cd"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
-  }
 
   val qWindowDistSql: String =
     """SELECT o_orderpriority, o_orderkey, o_totalprice, pr, cd FROM (

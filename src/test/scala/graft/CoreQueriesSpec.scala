@@ -156,4 +156,24 @@ class WindowQueriesSpec extends SparkSpec {
       assert(running == running.sorted)
     }
   }
+
+  test("window dist: derived pr/cd bit-exactly match the naive percent_rank/cume_dist window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = WindowQueries.qWindowDist(spark, sf001).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Double]("pr"), r.getAs[Double]("cd"))).toMap
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val want = Tables.orders(spark, sf001)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Double]("pr"), r.getAs[Double]("cd"))).toMap
+    assert(got.keySet == want.keySet)
+    // bit-exact, not approximate: both sides are the same integer-operand
+    // IEEE divisions, which is what makes the driver's hash gate safe
+    got.foreach { case (k, v) => assert(v == want(k), s"orderkey $k: $v vs ${want(k)}") }
+  }
 }

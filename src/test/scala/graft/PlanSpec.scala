@@ -120,4 +120,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ for tiny quotas:\n$p")
     assert(p.contains("Window"), s"per-source rank window missing:\n$p")
   }
+
+  test("window dist: no single-task whole-group sort — the row-stream window is bucketed") {
+    // o_orderpriority has 5 values; a naive PARTITION BY o_orderpriority
+    // percent_rank/cume_dist window would sort N/5 rows per task. The
+    // derived form must (a) never invoke percent_rank/cume_dist window
+    // functions and (b) run its only row-stream window under the
+    // compound (group, _bucket) partition spec.
+    val p = plan(graft.queries.WindowQueries.qWindowDist(spark, sf001))
+    assert(!p.contains("percent_rank") && !p.contains("cume_dist"),
+      s"naive relative-rank window resurfaced:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(windowLines.nonEmpty, s"no bucketed ranking window in plan:\n$p")
+    windowLines.foreach(l =>
+      assert(l.contains("_bucket"), s"row-stream window not bucketed: $l"))
+  }
 }

@@ -40,6 +40,48 @@ class SaltedWindowSpec extends SparkSpec {
     assert(got == naive(df))
   }
 
+  test("ascending order matches the naive ASC window") {
+    val df = ((0L until 5000L).map(i => (i, "hub", (i * 31 % 997).toDouble))
+      ++ (5000L until 5010L).map(i => (i, "tail", i.toDouble)))
+      .toDF("id", "g", "v")
+    val got = SaltedWindow.groupedRank(df, "g", "v", "id", ascending = true)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank").toInt).toMap
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc_nulls_last, col("id"))))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank").toInt).toMap
+    assert(got == want)
+  }
+
+  test("NULL sort values rank last in both directions (DuckDB NULLS LAST semantics)") {
+    val rows = (0L until 100L).map(i =>
+      (i, "g", if (i % 10 == 0) None else Some((i * 13 % 50).toDouble)))
+    val df = rows.toDF("id", "g", "v")
+    for (asc <- Seq(true, false)) {
+      val sortKey = if (asc) col("v").asc_nulls_last else col("v").desc_nulls_last
+      val want = df.withColumn("rank", row_number().over(
+          Window.partitionBy(col("g")).orderBy(sortKey, col("id"))))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank").toInt).toMap
+      val got = SaltedWindow.groupedRank(df, "g", "v", "id", ascending = asc)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank").toInt).toMap
+      assert(got == want, s"null routing diverges (ascending=$asc)")
+    }
+  }
+
+  test("groupedRankWithTotal: group_n is the exact per-group count on every row") {
+    val df = ((0L until 300L).map(i => (i, "a", i.toDouble))
+      ++ (300L until 310L).map(i => (i, "b", i.toDouble))).toDF("id", "g", "v")
+    val out = SaltedWindow.groupedRankWithTotal(df, "g", "v", "id", buckets = 8)
+      .collect()
+    assert(out.length == 310)
+    out.foreach { r =>
+      val expected = if (r.getAs[String]("g") == "a") 300L else 10L
+      assert(r.getAs[Long]("group_n") == expected)
+    }
+    // ranks within each group are a permutation of 1..n
+    val aRanks = out.filter(_.getAs[String]("g") == "a").map(_.getAs[Long]("rank")).sorted
+    assert(aRanks.toSeq == (1L to 300L))
+  }
+
   test("plan: the row-stream window partitions by (group, bucket), never by group alone") {
     val df = (0L until 100L).map(i => (i, "g", i.toDouble)).toDF("id", "g", "v")
     val p = SaltedWindow.groupedRank(df, "g", "v", "id")
