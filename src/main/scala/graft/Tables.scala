@@ -79,10 +79,15 @@ object Tables {
           s"Tables: testdata drift — column `$c` loaded as $l, cannot adapt to canonical $t")
     }
 
-  /** Assert no unknown columns and canonicalize declared temporal
-    * columns. A renamed/added column in a regenerated harness fails here
-    * with a named error instead of an opaque analysis exception deep
-    * inside a query. Missing columns are tolerated: unit-test fixtures
+  /** Detect column drift and canonicalize declared temporal columns.
+    * Only a RENAME signature — an unexpected column appearing while an
+    * expected one is missing — hard-fails with a named error (instead
+    * of an opaque analysis exception deep inside a query): a rename
+    * silently changes query meaning and must stop everything. Purely
+    * ADDITIVE drift (a regenerated harness growing a benign new column)
+    * is survivable because every query projects explicit columns — the
+    * extras are dropped here so downstream `select *`-shaped code never
+    * sees them. Missing columns alone are tolerated: unit-test fixtures
     * synthesize subset-schema tables (e.g. doc_id+text documents); a
     * *harness* regeneration that drops a column is pinned by
     * SourcesSpec's canonical-schema case on the real testdata dirs. */
@@ -90,12 +95,16 @@ object Tables {
     val spec = expected(name)
     val want = spec.map(_._1).toSet
     val extra = df.columns.toSet -- want
-    require(extra.isEmpty,
+    val missing = want -- df.columns.toSet
+    require(extra.isEmpty || missing.isEmpty,
       s"Tables: testdata drift in `$name` — unexpected columns " +
-        s"${extra.toSeq.sorted.mkString(",")} (canonical: ${spec.map(_._1).mkString(",")})")
-    val have = df.columns.toSet
-    spec.collect { case (c, t) if t != null && have(c) && df.schema(c).dataType != t => c -> t }
-      .foldLeft(df) { case (d, (c, t)) => d.withColumn(c, adapt(c, d.schema(c).dataType, t)) }
+        s"${extra.toSeq.sorted.mkString(",")} alongside missing " +
+        s"${missing.toSeq.sorted.mkString(",")} (rename signature; " +
+        s"canonical: ${spec.map(_._1).mkString(",")})")
+    val trimmed = if (extra.isEmpty) df else df.drop(extra.toSeq: _*)
+    val have = trimmed.columns.toSet
+    spec.collect { case (c, t) if t != null && have(c) && trimmed.schema(c).dataType != t => c -> t }
+      .foldLeft(trimmed) { case (d, (c, t)) => d.withColumn(c, adapt(c, d.schema(c).dataType, t)) }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -863,7 +863,10 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_docs"),
         first(col("p05")).as("p05"),
         first(col("p95")).as("p95"),
-        avg(col("w")).as("mean_winsorized"),
+        // clipped values are non-dyadic doubles (interpolated percentiles),
+        // so the sum is partial-agg-order sensitive — round to 9 decimals
+        // on both engines to keep the hash gate order-independent
+        round(avg(col("w")), 9).as("mean_winsorized"),
         avg(col("n_chars")).as("mean_raw"))
       .orderBy(col("source"))
   }
@@ -876,7 +879,7 @@ object AnalyticsQueries {
       |)
       |SELECT d.source, count(*) AS n_docs,
       |  any_value(p.p05) AS p05, any_value(p.p95) AS p95,
-      |  avg(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)) AS mean_winsorized,
+      |  round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)), 9) AS mean_winsorized,
       |  avg(d.n_chars) AS mean_raw
       |FROM documents d JOIN p USING (source)
       |GROUP BY d.source
@@ -1034,7 +1037,12 @@ object AnalyticsQueries {
       .groupBy(col("fold"), col("split"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value")).as("sum_value"))
+        // thousands of 2-decimal (non-dyadic) doubles per group: the float
+        // sum is partial-agg-order sensitive (class-2 policy) and its
+        // magnitude (~4e5) puts reorder error near 1e-9 — the strict sweep
+        // showed round(·,9) still flakes, so round at 4 (the true sum has
+        // 2 decimals; 5e-5 budget vs ~1e-6 worst-case reorder error)
+        round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("fold"), col("split"))
   }
 
@@ -1052,7 +1060,7 @@ object AnalyticsQueries {
       |  WHERE e.us < b.tmin + (f.f + 1) * (b.tend - b.tmin) // 4
       |)
       |SELECT fold, split, count(*) AS n_events,
-      |  count(DISTINCT user_id) AS n_users, sum(value) AS sum_value
+      |  count(DISTINCT user_id) AS n_users, round(sum(value), 4) AS sum_value
       |FROM x GROUP BY fold, split
       |ORDER BY fold, split""".stripMargin
 

@@ -123,6 +123,18 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("events") && e.getMessage.contains("payload"), e.getMessage)
   }
 
+  test("additive-only drift survives: benign new columns are dropped, queries keep running") {
+    // a regenerated harness growing an extra column must NOT brick the
+    // engine — every query projects explicit columns, so canon drops it
+    val dir = Files.createTempDirectory("graft-drift-add").toString
+    Tables.events(spark, sf001).limit(10).withColumn("ingest_batch", lit(7))
+      .write.parquet(s"$dir/events.parquet")
+    val back = Tables.events(spark, dir)
+    assert(back.columns.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(back.count() == 10)
+  }
+
   test("mergeSchema reconciles generations: missing column reads as NULL, gen pruning works") {
     val out = graft.queries.IngestQueries.qSchemaEvolution(spark, sf001)
     // gen-1 rows (no priority column in their files) surface NULL;
