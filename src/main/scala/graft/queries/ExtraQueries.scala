@@ -229,6 +229,45 @@ object ExtraQueries {
       approx_count_distinct(col("l_orderkey"), 0.02).as("ad_order"),
       approx_count_distinct(col("l_quantity"), 0.02).as("ad_qty"))
 
+  /** Oracle row for the HLL tier — a PROPERTY-style gate, not a
+    * differential oracle (same contract as q_ntile_approx_bounds):
+    * sketch register layouts are engine-specific, so the driver can't
+    * hash-compare the estimates themselves, but the estimator's
+    * *error contract* is exactly checkable IN Spark — each
+    * `approx_count_distinct(rsd=0.02)` estimate must sit within 5·rsd
+    * (5σ) of the exact distinct count. HLL++ is deterministic given
+    * the dataset (fixed hash, registers merge by max — order
+    * independent), so when the contract holds the output is the
+    * literal 3-row all-true frame and the DuckDB twin generates that
+    * frame; the hash gate proves the property's verdict, not values.
+    *
+    * One pass: the three approx + three exact counts share a single
+    * aggregate (Catalyst expands for the distincts), then the 1-row
+    * result unpivots to (column_name, within_bounds). The exact side
+    * is the expensive half — that is what makes this the oracle TIER;
+    * [[qApproxDistinct]] alone is the 100 TB path. */
+  def qApproxDistinctBounds(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity")
+    val row = Tables.lineitem(s, d).agg(
+      approx_count_distinct(col(cols.head), 0.02).as("a0"),
+      (cols.tail.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(col(c), 0.02).as(s"a${i + 1}") } ++
+       cols.zipWithIndex.map { case (c, i) =>
+         countDistinct(col(c)).as(s"e$i") }): _*)
+    row.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column_name"),
+          (abs(col(s"a$i").cast("double") / col(s"e$i") - 1.0) <= 0.10)
+            .as("within_bounds")) }: _*)).as("m"))
+      .select(col("m.column_name"), col("m.within_bounds"))
+      .orderBy(col("column_name"))
+  }
+
+  val qApproxDistinctBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('l_orderkey', true), ('l_partkey', true),
+      |  ('l_quantity', true)) t(column_name, within_bounds)
+      |ORDER BY column_name""".stripMargin
+
   /** Arbitrary GROUPING SETS — the remaining member of the
     * rollup/cube family: exactly {(returnflag), (linestatus), ()}
     * (neither a rollup prefix chain nor a full cube), one pass via
@@ -479,6 +518,54 @@ object ExtraQueries {
         kllQuantile(col("sk"), 0.99).as("p99"))
       .orderBy(col("source"))
   }
+
+  /** Oracle row for the KLL tier — a PROPERTY-style gate, not a
+    * differential oracle (same contract as q_ntile_approx_bounds and
+    * [[qApproxDistinctBounds]]): KLL compaction is randomized, so the
+    * returned members can't be hash-compared, but the sketch's *rank
+    * guarantee* is exactly checkable — the INCLUSIVE quantile at rank
+    * q must be an input value whose true rank |{len ≤ v}|/N sits
+    * within the normalized rank-error bound of q. The check allows
+    * 2·ε(k) + 1/N (ε is the 99%-confidence bound, so doubling it
+    * makes a violation vanishingly unlikely while still pinning the
+    * estimator; same slack SketchSpec uses). When the contract holds
+    * the output is the literal 4-row all-true frame, which the DuckDB
+    * twin generates — the hash gate proves the property's verdict.
+    *
+    * The sketch is built per source and MERGED, so the gate covers the
+    * mergeable path [[qSketchQuantiles]] actually serves. Two corpus
+    * scans (sketch build + exact rank check) — the exact side is what
+    * makes this the oracle tier; the sketch alone is the 100 TB path. */
+  def qSketchQuantileBounds(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllSketch._
+    val qs = Seq(0.10, 0.50, 0.90, 0.99)
+    val labels = Seq("p10", "p50", "p90", "p99")
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(DefaultK, false)
+    val docs = Tables.documents(s, d)
+      .select(col("source"), length(col("text")).cast("double").as("len"))
+    val sk = docs.groupBy(col("source")).agg(kllSketchAgg(col("len")).as("sk"))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+    val vals = sk.select(array(qs.map(q => kllQuantile(col("sk"), q)): _*).as("vals"))
+    val ranks = docs.crossJoin(broadcast(vals)).agg(
+      count(lit(1)).as("n"),
+      qs.indices.map(i => sum(when(col("len") <=
+        element_at(col("vals"), i + 1), 1L).otherwise(0L)).as(s"r$i")): _*)
+    ranks
+      .select(col("n"), posexplode(array(qs.indices.map(i => col(s"r$i")): _*)))
+      .select(
+        element_at(array(labels.map(lit): _*), col("pos") + 1).as("quantile"),
+        (abs(col("col") / col("n") -
+          element_at(array(qs.map(lit): _*), col("pos") + 1))
+          <= lit(2 * eps) + lit(1.0) / col("n")).as("within_bounds"))
+      .orderBy(col("quantile"))
+  }
+
+  val qSketchQuantileBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('p10', true), ('p50', true), ('p90', true),
+      |  ('p99', true)) t(quantile, within_bounds)
+      |ORDER BY quantile""".stripMargin
 
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
@@ -860,6 +947,8 @@ object ExtraQueries {
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_distinct_bounds" -> (qApproxDistinctBounds _),
+    "q_sketch_quantile_bounds" -> (qSketchQuantileBounds _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -878,6 +967,8 @@ object ExtraQueries {
     "q_revenue_filter_agg" -> qRevenueFilterAggSql,
     "q_shipping_priority" -> qShippingPrioritySql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_approx_distinct_bounds" -> qApproxDistinctBoundsSql,
+    "q_sketch_quantile_bounds" -> qSketchQuantileBoundsSql,
     "q_corr" -> qCorrSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,

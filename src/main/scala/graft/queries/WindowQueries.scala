@@ -253,6 +253,10 @@ object WindowQueries {
   }
 
   val qNtileApproxBoundsSql: String =
+    // property-gate twin: a literal expected frame, NOT a recomputation —
+    // the hash proves the Spark-side self-check's verdict, not values
+    // (see scaladoc above; same contract as q_approx_distinct_bounds
+    // and q_sketch_quantile_bounds)
     """SELECT CAST(r.range AS INT) AS i, true AS within_bounds
       |FROM range(1, 10) r ORDER BY i""".stripMargin
 

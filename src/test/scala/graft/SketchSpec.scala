@@ -119,6 +119,19 @@ class SketchSpec extends SparkSpec {
       s"merged p50 ${merged.getDouble(1)} outside rank bound")
   }
 
+  test("bounds oracle rows: both sketch property gates emit their literal all-true frames") {
+    // these are the driver-visible twins of the spec bounds above — the
+    // DuckDB oracle generates the literal frame, so any false here is a
+    // red driver row, not just a red spec
+    val ad = graft.queries.ExtraQueries.qApproxDistinctBounds(spark, sf001).collect()
+    assert(ad.map(_.getString(0)).toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_quantity"))
+    assert(ad.forall(_.getBoolean(1)), ad.mkString(", "))
+    val kq = graft.queries.ExtraQueries.qSketchQuantileBounds(spark, sf001).collect()
+    assert(kq.map(_.getString(0)).toSeq == Seq("p10", "p50", "p90", "p99"))
+    assert(kq.forall(_.getBoolean(1)), kq.mkString(", "))
+  }
+
   test("kll empty-group and null handling: empty sketch yields NULL quantile") {
     import graft.functions.KllSketch._
     import spark.implicits._
