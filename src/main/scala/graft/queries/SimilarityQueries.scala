@@ -258,6 +258,35 @@ object SimilarityQueries {
       corpus(s, d).filter(col("vec_id") === 0), k = TopK, lambda = 0.7)
       .orderBy(col("rank"))
 
+  /** MMR composed with the IVF shortlist — the 100 TB tier of
+    * [[qSimMmr]]: the full-corpus form scans all N candidates in each
+    * of its k rounds (O(k·N)), which at corpus scale would be k full
+    * scans for one result page. Here the prebuilt IVF index first
+    * reduces the pool to the [[pqShortlist]] candidate budget
+    * (2·k_mmr·√N — sublinear, same budget law as the PQ re-rank), and
+    * the k greedy rounds then run over candidate-budget-sized frames
+    * only. Greedy-trajectory guarantee: whenever the full-corpus MMR's
+    * selected set is contained in the shortlist, the shortlisted
+    * trajectory is IDENTICAL (each round's argmax over the superset
+    * lies in the subset, so the subset argmax agrees, inductively) —
+    * SimilaritySpec pins exactly that equivalence on the harness
+    * corpus; [[qSimMmr]] stays registered as the oracle-tier twin
+    * (same exact/approx contract as q_ntile vs q_ntile_approx). */
+  def qSimMmrShortlist(s: SparkSession, d: String): DataFrame = {
+    val (path, localCentroids) = ivfIndexFor(s, d)
+    val indexed = s.read.parquet(path)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+    val n = indexed.count()
+    val shortlist = Similarity.ivfTopK(indexed, centroids, q,
+      k = pqShortlist(n), nProbe = math.max(2, localCentroids.size / 2))
+      .select(col("neighbor_id").as("vec_id"))
+    Similarity.mmrTopK(corpus(s, d).join(broadcast(shortlist), Seq("vec_id")),
+      q, k = TopK, lambda = 0.7)
+      .orderBy(col("rank"))
+  }
+
   /** Incremental IVF index update: scaled copies of the corpus (exact
     * cosine-duplicates at new ids) assigned to the EXISTING centroids —
     * no re-clustering, history untouched. Output = per-cell base vs
@@ -282,6 +311,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> (qSimMmr _),
+    "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
     "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),

@@ -446,7 +446,8 @@ object Similarity {
       .select(col("id"), col("norm"), col("rel"), lit(0.0).as("pen"))
       .localCheckpoint(true)
     val picked = Seq.newBuilder[(Int, Long, Double, Double)]
-    for (rank <- 1 to k) {
+    var exhausted = false
+    for (rank <- 1 to k if !exhausted) {
       val top = cand
         .withColumn("mmr", round(lit(lambda) * col("rel")
           - lit(1.0 - lambda) * col("pen"), roundTo))
@@ -456,16 +457,22 @@ object Similarity {
           col("rel").as("srel"), col("norm").as("snorm"))).as("t"))
         .select(col("t.sid"), col("t.srel"), col("t.mmr"), col("t.snorm"))
         .collect()(0) // 1 row per round, k rounds — the documented budget
-      val (selId, selRel, selMmr) = (top.getLong(0), top.getDouble(1), top.getDouble(2))
-      picked += ((rank, selId, selRel, selMmr))
-      if (rank < k) {
-        val sel = Seq(Tuple1(top.getSeq[Double](3))).toDF("sel_norm")
-        cand = cand.filter(col("id") =!= selId)
-          .crossJoin(broadcast(sel))
-          .withColumn("pen", greatest(col("pen"),
-            round(dot(col("norm"), col("sel_norm")), roundTo)))
-          .drop("sel_norm")
-          .localCheckpoint(true)
+      // max over an empty frame is a NULL struct: the candidate pool ran
+      // dry (k > candidates, or an empty corpus) — return the picks so
+      // far instead of crashing on getLong
+      if (top.isNullAt(0)) exhausted = true
+      else {
+        val (selId, selRel, selMmr) = (top.getLong(0), top.getDouble(1), top.getDouble(2))
+        picked += ((rank, selId, selRel, selMmr))
+        if (rank < k) {
+          val sel = Seq(Tuple1(top.getSeq[Double](3))).toDF("sel_norm")
+          cand = cand.filter(col("id") =!= selId)
+            .crossJoin(broadcast(sel))
+            .withColumn("pen", greatest(col("pen"),
+              round(dot(col("norm"), col("sel_norm")), roundTo)))
+            .drop("sel_norm")
+            .localCheckpoint(true)
+        }
       }
     }
     picked.result().toDF("rank", "vec_id", "relevance", "mmr_score")

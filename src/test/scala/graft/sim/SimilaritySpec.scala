@@ -186,6 +186,38 @@ class SimilaritySpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, s"mmr scores not monotone: $scores")
   }
 
+  test("MMR exhaustion guard: k beyond the candidate pool returns the picks so far, empty pool returns empty") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.0447f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(vecs.filter(col("vec_id") =!= 0),
+      vecs.filter(col("vec_id") === 0), k = 10, lambda = 0.5).collect()
+    assert(out.length == 2, s"expected the 2 available picks, got ${out.length}")
+    assert(out.map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    val empty = Similarity.mmrTopK(vecs.filter(col("vec_id") < 0),
+      vecs.filter(col("vec_id") === 0), k = 3, lambda = 0.5).collect()
+    assert(empty.isEmpty, "empty candidate pool must yield an empty frame, not a crash")
+  }
+
+  test("MMR over the IVF shortlist: trajectory identical to full-corpus MMR when the picks are covered") {
+    // greedy-trajectory guarantee (qSimMmrShortlist doc): if every
+    // full-corpus pick is inside the shortlist, the shortlisted greedy
+    // run must reproduce the trajectory EXACTLY — same ids, same
+    // scores, same order. Both facts are asserted: coverage (the
+    // sublinear budget is wide enough on the harness corpus for a
+    // rel-heavy λ) and equality.
+    val full = SimilarityQueries.qSimMmr(spark, sf001).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    val short = SimilarityQueries.qSimMmrShortlist(spark, sf001).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(short == full,
+      s"shortlisted MMR diverged from full-corpus MMR:\n$short\nvs\n$full")
+  }
+
   test("incremental IVF: assignment rule == KMeans.transform; scaled deltas mirror base cells") {
     val d = sf001
     val out = SimilarityQueries.qSimIvfIncremental(spark, d).collect()
