@@ -222,6 +222,46 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  // build-once prior dedup verdict over the base IVF index — the
+  // "yesterday's state" the incremental query folds into (same
+  // build-once cache discipline as ivfCache)
+  private val semIncCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental SemDeDup ([[Similarity.semanticDedupIncrement]]) — the
+    * semantic member of the incremental-dedup family (exact, MinHash,
+    * curation, IVF, PageRank): scaled copies of the corpus arrive as a
+    * NEW batch, get assigned to the FROZEN base centroids (no
+    * re-clustering), cosine-verify only within the affected cells and
+    * only against new×new / new×old pairs, and fold into the persisted
+    * keeper map. History is never re-verified: prior verdicts enter
+    * the component fold as star edges. Every scaled copy normalizes to
+    * its base twin's exact unit vector, so its keeper must resolve to
+    * the twin's keeper, and the full updated map must equal a batch
+    * run over the same clustering — both spec-pinned. Rows-only for
+    * the driver (k-means isn't SQL-expressible). */
+  def qDedupSemanticIncremental(s: SparkSession, d: String): DataFrame = {
+    val (ivfPath, localCentroids) = ivfIndexFor(s, d)
+    val priorIndex = s.read.parquet(ivfPath)
+    val keepersPath = semIncCache.compute(d, (_, cached) => {
+      if (cached != null &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(cached))) cached
+      else graft.BuildTimes.timed("semantic_prior_keepers_build") {
+        val p = graft.TempDirs.create("graft_semk_").toString
+        Similarity.semanticDedupFromIndex(priorIndex)
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val delta = corpus(s, d).select(
+      (col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    Similarity.semanticDedupIncrement(
+      priorIndex, s.read.parquet(keepersPath), Similarity.ivfAssign(delta, centroids))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-dimension embedding profile by label: mean/min/max of each of
     * the 64 components — the drift/QA pass a feature store runs over
     * an embedding column. Long format (label, pos, …): no array
@@ -319,6 +359,7 @@ object SimilarityQueries {
     "q_sim_ivfpq_topk" -> (qSimIvfPqTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(

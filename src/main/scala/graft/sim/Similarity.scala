@@ -366,6 +366,58 @@ object Similarity {
       .select(col(idCol), coalesce(col("keeper"), col(idCol)).as("keeper"))
   }
 
+  /** Incremental SemDeDup — the semantic member of the incremental-
+    * dedup contract (exact digests, MinHash band index, curation
+    * SketchState, IVF assign, PageRank warm-start): fold a batch of NEW
+    * vectors into an existing dedup state WITHOUT re-verifying history.
+    *
+    * Inputs are the two persisted artifacts plus the delta:
+    * `priorIndex` (vec_id, cell, norm — the clustered corpus as built
+    * by [[ivfIndex]]/appended by [[ivfAssign]]), `priorKeepers`
+    * (vec_id, keeper — the prior dedup verdict), and `assignedDelta`
+    * (the new batch already assigned to the FROZEN centroids via
+    * [[ivfAssign]] — no re-clustering, same frozen-centroid pattern as
+    * the incremental IVF query).
+    *
+    * Work is bounded by the AFFECTED cells only (cells receiving at
+    * least one new vector, broadcast as a tiny distinct frame):
+    * cosine verification runs for new×new and new×old pairs within
+    * those cells — never old×old, which the prior keeper map already
+    * summarizes as star edges (id → keeper). Connected components over
+    * {new pairs ∪ prior star edges of affected cells} then merges
+    * groups transitively — a new vector BRIDGING two prior groups
+    * collapses them to one keeper, exactly as a from-scratch run over
+    * the same clustering would (components never span cells, so
+    * unaffected cells are provably unchanged and skip the fold;
+    * SimilaritySpec pins batch≡incremental equivalence). Returns the
+    * full updated (vec_id, keeper) map over base ∪ delta. */
+  def semanticDedupIncrement(priorIndex: DataFrame, priorKeepers: DataFrame,
+      assignedDelta: DataFrame, minCosine: Double = 0.95,
+      idCol: String = "vec_id"): DataFrame = {
+    val affectedCells = assignedDelta.select(col("cell")).distinct()
+    val oldAffected = priorIndex.join(broadcast(affectedCells), Seq("cell"))
+    val dA = assignedDelta.select(col("cell"), col(idCol).as("id_a"), col("norm").as("na"))
+    val dB = assignedDelta.select(col("cell"), col(idCol).as("id_b"), col("norm").as("nb"))
+    val oB = oldAffected.select(col("cell"), col(idCol).as("id_b"), col("norm").as("nb"))
+    val newPairs = dA.join(dB, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .unionByName(dA.join(oB, Seq("cell")))
+      .filter(dot(col("na"), col("nb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    // prior verdicts enter as star edges — transitively equivalent to
+    // the old×old pair set, at |group| edges instead of |group|² work
+    val priorEdges = priorKeepers
+      .join(oldAffected.select(col(idCol)), Seq(idCol))
+      .filter(col("keeper") =!= col(idCol))
+      .select(col(idCol).as("id_a"), col("keeper").as("id_b"))
+    val comp = graft.text.Dedup.connectedComponents(
+      newPairs.unionByName(priorEdges))
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("component", "merged")
+    priorKeepers.select(col(idCol), col("keeper"))
+      .unionByName(assignedDelta.select(col(idCol), col(idCol).as("keeper")))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("merged"), col("keeper")).as("keeper"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via signed-random-projection
     * (SRP) LSH: `numBits` fixed pseudo-random hyperplanes (seeded —
     * deterministic) give each vector a bit signature; signatures are

@@ -218,6 +218,39 @@ class SimilaritySpec extends SparkSpec {
       s"shortlisted MMR diverged from full-corpus MMR:\n$short\nvs\n$full")
   }
 
+  test("incremental SemDeDup: fold == from-scratch batch over the same clustering; twins resolve") {
+    val d = sf001
+    val (ivfPath, localCentroids) = SimilarityQueries.ivfIndexFor(spark, d)
+    val priorIndex = spark.read.parquet(ivfPath)
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val delta = graft.Tables.embeddings(spark, d).select(
+      (col("vec_id") + graft.queries.DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val assigned = Similarity.ivfAssign(delta, centroids).localCheckpoint(true)
+    val priorKeepers = Similarity.semanticDedupFromIndex(priorIndex).localCheckpoint(true)
+    val incremental = Similarity
+      .semanticDedupIncrement(priorIndex, priorKeepers, assigned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: from-scratch dedup over the SAME clustering (base
+    // index ∪ frozen-centroid-assigned delta)
+    val combined = priorIndex.select(col("vec_id"), col("cell"), col("norm"))
+      .unionByName(assigned)
+    val batch = Similarity.semanticDedupFromIndex(combined)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental.keySet == batch.keySet)
+    assert(incremental == batch, {
+      val diff = incremental.collect {
+        case (k, v) if batch(k) != v => s"$k: inc=$v batch=${batch(k)}" }
+      s"incremental diverges from batch on ${diff.size} ids: ${diff.take(5).mkString("; ")}"
+    })
+    // planted fact: every scaled copy resolves to its base twin's keeper
+    val off = graft.queries.DedupQueries.IdOffset
+    incremental.filter(_._1 >= off).foreach { case (id, keeper) =>
+      assert(keeper == incremental(id - off),
+        s"delta $id keeper $keeper != base twin keeper ${incremental(id - off)}")
+    }
+  }
+
   test("incremental IVF: assignment rule == KMeans.transform; scaled deltas mirror base cells") {
     val d = sf001
     val out = SimilarityQueries.qSimIvfIncremental(spark, d).collect()
