@@ -6,7 +6,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Deterministic GSOD-shaped fixture (FIXTURES.md §A) with the planted
-  * scenarios the imputation semantics tests need:
+  * scenarios the imputation semantics tests need. Lives in MAIN scope
+  * because q_gsod_accounting replays the reference's printed
+  * missing-count / imputation-accounting goldens (BASELINE.md
+  * "Data-shape checkpoints", ipynb c8/c18/c20:out) over this fixture
+  * as a driver-visible oracle row — the fixture is the query's data
+  * source, not test scaffolding. Planted scenarios:
   *
   *  1. station "010020": visib null-run of 16 rows (longer than ±7,
   *     shorter than ±14) → exercises progressive widening;

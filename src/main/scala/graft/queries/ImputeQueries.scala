@@ -76,11 +76,69 @@ object ImputeQueries {
       |CROSS JOIN gm
       |ORDER BY c.event_id""".stripMargin
 
+  /** The reference's informal goldens as a driver-visible oracle row:
+    * the printed missing-count table after sentinel-nulling (ipynb
+    * c8:out), the per-stage imputation accounting (ipynb c18:out), and
+    * the zero-missing-after-imputation check (ipynb c20:out) — the
+    * BASELINE.md "Data-shape checkpoints" — replayed over the
+    * deterministic [[graft.gsod.Fixture]] (same pipeline, fixture-sized
+    * numbers; `sfDir` is unused because the fixture is self-contained).
+    * Every number is deterministic (exact medians, fixed widening
+    * order), so the DuckDB twin is the literal expected frame and the
+    * driver's hash gate pins the whole clean→impute control flow; the
+    * golden ImputeSpec cases pin the same numbers in-repo.
+    *
+    * The accounting values are "missing remaining after stage" — the
+    * reference's printed semantics. Driver-side assembly is a handful
+    * of counted scalars (the accounting IS a printed scalar table in
+    * the reference), not a collect of data rows. */
+  def qGsodAccounting(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cleaned = graft.gsod.Clean.sentinelToNull(graft.gsod.Fixture.df(s))
+    val cols = Seq("temp", "visib", "wdsp", "mxpsd", "max", "min", "prcp")
+    val missing = graft.gsod.Clean.missingCountMap(cleaned, cols)
+    val (out, acc) = Impute.applyAll(cleaned)
+    val targets = Impute.referenceStrategies.map(_.column)
+    val after = graft.gsod.Clean.missingCountMap(out, targets)
+    val rows =
+      cols.map(c => (s"missing_after_sentinel:$c", missing(c))) ++
+      targets.flatMap(c => acc(c).map { case (stage, n) => (s"impute:$c:$stage", n) }) ++
+      Seq(("missing_after_impute:total", after.values.sum))
+    rows.toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  val qGsodAccountingSql: String =
+    // literal golden frame (deterministic fixture ⇒ deterministic
+    // accounting); values mirror ImputeSpec's golden case
+    """SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+      |  ('missing_after_sentinel:temp', 40),
+      |  ('missing_after_sentinel:visib', 126),
+      |  ('missing_after_sentinel:wdsp', 6),
+      |  ('missing_after_sentinel:mxpsd', 0),
+      |  ('missing_after_sentinel:max', 31),
+      |  ('missing_after_sentinel:min', 0),
+      |  ('missing_after_sentinel:prcp', 20),
+      |  ('impute:visib:proximity±7', 98),
+      |  ('impute:visib:proximity±14', 68),
+      |  ('impute:visib:proximity±28', 12),
+      |  ('impute:visib:fallback-median', 0),
+      |  ('impute:wdsp:proximity±7', 0),
+      |  ('impute:prcp:zero-fill', 0),
+      |  ('impute:max:seasonal-median', 31),
+      |  ('impute:max:proximity±7', 24),
+      |  ('impute:max:proximity±14', 10),
+      |  ('impute:max:proximity±28', 0),
+      |  ('impute:min:seasonal-median', 0),
+      |  ('missing_after_impute:total', 0)) t(metric, value)
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_impute_proximity" -> (qImputeProximity _),
-    "q_impute_station_median" -> (qImputeStationMedian _))
+    "q_impute_station_median" -> (qImputeStationMedian _),
+    "q_gsod_accounting" -> (qGsodAccounting _))
 
   val oracles: Map[String, String] = Map(
     "q_impute_proximity" -> qImputeProximitySql,
-    "q_impute_station_median" -> qImputeStationMedianSql)
+    "q_impute_station_median" -> qImputeStationMedianSql,
+    "q_gsod_accounting" -> qGsodAccountingSql)
 }
