@@ -172,6 +172,39 @@ object Streaming {
         sum(col(valueCol)).as("sum_value"))
   }
 
+  /** Gap sessionization through Spark's NATIVE `session_window`
+    * aggregation, as a live STREAM (the batch face is
+    * [[graft.queries.CoreQueries.qSessionWindow]], hash-gated vs the
+    * DuckDB sessionize oracle): the state store merges overlapping
+    * gap-extended windows per user as events arrive — in any order
+    * inside the watermark horizon — and append mode emits a session
+    * exactly once, when the watermark finally seals it (watermark >
+    * session end = last event + gap). Re-delivered events are dropped
+    * by id BEFORE the aggregation (`dropDuplicatesWithinWatermark` —
+    * chained stateful operators, both bounded by the same horizon), so
+    * an at-least-once source cannot inflate n_events/sum_value.
+    *
+    * This is the zero-custom-code streaming path: no
+    * (flat)MapGroupsWithState, no closure-record compaction contract —
+    * the trade is append-mode latency (a session surfaces only after
+    * the watermark passes it) versus [[sessionizeAll]]'s update-mode
+    * progressive emissions. State per user is bounded by the horizon
+    * exactly like [[SessionBuffer]]. StreamingSpec proves an
+    * out-of-order, duplicate-laced multi-trigger replay emits exactly
+    * the batch twin's sessions. */
+  def sessionWindowStream(events: DataFrame, gapMinutes: Long = 30,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Per-user state for the stateful sessionizers: EVERY session still
     * inside the watermark horizon, kept sorted by session_start. A
     * single open-session tuple cannot sessionize out-of-order input —

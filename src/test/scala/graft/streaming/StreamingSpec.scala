@@ -411,6 +411,69 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(merged.head.sum_value - 9.0) < 1e-9)
   }
 
+  test("session_window-native stream: out-of-order + duplicate replay across 4 triggers == batch twin") {
+    import spark.implicits._
+    // gap 15 min, watermark 10 min. Adversarial schedule:
+    //  t1: user 7 at 10:00 & 10:05 (with an in-batch duplicate of id 1);
+    //      user 8 at 10:03
+    //  t2: LATE 10:02 for user 7 (within horizon: wm after t1 = 9:55),
+    //      a cross-trigger re-delivery of id 1 (10:00 ≥ wm → passes the
+    //      late filter, must die in dedup state), and 10:30 for user 7
+    //      (25 min > gap ⇒ second session)
+    //  t3: late 10:06 for user 8 (wm after t2 = 10:20... 10:06 < wm ⇒
+    //      DROPPED as late — asserted absent), 10:32 for user 8
+    //  t4: watermark-advancing flush event (user 999) at 12:00 ⇒ wm
+    //      11:50 seals every real session ⇒ append emits them all
+    val gap = 15L
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      Streaming.Event(id, ts(t), u, "view", v)
+    val t1 = Seq(ev(1, "2024-01-01 10:00:00", 7, 1.0),
+      ev(1, "2024-01-01 10:00:00", 7, 1.0), // in-batch duplicate
+      ev(2, "2024-01-01 10:05:00", 7, 2.0),
+      ev(3, "2024-01-01 10:03:00", 8, 3.0))
+    val t2 = Seq(ev(4, "2024-01-01 10:02:00", 7, 4.0), // late, in horizon
+      ev(1, "2024-01-01 10:00:00", 7, 1.0),            // re-delivery
+      ev(5, "2024-01-01 10:30:00", 7, 5.0))            // new session
+    val t3 = Seq(ev(6, "2024-01-01 10:06:00", 8, 6.0), // behind wm: dropped
+      ev(7, "2024-01-01 10:32:00", 8, 7.0))
+    val t4 = Seq(ev(999, "2024-01-01 12:00:00", 999, 0.0)) // flush
+    val feeder = new Feeder
+    val q = Streaming.sessionWindowStream(
+        eventStream(feeder.watchDir).toDF(), gapMinutes = gap,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("swn_sessions")
+      .outputMode("append").start()
+    try Seq(t1, t2, t3, t4).foreach(feeder.feed(q, _)) finally q.stop()
+    val got = spark.table("swn_sessions")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch twin: the same NATIVE session_window aggregation over the
+    // surviving event set (duplicates deduped by id; event 6 dropped by
+    // the watermark — the documented bounded-state trade)
+    // all re-deliveries are identical case-class instances ⇒ one
+    // .distinct dedups them exactly as the id-keyed stream state does
+    val survivors = (t1 ++ t2 ++ t3).distinct.filterNot(_.event_id == 6)
+    val want = survivors.toDS().toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gap minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want, s"streamed:\n  ${got.mkString("\n  ")}\nbatch:\n  ${want.mkString("\n  ")}")
+    // structural spot checks: user 7's first session fused the late
+    // 10:02 into [10:00, 10:05+gap) with 3 distinct events (duplicate
+    // re-delivery did NOT inflate the count)
+    val u7first = got.filter(s => s._1 == 7L && s._2 == ts("2024-01-01 10:00:00"))
+    assert(u7first.size == 1 && u7first.head._4 == 3L, s"user 7 first session: $u7first")
+    assert(got.count(_._1 == 7L) == 2, "user 7 must have exactly 2 sessions")
+    assert(!got.exists(s => s._1 == 8L && s._4 > 1L &&
+      s._2 == ts("2024-01-01 10:03:00") && s._5 == 9.0),
+      "event 6 behind the watermark must not reach user 8's session")
+  }
+
   test("sessionizeAll: a late event beyond the gap opens its own session, never rewrites the open one") {
     val feeder = new Feeder
     val q = Streaming.sessionizeAll(eventStream(feeder.watchDir),
