@@ -70,10 +70,27 @@ object Bench {
     // this reason). Process-wide state built by run 1 (memoized ML fits,
     // the IVF index) legitimately amortizes into run 2 — "build once per
     // process" is the contract those operators document.
-    // returns (best, admissible spread of the two runs): the spread
-    // distribution feeds contention_hint below
+    //
+    // Heavy-query tiebreak: two idle r10 invocations still disagreed
+    // 1.8× on the heaviest queries (q_curation 5.8 vs 10.4 s) because a
+    // multi-second query only gets the two samples and a hiccup in
+    // either leaves the "best" inflated. When a query is BOTH heavy
+    // (best ≥ 1 s — where a phantom regression would actually move the
+    // total) AND unstable (spread > 1.3), a third run arbitrates; the
+    // reported time is the min over all runs.
+    //
+    // returns (best, admissible spread across the runs): the spread
+    // feeds contention_hint below AND is now recorded per query in the
+    // JSON (`spreads`), so a round-over-round regression on one query
+    // is attributable — a real regression shows spread ≈ 1 at the new
+    // time, a contention artifact shows the wide spread that produced it
     def exec(name: String): (Double, Option[Double]) = {
-      val runs = Seq(execOnce(name), execOnce(name))
+      val first = Seq(execOnce(name), execOnce(name))
+      val best0 = first.filter(_ >= 0).minOption.getOrElse(-1.0)
+      val runs =
+        if (best0 >= 1.0 && runSpread(first).exists(_ > 1.3))
+          first :+ execOnce(name)
+        else first
       val ok = runs.filter(_ >= 0)
       (if (ok.isEmpty) -1.0 else ok.min, runSpread(runs))
     }
@@ -163,7 +180,13 @@ object Bench {
     // can't hide behind warm-cache query times.
     val builds = BuildTimes.snapshot.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"builds":$builds,"contention_hint":$finalHint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
+    // per-query spread (max/min of that query's own runs; -1 = no
+    // admissible sample): the attribution record that separates "this
+    // query regressed" from "this query's window was noisy"
+    val spreadsJson = finalResults.map { case (k, _, sp) =>
+      "\"" + k + "\":" + sp.fold(-1.0)(s => math.rint(s * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreadsJson,"builds":$builds,"contention_hint":$finalHint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)

@@ -35,7 +35,10 @@ object ExplainDump {
     "q_schema_evolution", "q_token_budget", "q_ntile_approx_bounds",
     "q_pit_join", "q_time_folds", "q_domain_mix_temperature",
     "q_median_histogram", "q_window_firstlast", "q_events_window_users",
-    "q_salted_rank", "q_winsorize", "q_char_entropy")
+    "q_salted_rank", "q_winsorize", "q_char_entropy",
+    "q_window_dist", "q_sample_weighted", "q_sim_mmr_shortlist",
+    "q_approx_distinct_bounds", "q_sketch_quantile_bounds",
+    "q_gsod_accounting", "q_dedup_semantic_incremental")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * IPL 2006 "Weighted random sampling with a reservoir", A-ES): each
+    * row gets key `u^(1/w)` for uniform u and weight w, and the k
+    * largest keys form a sample where inclusion probability is
+    * proportional to weight — the quality-weighted corpus subsample
+    * (weight = quality score / length / importance weight) that plain
+    * Bernoulli sampling can't produce at an exact size.
+    *
+    * Computed in log space (`ln(u)/w`, monotone in u^(1/w) — larger is
+    * better both ways) to keep precision when weights are large. u is
+    * the PORTABLE multiplicative hash of the unique row key, shared
+    * with the hash-stratified sampling tier ([[DomainMix.portableBucket]]),
+    * so the selection is deterministic AND the DuckDB oracle can replay
+    * it exactly in ANSI SQL: same hash, same ln/division (rounded to 9
+    * before ranking per the float policy, id tie-break after).
+    *
+    * Scale: the key is in-row arithmetic; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort) —
+    * PlanSpec-checkable. Rows with non-positive weight are excluded
+    * (they'd never be sampled: w→0 ⇒ key→−∞). */
+  def weightedTopK(df: DataFrame, rowKey: Column, weight: Column, k: Int,
+      tieBreak: Seq[Column]): DataFrame =
+    df.filter(weight > 0)
+      .withColumn("wkey", round(
+        log((DomainMix.portableBucket(rowKey) + 1L) / lit(1000001.0)) / weight, 9))
+      .orderBy(col("wkey").desc +: tieBreak: _*)
+      .limit(k)
+
   def exactPerGroup(df: DataFrame, groupCol: String, n: Int,
       seed: Long, tieBreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col(groupCol))

@@ -220,6 +220,30 @@ object ExtraQueries {
       |  ELSE 0 END
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey""".stripMargin
 
+  /** Weighted sampling without replacement
+    * ([[graft.ops.Sampling.weightedTopK]], Efraimidis–Spirakis A-ES):
+    * the 100 quality-weightiest documents, weight = n_chars — longer
+    * documents proportionally likelier, every doc still possible. The
+    * portable hash + log-space key make the draw deterministic and
+    * EXACTLY replayable in DuckDB, so this sampling tier is
+    * hash-oracled (unlike seeded-rand reservoir/Bernoulli tiers, which
+    * are rows-only by nature). */
+  def qSampleWeighted(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.weightedTopK(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      rowKey = col("doc_id"), weight = col("n_chars"), k = 100,
+      tieBreak = Seq(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("wkey"))
+
+  val qSampleWeightedSql: String =
+    """SELECT doc_id, source, n_chars, wkey FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    round(ln((((doc_id % 1000003) * 2654435761) % 1000000 + 1) / 1000001.0)
+      |          / n_chars, 9) AS wkey
+      |  FROM documents WHERE n_chars > 0)
+      |ORDER BY wkey DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   /** Approximate distinct counts (HLL) — the 100 TB replacement for
     * exact countDistinct. Sketch layouts differ per engine → rows-only;
     * the spec bounds relative error against the exact count. */
@@ -946,6 +970,7 @@ object ExtraQueries {
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_distinct_bounds" -> (qApproxDistinctBounds _),
     "q_sketch_quantile_bounds" -> (qSketchQuantileBounds _),
@@ -978,6 +1003,7 @@ object ExtraQueries {
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_pit_join" -> qPitJoinSql,
     "q_salted_rank" -> qSaltedRankSql,

@@ -68,6 +68,31 @@ object Streaming {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n_users"))
 
+  /** Windowed quantile profile — the KLL member of the streaming
+    * sketch tier, next to [[windowedApproxUsers]] (HLL): per tumbling
+    * window and event type, p50/p90 of `value` through the mergeable
+    * [[graft.functions.KllSketch]] TypedImperativeAggregate. In
+    * streaming the serialized sketch IS the state-store buffer (a few
+    * KB per open (window, type) group — bounded state at any input
+    * rate), and merge-on-update keeps the estimate within the k=200
+    * rank-error bound regardless of trigger boundaries or arrival
+    * order; exact streaming percentiles would buffer every value per
+    * open window. Works on a batch OR streaming frame unchanged;
+    * StreamingSpec bounds the streamed quantiles against exact
+    * per-window order statistics. */
+  def windowedQuantiles(events: DataFrame,
+      windowLength: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.KllSketch._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), kllSketchAgg(col("value")).as("sk"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"),
+        kllQuantile(col("sk"), 0.5).as("p50"),
+        kllQuantile(col("sk"), 0.9).as("p90"))
+  }
+
   /** Windowed top-k leaderboard — the k highest-value events per
     * tumbling window, through the bounded-heap `top_k_by` aggregate
     * ([[graft.functions.TopKBy]]). Works on a batch OR streaming frame

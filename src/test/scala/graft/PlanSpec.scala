@@ -121,6 +121,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"per-source rank window missing:\n$p")
   }
 
+  test("weighted sample compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.queries.ExtraQueries.qSampleWeighted(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"weighted top-k not heap-based:\n$p")
+  }
+
   test("window dist: no single-task whole-group sort — the row-stream window is bucketed") {
     // o_orderpriority has 5 values; a naive PARTITION BY o_orderpriority
     // percent_rank/cume_dist window would sort N/5 rows per task. The

@@ -68,4 +68,27 @@ class SamplingSpec extends SparkSpec {
         s"stratum $f: ${got(f)} vs nominal $expected")
     }
   }
+
+  test("weighted sampling (A-ES): heavy-weight rows dominate, light rows still possible, deterministic") {
+    import spark.implicits._
+    // 1000 rows: ids 0..49 weight 1000, the rest weight 1 — the heavy
+    // 5% should own most of the top-100 sample but NOT all of it
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 50) 1000.0 else 1.0)).toDF("id", "w")
+    val out = Sampling.weightedTopK(df, col("id"), col("w"), k = 100,
+      tieBreak = Seq(col("id"))).collect().map(_.getLong(0))
+    assert(out.length == 100)
+    val heavy = out.count(_ < 50L)
+    assert(heavy >= 45, s"heavy rows underrepresented: $heavy/50 sampled")
+    assert(heavy < out.length, "light rows must still be able to appear")
+    // deterministic: a second draw is identical (hash keys, no RNG)
+    val again = Sampling.weightedTopK(df, col("id"), col("w"), k = 100,
+      tieBreak = Seq(col("id"))).collect().map(_.getLong(0))
+    assert(out.toSeq == again.toSeq)
+    // non-positive weights are excluded, never sampled
+    val withZero = (0L until 10L).map(i => (i, if (i == 3L) 0.0 else 1.0)).toDF("id", "w")
+    val z = Sampling.weightedTopK(withZero, col("id"), col("w"), k = 10,
+      tieBreak = Seq(col("id"))).collect().map(_.getLong(0))
+    assert(!z.contains(3L) && z.length == 9)
+  }
 }

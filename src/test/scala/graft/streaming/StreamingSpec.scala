@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed quantiles (KLL sketch state) within rank bound of exact per window") {
+    val stream = Streaming.windowedQuantiles(Streaming.eventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory").queryName("quant_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("quant_out")
+      .orderBy(col("w_start"), col("event_type")).collect()
+    // exact per-window order statistics from the batch table
+    val exact = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("window.start"), col("event_type"), col("n"), col("vs"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getSeq[Double](3)))).toMap
+    assert(got.nonEmpty && got.length == exact.size)
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(graft.functions.KllSketch.DefaultK, false)
+    def rankOf(sorted: Seq[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    got.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      val (n, vs) = exact(key)
+      assert(r.getLong(2) == n, s"window $key: n ${r.getLong(2)} vs exact $n")
+      Seq(0.5 -> r.getDouble(3), 0.9 -> r.getDouble(4)).foreach { case (p, est) =>
+        assert(vs.contains(est), s"window $key p$p: $est not an input member")
+        assert(math.abs(rankOf(vs, est) - p) <= 2 * eps + 1.0 / vs.length,
+          s"window $key p$p: $est has exact rank ${rankOf(vs, est)}")
+      }
+    }
+  }
+
   test("streaming windowed top-k == batch windowed top-k (heap state, same transform)") {
     val stream = Streaming.windowedTopK(Streaming.eventsStream(spark, streamDir))
     val q = stream.writeStream
