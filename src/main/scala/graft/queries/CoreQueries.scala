@@ -332,6 +332,53 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Oracle row for the windowed-KLL tier — a PROPERTY gate, not a
+    * differential oracle (the q_ntile_approx_bounds /
+    * q_sketch_quantile_bounds contract, extended to the per-window
+    * sketch face [[graft.streaming.Streaming.windowedQuantiles]]): for
+    * EVERY (10-min window, event type) group, the batch run of the
+    * same transform must return p50/p90 estimates whose true
+    * within-window rank sits within 2·ε(k)+1/n of the requested rank.
+    * The output is (n_windows, n_within_p50, n_within_p90); when the
+    * contract holds all three equal the exact window count — which
+    * DuckDB computes independently from the raw events, so the hash
+    * gate fails if even ONE window's estimate drifts out of band.
+    *
+    * Two shuffles: the windowed sketch agg, then one equi-join of the
+    * tiny per-window estimate frame back onto the windowed rows for
+    * the exact conditional-rank sums — both partial-aggregable. */
+  def qWindowQuantileBounds(s: SparkSession, d: String): DataFrame = {
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(graft.functions.KllSketch.DefaultK, false)
+    val est = graft.streaming.Streaming.windowedQuantiles(Tables.events(s, d))
+    val ev = Tables.events(s, d).select(
+      window(col("ts"), "10 minutes").getField("start").as("w_start"),
+      col("event_type"), col("value"))
+    val perWindow = ev.join(est, Seq("w_start", "event_type"))
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("nw"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+    val slack = lit(2 * eps) + lit(1.0) / col("nw")
+    perWindow.agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(abs(col("r50") / col("nw") - 0.5) <= slack, 1L)
+        .otherwise(0L)).as("n_within_p50"),
+      sum(when(abs(col("r90") / col("nw") - 0.9) <= slack, 1L)
+        .otherwise(0L)).as("n_within_p90"))
+  }
+
+  val qWindowQuantileBoundsSql: String =
+    // property-gate twin: DuckDB recomputes only the EXACT window
+    // count; the all-within verdict is the literal expectation
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT count(*) AS n_windows, count(*) AS n_within_p50,
+      |  count(*) AS n_within_p90
+      |FROM w""".stripMargin
+
   /** Windowed top-3 leaderboard (10-minute tumbling windows, highest
     * value wins, event_id tie-break) — the batch face of
     * [[graft.streaming.Streaming.windowedTopK]] (StreamingSpec proves
@@ -426,6 +473,7 @@ object CoreQueries {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_events_time_window" -> (qEventsTimeWindow _),
+    "q_window_quantile_bounds" -> (qWindowQuantileBounds _),
     "q_events_window_topk" -> (qEventsWindowTopk _),
     "q_events_window_users" -> (qEventsWindowUsers _),
     "q_session_window" -> (qSessionWindow _))
@@ -454,6 +502,7 @@ object CoreQueries {
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
     "q_events_time_window" -> qEventsTimeWindowSql,
+    "q_window_quantile_bounds" -> qWindowQuantileBoundsSql,
     "q_events_window_topk" -> qEventsWindowTopkSql,
     "q_events_window_users" -> qEventsWindowUsersSql)
 }
