@@ -122,21 +122,27 @@ object CoreQueries {
     * the approx variant is benchmarked separately in Bench. */
   def qStatsSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
+      // mean_qty stays raw: l_quantity is integer-valued, so the sum is
+      // exact in double and the single division deterministic. The
+      // MOMENT aggregates (stddev — Welford merge, order-dependent) and
+      // the non-dyadic price mean are class-2: the sf0.1 strict sweep
+      // caught sd_qty flipping its last ulp across engines → round 9
+      // on both sides (float policy, COVERAGE.md)
       avg(col("l_quantity")).as("mean_qty"),
-      stddev(col("l_quantity")).as("sd_qty"),
+      round(stddev(col("l_quantity")), 9).as("sd_qty"),
       countDistinct(col("l_quantity")).as("nd_qty"),
-      avg(col("l_extendedprice")).as("mean_price"),
-      stddev(col("l_extendedprice")).as("sd_price"),
+      round(avg(col("l_extendedprice")), 9).as("mean_price"),
+      round(stddev(col("l_extendedprice")), 9).as("sd_price"),
       countDistinct(col("l_partkey")).as("nd_part"),
       countDistinct(col("l_returnflag")).as("nd_flag"))
 
   val qStatsSummarySql: String =
     """SELECT
       |  avg(l_quantity) AS mean_qty,
-      |  stddev_samp(l_quantity) AS sd_qty,
+      |  round(stddev_samp(l_quantity), 9) AS sd_qty,
       |  count(DISTINCT l_quantity) AS nd_qty,
-      |  avg(l_extendedprice) AS mean_price,
-      |  stddev_samp(l_extendedprice) AS sd_price,
+      |  round(avg(l_extendedprice), 9) AS mean_price,
+      |  round(stddev_samp(l_extendedprice), 9) AS sd_price,
       |  count(DISTINCT l_partkey) AS nd_part,
       |  count(DISTINCT l_returnflag) AS nd_flag
       |FROM lineitem""".stripMargin
