@@ -732,9 +732,27 @@ object AnalyticsQueries {
     * ties. Top-10 via window row_number → TakeOrdered shape, not a
     * global sort of the corpus. */
   def qBm25(s: SparkSession, d: String): DataFrame = {
-    val qTerms = Seq("spark", "query", "join")
-    val (k1, b) = (1.2, 0.75)
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val scored = bm25Scores(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Seq("spark", "query", "join"))
+    // TakeOrderedAndProject for the global top-10 (never a full sort or
+    // an unpartitioned window over the scored corpus); the rank column
+    // is attached by a window over the 10 surviving rows only.
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"), col("n_terms"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  /** BM25-scored corpus frame (doc_id, score, n_terms) for `qTerms` —
+    * the reusable scorer behind [[qBm25]] and the lexical leg of
+    * hybrid retrieval ([[SimilarityQueries.qHybridRrf]]). Score is
+    * rounded to 9 decimals here, BEFORE any consumer ranks on it. */
+  def bm25Scores(docs: DataFrame, qTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -753,16 +771,7 @@ object AnalyticsQueries {
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 9).as("score"), count(lit(1)).as("n_terms"))
-    // TakeOrderedAndProject for the global top-10 (never a full sort or
-    // an unpartitioned window over the scored corpus); the rank column
-    // is attached by a window over the 10 surviving rows only.
     scored
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(10)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("score"), col("n_terms"), col("rk"))
-      .orderBy(col("rk"))
   }
 
   val qBm25Sql: String =

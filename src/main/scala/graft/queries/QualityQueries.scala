@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Budget, Expectations}
+import graft.ops.{Budget, Expectations, Profile, SnapshotDiff}
 import graft.ops.Expectations._
 
 /** Data-quality gate queries — the validation pass a training
@@ -126,11 +126,96 @@ object QualityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Snapshot audit diff between two generations of the orders table
+    * (both derived deterministically from the harness table: the old
+    * snapshot drops keys ≡3 mod 11, the new drops keys ≡5 mod 13 and
+    * rewrites price/status for keys ≡0 mod 17 / ≡0 mod 23), classified
+    * per key as added / removed / changed by
+    * [[graft.ops.SnapshotDiff.diff]]. Output keeps only the non-
+    * unchanged keys — the audit's actionable rows. One full-outer
+    * sort-merge join on the primary key; change detection is null-safe
+    * column compare, never a stringified fingerprint. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 11 =!= 3)
+    val newSnap = orders.filter(col("o_orderkey") % 13 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 23 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    SnapshotDiff.diff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .filter(col("diff_class") =!= "unchanged")
+      .select(col("o_orderkey"), col("diff_class"),
+        col("old_o_orderstatus").as("old_status"),
+        col("new_o_orderstatus").as("new_status"),
+        col("old_o_totalprice").as("old_price"),
+        col("new_o_totalprice").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH old_snap AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 3
+      |), new_snap AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 23 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 5
+      |), j AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+      |    a.o_totalprice AS old_price, b.o_totalprice AS new_price,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN b.o_orderkey IS NULL THEN 'removed'
+      |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'changed'
+      |         ELSE 'unchanged' END AS diff_class
+      |  FROM old_snap a FULL OUTER JOIN new_snap b ON a.o_orderkey = b.o_orderkey
+      |)
+      |SELECT o_orderkey, diff_class, old_status, new_status, old_price, new_price
+      |FROM j WHERE diff_class <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val profileCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_linenumber" -> true, "l_quantity" -> true,
+    "l_extendedprice" -> true, "l_discount" -> true, "l_tax" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false)
+
+  /** One-pass column profile of lineitem (null count / exact distinct
+    * / numeric min-max per column, long form) —
+    * [[graft.ops.Profile.profile]]: the single-job replacement for the
+    * reference's per-column `filter(isNull).count()` loop (32 jobs,
+    * SURVEY §4.3.1). */
+  def qTableProfile(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.lineitem(s, d), profileCols)
+      .orderBy(col("col_name"))
+
+  val qTableProfileSql: String = {
+    val rows = profileCols.map { case (c, num) =>
+      val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name,
+         |  count(CASE WHEN $c IS NULL THEN 1 END) AS null_count,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_val, $mx AS max_val
+         |FROM lineitem""".stripMargin
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expectations" -> (qExpectations _),
-    "q_token_budget" -> (qTokenBudget _))
+    "q_token_budget" -> (qTokenBudget _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_table_profile" -> (qTableProfile _))
 
   val oracles: Map[String, String] = Map(
     "q_expectations" -> qExpectationsSql,
-    "q_token_budget" -> qTokenBudgetSql)
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_table_profile" -> qTableProfileSql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.Similarity
@@ -349,7 +350,95 @@ object SimilarityQueries {
       .orderBy(col("cell"))
   }
 
+  /** Hybrid lexical+dense retrieval fused with reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher SIGIR'09: score = Σ 1/(60+rank)) —
+    * the standard two-tower retrieval recipe: a BM25 leg over the
+    * documents table and a dense cosine leg over the embeddings table
+    * (doc_id ≡ vec_id in the harness), each contributing its top-20
+    * ranking for one fixed query, fused and cut to the top-10.
+    *
+    * Scale shape: each leg is the already-scale-shaped ranker
+    * ([[AnalyticsQueries.bm25Scores]]'s partial-agg frames;
+    * [[Similarity.bruteForceTopK]]'s broadcast-query bounded heap —
+    * swap in the IVF leg for a 100 TB corpus), cut to its pool via
+    * TakeOrdered before any window. The fusion join touches ≤ 40 rows.
+    * RRF scores are sums of two exactly-rounded divisions — bit-equal
+    * across engines with no rounding; ties break on doc_id. */
+  def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val (pool, out, rrfK) = (20, 10, 60)
+    val lex = AnalyticsQueries.bm25Scores(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("spark", "query", "join"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(pool)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = Similarity.bruteForceTopK(
+        corpus(s, d), corpus(s, d).filter(col("vec_id") === 0), pool,
+        roundScoreTo = Some(9))
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(out)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("fused_rank"), col("lex_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("fused_rank"))
+  }
+
+  val qHybridRrfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok2
+      |  WHERE term IN ('spark','query','join') GROUP BY doc_id, term
+      |), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |    round(sum(
+      |      ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      |      (t.tf * 2.2) /
+      |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+      |    ), 9) AS score
+      |  FROM tf t JOIN dft f ON t.term = f.term
+      |  JOIN dl l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY t.doc_id
+      |), lex AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      |  FROM sc QUALIFY lex_rank <= 20
+      |), dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |dscored AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(CAST(dq.qe AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 9) AS cos
+      |  FROM dq, embeddings e WHERE e.vec_id <> 0
+      |), den AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+      |  FROM dscored QUALIFY vec_rank <= 20
+      |), f AS (
+      |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |    coalesce(1.0 / (60 + l.lex_rank), 0.0) +
+      |    coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN den v ON l.doc_id = v.doc_id
+      |), fr AS (
+      |  SELECT doc_id, lex_rank, vec_rank, rrf,
+      |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      |  FROM f
+      |)
+      |SELECT doc_id, fused_rank, lex_rank, vec_rank, rrf
+      |FROM fr WHERE fused_rank <= 10
+      |ORDER BY fused_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_sim_mmr" -> (qSimMmr _),
     "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
     "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
@@ -363,6 +452,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_embedding_stats" -> qEmbeddingStatsSql)
 }

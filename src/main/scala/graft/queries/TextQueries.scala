@@ -858,7 +858,53 @@ object TextQueries {
       |  unnest(generate_series(0, greatest(0, CAST(ceil((n - 64) / 48.0) AS INT)))) AS u(k)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Gopher-style hard rule gate ([[TextAnalysis.withGopherRules]]):
+    * per-doc boolean rule flags + keep verdict. Flags are comparisons
+    * of exact integer divisions against constants — fully
+    * deterministic, hash-oracled without rounding. */
+  def qQualityGopher(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withGopherRules(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("r_word_count"), col("r_word_len"), col("r_alpha_words"),
+        col("r_symbol_ratio"), col("r_stopwords"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val qQualityGopherSql: String = {
+    val stop = TextAnalysis.GopherStopList.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_words,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbol_chars
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0
+       |         THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+       |         ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0
+       |         THEN CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE) / n_words
+       |         ELSE 0.0 END AS alpha_ratio,
+       |    CASE WHEN n_words > 0
+       |         THEN CAST(symbol_chars AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+       |    len(list_filter($stop, s -> list_contains(words, s))) AS stop_hits
+       |  FROM w
+       |)
+       |SELECT doc_id, n_words, mean_word_len,
+       |  n_words >= 25 AND n_words <= 80 AS r_word_count,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
+       |  alpha_ratio >= 0.8 AS r_alpha_words,
+       |  symbol_ratio <= 0.1 AS r_symbol_ratio,
+       |  stop_hits >= 2 AS r_stopwords,
+       |  (n_words >= 25 AND n_words <= 80) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1 AND stop_hits >= 2 AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gopher" -> (qQualityGopher _),
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -884,6 +930,7 @@ object TextQueries {
     "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
+    "q_quality_gopher" -> qQualityGopherSql,
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,

@@ -152,6 +152,56 @@ object TextAnalysis {
             + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)))))
   }
 
+  /** Required-word list for the Gopher stopword-presence rule, chosen
+    * from the harness corpus vocabulary (the paper's English list —
+    * the/be/to/of/and… — never occurs in the synthetic corpus, which
+    * would make the rule a constant). Structure over letter: the rule
+    * is "at least `minStopHits` DISTINCT list members present". */
+  val GopherStopList: Seq[String] = Seq("join", "hash", "row", "scan", "data")
+
+  /** Gopher-style hard quality gate (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1): boolean per-rule flags + an all-rules `keep` verdict, the
+    * rule-based counterpart of [[withQualitySignals]]'s continuous
+    * score. Word-count bounds are harness-tuned (the paper's 50–100k
+    * band targets web pages; the synthetic docs run 10–99 words) and
+    * parameterized; the word-length / alpha-word / symbol-ratio /
+    * stopword rules keep the paper's thresholds.
+    *
+    * Everything is a narrow per-row projection (split + higher-order
+    * array functions — no explode, no shuffle, no UDF), so the gate
+    * fuses into whatever scan feeds it at 100 TB. The ratios are
+    * single divisions of exact integers — deterministic across
+    * engines without rounding, so the boolean flags can be
+    * hash-oracled directly. */
+  def withGopherRules(df: DataFrame, textCol: String = "text",
+                      minWords: Int = 25, maxWords: Int = 80,
+                      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                      minAlphaWordRatio: Double = 0.8,
+                      maxSymbolRatio: Double = 0.1,
+                      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = wsTokenCount(t)
+    val sumLen = aggregate(toks, lit(0), (acc, x) => acc + length(x))
+    val meanLen = when(nWords > 0, sumLen.cast("double") / nWords).otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, x => x.rlike("\\p{L}")))
+    val alphaRatio = when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(lit(0.0))
+    val symbolChars = length(t) - length(regexp_replace(t, "[#…]", ""))
+    val symbolRatio = when(nWords > 0, symbolChars.cast("double") / nWords).otherwise(lit(0.0))
+    val stopHits = size(filter(array(GopherStopList.map(lit): _*),
+      sw => array_contains(toks, sw)))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("r_word_count", nWords >= minWords && nWords <= maxWords)
+      .withColumn("r_word_len", meanLen >= minMeanLen && meanLen <= maxMeanLen)
+      .withColumn("r_alpha_words", alphaRatio >= minAlphaWordRatio)
+      .withColumn("r_symbol_ratio", symbolRatio <= maxSymbolRatio)
+      .withColumn("r_stopwords", stopHits >= minStopHits)
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_alpha_words") &&
+          col("r_symbol_ratio") && col("r_stopwords"))
+  }
+
   /** PII patterns, shared verbatim by the Spark expressions and the
     * generated DuckDB oracle SQL so the two surfaces cannot drift.
     * Restricted to the Java-regex ∩ RE2 common dialect: no lookaround,

@@ -264,4 +264,25 @@ class SimilaritySpec extends SparkSpec {
     val total = out.map(_.getLong(2)).sum
     assert(total == 500L, s"all 500 delta vectors assigned exactly once, got $total")
   }
+
+  test("hybrid RRF: fused scores recompute from the leg ranks and order the output") {
+    val out = SimilarityQueries.qHybridRrf(spark, sf001).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(lex.isDefined || vec.isDefined, "a fused row needs at least one leg")
+      val expected = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(4) == expected, s"rrf mismatch on $r")
+    }
+    // fused_rank 1..10 and rrf non-increasing along it
+    assert(out.map(_.getInt(1)).toSeq == (1 to 10))
+    val rrfs = out.sortBy(_.getInt(1)).map(_.getDouble(4)).toSeq
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // a doc present in BOTH legs at rank r beats a doc in one leg at r:
+    // verified implicitly by the formula; here pin that the top fused row
+    // is at least as good as the best single-leg score
+    assert(rrfs.head >= 1.0 / 61.0 || out.forall(r => r.isNullAt(2) || r.isNullAt(3)))
+  }
 }

@@ -316,10 +316,17 @@ class StreamingSpec extends SparkSpec {
     // trigger 1: events at 10:00; trigger 2: a LATE 9:58 event plus 10:04
     write("b1", Seq(Streaming.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0)))
     val streamDir = JFiles.createTempDirectory("graft-late-stream")
+    // copy to a temp name, then atomically rename into the watched dir:
+    // the running query polls continuously, so a plain copy can expose
+    // a half-visible logical batch split across micro-batches
     def copy(sub: String): Unit =
       JFiles.list(dir.resolve(sub)).forEach { p =>
-        if (p.toString.endsWith(".parquet"))
-          JFiles.copy(p, streamDir.resolve(s"$sub-${p.getFileName}"))
+        if (p.toString.endsWith(".parquet")) {
+          val tmp = streamDir.resolve(s".tmp-$sub-${p.getFileName}")
+          JFiles.copy(p, tmp)
+          JFiles.move(tmp, streamDir.resolve(s"$sub-${p.getFileName}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     copy("b1")
     val events = spark.readStream
@@ -335,14 +342,23 @@ class StreamingSpec extends SparkSpec {
         Streaming.Event(3L, ts("2024-01-01 10:04:00"), 7L, "view", 1.0)))
       copy("b2")
       q.processAllAvailable()
-      val s = spark.table("late_sessions")
-        .orderBy(org.apache.spark.sql.functions.col("session_end").desc)
-        .head()
       // 9:58 extends the 10:00 session backward; 10:04 is within gap of
-      // 10:00 (NOT of 9:58) — one continuous session of 3 events
+      // 10:00 (NOT of 9:58) — one continuous session of 3 events. The
+      // two b2 part files may straddle micro-batches (the source polls
+      // continuously), so intermediate 2-event emissions can precede
+      // the final form in the update-mode sink — assert on the
+      // max-n_events emission, which is the final merged session under
+      // every interleaving, and that no emission ever ends later.
+      val s = spark.table("late_sessions")
+        .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+        .head()
       assert(s.getInt(3) == 3, s"expected one 3-event session, got $s")
       assert(s.getTimestamp(1) == ts("2024-01-01 09:58:00"))
       assert(s.getTimestamp(2) == ts("2024-01-01 10:04:00"))
+      val maxEnd = spark.table("late_sessions")
+        .agg(org.apache.spark.sql.functions.max("session_end")).head().getTimestamp(0)
+      assert(maxEnd == ts("2024-01-01 10:04:00"),
+        s"no emission may end after the true session end, got $maxEnd")
     } finally q.stop()
   }
 

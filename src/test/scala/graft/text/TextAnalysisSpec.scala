@@ -313,4 +313,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) == 0.0, s"disjoint doc: $r")
     assert(r(5L) == 0.0, s"short doc: $r")
   }
+
+  test("gopher rules: each rule fails on its own counter-example doc") {
+    val mkWords = (n: Int) => Seq.fill(n)("word").mkString(" ")
+    val good = ("join hash " + mkWords(28)).trim           // 30 words, 2 stops
+    val docs = Seq(
+      (0L, good),                                          // passes all
+      (1L, "join hash " + mkWords(8)),                     // too few words
+      (2L, ("join hash " + mkWords(98)).trim),             // too many words
+      (3L, "join hash " + Seq.fill(28)("a").mkString(" ")),// mean len < 3
+      (4L, "join hash " + Seq.fill(28)("12345").mkString(" ")), // alpha-word ratio 2/30
+      (5L, "join hash " + Seq.fill(28)("####word####").mkString(" ")), // symbol ratio
+      (6L, mkWords(30)))                                   // zero stopword hits
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withGopherRules(docs)
+      .select("doc_id", "r_word_count", "r_word_len", "r_alpha_words",
+        "r_symbol_ratio", "r_stopwords", "keep")
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5), x.getBoolean(6))).toMap
+    assert(r(0L) == ((true, true, true, true, true, true)), s"good doc: ${r(0L)}")
+    assert(!r(1L)._1 && !r(1L)._6, "short doc fails word count")
+    assert(!r(2L)._1, "long doc fails word count")
+    assert(!r(3L)._2, "single-char words fail mean word length")
+    assert(!r(4L)._3, "digit words fail the alpha-word rule")
+    assert(!r(5L)._4, s"symbol-heavy doc fails the symbol rule: ${r(5L)}")
+    assert(!r(6L)._5, "stopword-free doc fails the stopword rule")
+  }
+
+  test("q_quality_gopher over the fixture: flags recompute from the signals") {
+    val out = TextQueries.qQualityGopher(spark, sf001).cache()
+    assert(out.count() > 0)
+    // n_words bounds recompute r_word_count exactly
+    val bad = out.filter(
+      col("r_word_count") =!= (col("n_words") >= 25 && col("n_words") <= 80) ||
+        col("keep") =!= (col("r_word_count") && col("r_word_len") &&
+          col("r_alpha_words") && col("r_symbol_ratio") && col("r_stopwords")))
+    assert(bad.count() == 0)
+    // the gate must be non-degenerate on the harness corpus: both
+    // verdicts occur (doc lengths run 10-99 words vs the 25-80 band)
+    val keeps = out.groupBy("keep").count().count()
+    assert(keeps == 2, "expected both keep=true and keep=false docs")
+    out.unpersist()
+  }
 }
