@@ -38,7 +38,10 @@ object ExplainDump {
     "q_salted_rank", "q_winsorize", "q_char_entropy",
     "q_window_dist", "q_sample_weighted", "q_sim_mmr_shortlist",
     "q_approx_distinct_bounds", "q_sketch_quantile_bounds",
-    "q_gsod_accounting", "q_dedup_semantic_incremental")
+    "q_gsod_accounting", "q_dedup_semantic_incremental",
+    "q_skyline", "q_cdc_apply", "q_vocab_growth", "q_url_normalize",
+    "q_heavy_hitters_incremental", "q_ml_bucketize",
+    "q_sketch_overlap_bounds", "q_sim_ivf_recall_bounds")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -1073,7 +1073,38 @@ object AnalyticsQueries {
       |FROM x GROUP BY fold, split
       |ORDER BY fold, split""".stripMargin
 
+  // ------------------------------------------------------- 2-D skyline
+  /** Pareto frontier of orders — earliest date (minimize) at highest
+    * total price (maximize), strict dominance: the offers no later
+    * order beats on price. Delegates to [[graft.ops.Skyline]] (per-
+    * distinct-date pre-aggregate + bounded running-max frame + equi-
+    * join filter); the DuckDB twin spells the SAME frontier as one
+    * whole-relation RANGE window (strictly-before-by-value max), so
+    * the hash gate is a plan-equivalence proof of the two-level
+    * decomposition — SkylineSpec additionally replays the O(N²)
+    * NOT EXISTS definition on the fixture. Stored doubles compare
+    * bit-exact (no arithmetic), so no rounding is needed. */
+  def qSkyline(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skyline.frontier2d(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      "o_orderdate", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val qSkylineSql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice,
+      |    max(o_totalprice) OVER (ORDER BY o_orderdate
+      |      RANGE BETWEEN UNBOUNDED PRECEDING
+      |            AND INTERVAL 1 MICROSECOND PRECEDING) AS dom
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, o_orderdate, o_totalprice FROM w
+      |WHERE dom IS NULL OR o_totalprice >= dom
+      |ORDER BY o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_time_folds" -> (qTimeFolds _),
     "q_bm25" -> (qBm25 _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -1094,6 +1125,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_time_folds" -> qTimeFoldsSql,
     "q_bm25" -> qBm25Sql,
     "q_mad_outliers" -> qMadOutliersSql,

@@ -374,6 +374,57 @@ object ExtraQueries {
         .as("est_eval_only"))
   }
 
+  /** Oracle row for the theta-sketch set-algebra tier — the same
+    * property-gate contract as q_approx_distinct_bounds: sketch bytes
+    * are engine-specific, but the estimator's error contract is
+    * checkable IN Spark. Train = doc hashes with doc_id % 3 ≠ 0, eval
+    * = doc_id % 2 ≠ 0 (overlap ≈ N/3 — non-trivial intersection, the
+    * case q_sketch_overlap's disjoint halves don't exercise). Each of
+    * the five set-algebra estimates (train, eval, overlap, union,
+    * eval−train) must sit within 5% of the exact cardinality, which
+    * one conditional-flag aggregate over the distinct-hash frame
+    * computes exactly. At harness scale the sketches are below
+    * saturation (exact mode) so the ratios are exactly 1; at 100 TB
+    * the same gate bounds the ~1/√(2^lgK) relative error. The DuckDB
+    * twin is the literal all-true frame — the hash proves the
+    * property's verdict. */
+  def qSketchOverlapBounds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val sk = docs.agg(
+      expr("theta_sketch_agg(CASE WHEN doc_id % 3 <> 0 THEN h END)").as("skt"),
+      expr("theta_sketch_agg(CASE WHEN doc_id % 2 <> 0 THEN h END)").as("ske"))
+      .select(
+        expr("theta_sketch_estimate(skt)").as("est_train"),
+        expr("theta_sketch_estimate(ske)").as("est_eval"),
+        expr("theta_sketch_estimate(theta_intersection(skt, ske))").as("est_overlap"),
+        expr("theta_sketch_estimate(theta_union(skt, ske))").as("est_union"),
+        expr("theta_sketch_estimate(theta_difference(ske, skt))").as("est_eval_only"))
+    val exact = docs.groupBy(col("h"))
+      .agg(max(col("doc_id") % 3 =!= 0).as("tr"), max(col("doc_id") % 2 =!= 0).as("ev"))
+      .agg(
+        sum(when(col("tr"), 1L).otherwise(0L)).as("ex_train"),
+        sum(when(col("ev"), 1L).otherwise(0L)).as("ex_eval"),
+        sum(when(col("tr") && col("ev"), 1L).otherwise(0L)).as("ex_overlap"),
+        sum(when(col("tr") || col("ev"), 1L).otherwise(0L)).as("ex_union"),
+        sum(when(col("ev") && !col("tr"), 1L).otherwise(0L)).as("ex_eval_only"))
+    val m = sk.crossJoin(exact)
+    m.select(explode(array(
+        Seq("train", "eval", "overlap", "union", "eval_only").map { k =>
+          struct(lit(k).as("measure"),
+            (abs(col(s"est_$k") / col(s"ex_$k") - 1.0) <= 0.05).as("within_bounds"))
+        }: _*)).as("b"))
+      .select(col("b.measure"), col("b.within_bounds"))
+      .orderBy(col("measure"))
+  }
+
+  val qSketchOverlapBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('eval', true), ('eval_only', true),
+      |  ('overlap', true), ('train', true), ('union', true))
+      |  t(measure, within_bounds)
+      |ORDER BY measure""".stripMargin
+
   /** SCD2 merge/upsert ([[graft.ops.Scd2]]): one change batch applied
     * to a type-2 dimension snapshot. The batch is derived
     * deterministically from the customer dimension so the oracle can
@@ -441,6 +492,47 @@ object ExtraQueries {
       |UNION ALL
       |SELECT * FROM opened
       |ORDER BY key, effective_from""".stripMargin
+
+  /** CDC log application ([[graft.ops.Cdc]]): fold the orders stream,
+    * read as a change log over the customer snapshot (each order is an
+    * upsert of its customer's balance to the order total; status 'F' =
+    * close-out delete), latest change per key by (o_orderdate,
+    * o_orderkey) winning. The log collapses via a partial-aggregable
+    * `max_by` — never a per-key window, which would single-task a hot
+    * key's million-update history — then one full-outer join with the
+    * snapshot. The DuckDB twin spells "latest" as the naive
+    * row_number-DESC window, so the hash gate proves the max_by
+    * aggregate picks the identical change under the same total order.
+    * Balances are stored doubles copied, not arithmetic — bit-exact. */
+  def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("c_custkey"),
+      when(col("o_orderstatus") === "F", lit("d")).otherwise(lit("u")).as("op"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderdate"), col("o_orderkey"))
+    graft.ops.Cdc.apply(base, log, "c_custkey", "op",
+        Seq("o_orderdate", "o_orderkey"), Seq("c_acctbal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qCdcApplySql: String =
+    """WITH latest AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END AS op,
+      |    o_totalprice AS new_bal,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |)
+      |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name,
+      |  coalesce(l.new_bal, b.c_acctbal) AS acctbal
+      |FROM customer b FULL OUTER JOIN (SELECT * FROM latest WHERE rn = 1) l
+      |  USING (c_custkey)
+      |WHERE l.op IS NULL OR l.op <> 'd'
+      |ORDER BY c_custkey""".stripMargin
 
   /** Skew-proof grouped ranking ([[graft.ops.SaltedWindow]]): top-100
     * events per type by value through the two-level bucketed window —
@@ -978,6 +1070,8 @@ object ExtraQueries {
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_scd2_merge" -> (qScd2Merge _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_sketch_overlap_bounds" -> (qSketchOverlapBounds _),
     "q_pit_join" -> (qPitJoin _),
     "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
@@ -1005,6 +1099,8 @@ object ExtraQueries {
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_scd2_merge" -> qScd2MergeSql,
+    "q_cdc_apply" -> qCdcApplySql,
+    "q_sketch_overlap_bounds" -> qSketchOverlapBoundsSql,
     "q_pit_join" -> qPitJoinSql,
     "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,

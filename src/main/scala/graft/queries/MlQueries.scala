@@ -214,7 +214,41 @@ object MlQueries {
        |ORDER BY e.event_id""".stripMargin
   }
 
+  /** M-family discretization: `Bucketizer` with explicit splits over
+    * l_extendedprice — the feature-binning step of any tree/GLM
+    * pipeline (and the SQL-expressible half of QuantileDiscretizer,
+    * whose split DISCOVERY is the approx-quantile tier already covered
+    * by q_approx_quantile/q_ntile_approx_bounds). Right-exclusive
+    * buckets per the ml contract; per-bucket count + mean.
+    *
+    * Scale shape: the transform is a narrow codegen'd projection; the
+    * report is one partial-aggregable groupBy over ≤ 5 buckets. Mean
+    * rounds at 9 (class-2 float policy: stored 2-decimal doubles,
+    * magnitude ~1e4, reorder error ≪ 5e-10 after the divide). */
+  def qMlBucketize(s: SparkSession, d: String): DataFrame = {
+    val splits = Array(Double.NegativeInfinity, 1000.0, 5000.0, 20000.0,
+      50000.0, Double.PositiveInfinity)
+    val binned = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCol("l_extendedprice").setOutputCol("bucket_d")
+      .setSplits(splits)
+      .transform(Tables.lineitem(s, d).select(col("l_extendedprice")))
+    binned.groupBy(col("bucket_d").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_extendedprice")), 9).as("avg_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val qMlBucketizeSql: String =
+    """SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+      |            WHEN l_extendedprice < 5000 THEN 1
+      |            WHEN l_extendedprice < 20000 THEN 2
+      |            WHEN l_extendedprice < 50000 THEN 3
+      |            ELSE 4 END AS bucket,
+      |  count(*) AS n, round(avg(l_extendedprice), 9) AS avg_price
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_bucketize" -> (qMlBucketize _),
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),
     "q_ml_onehot" -> (qMlOnehot _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
@@ -226,6 +260,7 @@ object MlQueries {
     * StandardScaler divides by the SAMPLE stddev), so the feature query
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
+    "q_ml_bucketize" -> qMlBucketizeSql,
     "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
     "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->

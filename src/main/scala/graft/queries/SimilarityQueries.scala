@@ -437,7 +437,37 @@ object SimilarityQueries {
       |FROM fr WHERE fused_rank <= 10
       |ORDER BY fused_rank""".stripMargin
 
+  /** Oracle row for the ANN tier — the property-gate contract of
+    * q_approx_distinct_bounds applied to recall: the IVF search's
+    * top-k (default probe width, the registered q_sim_ivf_topk
+    * configuration) must recover ≥ 60% of the brute-force top-k pairs
+    * overall (the floor SimilaritySpec pins at the half-cells width on
+    * uniform-random embeddings — ANN's worst case; real clustered
+    * corpora sit far above it). Both sides are computed in Spark —
+    * k-means isn't SQL-expressible — and the DuckDB twin is the
+    * literal expected frame: the hash proves the self-check's
+    * verdict, not values. One extra brute-force pass is the cost of
+    * the gate, which is exactly why this is the oracle TIER and
+    * q_sim_ivf_topk alone is the 100 TB path. */
+  def qSimIvfRecallBounds(s: SparkSession, d: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = qSimIvf(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val denom = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(denom)
+      .select(col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+  }
+
+  val qSimIvfRecallBoundsSql: String =
+    // property-gate twin: literal expected frame (NumQueries × TopK
+    // brute-force pairs), NOT a recomputation
+    s"SELECT CAST(${NumQueries * TopK} AS BIGINT) AS n_exact, true AS recall_ok"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ivf_recall_bounds" -> (qSimIvfRecallBounds _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_sim_mmr" -> (qSimMmr _),
     "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
@@ -452,6 +482,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf_recall_bounds" -> qSimIvfRecallBoundsSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_embedding_stats" -> qEmbeddingStatsSql)

@@ -903,7 +903,180 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- Vocabulary growth curve
+  /** Novel n-gram growth curve — how many previously-unseen word
+    * 3-shingles each 5%-of-corpus slice contributes, plus the running
+    * vocabulary size. The crawl-saturation diagnostic: a flattening
+    * curve means new data is mostly re-crawl (stop paying for it); the
+    * same statistic drives dedup-rate forecasts and tokenizer-vocab
+    * sizing.
+    *
+    * Scale shape: one explode + a partial-aggregable
+    * groupBy(shingle) min(doc_id) — the shuffle carries ≤ |vocab|
+    * pre-combined rows per map task, never the occurrence stream —
+    * then bucketing against a 1-row broadcast bounds frame and a
+    * second partial agg down to ≤ 20 rows. The cumulative sum windows
+    * over that 20-row frame (bounded by construction, same argument
+    * as the distinct-source index). Pure integer arithmetic: bucket =
+    * (first_doc - lo) * 20 div (hi - lo) — identical `div` on both
+    * engines, no float anywhere. */
+  def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) + 1L).as("hi"))
+    val shingles = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+        expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("shingle"))
+    shingles.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("CAST((first_doc - lo) * 20 div (hi - lo) AS INT)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      .withColumn("vocab_size",
+        sum(col("n_new")).over(org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))))
+      .orderBy(col("bucket"))
+  }
+
+  val qVocabGrowthSql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents),
+      |u AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM u, unnest(generate_series(1, len(toks) - 2)) t(i)
+      |  WHERE len(toks) >= 3
+      |), fs AS (
+      |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+      |), bu AS (
+      |  SELECT CAST((fs.first_doc - b.lo) * 20 // (b.hi - b.lo) AS INT) AS bucket
+      |  FROM fs CROSS JOIN b
+      |), nb AS (
+      |  SELECT bucket, count(*) AS n_new FROM bu GROUP BY bucket
+      |)
+      |SELECT bucket, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+      |FROM nb ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------ URL canonicalization
+  /** URL canonicalization dedup ([[TextAnalysis.canonicalUrl]]) — fold
+    * raw crawl URLs (case variants, tracking params, fragments,
+    * trailing slashes) onto one canonical key and report, per
+    * canonical URL, the occurrence count and how many distinct raw
+    * spellings it absorbed. The de-facto first dedup pass of any
+    * crawler frontier.
+    *
+    * The corpus has no URLs (q_url_domains' planted-link pattern), so
+    * each doc contributes two messy spellings of the same logical URL
+    * — `https://<source>.example.com/p/<doc_id%50>?utm_campaign=<id>
+    * &utm_source=x` and `HTTPS://<SOURCE>.EXAMPLE.COM/p/<k>/#sec-<id>`
+    * — and the oracle knows the exact expected histogram analytically
+    * from (source, doc_id%50) alone: any canonicalization defect
+    * (case left in the host, a surviving utm param, an unstripped
+    * fragment or trailing slash) splits a group and breaks the hash.
+    *
+    * Scale shape: narrow codegen'd expressions per row, then ONE
+    * partial-aggregable groupBy(canonical) carrying (count, distinct
+    * raw) — the raw-form distinct is exact per group via a two-level
+    * agg, both levels map-side combinable. */
+  def qUrlNormalize(s: SparkSession, d: String): DataFrame = {
+    val raws = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), (col("doc_id") % 50).as("k"))
+      .select(explode(array(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"), col("k"),
+          lit("?utm_campaign="), col("doc_id"), lit("&utm_source=x")),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM/p/"), col("k"),
+          lit("/#sec-"), col("doc_id")))).as("raw"))
+    raws.select(TextAnalysis.canonicalUrl(col("raw")).as("url"), col("raw"))
+      .groupBy(col("url"), col("raw")).agg(count(lit(1)).as("c"))
+      .groupBy(col("url"))
+      .agg(sum(col("c")).as("n_urls"), count(lit(1)).as("n_raw_forms"))
+      .orderBy(col("url"))
+  }
+
+  val qUrlNormalizeSql: String =
+    """WITH g AS (
+      |  SELECT source, doc_id % 50 AS k, count(*) AS nd
+      |  FROM documents GROUP BY source, doc_id % 50
+      |)
+      |SELECT 'https://' || source || '.example.com/p/' || k AS url,
+      |  2 * nd AS n_urls, 2 * nd AS n_raw_forms
+      |FROM g ORDER BY url""".stripMargin
+
+  // one persisted sketch-state generation per (process, scale dir):
+  // the artifact under test is the parquet round-trip + sketch merge
+  private val hhStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental heavy hitters — the streaming-state member of the
+    * incremental-contract family (exact, MinHash, curation, IVF,
+    * PageRank, SemDeDup): yesterday's corpus lives on as ONE persisted
+    * DataSketches frequent-items sketch row (approx_top_k_accumulate
+    * → parquet) plus a 1-row total; today's delta accumulates its own
+    * sketch, the two MERGE via approx_top_k_combine — history is
+    * never re-tokenized — and the φ-frequent cut (count > N/200, the
+    * q_heavy_hitters_exact formulation: threshold compares never tie)
+    * comes off the combined estimate. The delta appends a planted
+    * token 3× per doc, hot enough to enter the φ-set only across the
+    * merged totals — a combine defect (dropped state, double-count)
+    * moves an integer count and breaks the hash.
+    *
+    * Hash-oracled under the documented exactness precondition: with
+    * maxItemsTracked (1e5) above the merged vocabulary the sketch
+    * counts EQUAL exact counts (no error term), so the DuckDB twin
+    * recounts history ∪ delta from raw text. At a real 100 TB
+    * vocabulary the estimate keeps every φ-frequent term (φ ≫ ε =
+    * 1/tracked) and a production pipeline re-counts candidates
+    * exactly as q_heavy_hitters_exact does; state stays two tiny
+    * parquet artifacts either way. */
+  def qHeavyHittersIncremental(s: SparkSession, d: String): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val docs = Tables.documents(s, d).select(col("text"))
+    val dir = hhStateCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_hhstate_").toString
+      toks(docs).agg(expr("approx_top_k_accumulate(term, 100000)").as("sk"))
+        .write.mode("overwrite").parquet(s"$p/sketch")
+      toks(docs).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$p/total")
+      p
+    })
+    val delta = docs.select(
+      concat(col("text"), lit(" graftdelta graftdelta graftdelta")).as("text"))
+    val deltaSk = toks(delta)
+      .agg(expr("approx_top_k_accumulate(term, 100000)").as("sk"))
+    val combined = s.read.parquet(s"$dir/sketch").unionByName(deltaSk)
+      .agg(expr("approx_top_k_combine(sk, 100000)").as("sk"))
+      .select(explode(expr("approx_top_k_estimate(sk, 200)")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").cast("long").as("n"))
+    val total = s.read.parquet(s"$dir/total")
+      .unionByName(toks(delta).agg(count(lit(1)).as("n")))
+      .agg(sum(col("n")).as("total"))
+    combined.crossJoin(broadcast(total))
+      .where(col("n") > col("total") / 200.0)
+      .select(col("term"), col("n"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  val qHeavyHittersIncrementalSql: String =
+    """WITH corpus AS (
+      |  SELECT text FROM documents
+      |  UNION ALL
+      |  SELECT text || ' graftdelta graftdelta graftdelta' FROM documents
+      |), t AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM corpus
+      |), c AS (
+      |  SELECT term, count(*) AS n FROM t GROUP BY term
+      |)
+      |SELECT term, n FROM c
+      |WHERE n > (SELECT sum(n) FROM c) / 200.0
+      |ORDER BY n DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_growth" -> (qVocabGrowth _),
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_heavy_hitters_incremental" -> (qHeavyHittersIncremental _),
     "q_quality_gopher" -> (qQualityGopher _),
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -930,6 +1103,9 @@ object TextQueries {
     "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_growth" -> qVocabGrowthSql,
+    "q_url_normalize" -> qUrlNormalizeSql,
+    "q_heavy_hitters_incremental" -> qHeavyHittersIncrementalSql,
     "q_quality_gopher" -> qQualityGopherSql,
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,

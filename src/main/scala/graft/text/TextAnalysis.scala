@@ -245,4 +245,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(FpMod)), lit(FpMod)))
+
+  /** URL canonicalization — the crawl-dedup normalizer that makes
+    * `HTTPS://Host/p/1/?utm_source=x#frag` and `https://host/p/1`
+    * the same document key. Rebuilds from parsed components rather
+    * than whole-string regex surgery (lowercasing a whole URL would
+    * corrupt case-sensitive paths; fragment/query boundaries are
+    * already exact in the parser):
+    *
+    *   - scheme and host lowercased (RFC 3986 §6.2.2.1 — the only
+    *     case-insensitive components),
+    *   - fragment dropped (never sent to the server),
+    *   - `utm_*` tracking params dropped, remaining params kept in
+    *     original order, `?` omitted when none survive,
+    *   - trailing `/` runs stripped from the path (`/p/1/` ≡ `/p/1`;
+    *     a root path collapses to none).
+    *
+    * Pure codegen'd expressions (parse_url + a higher-order filter on
+    * the split query) — narrow, no shuffle, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val host = lower(parse_url(url, lit("HOST")))
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/+$", "")
+    val query = array_join(
+      filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+        p => !(startswith(p, lit("utm_")) || p === "")), "&")
+    concat(proto, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
 }

@@ -20,6 +20,24 @@ class AnalyticsQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("skyline: prices non-decreasing along the date-sorted frontier; members undominated") {
+    val rows = AnalyticsQueries.qSkyline(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // survivors' prices are monotone non-decreasing in date order: each
+    // survivor's price ≥ the max over all strictly-earlier dates, which
+    // includes every earlier survivor
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => b >= a })
+    // spot-check against the definition: no order in the full table
+    // strictly dominates the first and last frontier rows
+    val orders = graft.Tables.orders(spark, sf001)
+    for (r <- Seq(rows.head, rows.last)) {
+      val dom = orders.filter(col("o_orderdate") < lit(r.get(1))
+        && col("o_totalprice") > r.getDouble(2)).count()
+      assert(dom == 0, s"frontier row ${r.getLong(0)} is dominated")
+    }
+  }
+
   test("interpolate: masked rows reconstruct from time-weighted neighbors; boundaries take nearest") {
     val out = AnalyticsQueries.qInterpolate(spark, sf001).cache()
     // non-masked rows pass through untouched

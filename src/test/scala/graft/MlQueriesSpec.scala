@@ -57,4 +57,17 @@ class MlQueriesSpec extends SparkSpec {
     assert(byType("b") == ((0.0, 1.0)))
     assert(byType("c") == ((0.0, 0.0)))
   }
+
+  test("bucketize: counts cover the table, means sit inside their bucket bounds") {
+    val out = MlQueries.qMlBucketize(spark, sf001).collect()
+    val total = graft.Tables.lineitem(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum == total, "every row lands in exactly one bucket")
+    val bounds = Seq((Double.MinValue, 1000.0), (1000.0, 5000.0),
+      (5000.0, 20000.0), (20000.0, 50000.0), (50000.0, Double.MaxValue))
+    out.foreach { r =>
+      val (lo, hi) = bounds(r.getInt(0))
+      val m = r.getDouble(2)
+      assert(m >= lo && m < hi, s"bucket ${r.getInt(0)} mean $m outside [$lo,$hi)")
+    }
+  }
 }

@@ -796,4 +796,52 @@ class StreamingSpec extends SparkSpec {
       "key", Seq("segment", "acctbal"), to_date(lit("2024-07-01")))
     assert(snapshot.exceptAll(replay).isEmpty && replay.exceptAll(snapshot).isEmpty)
   }
+
+  test("streaming CDC: foreachBatch folds OUT-OF-ORDER change batches, stragglers lose") {
+    // Continuous upsert maintenance — the streaming twin of
+    // q_cdc_apply, and the adversarial case the SCD2 test's
+    // disjoint-key batches sidestep: here the SAME keys are touched
+    // across triggers and a later trigger carries an OLDER version
+    // (network straggler). Cdc.foldVersioned's union-recollapse state
+    // is order-insensitive, so the final state must equal the
+    // one-shot collapse of the whole log regardless of which trigger
+    // carried what.
+    import spark.implicits._
+    var state = Seq((1L, "u", 10.0, 0L), (2L, "u", 20.0, 0L))
+      .toDF("k", "op", "bal", "seq").localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-cdc-stream").toString
+    // trigger A: key1→v3, key2 deleted @v4
+    Seq((1L, "u", 30.0, 3L), (2L, "d", 0.0, 4L))
+      .toDF("k", "op", "bal", "seq").coalesce(1).write.mode("append").parquet(dir)
+    // trigger B (later wall-clock, OLDER versions): straggling
+    // key1→v2 must lose to v3; straggling key2 upsert @v1 must NOT
+    // resurrect the deleted row; key5 inserts
+    Seq((1L, "u", 99.0, 2L), (2L, "u", 77.0, 1L), (5L, "u", 5.0, 1L))
+      .toDF("k", "op", "bal", "seq").coalesce(1).write.mode("append").parquet(dir)
+
+    var batches = 0
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          state = graft.ops.Cdc.foldVersioned(state, df,
+            "k", "op", Seq("seq"), Seq("bal")).localCheckpoint()
+          batches += 1
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected one trigger per file, got $batches")
+
+    val got = state.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set((1L, "u", 30.0, 3L), (2L, "d", 0.0, 4L), (5L, "u", 5.0, 1L)),
+      s"state after out-of-order folds: $got")
+    // reader view: the deleted key is invisible, stragglers never won
+    val live = graft.ops.Cdc.live(state, "op").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(live == Map(1L -> 30.0, 5L -> 5.0))
+  }
 }

@@ -356,4 +356,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(keeps == 2, "expected both keep=true and keep=false docs")
     out.unpersist()
   }
+
+  test("canonicalUrl: case folds scheme+host only, strips utm/fragment/trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase; PATH case preserved (RFC 3986 §6.2.2.1)
+      ("HTTPS://Example.COM/Mixed/Case", "https://example.com/Mixed/Case"),
+      // fragment dropped
+      ("https://h.com/p#section-2", "https://h.com/p"),
+      // utm_* dropped, non-utm params kept in original order
+      ("https://h.com/p?utm_source=x&b=2&utm_campaign=9&a=1", "https://h.com/p?b=2&a=1"),
+      // all params tracking → '?' disappears entirely
+      ("https://h.com/p?utm_source=x&utm_medium=y", "https://h.com/p"),
+      // trailing slash run stripped; root path collapses
+      ("https://h.com/p/1///", "https://h.com/p/1"),
+      ("https://h.com/", "https://h.com"),
+      // already canonical → fixpoint
+      ("https://h.com/p/1?a=1", "https://h.com/p/1?a=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalUrl($in)")
+    }
+  }
+
+  test("q_url_normalize: every canonical absorbs both planted spellings of each doc") {
+    val out = TextQueries.qUrlNormalize(spark, sf001).cache()
+    assert(out.count() > 0)
+    // each doc plants exactly 2 raw forms, both distinct → n_urls ==
+    // n_raw_forms == 2×(docs in group), always even
+    val bad = out.filter(col("n_urls") =!= col("n_raw_forms")
+      || col("n_urls") % 2 =!= 0 || col("n_urls") < 2)
+    assert(bad.count() == 0)
+    // no canonical URL retains uppercase, utm params, fragments, or a
+    // trailing slash — the whole point of the pass
+    assert(out.filter(col("url").rlike("[A-Z]|utm_|#|/$")).count() == 0)
+    out.unpersist()
+  }
+
+  test("vocab growth: buckets cover [0,20), n_new sums to distinct shingles, curve cumulative") {
+    val out = TextQueries.qVocabGrowth(spark, sf001).collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 20))
+    // vocab_size is the running sum of n_new in bucket order
+    var acc = 0L
+    out.sortBy(_.getInt(0)).foreach { r =>
+      acc += r.getLong(1)
+      assert(r.getLong(2) == acc, s"cumulative mismatch at bucket ${r.getInt(0)}")
+    }
+    // total distinct 3-shingles recomputed directly
+    val direct = graft.Tables.documents(spark, sf001)
+      .select(explode(when(size(TextAnalysis.tokens(col("text"))) >= 3,
+        expr("transform(sequence(1, size(split(lower(trim(text)), '\\\\s+'))-2), " +
+          "i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i, 3)))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("sh"))
+      .agg(countDistinct(col("sh"))).collect()(0).getLong(0)
+    assert(acc == direct)
+  }
+
+  test("incremental heavy hitters: merged sketch φ-set == exact recount, delta term enters") {
+    val out = TextQueries.qHeavyHittersIncremental(spark, sf001).cache()
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the planted delta-only term crosses the φ threshold only because
+    // state-fold worked (history alone has zero occurrences of it)
+    assert(got.contains("graftdelta"))
+    // exact recount of history ∪ delta replays the φ cut
+    val docs = graft.Tables.documents(spark, sf001).select(col("text"))
+    val corpus = docs.unionByName(docs.select(
+      concat(col("text"), lit(" graftdelta graftdelta graftdelta")).as("text")))
+    val counts = corpus.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n")).cache()
+    val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
+    val exact = counts.filter(col("n") > total / 200.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "sketch-merged φ-frequent set must equal the exact recount")
+    counts.unpersist(); out.unpersist()
+  }
 }
