@@ -550,7 +550,47 @@ object DedupQueries {
        |ORDER BY component""".stripMargin
   }
 
+  /** Oracle row for the LSH dedup sketches — the property-gate
+    * contract of q_approx_distinct_bounds applied to recall: the
+    * MinHash and SimHash tiers must each recover their floor share of
+    * the EXACT n-gram-Jaccard tier's pair set (recall 1.0 by the
+    * prefix-filter theorem — the truth side is itself a hash-green
+    * driver query, q_dedup_ngram). Both sketches are hash-seeded with
+    * no RNG, so the measured recalls are reproducible corpus
+    * properties, not distribution tails; floors 0.98 / 0.95 re-state
+    * DedupSpec's sf0.1 measurement with regeneration headroom. The
+    * truth_nonempty guard fails closed: an empty truth set (corpus
+    * drift) reads false rather than vacuous-true. DuckDB twin =
+    * literal expected frame; the hash proves the verdicts. */
+  def qDedupSketchRecallBounds(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusNear(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = Dedup.ngramJaccardPairs(corpus, k = 3, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val nTruth = truth.count()
+      def recallOf(pairs: DataFrame): Double =
+        if (nTruth == 0) 0.0
+        else truth.join(pairs.select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_semi").count().toDouble / nTruth
+      val mh = recallOf(Dedup.minhashPairs(corpus))
+      val sh = recallOf(Dedup.simhashPairs(corpus, maxHamming = 14, numBands = 8))
+      import s.implicits._
+      Seq(("minhash", nTruth > 0, mh >= 0.98),
+          ("simhash", nTruth > 0, sh >= 0.95))
+        .toDF("tier", "truth_nonempty", "recall_ok")
+        .orderBy(col("tier"))
+    } finally { corpus.unpersist(); () }
+  }
+
+  val qDedupSketchRecallBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('minhash', true, true),
+      |  ('simhash', true, true)) t(tier, truth_nonempty, recall_ok)
+      |ORDER BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_sketch_recall_bounds" -> (qDedupSketchRecallBounds _),
     "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
@@ -566,6 +606,7 @@ object DedupQueries {
     "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_sketch_recall_bounds" -> qDedupSketchRecallBoundsSql,
     "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,

@@ -493,6 +493,37 @@ object ExtraQueries {
       |SELECT * FROM opened
       |ORDER BY key, effective_from""".stripMargin
 
+  /** Skew-proof equi-join ([[graft.ops.SaltedJoin]]): enrich every
+    * event with its type's average value through the salted join —
+    * event_type is a genuine hot key (≈10 values over the whole
+    * stream, so a plain shuffled join pins each type's full history
+    * on one task). The probe fans out over 32 salt buckets keyed by
+    * xxhash64(event_id); the per-type aggregate replicates ×32. The
+    * oracle replays the UNSALTED join, so the hash gate proves the
+    * fan-out join computes the identical enrichment. (At this build
+    * size a broadcast would also do — the scaladoc's streaming /
+    * same-key-downstream cases are where salting is the only option;
+    * the hint pins the shuffled plan so the query exercises it.) */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val typeAvg = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 9).as("type_avg"))
+      .hint("shuffle_hash")
+    graft.ops.SaltedJoin.join(ev, typeAvg, "event_type", "event_id", 32)
+      .select(col("event_id"), col("event_type"), col("value"), col("type_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val qSaltedJoinSql: String =
+    """WITH t AS (
+      |  SELECT event_type, round(avg(value), 9) AS type_avg
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.value, t.type_avg
+      |FROM events e JOIN t USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   /** CDC log application ([[graft.ops.Cdc]]): fold the orders stream,
     * read as a change log over the customer snapshot (each order is an
     * upsert of its customer's balance to the order total; status 'F' =
@@ -1072,6 +1103,7 @@ object ExtraQueries {
     "q_scd2_merge" -> (qScd2Merge _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_sketch_overlap_bounds" -> (qSketchOverlapBounds _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_pit_join" -> (qPitJoin _),
     "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
@@ -1101,6 +1133,7 @@ object ExtraQueries {
     "q_scd2_merge" -> qScd2MergeSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_sketch_overlap_bounds" -> qSketchOverlapBoundsSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_pit_join" -> qPitJoinSql,
     "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,

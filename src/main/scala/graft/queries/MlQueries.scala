@@ -112,6 +112,52 @@ object MlQueries {
     Seq((m.rmse, m.mse, m.mae, m.r2)).toDF("rmse", "mse", "mae", "r2")
   }
 
+  /** Oracle row for the ML evaluator surface — the property-gate
+    * contract of the sketch-bounds family applied to the S6 `.rdd`
+    * bridge: the reference's harness tables carry no learnable signal
+    * (R² ≈ 0 by construction), so a quality band would be vacuous,
+    * but the evaluator's INTERNAL consistency is exactly checkable —
+    * `mse = rmse²`, `mae ≤ rmse` (Jensen), and r2/rmse must agree
+    * with a from-scratch DataFrame recomputation of SSerr/SStot over
+    * the SAME predictions (a differential check of the
+    * mllib.RegressionMetrics path against pure SQL aggregation: a
+    * unit mix-up, train-mean leak, or population/sample variance slip
+    * breaks a row). Deterministic: shared cached fit, seeded split.
+    * DuckDB twin = literal all-true frame. */
+  def qMlEvalBounds(s: SparkSession, d: String): DataFrame = {
+    val model = lrCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("linear_regression_fit") {
+      val (train, _) = Train.split(assembledReg(s, d))
+      Train.linearRegression(train, labelCol = "label")
+    })
+    val (_, test) = Train.split(assembledReg(s, d))
+    val pred = model.transform(test).select(col("prediction"), col("label"))
+    val m = Train.evaluateRegression(pred, "label")
+    val agg = pred.agg(
+      count(lit(1)).as("n"),
+      sum(pow(col("prediction") - col("label"), 2)).as("sse"),
+      sum(pow(col("label"), 2)).as("ssy"),
+      sum(col("label")).as("sy")).head()
+    val n = agg.getLong(0).toDouble
+    val sse = agg.getDouble(1)
+    val sstot = agg.getDouble(2) - agg.getDouble(3) * agg.getDouble(3) / n
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    import s.implicits._
+    Seq(("mae_le_rmse", m.mae <= m.rmse + 1e-12),
+        ("mse_eq_rmse_sq", close(m.mse, m.rmse * m.rmse)),
+        ("r2_matches_recompute", close(m.r2, 1.0 - sse / sstot)),
+        ("rmse_matches_recompute", close(m.rmse, math.sqrt(sse / n))))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qMlEvalBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('mae_le_rmse', true), ('mse_eq_rmse_sq', true),
+      |  ('r2_matches_recompute', true), ('rmse_matches_recompute', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   /** M15/M16 analogue (SURVEY §7.5: SHAP → featureImportances): GBT
     * impurity importances as (feature, importance) rows, read off the
     * SAME shared fit as q_ml_gbt_regression. Rows-only. */
@@ -249,6 +295,7 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_bucketize" -> (qMlBucketize _),
+    "q_ml_eval_bounds" -> (qMlEvalBounds _),
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),
     "q_ml_onehot" -> (qMlOnehot _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
@@ -261,6 +308,7 @@ object MlQueries {
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
     "q_ml_bucketize" -> qMlBucketizeSql,
+    "q_ml_eval_bounds" -> qMlEvalBoundsSql,
     "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
     "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->
