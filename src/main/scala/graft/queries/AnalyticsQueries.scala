@@ -1073,6 +1073,51 @@ object AnalyticsQueries {
       |FROM x GROUP BY fold, split
       |ORDER BY fold, split""".stripMargin
 
+  // -------------------------------------------------- Event path mining
+  /** Top-15 most-travelled 3-step event paths — for every user, each
+    * consecutive (by event time, id tie-broken) triple of event types
+    * becomes a `a>b>c` path; corpus-wide counts rank the dominant
+    * flows. The product-analytics primitive behind "where do users
+    * actually go" (and, in a training-data pipeline, the n-gram
+    * statistic over action sequences that drives agent-trajectory
+    * curation).
+    *
+    * Scale shape: the double-lead window partitions by user_id —
+    * millions of small partitions, the shape windows are good at; no
+    * hub risk (a user IS a bounded session stream; contrast the
+    * event_type windows SaltedWindow exists for). Path counting is a
+    * partial-aggregable groupBy over short strings, and the top-15 cut
+    * is orderBy+limit — TakeOrderedAndProject per-partition heaps,
+    * never a global sort. Tie-break on the path string keeps the cut
+    * deterministic across engines. */
+  def qEventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(15)
+  }
+
+  val qEventPathsSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 15""".stripMargin
+
   // ------------------------------------------------------- 2-D skyline
   /** Pareto frontier of orders — earliest date (minimize) at highest
     * total price (maximize), strict dominance: the offers no later
@@ -1105,6 +1150,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_event_paths" -> (qEventPaths _),
     "q_time_folds" -> (qTimeFolds _),
     "q_bm25" -> (qBm25 _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -1126,6 +1172,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_skyline" -> qSkylineSql,
+    "q_event_paths" -> qEventPathsSql,
     "q_time_folds" -> qTimeFoldsSql,
     "q_bm25" -> qBm25Sql,
     "q_mad_outliers" -> qMadOutliersSql,

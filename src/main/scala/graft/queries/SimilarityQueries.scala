@@ -437,37 +437,48 @@ object SimilarityQueries {
       |FROM fr WHERE fused_rank <= 10
       |ORDER BY fused_rank""".stripMargin
 
-  /** Oracle row for the ANN tier — the property-gate contract of
-    * q_approx_distinct_bounds applied to recall: the IVF search's
-    * top-k (default probe width, the registered q_sim_ivf_topk
-    * configuration) must recover ≥ 60% of the brute-force top-k pairs
-    * overall (the floor SimilaritySpec pins at the half-cells width on
-    * uniform-random embeddings — ANN's worst case; real clustered
-    * corpora sit far above it). Both sides are computed in Spark —
-    * k-means isn't SQL-expressible — and the DuckDB twin is the
-    * literal expected frame: the hash proves the self-check's
-    * verdict, not values. One extra brute-force pass is the cost of
-    * the gate, which is exactly why this is the oracle TIER and
-    * q_sim_ivf_topk alone is the 100 TB path. */
-  def qSimIvfRecallBounds(s: SparkSession, d: String): DataFrame = {
+  /** Oracle rows for the ANN tiers — the property-gate contract of
+    * q_approx_distinct_bounds applied to recall: each approximate
+    * search at its registered configuration (IVF at the default probe
+    * width, PQ at the 2k√N shortlist, and the IVFADC composition)
+    * must recover ≥ 60% of the brute-force top-k pairs overall — the
+    * floor SimilaritySpec pins on uniform-random embeddings,
+    * quantization/pruning's worst case; real clustered corpora sit
+    * far above it. All sides are computed in Spark — k-means isn't
+    * SQL-expressible — and the DuckDB twin is the literal expected
+    * frame: the hash proves the self-checks' verdicts, not values.
+    * One extra brute-force pass is the cost of the gate, which is
+    * exactly why this is the oracle TIER and the per-tier queries
+    * alone are the 100 TB path. */
+  def qSimRecallBounds(s: SparkSession, d: String): DataFrame = {
     val exact = Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = qSimIvf(s, d).select(col("query_id"), col("neighbor_id"))
-    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-    val denom = exact.agg(count(lit(1)).as("n_exact"))
-    hits.crossJoin(denom)
-      .select(col("n_exact"),
-        (col("n_hits").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nExact = exact.count()
+      def recallOf(approx: DataFrame): Double =
+        if (nExact == 0) 0.0
+        else approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / nExact
+      import s.implicits._
+      Seq(("ivf", recallOf(qSimIvf(s, d)) >= 0.6),
+          ("ivfpq", recallOf(qSimIvfPqTopK(s, d)) >= 0.6),
+          ("pq", recallOf(qSimPqTopK(s, d)) >= 0.6))
+        .map { case (t, ok) => (t, nExact == NumQueries.toLong * TopK, ok) }
+        .toDF("tier", "truth_complete", "recall_ok")
+        .orderBy(col("tier"))
+    } finally { exact.unpersist(); () }
   }
 
-  val qSimIvfRecallBoundsSql: String =
-    // property-gate twin: literal expected frame (NumQueries × TopK
-    // brute-force pairs), NOT a recomputation
-    s"SELECT CAST(${NumQueries * TopK} AS BIGINT) AS n_exact, true AS recall_ok"
+  val qSimRecallBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('ivf', true, true), ('ivfpq', true, true),
+      |  ('pq', true, true)) t(tier, truth_complete, recall_ok)
+      |ORDER BY tier""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_ivf_recall_bounds" -> (qSimIvfRecallBounds _),
+    "q_sim_recall_bounds" -> (qSimRecallBounds _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_sim_mmr" -> (qSimMmr _),
     "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
@@ -482,7 +493,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
-    "q_sim_ivf_recall_bounds" -> qSimIvfRecallBoundsSql,
+    "q_sim_recall_bounds" -> qSimRecallBoundsSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_embedding_stats" -> qEmbeddingStatsSql)

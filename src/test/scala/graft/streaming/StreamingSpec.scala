@@ -797,6 +797,53 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot.exceptAll(replay).isEmpty && replay.exceptAll(snapshot).isEmpty)
   }
 
+  test("streaming heavy hitters: foreachBatch folds approx_top_k sketch state across triggers") {
+    // Continuous-ingest twin of q_heavy_hitters_incremental: each
+    // trigger batch accumulates its own frequent-items sketch, and
+    // the state is the COMBINE of the running sketch with the batch
+    // sketch — the associativity the incremental query exercises once
+    // is here exercised across three folds. With maxItemsTracked far
+    // above the vocabulary, the final estimate must EQUAL the exact
+    // counts of everything ingested.
+    import spark.implicits._
+    var state = Seq.empty[String].toDF("term")
+      .agg(expr("approx_top_k_accumulate(term, 1000)").as("sk"))
+      .localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-hh-stream").toString
+    val batches = Seq(
+      Seq("a", "a", "b", "c"),
+      Seq("a", "b", "b", "d", "d"),
+      Seq("c", "c", "c", "a"))
+    batches.foreach { b =>
+      b.toDF("term").coalesce(1).write.mode("append").parquet(dir)
+    }
+    var triggers = 0
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          state = state.unionByName(
+            df.agg(expr("approx_top_k_accumulate(term, 1000)").as("sk")))
+            .agg(expr("approx_top_k_combine(sk, 1000)").as("sk"))
+            .localCheckpoint()
+          triggers += 1
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(triggers >= 3, s"expected one trigger per file, got $triggers")
+
+    val got = state
+      .select(explode(expr("approx_top_k_estimate(sk, 10)")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Number](1).longValue()).toMap
+    val exact = batches.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    assert(got == exact, s"sketch-folded counts $got != exact $exact")
+  }
+
   test("streaming CDC: foreachBatch folds OUT-OF-ORDER change batches, stragglers lose") {
     // Continuous upsert maintenance — the streaming twin of
     // q_cdc_apply, and the adversarial case the SCD2 test's
