@@ -42,7 +42,8 @@ object ExplainDump {
     "q_skyline", "q_cdc_apply", "q_vocab_growth", "q_url_normalize",
     "q_heavy_hitters_incremental", "q_ml_bucketize",
     "q_sketch_overlap_bounds", "q_sim_recall_bounds",
-    "q_salted_join", "q_dedup_sketch_recall_bounds", "q_ml_eval_bounds")
+    "q_salted_join", "q_dedup_sketch_recall_bounds", "q_ml_eval_bounds",
+    "q_event_paths")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -140,4 +140,33 @@ class PlanSpec extends SparkSpec {
     windowLines.foreach(l =>
       assert(l.contains("_bucket"), s"row-stream window not bucketed: $l"))
   }
+
+  test("cdc apply: latest-change pick is an aggregate — no per-key window over the log") {
+    val p = plan(graft.queries.ExtraQueries.qCdcApply(spark, sf001))
+    assert(!p.contains("Window"), s"per-key window over the change log:\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate"),
+      s"no aggregate collapse of the log:\n$p")
+  }
+
+  test("skyline: threshold from a per-x aggregate; the row stream is never globally sorted") {
+    val p = plan(graft.queries.AnalyticsQueries.qSkyline(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"skyline planned as an all-pairs join:\n$p")
+    // the only window runs over the per-distinct-date aggregate frame,
+    // downstream of a HashAggregate — assert an aggregate exists and
+    // the final orderBy is the ONLY sort of the full row stream
+    assert(p.contains("HashAggregate"), s"no per-x pre-aggregate:\n$p")
+  }
+
+  test("event paths: corpus-wide cut is TakeOrderedAndProject, window partitions by user") {
+    val p = plan(graft.queries.AnalyticsQueries.qEventPaths(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+    assert(p.contains("user_id"), s"lead window must partition by user_id:\n$p")
+  }
+
+  test("salted join: no broadcast-nested-loop, no cartesian; build replicated via Generate") {
+    val p = plan(graft.queries.ExtraQueries.qSaltedJoin(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("Generate"), s"build replication must be an in-row explode:\n$p")
+  }
 }
