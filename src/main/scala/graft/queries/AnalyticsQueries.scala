@@ -480,6 +480,157 @@ object AnalyticsQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- Corpus drift divergence
+  /** Jensen–Shannon divergence between two corpus slices' unigram
+    * distributions (even- vs odd-id docs — production compares
+    * yesterday's crawl vs today's, or train vs serving). JSD =
+    * ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q): symmetric, bounded by ln 2,
+    * zero iff identical — the drift alarm a data pipeline pages on.
+    * Output: one row (vocab sizes, token totals, jsd, plus each
+    * slice's mass share of terms ABSENT from the other — the
+    * vocabulary-turnover component of the drift).
+    *
+    * Scale shape: one corpus scan → per-(slice, term) counts
+    * (partial-aggregable), pivoted to a vocab-bounded two-column
+    * frame by a second tiny aggregate, totals on a 1-row broadcast.
+    * The JSD sum is a single partial-aggregable reduce over the vocab
+    * frame — no joins beyond the 1-row cross. KL terms with p=0 or
+    * q=0 contribute p·ln(2) exactly (M=p/2), handled branchlessly on
+    * both engines; the final sum rounds at 9 (vocab-sized float sum,
+    * class-2 policy). */
+  def qCorpusDivergence(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("cq"))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val terms = counts.crossJoin(broadcast(totals))
+      .withColumn("p", col("cp").cast("double") / col("np"))
+      .withColumn("q", col("cq").cast("double") / col("nq"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("contrib",
+        when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2.0).otherwise(0.0) +
+        when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2.0).otherwise(0.0))
+    terms.agg(
+        sum(when(col("cp") > 0, 1L).otherwise(0L)).as("vocab_p"),
+        sum(when(col("cq") > 0, 1L).otherwise(0L)).as("vocab_q"),
+        max(col("np")).as("tokens_p"), max(col("nq")).as("tokens_q"),
+        round(sum(col("contrib")), 9).as("jsd"),
+        round(sum(when(col("cq") === 0, col("p")).otherwise(0.0)), 9).as("p_only_mass"),
+        round(sum(when(col("cp") === 0, col("q")).otherwise(0.0)), 9).as("q_only_mass"))
+  }
+
+  val qCorpusDivergenceSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id % 2 = 0 AS even,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), c AS (
+      |  SELECT term,
+      |    sum(CASE WHEN even THEN 1 ELSE 0 END) AS cp,
+      |    sum(CASE WHEN even THEN 0 ELSE 1 END) AS cq
+      |  FROM tok WHERE term <> '' GROUP BY term
+      |), t AS (SELECT sum(cp) AS np, sum(cq) AS nq FROM c),
+      |x AS (
+      |  SELECT c.cp, c.cq,
+      |    CAST(c.cp AS DOUBLE) / t.np AS p,
+      |    CAST(c.cq AS DOUBLE) / t.nq AS q,
+      |    (CAST(c.cp AS DOUBLE) / t.np + CAST(c.cq AS DOUBLE) / t.nq) / 2 AS m,
+      |    t.np, t.nq
+      |  FROM c CROSS JOIN t
+      |)
+      |SELECT
+      |  CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_p,
+      |  CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_q,
+      |  CAST(max(np) AS BIGINT) AS tokens_p, CAST(max(nq) AS BIGINT) AS tokens_q,
+      |  round(sum(
+      |    CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0 END +
+      |    CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0 END), 9) AS jsd,
+      |  round(sum(CASE WHEN cq = 0 THEN p ELSE 0.0 END), 9) AS p_only_mass,
+      |  round(sum(CASE WHEN cp = 0 THEN q ELSE 0.0 END), 9) AS q_only_mass
+      |FROM x""".stripMargin
+
+  // ------------------------------------------------ Bigram LM scoring
+  /** Add-1-smoothed BIGRAM LM negative log-likelihood + perplexity per
+    * document — the second-order companion of [[qLmScore]] (CCNet
+    * trains 5-gram KenLM models for exactly this signal; bigrams are
+    * the smallest order that catches scrambled-word salads a unigram
+    * model scores as fluent). p(cur|prev) = (c(prev,cur)+1) /
+    * (c(prev·)+V), with c(prev·) the bigram-left marginal and V the
+    * unigram vocabulary.
+    *
+    * Scale shape: ONE corpus scan explodes adjacent token pairs into a
+    * per-doc bigram tf frame (partial-aggregable; shuffle carries ≤
+    * |doc bigram vocab| pre-combined rows). Every model table derives
+    * from that frame by re-aggregation — corpus bigram counts
+    * (vocab²-bounded, in practice ≪), left-marginals (vocab-bounded),
+    * and the 1-row V frame (computed from the bigram frame's two
+    * columns, no second corpus scan) — joined back on (prev, cur) with
+    * no hints (AQE broadcasts what fits). Per-doc reduce is one
+    * partial-aggregable groupBy; ln-sums round at 9 (≈50 terms per
+    * doc, reorder error ~1e-13 — class-2 policy). */
+  def qLmBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bigrams = docs
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS prev, toks[i] AS cur))"))
+        .otherwise(expr("cast(array() as array<struct<prev:string,cur:string>>)"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .filter(col("prev") =!= "" && col("cur") =!= "")
+    val tf = bigrams.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf"))
+    val bc = tf.groupBy(col("prev"), col("cur")).agg(sum(col("tf")).as("bc"))
+    val pm = bc.groupBy(col("prev")).agg(sum(col("bc")).as("pc"))
+    val v = bc.select(col("prev").as("t")).union(bc.select(col("cur")))
+      .distinct().agg(count(lit(1)).as("v_size"))
+    tf.join(bc, Seq("prev", "cur")).join(pm, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", col("tf") *
+        log((col("bc") + 1).cast("double") / (col("pc") + col("v_size"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lp") / col("n_bigrams"), 9).as("avg_nll"),
+        round(exp(-col("sum_lp") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmBigramSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+      |  FROM d, unnest(generate_series(1, len(toks) - 1)) t(i)
+      |  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> ''
+      |), tf AS (
+      |  SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY ALL
+      |), bc AS (
+      |  SELECT prev, cur, sum(tf) AS bc FROM tf GROUP BY prev, cur
+      |), pm AS (
+      |  SELECT prev, sum(bc) AS pc FROM bc GROUP BY prev
+      |), v AS (
+      |  SELECT count(*) AS v_size FROM (
+      |    SELECT prev AS t FROM bc UNION SELECT cur FROM bc
+      |  )
+      |), sc AS (
+      |  SELECT f.doc_id, f.tf,
+      |    f.tf * ln(CAST(b.bc + 1 AS DOUBLE) / (p.pc + v.v_size)) AS lp
+      |  FROM tf f
+      |  JOIN bc b USING (prev, cur)
+      |  JOIN pm p USING (prev)
+      |  CROSS JOIN v
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  round(-sum(lp) / sum(tf), 9) AS avg_nll,
+      |  round(exp(-sum(lp) / sum(tf)), 6) AS ppl
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Importance-resampling target: the corpus slice whose
     * distribution selection should move toward. `lang` is the one
     * trusted label on the harness corpus; a production run feeds a
@@ -1161,6 +1312,8 @@ object AnalyticsQueries {
     "q_importance_weights" -> (qImportanceWeights _),
     "q_perplexity_filter" -> (qPerplexityFilter _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm_bigram" -> (qLmBigram _),
+    "q_corpus_divergence" -> (qCorpusDivergence _),
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
     "q_range_join" -> (qRangeJoin _),
@@ -1182,6 +1335,8 @@ object AnalyticsQueries {
     "q_importance_weights" -> qImportanceWeightsSql,
     "q_perplexity_filter" -> qPerplexityFilterSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_lm_bigram" -> qLmBigramSql,
+    "q_corpus_divergence" -> qCorpusDivergenceSql,
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,

@@ -1004,6 +1004,97 @@ object TextQueries {
       |  2 * nd AS n_urls, 2 * nd AS n_raw_forms
       |FROM g ORDER BY url""".stripMargin
 
+  // one persisted train-shingle index per (process, scale dir): the
+  // artifact under test is the parquet round-trip + digest semi-join
+  private val contamStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental decontamination — the contamination member of the
+    * incremental-contract family: the train set's distinct trigram
+    * DIGESTS (xxhash64 → 8 bytes/shingle, the production index
+    * artifact) persist to parquet ONCE; a new eval batch then screens
+    * against the RELOADED index — train is never re-shingled. The
+    * delta re-offers the train docs as eval candidates (ids offset —
+    * the "did our new eval batch leak from train" case, ratio 1.0 by
+    * construction) alongside the held-out odd docs (their natural
+    * overlap). The DuckDB twin replays both rules with RAW trigram
+    * strings, so the digest representation is itself under test
+    * (q_dedup_incremental's contract: a hash collision or truncation
+    * would flip a row). Ratios are single int/int divisions —
+    * bit-identical across engines, no rounding needed.
+    *
+    * Scale shape: state build is one partial-aggregable distinct over
+    * train shingles; each increment shuffles only the delta's digests
+    * against the index equi-join (broadcast when the index fits, SMJ
+    * when not — no hint, AQE decides). History cost is ZERO per
+    * batch, which is the point at a 100 TB train set. */
+  def qContaminationIncremental(s: SparkSession, d: String): DataFrame = {
+    def shingles(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = contamStateCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_contamidx_").toString
+      shingles(docs.filter(col("doc_id") % 2 === 0))
+        .select(xxhash64(col("sh")).as("dig")).distinct()
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val index = s.read.parquet(dir).withColumn("hit", lit(1))
+    val delta = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + DedupQueries.IdOffset).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 2 === 1))
+    val agg = shingles(delta)
+      .select(col("doc_id"), xxhash64(col("sh")).as("dig")).distinct()
+      .join(index, Seq("dig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+    delta.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qContaminationIncrementalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+       |  FROM d, unnest(range(1, greatest(len(toks)-1, 1))) t(i)
+       |), tr AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0
+       |), delta AS (
+       |  SELECT doc_id + ${DedupQueries.IdOffset} AS doc_id, text FROM documents
+       |  WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |), dd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM delta
+       |), ds AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+       |  FROM dd, unnest(range(1, greatest(len(toks)-1, 1))) t(i)
+       |), agg AS (
+       |  SELECT ds.doc_id, count(*) AS n_shingles,
+       |    count(tr.sh) AS n_contaminated
+       |  FROM ds LEFT JOIN tr USING (sh)
+       |  GROUP BY ds.doc_id
+       |)
+       |SELECT delta.doc_id,
+       |  coalesce(agg.n_shingles, 0) AS n_shingles,
+       |  coalesce(agg.n_contaminated, 0) AS n_contaminated,
+       |  CASE WHEN coalesce(agg.n_shingles, 0) > 0
+       |       THEN CAST(agg.n_contaminated AS DOUBLE) / agg.n_shingles
+       |       ELSE 0.0 END AS contamination_ratio
+       |FROM delta LEFT JOIN agg USING (doc_id)
+       |ORDER BY delta.doc_id""".stripMargin
+
   // one persisted sketch-state generation per (process, scale dir):
   // the artifact under test is the parquet round-trip + sketch merge
   private val hhStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -1077,6 +1168,7 @@ object TextQueries {
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_heavy_hitters_incremental" -> (qHeavyHittersIncremental _),
+    "q_contamination_incremental" -> (qContaminationIncremental _),
     "q_quality_gopher" -> (qQualityGopher _),
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -1106,6 +1198,7 @@ object TextQueries {
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_heavy_hitters_incremental" -> qHeavyHittersIncrementalSql,
+    "q_contamination_incremental" -> qContaminationIncrementalSql,
     "q_quality_gopher" -> qQualityGopherSql,
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,

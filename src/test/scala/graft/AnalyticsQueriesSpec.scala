@@ -20,6 +20,37 @@ class AnalyticsQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("corpus divergence: jsd in [0, ln 2], turnover masses are probabilities") {
+    val r = AnalyticsQueries.qCorpusDivergence(spark, sf001).head()
+    val (vp, vq) = (r.getLong(0), r.getLong(1))
+    val jsd = r.getDouble(4)
+    val (pOnly, qOnly) = (r.getDouble(5), r.getDouble(6))
+    assert(vp > 0 && vq > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12, s"jsd $jsd out of range")
+    assert(pOnly >= 0.0 && pOnly <= 1.0 && qOnly >= 0.0 && qOnly <= 1.0)
+    // the two slices share the synthetic vocabulary, so divergence is
+    // well below the disjoint-vocab maximum
+    assert(jsd < 0.5 * math.log(2.0), s"slices of one corpus should not read near-disjoint: $jsd")
+  }
+
+  test("bigram LM: n_bigrams = n_tokens - 1, ppl = exp(avg_nll), smoothing keeps nll positive") {
+    val bi = AnalyticsQueries.qLmBigram(spark, sf001).cache()
+    val uni = AnalyticsQueries.qLmScore(spark, sf001)
+      .select(col("doc_id"), col("n_tokens"))
+    // every harness doc's tokens are non-empty, so bigram count is
+    // exactly token count minus one
+    val joined = bi.join(uni, "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+    // internal consistency at the published rounding: ppl re-derives
+    // from avg_nll within the round-6 grid
+    val bad = bi.filter(abs(col("ppl") - exp(col("avg_nll"))) > col("ppl") * 1e-4)
+    assert(bad.count() == 0)
+    // add-1 smoothing: probabilities < 1 strictly (pc + V > bc + 1
+    // whenever V > 1), so NLL is strictly positive
+    assert(bi.filter(col("avg_nll") <= 0).count() == 0)
+    bi.unpersist()
+  }
+
   test("skyline: prices non-decreasing along the date-sorted frontier; members undominated") {
     val rows = AnalyticsQueries.qSkyline(spark, sf001).collect()
     assert(rows.nonEmpty)

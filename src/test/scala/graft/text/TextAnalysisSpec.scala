@@ -413,6 +413,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(acc == direct)
   }
 
+  test("incremental contamination: train re-offers read 1.0; held-out rows == literal tier") {
+    val inc = TextQueries.qContaminationIncremental(spark, sf001).cache()
+    // the re-offered train docs (ids shifted by IdOffset) leak fully:
+    // every trigram of a train doc is in the index by construction
+    val offset = graft.queries.DedupQueries.IdOffset
+    val reoffered = inc.filter(col("doc_id") >= offset)
+    assert(reoffered.count() > 0)
+    assert(reoffered.filter(col("n_shingles") > 0
+      && col("contamination_ratio") =!= 1.0).count() == 0,
+      "a re-offered train doc must be fully contaminated")
+    // the held-out (odd) half must match the from-scratch literal tier
+    // row for row — state round-trip loses nothing
+    val viaState = inc.filter(col("doc_id") < offset)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+    val fromScratch = TextQueries.qContamination(spark, sf001)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+    assert(viaState.exceptAll(fromScratch).count() == 0
+      && fromScratch.exceptAll(viaState).count() == 0)
+    inc.unpersist()
+  }
+
   test("incremental heavy hitters: merged sketch φ-set == exact recount, delta term enters") {
     val out = TextQueries.qHeavyHittersIncremental(spark, sf001).cache()
     val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
