@@ -843,6 +843,65 @@ object ExtraQueries {
     * rounding aside). Pure integer arithmetic + portable hash order,
     * so the oracle replays the whole op — quota computation included —
     * and the row set hash-checks. */
+  /** Classifier-side evaluator contract gate — the classification twin
+    * of q_ml_eval_bounds: harness labels carry no signal (a quality
+    * band would be vacuous), but the evaluator surfaces must agree
+    * with a from-scratch confusion-matrix recomputation over the SAME
+    * hard predictions. accuracy must equal (tp+tn)/n, and — because a
+    * hard 0/1 predictor has a three-point ROC curve (0,0)→(fpr,tpr)→
+    * (1,1) — mllib's areaUnderROC must equal the trapezoid
+    * fpr·tpr/2 + (1−fpr)(tpr+1)/2 exactly. A threshold mix-up,
+    * positive-class flip, or curve-interpolation bug breaks a row.
+    * Fail-closed: the both_classes_present row guards the degenerate
+    * test set where the trapezoid identity would be vacuous. DuckDB
+    * twin = literal all-true frame. */
+  def qMlEvalClassBounds(s: SparkSession, d: String): DataFrame = {
+    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
+      val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
+      new org.apache.spark.ml.classification.GBTClassifier()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setMaxIter(3).setSeed(42L)
+        .fit(train)
+    })
+    val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
+    val pred = model.transform(test)
+      .select(col("prediction").cast("double").as("prediction"),
+        col("label").cast("double").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = graft.gsod.Train.evaluateClassification(pred, "label")
+      val cm = pred.agg(
+        sum(when(col("prediction") === 1.0 && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("prediction") === 1.0 && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("prediction") === 0.0 && col("label") === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("prediction") === 0.0 && col("label") === 1.0, 1L).otherwise(0L)).as("fn")).head()
+      val (tp, fp, tn, fn) = (cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3))
+      val n = (tp + fp + tn + fn).toDouble
+      val bothClasses = (tp + fn) > 0 && (fp + tn) > 0
+      val acc = (tp + tn) / n
+      val tpr = if (tp + fn > 0) tp.toDouble / (tp + fn) else 0.0
+      val fpr = if (fp + tn > 0) fp.toDouble / (fp + tn) else 0.0
+      val trapezoid = fpr * tpr / 2.0 + (1.0 - fpr) * (tpr + 1.0) / 2.0
+      def close(a: Double, b: Double): Boolean = math.abs(a - b) <= 1e-9
+      import s.implicits._
+      Seq(("acc_matches_recompute", close(m.accuracy, acc)),
+          ("both_classes_present", bothClasses),
+          ("metrics_in_range", m.accuracy >= 0 && m.accuracy <= 1
+            && m.areaUnderPR >= 0 && m.areaUnderPR <= 1
+            && m.areaUnderROC >= 0 && m.areaUnderROC <= 1),
+          ("roc_matches_trapezoid", !bothClasses || close(m.areaUnderROC, trapezoid)))
+        .toDF("check", "within_bounds")
+        .orderBy(col("check"))
+    } finally { pred.unpersist(); () }
+  }
+
+  val qMlEvalClassBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('acc_matches_recompute', true),
+      |  ('both_classes_present', true), ('metrics_in_range', true),
+      |  ('roc_matches_trapezoid', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   def qDomainMix(s: SparkSession, d: String): DataFrame =
     graft.ops.DomainMix.resample(
       Tables.documents(s, d).select(col("doc_id"), col("source")),
@@ -1104,6 +1163,7 @@ object ExtraQueries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_sketch_overlap_bounds" -> (qSketchOverlapBounds _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_ml_eval_class_bounds" -> (qMlEvalClassBounds _),
     "q_pit_join" -> (qPitJoin _),
     "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
@@ -1134,6 +1194,7 @@ object ExtraQueries {
     "q_cdc_apply" -> qCdcApplySql,
     "q_sketch_overlap_bounds" -> qSketchOverlapBoundsSql,
     "q_salted_join" -> qSaltedJoinSql,
+    "q_ml_eval_class_bounds" -> qMlEvalClassBoundsSql,
     "q_pit_join" -> qPitJoinSql,
     "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,
