@@ -463,7 +463,45 @@ object CoreQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   /** Registry fragment for this module. */
+  // ------------------------------------------- Typed grouped variance
+  /** Per-flag price mean/stddev through the TYPED Dataset path —
+    * `groupByKey(...).agg(aggregator.toColumn)` over a case-class
+    * encoder with [[graft.functions.WelfordVar]], the one API surface
+    * the DataFrame-side custom aggregates (TopKBy, KllSketch) don't
+    * exercise. Values match `stddev_samp` (the oracle recomputes with
+    * the builtin), but the SPELLING matters at scale: Welford's M2
+    * buffer never subtracts near-equal squares, so an offset-heavy
+    * column (sensor bias at 1e8) keeps its variance digits where the
+    * E[x²]−E[x]² plan loses all of them — WelfordVarSpec plants that
+    * case. Merge is the exact partial-aggregation shape: per-partition
+    * states combine associatively, ≤ |groups| rows shuffle.
+    *
+    * Rounding: mean ~3e4 and sd ~2e4 carry ~1e-10 abs reorder error
+    * at sf0.1 — round 6 leaves a 5·10³× margin (class-2 policy;
+    * variance itself at ~4e8 would NOT survive round 6, which is why
+    * the query reports stddev). */
+  def qGroupedVariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("_1"), col("l_extendedprice").as("_2"))
+      .as[(String, Double)]
+    val agg = new graft.functions.WelfordVar[(String, Double)](_._2)
+    ds.groupByKey(_._1).agg(agg.toColumn.name("w"))
+      .select(col("key").as("l_returnflag"), col("w.n").as("n"),
+        round(col("w.mean"), 6).as("mean_price"),
+        round(sqrt(col("w.m2") / (col("w.n") - 1)), 6).as("sd_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qGroupedVarianceSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(avg(l_extendedprice), 6) AS mean_price,
+      |  round(stddev_samp(l_extendedprice), 6) AS sd_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouped_variance" -> (qGroupedVariance _),
     "q1_agg" -> (q1Agg _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_sessionize" -> (qSessionize _),
@@ -485,6 +523,7 @@ object CoreQueries {
     "q_session_window" -> (qSessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q_grouped_variance" -> qGroupedVarianceSql,
     "q1_agg" -> q1AggSql,
     "q_sessionize" -> qSessionizeSql,
     // q_session_window shares the sessionize oracle INCLUDING the
