@@ -27,6 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
       ExtraQueries.oracles ++ IngestQueries.oracles ++ AnalyticsQueries.oracles ++ QualityQueries.oracles
 }

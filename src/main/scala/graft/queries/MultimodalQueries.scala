@@ -52,11 +52,58 @@ object MultimodalQueries {
         col("channels"), col("valid"))
       .orderBy(col("media_id"))
 
+  /** Oracle row for the multimodal tier — the property-gate contract
+    * of the sketch-bounds family applied to the codec plumbing: the
+    * synthetic media lake's invariants are analytic (every generated
+    * blob decodes valid; payload length equals width·height·channels;
+    * each kind's shape envelope — image 3-channel [8,16)², audio
+    * 1×1×[64,128) samples, video 8×8 with 2-4 RGB frames), so one
+    * aggregate over the decode output checks the ENTIRE mapPartitions
+    * path — header parse, bounds checks, corrupt-row guard — and the
+    * DuckDB twin is the literal all-true frame. The stub codec is the
+    * documented swap point for real decoders; this gate is exactly
+    * what survives the swap (a real lake asserts its own envelope). */
+  def qMultimodalBounds(s: SparkSession, d: String): DataFrame = {
+    val meta = Multimodal.decodeMeta(media(s, d)).toDF()
+    val a = meta.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("valid"), 1L).otherwise(0L)).as("bad_valid"),
+      sum(when(col("payload_len") =!=
+        col("width") * col("height") * col("channels"), 1L).otherwise(0L)).as("bad_dims"),
+      sum(when(col("kind") === "image" && !(col("channels") === 3
+        && col("width").between(8, 15) && col("height").between(8, 15)),
+        1L).otherwise(0L)).as("bad_image"),
+      sum(when(col("kind") === "audio" && !(col("height") === 1
+        && col("channels") === 1 && col("width").between(64, 127)),
+        1L).otherwise(0L)).as("bad_audio"),
+      sum(when(col("kind") === "video" && !(col("width") === 8
+        && col("height") === 8 && col("channels").isin(6, 9, 12)),
+        1L).otherwise(0L)).as("bad_video")).head()
+    import s.implicits._
+    Seq(("all_rows_decode_valid", a.getLong(0) > 0 && a.getLong(1) == 0L),
+        ("audio_shape_envelope", a.getLong(4) == 0L),
+        ("image_shape_envelope", a.getLong(3) == 0L),
+        ("payload_matches_dims", a.getLong(2) == 0L),
+        ("video_shape_envelope", a.getLong(5) == 0L))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qMultimodalBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('all_rows_decode_valid', true),
+      |  ('audio_shape_envelope', true), ('image_shape_envelope', true),
+      |  ('payload_matches_dims', true), ('video_shape_envelope', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_resize" -> (qMultimodalResize _))
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_bounds" -> (qMultimodalBounds _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_bounds" -> qMultimodalBoundsSql)
 }
