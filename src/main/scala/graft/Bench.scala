@@ -186,7 +186,15 @@ object Bench {
     val spreadsJson = finalResults.map { case (k, _, sp) =>
       "\"" + k + "\":" + sp.fold(-1.0)(s => math.rint(s * 1000) / 1000)
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreadsJson,"builds":$builds,"contention_hint":$finalHint,"spread_hint":$spreadHint,"contended":$contended,"sf":"$sfDir"}"""
+    // Ambient 1-min load average at emit time: the contention hint
+    // measures interference the probe EXPERIENCED; loadavg records what
+    // the whole box was doing, so a drifted total on identical code can
+    // be attributed to environment without re-running.
+    val loadAvg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreadsJson,"builds":$builds,"contention_hint":$finalHint,"spread_hint":$spreadHint,"contended":$contended,"loadavg_end":$loadAvg,"sf":"$sfDir"}"""
     // stdout AND a file: sbt/log4j noise can interleave with stdout, so
     // the file copy is the reliably machine-readable artifact.
     println(json)
