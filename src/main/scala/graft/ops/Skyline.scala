@@ -41,7 +41,13 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Frontier rows of `df` minimizing `xCol`, maximizing `yCol`
-    * (strict dominance; ties on both axes all survive together). */
+    * (strict dominance; ties on both axes all survive together).
+    *
+    * Preconditions: `xCol` must be non-null (a null x would sort
+    * first in the running-max frame and spuriously dominate — filter
+    * or impute before calling); null `yCol` rows never reach the
+    * frontier (max() skips them, and a null y fails the threshold
+    * compare), which is the "no value, no claim" reading. */
   def frontier2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_ymax"))
     val threshold = perX
