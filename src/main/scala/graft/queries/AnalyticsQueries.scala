@@ -480,6 +480,174 @@ object AnalyticsQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ Market-basket pairs
+  /** Top-20 co-purchased part pairs (market-basket support counting —
+    * the candidate-generation stage of association-rule mining; the
+    * same shape counts co-occurring tags, co-cited documents,
+    * co-accessed files). Pair universe = distinct parts per order,
+    * canonically ordered part_a < part_b.
+    *
+    * Scale shape: the self-join fans out per order as C(basket, 2) —
+    * bounded by basket SIZE (single digits), not corpus size, so the
+    * pair stream is linear in orders; one equi-shuffle on the order
+    * key, partial-aggregable pair counts, TakeOrdered top-20 with
+    * full tie-break. A degenerate mega-basket (one order holding half
+    * the catalog) is the input to cap/salt first — the same hot-key
+    * discipline as SaltedJoin, surfaced by q_skew_diagnostics. */
+  def qBasketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val qBasketPairsSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |)
+      |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY a.pk, b.pk
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- RFM segmentation
+  /** RFM customer segmentation — recency (days since last order),
+    * frequency (order count), monetary (lifetime spend), each scored
+    * into quintiles, concatenated into the classic 3-digit segment
+    * code. The warehouse-side cohorting op behind lifecycle marketing
+    * (and, pipeline-side, the same shape scores data SOURCES by
+    * freshness/volume/quality for curation budgets).
+    *
+    * Scale shape: one partial-aggregable groupBy(customer) collapses
+    * orders to |customers| rows; the reference date is a 1-row
+    * broadcast. The three ntile windows run over the CUSTOMER frame —
+    * this is the exact/oracle tier (the global sort is of the
+    * aggregate, not the fact table); at 100 TB the approx-percentile
+    * cut-point path (q_ntile_approx's contract) replaces the windows
+    * verbatim. Ties break on c_custkey in every window so quintile
+    * boundaries are deterministic on both engines; monetary rounds at
+    * 4 (2-decimal inputs, sum ≈ 2e6 — class-2 magnitude rule). */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 4).as("monetary"))
+    val ref = per.agg(max(col("last_order")).as("ref_date"))
+    def score(order: Column) =
+      ntile(5).over(Window.orderBy(order, col("c_custkey")))
+    per.crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+      .withColumn("r_score", score(col("recency_days").asc))
+      .withColumn("f_score", score(col("frequency").desc))
+      .withColumn("m_score", score(col("monetary").desc))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qRfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_order,
+      |    count(*) AS frequency,
+      |    round(sum(o_totalprice), 4) AS monetary
+      |  FROM orders GROUP BY o_custkey
+      |), r AS (SELECT max(last_order) AS ref_date FROM per),
+      |sc AS (
+      |  SELECT per.c_custkey,
+      |    date_diff('day', per.last_order, r.ref_date) AS recency_days,
+      |    per.frequency, per.monetary,
+      |    ntile(5) OVER (ORDER BY date_diff('day', per.last_order, r.ref_date),
+      |                   per.c_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY per.frequency DESC, per.c_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY per.monetary DESC, per.c_custkey) AS m_score
+      |  FROM per CROSS JOIN r
+      |)
+      |SELECT c_custkey, CAST(recency_days AS INT) AS recency_days,
+      |  frequency, monetary,
+      |  CAST(r_score AS VARCHAR) || f_score || m_score AS segment
+      |FROM sc ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------- Session-level funnel
+  /** The three-step funnel of [[qFunnel]] evaluated WITHIN sessions
+    * (30-min gap rule, q_sessionize's exact composition): of all
+    * sessions, how many contained a view, a click strictly after
+    * their first view, and a purchase strictly after that first
+    * qualifying click. Per-session conversion is the metric product
+    * teams actually steer by — user-level funnels smear intent across
+    * days.
+    *
+    * Scale shape: session ids derive from the lag + running-count
+    * windows per user (small per-user partitions); each funnel step
+    * is then a partial-aggregable conditional min per (user, session)
+    * and an equi-join back on the composite session key — the
+    * shrinking-frame join chain of q_funnel, keyed one level finer.
+    * The final four counts reduce to one row. */
+  def qSessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("session_id", count(
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 30L * 60L, 1)).over(w))
+    val views = sessions.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("v_ts"))
+    val clicks = sessions.filter(col("event_type") === "click")
+      .join(views, Seq("user_id", "session_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("c_ts"))
+    val purchases = sessions.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id", "session_id"))
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("p_ts"))
+    val total = sessions.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    total
+      .crossJoin(broadcast(views.agg(count(lit(1)).as("n_view_sessions"))))
+      .crossJoin(broadcast(clicks.agg(count(lit(1)).as("n_click_sessions"))))
+      .crossJoin(broadcast(purchases.agg(count(lit(1)).as("n_purchase_sessions"))))
+  }
+
+  val qSessionFunnelSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events
+      |), se AS (
+      |  SELECT user_id, ts, event_type,
+      |    count(CASE WHEN prev_ts IS NULL
+      |               OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      |  FROM g
+      |), v AS (
+      |  SELECT user_id, session_id, min(ts) AS v_ts FROM se
+      |  WHERE event_type = 'view' GROUP BY user_id, session_id
+      |), c AS (
+      |  SELECT se.user_id, se.session_id, min(se.ts) AS c_ts
+      |  FROM se JOIN v USING (user_id, session_id)
+      |  WHERE se.event_type = 'click' AND se.ts > v.v_ts
+      |  GROUP BY se.user_id, se.session_id
+      |), p AS (
+      |  SELECT se.user_id, se.session_id, min(se.ts) AS p_ts
+      |  FROM se JOIN c USING (user_id, session_id)
+      |  WHERE se.event_type = 'purchase' AND se.ts > c.c_ts
+      |  GROUP BY se.user_id, se.session_id
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id, session_id FROM se)) AS n_sessions,
+      |  (SELECT count(*) FROM v) AS n_view_sessions,
+      |  (SELECT count(*) FROM c) AS n_click_sessions,
+      |  (SELECT count(*) FROM p) AS n_purchase_sessions""".stripMargin
+
   // ------------------------------------------- Corpus drift divergence
   /** Jensen–Shannon divergence between two corpus slices' unigram
     * distributions (even- vs odd-id docs — production compares
@@ -1314,6 +1482,9 @@ object AnalyticsQueries {
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_corpus_divergence" -> (qCorpusDivergence _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_rfm" -> (qRfm _),
+    "q_session_funnel" -> (qSessionFunnel _),
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
     "q_range_join" -> (qRangeJoin _),
@@ -1337,6 +1508,9 @@ object AnalyticsQueries {
     "q_lm_score" -> qLmScoreSql,
     "q_lm_bigram" -> qLmBigramSql,
     "q_corpus_divergence" -> qCorpusDivergenceSql,
+    "q_basket_pairs" -> qBasketPairsSql,
+    "q_rfm" -> qRfmSql,
+    "q_session_funnel" -> qSessionFunnelSql,
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,
     "q_range_join" -> qRangeJoinSql,

@@ -20,6 +20,40 @@ class AnalyticsQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("basket pairs: canonical order, counts bounded by orders, non-increasing") {
+    val rows = AnalyticsQueries.qBasketPairs(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be canonical")
+    val nOrders = graft.Tables.orders(spark, sf001).count()
+    assert(rows.forall(_.getLong(2) <= nOrders))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, "support must be sorted desc")
+  }
+
+  test("rfm: segment digits in 1-5, quintiles balanced within 1, recency non-negative") {
+    val rows = AnalyticsQueries.qRfm(spark, sf001).collect()
+    val nCust = rows.length
+    assert(nCust > 0)
+    assert(rows.forall(_.getInt(1) >= 0), "recency_days >= 0")
+    val digits = rows.map(_.getString(4))
+    assert(digits.forall(s => s.length == 3 && s.forall(c => c >= '1' && c <= '5')))
+    // ntile balance: each score's bucket sizes differ by at most 1
+    (0 until 3).foreach { pos =>
+      val sizes = digits.groupBy(_.charAt(pos)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"score $pos unbalanced: $sizes")
+    }
+  }
+
+  test("session funnel: stage counts are monotone and bounded by total sessions") {
+    val row = AnalyticsQueries.qSessionFunnel(spark, sf001).head()
+    val (n, v, c, p) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(n > 0 && n >= v && v >= c && c >= p && p >= 0,
+      s"funnel not monotone: ($n, $v, $c, $p)")
+    // sessions are finer than users: at least one session per active user
+    val nUsers = graft.Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(n >= nUsers)
+  }
+
   test("corpus divergence: jsd in [0, ln 2], turnover masses are probabilities") {
     val r = AnalyticsQueries.qCorpusDivergence(spark, sf001).head()
     val (vp, vq) = (r.getLong(0), r.getLong(1))
