@@ -83,6 +83,47 @@ object JoinQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Returned-item revenue ranking (the TPC-H Q10 shape): the top-20
+    * customers by revenue lost to returns — lineitem filtered to
+    * returnflag 'R' (predicate pushed to the scan), joined up the
+    * star, grouped per customer, TakeOrdered cut.
+    *
+    * Scale shape: the selective flag filter reaches parquet; customer
+    * and nation broadcast; the only shuffle is fact⋈fact on the order
+    * key then the partial-aggregable customer rollup. Revenue rounds
+    * at 6 BEFORE the rank (per-customer sums ≈ 5e5 carry ~4e-9
+    * reorder error — round 9 would sit inside it, the class-2
+    * magnitude rule), with c_custkey breaking exact-6-decimal ties so
+    * the top-20 boundary is deterministic on both engines. */
+  def qCustomerReturns(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val qCustomerReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val qJoinRevenueByNationSql: String =
     """SELECT r_name, n_name,
       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -238,6 +279,7 @@ object JoinQueries {
     "q_join_bucketed" -> (qBucketedJoin _),
     "q_join_median_fill" -> (qJoinMedianFill _),
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
+    "q_customer_returns" -> (qCustomerReturns _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _))
 
@@ -246,6 +288,7 @@ object JoinQueries {
     "q_join_bucketed" -> qBucketedJoinSql,
     "q_join_median_fill" -> qJoinMedianFillSql,
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
+    "q_customer_returns" -> qCustomerReturnsSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql)
 }
