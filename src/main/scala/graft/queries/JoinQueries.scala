@@ -124,6 +124,59 @@ object JoinQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Order-priority counting (the TPC-H Q4 shape): orders with at
+    * least one line shipped after a deep discount window — a grouped
+    * count OVER a semi-join, the composition q_join_semi stops short
+    * of. Scale shape: the EXISTS side reduces to a distinct-key
+    * projection pushed through a left-semi hash join; the count is
+    * partial-aggregable over ≤ |priorities| groups. */
+  def qPriorityCount(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val flagged = Tables.lineitem(s, d)
+      .filter(col("l_discount") >= lit(0.08))
+      .select(col("l_orderkey"))
+    o.join(flagged, o("o_orderkey") === flagged("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qPriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Conditional cross-class counting (the TPC-H Q12 shape): per
+    * lineitem return flag, how many lines belong to urgent/high
+    * orders vs the rest — the CASE-sum idiom that folds a pivot into
+    * one aggregate pass. One fact⋈fact shuffle, then a
+    * partial-aggregable groupBy with two conditional sums. */
+  def qShipmodePriority(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qShipmodePrioritySql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val qJoinRevenueByNationSql: String =
     """SELECT r_name, n_name,
       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -280,6 +333,8 @@ object JoinQueries {
     "q_join_median_fill" -> (qJoinMedianFill _),
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
     "q_customer_returns" -> (qCustomerReturns _),
+    "q_priority_count" -> (qPriorityCount _),
+    "q_shipmode_priority" -> (qShipmodePriority _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _))
 
@@ -289,6 +344,8 @@ object JoinQueries {
     "q_join_median_fill" -> qJoinMedianFillSql,
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
     "q_customer_returns" -> qCustomerReturnsSql,
+    "q_priority_count" -> qPriorityCountSql,
+    "q_shipmode_priority" -> qShipmodePrioritySql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql)
 }
