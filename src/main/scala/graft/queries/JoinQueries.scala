@@ -149,6 +149,81 @@ object JoinQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Count-of-counts distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly k orders — the double aggregation
+    * (per-key count, then histogram of the counts) behind "orders per
+    * customer", "events per session", "duplicates per cluster"
+    * distribution reporting. The left outer join keeps zero-order
+    * customers (count of the null-keyed side reads 0).
+    *
+    * Scale shape: both aggregations are partial-aggregable; the
+    * second runs over the |customers| frame and outputs ≤ max-count
+    * rows. The join is the one fact⋈dimension shuffle (customer side
+    * broadcast-eligible; AQE decides). */
+  def qCustdist(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val qCustdistSql: String =
+    """WITH per AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey
+      |)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Dormant high-balance accounts (the TPC-H Q22 shape): customers
+    * above the positive-balance average with no HIGH-VALUE order
+    * (every harness customer has some order, so plain no-order
+    * dormancy is empty — the 300k cut keeps the anti side
+    * non-degenerate, q_join_anti's discipline) — a scalar-subquery
+    * threshold (1-row broadcast) composed with an anti-join, grouped
+    * per market segment. The threshold ROUNDS at 6 on both engines
+    * before the compare: the average of non-dyadic doubles differs by
+    * ~1 ulp across engines, and an unrounded boundary would make
+    * membership of a knife-edge customer engine-dependent (class-2
+    * boundary discipline). Segment sums round at 4 (≈1e6 magnitude
+    * rule). */
+  def qDormantAccounts(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qDormantAccountsSql: String =
+    """WITH t AS (
+      |  SELECT round(avg(c_acctbal), 6) AS avg_bal FROM customer
+      |  WHERE c_acctbal > 0
+      |)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  round(sum(c_acctbal), 4) AS total_bal
+      |FROM customer c CROSS JOIN t
+      |WHERE c.c_acctbal > t.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Conditional cross-class counting (the TPC-H Q12 shape): per
     * lineitem return flag, how many lines belong to urgent/high
     * orders vs the rest — the CASE-sum idiom that folds a pivot into
@@ -334,6 +409,8 @@ object JoinQueries {
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
     "q_customer_returns" -> (qCustomerReturns _),
     "q_priority_count" -> (qPriorityCount _),
+    "q_custdist" -> (qCustdist _),
+    "q_dormant_accounts" -> (qDormantAccounts _),
     "q_shipmode_priority" -> (qShipmodePriority _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _))
@@ -345,6 +422,8 @@ object JoinQueries {
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
     "q_customer_returns" -> qCustomerReturnsSql,
     "q_priority_count" -> qPriorityCountSql,
+    "q_custdist" -> qCustdistSql,
+    "q_dormant_accounts" -> qDormantAccountsSql,
     "q_shipmode_priority" -> qShipmodePrioritySql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql)
