@@ -149,6 +149,54 @@ object JoinQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Cross-border shipping volume (the TPC-H Q7 shape): revenue
+    * between distinct (supplier nation, customer nation) pairs by
+    * order year — ONE fact row reached through TWO independent
+    * dimension chains (lineitem→supplier→nation and
+    * lineitem→orders→customer→nation), the same dimension table
+    * broadcast twice under different aliases. The pattern every
+    * "producer vs consumer geography" report uses.
+    *
+    * Scale shape: all four dimension hops broadcast; the only shuffle
+    * is lineitem⋈orders on the order key, then a partial-aggregable
+    * groupBy over ≤ |nations|²·|years| groups. Volume rounds at 4
+    * (per-group sums ≈ 1e6 — magnitude rule). */
+  def qNationVolume(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val qNationVolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(o_orderdate) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY sn.n_name, cn.n_name, year(o_orderdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Count-of-counts distribution (the TPC-H Q13 shape): how many
     * customers placed exactly k orders — the double aggregation
     * (per-key count, then histogram of the counts) behind "orders per
@@ -410,6 +458,7 @@ object JoinQueries {
     "q_customer_returns" -> (qCustomerReturns _),
     "q_priority_count" -> (qPriorityCount _),
     "q_custdist" -> (qCustdist _),
+    "q_nation_volume" -> (qNationVolume _),
     "q_dormant_accounts" -> (qDormantAccounts _),
     "q_shipmode_priority" -> (qShipmodePriority _),
     "q_join_semi" -> (qJoinSemi _),
@@ -423,6 +472,7 @@ object JoinQueries {
     "q_customer_returns" -> qCustomerReturnsSql,
     "q_priority_count" -> qPriorityCountSql,
     "q_custdist" -> qCustdistSql,
+    "q_nation_volume" -> qNationVolumeSql,
     "q_dormant_accounts" -> qDormantAccountsSql,
     "q_shipmode_priority" -> qShipmodePrioritySql,
     "q_join_semi" -> qJoinSemiSql,
