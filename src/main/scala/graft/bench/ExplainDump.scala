@@ -45,7 +45,9 @@ object ExplainDump {
     "q_salted_join", "q_dedup_sketch_recall_bounds", "q_ml_eval_bounds",
     "q_event_paths", "q_contamination_incremental", "q_lm_bigram",
     "q_corpus_divergence", "q_grouped_variance", "q_multimodal_bounds",
-    "q_basket_pairs", "q_rfm", "q_session_funnel")
+    "q_basket_pairs", "q_rfm", "q_session_funnel",
+    "q_customer_returns", "q_priority_count", "q_shipmode_priority",
+    "q_custdist", "q_dormant_accounts", "q_nation_volume")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the
