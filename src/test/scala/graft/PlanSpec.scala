@@ -169,4 +169,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     assert(p.contains("Generate"), s"build replication must be an in-row explode:\n$p")
   }
+
+  test("customer returns (Q10): flag filter pushed to parquet, dimensions broadcast, TakeOrdered cut") {
+    val p = plan(JoinQueries.qCustomerReturns(spark, sf001))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension star must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be heap-based:\n$p")
+  }
+
+  test("nation volume (Q7): dual dimension chains both broadcast, no cartesian") {
+    val p = plan(JoinQueries.qNationVolume(spark, sf001))
+    // the nation table joins twice (supplier-side and customer-side) —
+    // both hops plus supplier and customer must be broadcast exchanges
+    val nBroadcast = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(nBroadcast >= 4, s"expected ≥4 broadcast dimension hops, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
+    val p = plan(JoinQueries.qCustdist(spark, sf001))
+    // partial_count markers appear for both the per-customer count and
+    // the count-of-counts histogram
+    val partials = p.linesIterator.count(l =>
+      l.contains("partial_count") || l.contains("partial count"))
+    assert(partials >= 2, s"expected two partial-aggregated stages:\n$p")
+  }
 }
