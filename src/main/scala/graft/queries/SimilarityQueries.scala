@@ -477,7 +477,45 @@ object SimilarityQueries {
       |  ('pq', true, true)) t(tier, truth_complete, recall_ok)
       |ORDER BY tier""".stripMargin
 
+  /** L2 normalization — the preprocessing pass every cosine/IVF
+    * pipeline runs before indexing (unit vectors turn cosine into a
+    * dot product and make PQ cells isotropic). Pure in-row
+    * higher-order array math, no UDF, no shuffle; the driver's
+    * comparator can't sort array columns, so the output carries the
+    * pre-norm plus the first three normalized dimensions as scalars.
+    * Floats cast to double BEFORE squaring on BOTH engines (a
+    * float-precision square would diverge from DuckDB's DOUBLE[]
+    * lane), and both engines fold the sum in array order — the same
+    * addition sequence bit-for-bit, with round(·,6) as belt and
+    * braces. Zero vectors map to zeros (guarded division). */
+  def qEmbeddingNormalize(s: SparkSession, d: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    def dim(i: Int) = when(col("norm") > 0.0,
+      round(element_at(col("embedding"), i + 1).cast("double") / col("norm"), 6))
+      .otherwise(lit(0.0)).as(s"d$i")
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("norm", sqrt(sq))
+      .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
+        dim(0), dim(1), dim(2))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbeddingNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x * x))) AS norm
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, round(norm, 6) AS l2_norm,
+      |  CASE WHEN norm > 0 THEN round(e[1] / norm, 6) ELSE 0.0 END AS d0,
+      |  CASE WHEN norm > 0 THEN round(e[2] / norm, 6) ELSE 0.0 END AS d1,
+      |  CASE WHEN norm > 0 THEN round(e[3] / norm, 6) ELSE 0.0 END AS d2
+      |FROM n ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_normalize" -> (qEmbeddingNormalize _),
     "q_sim_recall_bounds" -> (qSimRecallBounds _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_sim_mmr" -> (qSimMmr _),
@@ -493,6 +531,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_embedding_normalize" -> qEmbeddingNormalizeSql,
     "q_sim_recall_bounds" -> qSimRecallBoundsSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
