@@ -903,6 +903,40 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- Tokenizer fertility
+  /** Tokenizer fertility by source — subword units per whitespace
+    * word, the tokenizer-efficiency diagnostic that prices a corpus
+    * in GPU-hours (fertility ≈ 2 means a "1T-token" corpus costs
+    * double the naive word-count estimate; per-source fertility flags
+    * the domains a vocabulary serves badly — code, non-Latin scripts,
+    * URLs). One narrow per-row projection (the two counters are
+    * codegen'd regex/size expressions) and a partial-aggregable
+    * groupBy(source). Integer-sum ratio is a single double division —
+    * bit-identical across engines; rounded at 9 as belt and braces. */
+  def qTokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws")).as("n_words"), sum(col("bpe")).as("n_units"),
+        round(sum(col("bpe")).cast("double") / sum(col("ws")), 9).as("fertility"))
+      .orderBy(col("source"))
+
+  val qTokenizerFertilitySql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS ws,
+      |    len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe
+      |  FROM documents
+      |)
+      |SELECT source, CAST(sum(ws) AS BIGINT) AS n_words,
+      |  CAST(sum(bpe) AS BIGINT) AS n_units,
+      |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 9) AS fertility
+      |FROM c GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --------------------------------------------- Vocabulary growth curve
   /** Novel n-gram growth curve — how many previously-unseen word
     * 3-shingles each 5%-of-corpus slice contributes, plus the running
@@ -1166,6 +1200,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_heavy_hitters_incremental" -> (qHeavyHittersIncremental _),
     "q_contamination_incremental" -> (qContaminationIncremental _),
@@ -1196,6 +1231,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_vocab_growth" -> qVocabGrowthSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_heavy_hitters_incremental" -> qHeavyHittersIncrementalSql,
     "q_contamination_incremental" -> qContaminationIncrementalSql,
