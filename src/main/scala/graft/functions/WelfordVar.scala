@@ -56,10 +56,13 @@ final class WelfordVar[IN](get: IN => Double)
 }
 
 object WelfordVar {
-  /** Sample variance off a finished state (n < 2 → 0, matching the
-    * var_samp NULL convention only after the caller's guard). */
-  def sampleVariance(s: WelfordState): Double =
-    if (s.n < 2) 0.0 else s.m2 / (s.n - 1)
+  /** Sample variance off a finished state: None for n < 2 — the same
+    * undefined-not-zero convention as var_samp/stddev_samp's NULL (and
+    * as qGroupedVariance's guarded column), so a singleton group can
+    * never masquerade as a zero-variance one. */
+  def sampleVariance(s: WelfordState): Option[Double] =
+    if (s.n < 2) None else Some(s.m2 / (s.n - 1))
 
-  def sampleStddev(s: WelfordState): Double = math.sqrt(sampleVariance(s))
+  def sampleStddev(s: WelfordState): Option[Double] =
+    sampleVariance(s).map(math.sqrt)
 }

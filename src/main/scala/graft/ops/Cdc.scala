@@ -55,8 +55,13 @@ object Cdc {
     val merged = base.join(latest, Seq(key), "full_outer")
       .filter(col(s"_c_$opCol").isNull || col(s"_c_$opCol") =!= "d")
     val baseCols = base.columns.filter(_ != key)
+    // gate on the op column, NOT coalesce: an upsert carrying NULL in a
+    // payload column must overwrite the base value with NULL (the
+    // scaladoc contract) — coalesce would silently keep the old value
     val out: Seq[Column] = col(key) +: baseCols.map { c =>
-      if (payload.contains(c)) coalesce(col(s"_c_$c"), col(c)).as(c) else col(c)
+      if (payload.contains(c))
+        when(col(s"_c_$opCol").isNotNull, col(s"_c_$c")).otherwise(col(c)).as(c)
+      else col(c)
     }.toSeq
     merged.select(out: _*)
   }

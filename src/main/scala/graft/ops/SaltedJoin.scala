@@ -39,6 +39,12 @@ object SaltedJoin {
   def join(probe: DataFrame, build: DataFrame, key: String,
       saltSrc: String, buckets: Int = 32): DataFrame = {
     require(buckets > 0)
+    // a pre-existing '_salt' column would be silently replaced by the
+    // working column and dropped from the output — refuse instead of
+    // corrupting the result relative to the plain join
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "SaltedJoin uses an internal '_salt' working column; rename the " +
+        "existing '_salt' column on the input first")
     val p = probe.withColumn("_salt",
       pmod(xxhash64(col(saltSrc)), lit(buckets.toLong)).cast("int"))
     val b = build.withColumn("_salt",

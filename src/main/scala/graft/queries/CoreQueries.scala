@@ -489,7 +489,10 @@ object CoreQueries {
     ds.groupByKey(_._1).agg(agg.toColumn.name("w"))
       .select(col("key").as("l_returnflag"), col("w.n").as("n"),
         round(col("w.mean"), 6).as("mean_price"),
-        round(sqrt(col("w.m2") / (col("w.n") - 1)), 6).as("sd_price"))
+        // singleton group: stddev_samp is NULL, not the unguarded
+        // sqrt(m2/0) NaN — matches the oracle under any group drift
+        when(col("w.n") >= 2,
+          round(sqrt(col("w.m2") / (col("w.n") - 1)), 6)).as("sd_price"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -559,7 +559,7 @@ object ExtraQueries {
       |  FROM orders
       |)
       |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name,
-      |  coalesce(l.new_bal, b.c_acctbal) AS acctbal
+      |  CASE WHEN l.op IS NOT NULL THEN l.new_bal ELSE b.c_acctbal END AS acctbal
       |FROM customer b FULL OUTER JOIN (SELECT * FROM latest WHERE rn = 1) l
       |  USING (c_custkey)
       |WHERE l.op IS NULL OR l.op <> 'd'

@@ -255,6 +255,11 @@ object TextAnalysis {
     *
     *   - scheme and host lowercased (RFC 3986 §6.2.2.1 — the only
     *     case-insensitive components),
+    *   - userinfo and any explicit port PRESERVED (rebuilt from
+    *     AUTHORITY, not HOST: `h.com:8443/x` and `h.com/x` are
+    *     distinct origins and must not collapse to one dedup key),
+    *     except the scheme's default port (`:80` http / `:443`
+    *     https), which IS the same origin and is dropped,
     *   - fragment dropped (never sent to the server),
     *   - `utm_*` tracking params dropped, remaining params kept in
     *     original order, `?` omitted when none survive,
@@ -265,12 +270,21 @@ object TextAnalysis {
     * the split query) — narrow, no shuffle, no UDF. */
   def canonicalUrl(url: Column): Column = {
     val proto = lower(parse_url(url, lit("PROTOCOL")))
-    val host = lower(parse_url(url, lit("HOST")))
+    // AUTHORITY = [userinfo@]host[:port]; HOST alone loses both extras
+    val auth = parse_url(url, lit("AUTHORITY"))
+    val userinfo = regexp_extract(auth, "^([^@]*@)?", 1) // keeps the '@'
+    val hostPort = regexp_replace(auth, "^[^@]*@", "")
+    // bracketed IPv6 hosts carry ':' inside '[]' — match them first
+    val host = lower(regexp_extract(hostPort, "^(\\[[^\\]]*\\]|[^:]*)", 1))
+    val portSuffix = regexp_extract(hostPort, "(:[0-9]+)$", 1)
+    val defaultPort = when(proto === "http", lit(":80"))
+      .when(proto === "https", lit(":443")).otherwise(lit(""))
+    val port = when(portSuffix === defaultPort, lit("")).otherwise(portSuffix)
     val path = regexp_replace(parse_url(url, lit("PATH")), "/+$", "")
     val query = array_join(
       filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
         p => !(startswith(p, lit("utm_")) || p === "")), "&")
-    concat(proto, lit("://"), host, path,
+    concat(proto, lit("://"), userinfo, host, port, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
 }

@@ -19,7 +19,7 @@ class WelfordVarSpec extends SparkSpec {
     val agg = new WelfordVar[(String, Double)](_._2)
     val got = ds.groupByKey(_._1).agg(agg.toColumn.name("w"))
       .collect().map { case (g, s) =>
-        g -> ((s.n, s.mean, WelfordVar.sampleVariance(s)))
+        g -> ((s.n, s.mean, WelfordVar.sampleVariance(s).get))
       }.toMap
     data.groupBy(_._1).foreach { case (g, rows) =>
       val xs = rows.map(_._2)
@@ -42,7 +42,7 @@ class WelfordVarSpec extends SparkSpec {
     val ds = shifted.map(("k", _)).toDF("g", "x").as[(String, Double)]
     val agg = new WelfordVar[(String, Double)](_._2)
     val s = ds.groupByKey(_._1).agg(agg.toColumn.name("w")).collect().head._2
-    val welford = WelfordVar.sampleVariance(s)
+    val welford = WelfordVar.sampleVariance(s).get
     assert(math.abs(welford - trueVar) <= 1e-6 * trueVar,
       s"Welford lost precision at offset: $welford vs $trueVar")
     // the E[x²]−E[x]² spelling at the same offset: Σx² ≈ 1e19 has ulp
@@ -53,6 +53,15 @@ class WelfordVarSpec extends SparkSpec {
     val naive = (sxx - sx * sx / n) / (n - 1)
     assert(math.abs(naive - trueVar) > 0.01 * trueVar,
       s"expected the naive spelling to collapse at 1e8 offset, got $naive vs $trueVar")
+  }
+
+  test("singleton and empty states yield None, matching stddev_samp's NULL") {
+    val agg = new WelfordVar[Double](identity)
+    assert(WelfordVar.sampleVariance(agg.zero).isEmpty)
+    assert(WelfordVar.sampleVariance(agg.reduce(agg.zero, 42.0)).isEmpty)
+    assert(WelfordVar.sampleStddev(agg.reduce(agg.zero, 42.0)).isEmpty)
+    assert(WelfordVar.sampleVariance(
+      agg.reduce(agg.reduce(agg.zero, 1.0), 3.0)).contains(2.0))
   }
 
   test("merge is order-insensitive: permuted partitionings agree bit-for-bit-ish") {

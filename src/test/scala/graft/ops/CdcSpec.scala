@@ -41,6 +41,19 @@ class CdcSpec extends SparkSpec {
     assert(got == Set((1L, Some("a"), 10.0), (2L, None, 5.0)))
   }
 
+  test("upsert carrying NULL in a payload column overwrites with NULL") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val log = Seq((1L, "u", Option.empty[Double], 1))
+      .toDF("k", "op", "bal", "seq")
+    val got = Cdc.apply(base, log, "k", "op", Seq("seq"), Seq("bal"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // the op-gated merge must NOT resurrect the old 10.0 via coalesce
+    assert(got == Map(1L -> None, 2L -> Some(20.0)))
+  }
+
   test("non-payload base columns pass through unchanged on upsert") {
     val got = run(Seq((1L, "keepme", 10.0)), Seq((1L, "u", 11.0, 1)))
     assert(got(1L) == ("keepme", 11.0))

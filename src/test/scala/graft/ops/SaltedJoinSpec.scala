@@ -47,6 +47,18 @@ class SaltedJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("refuses inputs that already carry a '_salt' column") {
+    import spark.implicits._
+    val (probe, build) = fixture
+    val saltedProbe = probe.withColumn("_salt", lit(7))
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(saltedProbe, build, "k", "id", buckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(probe, build.withColumn("_salt", lit(7)), "k", "id", buckets = 4)
+    }
+  }
+
   test("buckets = 1 degrades to the plain join, never below it") {
     val (probe, build) = fixture
     val one = SaltedJoin.join(probe, build, "k", "id", buckets = 1)

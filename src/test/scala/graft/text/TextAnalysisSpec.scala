@@ -372,7 +372,19 @@ class TextAnalysisSpec extends SparkSpec {
       ("https://h.com/p/1///", "https://h.com/p/1"),
       ("https://h.com/", "https://h.com"),
       // already canonical → fixpoint
-      ("https://h.com/p/1?a=1", "https://h.com/p/1?a=1"))
+      ("https://h.com/p/1?a=1", "https://h.com/p/1?a=1"),
+      // explicit non-default port is a DISTINCT origin — preserved
+      ("https://H.com:8443/x", "https://h.com:8443/x"),
+      ("http://h.com:8080/x", "http://h.com:8080/x"),
+      // the scheme's default port IS the same origin — dropped
+      ("https://h.com:443/x", "https://h.com/x"),
+      ("http://h.com:80/x", "http://h.com/x"),
+      // userinfo preserved verbatim (case-sensitive per RFC 3986)
+      ("https://User@h.com/x", "https://User@h.com/x"),
+      ("https://u:Pw@H.COM:9443/x/", "https://u:Pw@h.com:9443/x"),
+      // bracketed IPv6 host: inner ':' is not a port separator
+      ("https://[2001:DB8::1]/x", "https://[2001:db8::1]/x"),
+      ("https://[2001:DB8::1]:8443/x", "https://[2001:db8::1]:8443/x"))
     val got = cases.map(_._1).toDF("url")
       .select(TextAnalysis.canonicalUrl(col("url"))).collect().map(_.getString(0))
     cases.zip(got).foreach { case ((in, want), g) =>
