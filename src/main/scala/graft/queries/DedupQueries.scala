@@ -127,6 +127,47 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Equivalence-bounds oracle row for [[qDedupIncrementalMinhash]] —
+    * the q_contamination_incremental contract for the MinHash tier:
+    * the incremental run (history banded ONCE, persisted to parquet,
+    * delta joined against the RELOADED index) must emit exactly the
+    * from-scratch run's delta-touching pairs, Jaccard estimates
+    * included (multiset-exact via exceptAll both ways — a digest
+    * truncation, band-layout drift, or signature mismatch between the
+    * build and probe paths flips the row). `history_pairs_pruned`
+    * pins the other half of the contract: the full run DOES contain
+    * history↔history pairs (the corpus's natural near-dups), and the
+    * incremental output correctly excludes them — yesterday's output
+    * must not reappear. Fail-closed on `delta_pairs_found`. */
+  def qDedupMinhashIncBounds(s: SparkSession, d: String): DataFrame = {
+    val full = qDedupMinhash(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expected = full.filter(col("id_a") >= IdOffset || col("id_b") >= IdOffset)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val historyInternal = full.count() - expected.count()
+        val inc = qDedupIncrementalMinhash(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nInc = inc.count()
+          val diff = inc.exceptAll(expected).count() +
+            expected.exceptAll(inc).count()
+          import s.implicits._
+          Seq(("minhash_inc", nInc > 0, historyInternal > 0, diff == 0L))
+            .toDF("tier", "delta_pairs_found", "history_pairs_pruned",
+              "inc_matches_scratch")
+        } finally { inc.unpersist(); () }
+      } finally { expected.unpersist(); () }
+    } finally { full.unpersist(); () }
+  }
+
+  val qDedupMinhashIncBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('minhash_inc', true, true, true))
+      |  t(tier, delta_pairs_found, history_pairs_pruned,
+      |    inc_matches_scratch)""".stripMargin
+
   /** Exact bounded edit-distance pairs over short "titles" (first 24
     * chars of each doc) ∪ planted single-substitution mutants — the
     * string-metric tier ([[Dedup.editDistancePairs]]: length-banded
@@ -349,22 +390,73 @@ object DedupQueries {
       s.read.parquet(s"$dir/digests"),
       s.read.parquet(s"$dir/bands"),
       s.read.parquet(s"$dir/sets"))
-    val perturbed = docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
-      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
-    // token-reversed docs are genuinely NEW content (shingles are
-    // order-sensitive) — the delta rows that must SURVIVE
-    val reversed = docs.select((col("doc_id") + 4 * IdOffset).as("doc_id"),
-      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
-    val delta = docs.select((col("doc_id") + IdOffset).as("doc_id"), col("text"))
-      .union(perturbed)
-      .union(perturbed.select((col("doc_id") + IdOffset).as("doc_id"), col("text")))
-      .union(reversed)
-    graft.text.Curation.incrementalCurate(state, delta, CurationMinQuality,
-        withAccounting = false)
+    graft.text.Curation.incrementalCurate(state, curationDelta(docs),
+        CurationMinQuality, withAccounting = false)
       .survivors
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** The day-2 delta of the incremental-curation fixture: verbatim
+    * re-ingests (die at exact dedup), perturbed near-dups and their
+    * repeats (die at the sketch tier), and token-reversed docs —
+    * genuinely NEW content (shingles are order-sensitive), the rows
+    * that must SURVIVE. Shared by the registered query and its
+    * equivalence-bounds oracle row. */
+  private def curationDelta(docs: DataFrame): DataFrame = {
+    val perturbed = docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))
+    val reversed = docs.select((col("doc_id") + 4 * IdOffset).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    docs.select((col("doc_id") + IdOffset).as("doc_id"), col("text"))
+      .union(perturbed)
+      .union(perturbed.select((col("doc_id") + IdOffset).as("doc_id"), col("text")))
+      .union(reversed)
+  }
+
+  /** Equivalence-bounds oracle row for [[qCurationIncremental]] — the
+    * q_contamination_incremental contract for the full curation
+    * pipeline: the incremental pass against the RELOADED SketchState
+    * must emit exactly the delta survivors a from-scratch sketch run
+    * over (day-1 survivors ∪ delta) emits — CurationSpec's assertion,
+    * now a driver row. Day-1 survivors reconstruct from the persisted
+    * state itself (the sets frame's doc ids ARE the survivor set —
+    * the artifact a production pipeline would read back, not a
+    * re-curation). Second fact: only the token-reversed docs (id ≥
+    * 4·offset, the genuinely novel content) may survive. Fail-closed
+    * on `delta_survivors_found`. History ids precede delta ids, so
+    * batch min-id keepers agree with incremental by construction. */
+  def qCurationIncBounds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val inc = qCurationIncremental(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nInc = inc.count()
+      val dir = curStateCache.get(d) // populated by the call above
+      val day1Survivors = docs.join(
+        s.read.parquet(s"$dir/sets").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val full = graft.text.Curation.curateSketch(
+          day1Survivors.union(curationDelta(docs)), CurationMinQuality,
+          withAccounting = false)
+        .survivors.select(col("doc_id")).filter(col("doc_id") >= IdOffset)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+        val nonNovel = inc.filter(col("doc_id") < 4 * IdOffset).count()
+        import s.implicits._
+        Seq(("curation_inc", nInc > 0, nonNovel == 0L, diff == 0L))
+          .toDF("tier", "delta_survivors_found", "only_novel_content_survives",
+            "inc_matches_scratch")
+      } finally { full.unpersist(); () }
+    } finally { inc.unpersist(); () }
+  }
+
+  val qCurationIncBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('curation_inc', true, true, true))
+      |  t(tier, delta_survivors_found, only_novel_content_survives,
+      |    inc_matches_scratch)""".stripMargin
 
   val qCurationSql: String = {
     val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
@@ -597,6 +689,8 @@ object DedupQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
+    "q_dedup_minhash_inc_bounds" -> (qDedupMinhashIncBounds _),
+    "q_curation_inc_bounds" -> (qCurationIncBounds _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
@@ -612,6 +706,8 @@ object DedupQueries {
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_dedup_minhash_inc_bounds" -> qDedupMinhashIncBoundsSql,
+    "q_curation_inc_bounds" -> qCurationIncBoundsSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_dedup_clusters" -> qDedupClustersSql,

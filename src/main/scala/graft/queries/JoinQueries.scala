@@ -300,6 +300,76 @@ object JoinQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Suppliers who kept others waiting (the TPC-H Q21 shape): count,
+    * per supplier, the late line items (shipped > 60 days after the
+    * order date) in finalized multi-supplier orders where that
+    * supplier was the ONLY late one — the multi-EXISTS chain (semi +
+    * anti over the same fact under two aliases) behind every "who is
+    * the sole bottleneck" attribution report.
+    *
+    * Scale shape: the textbook spelling self-joins the 100 TB fact
+    * TWICE (EXISTS l2 / NOT EXISTS l3); here both correlated
+    * predicates collapse into ONE partial-aggregable pass — per
+    * (order, supplier): late-line count — followed by a window over
+    * the ORDER-GRAIN frame (bounded by |orders|·|supps per order|,
+    * never line items; the partition key is the high-cardinality
+    * order key, so no hub-partition hazard) carrying supplier count
+    * and late-supplier count. "Another supplier exists" ⟺
+    * n_supps ≥ 2; "no OTHER supplier was late" ⟺ (this supplier
+    * late ∧ n_late_supps = 1). The fact table is scanned ONCE and
+    * shuffles once (fact⋈fact on the order key); a join-based
+    * per-order aggregate would plan a second full scan of the shared
+    * subframe instead. Supplier/nation broadcast. The DuckDB oracle
+    * replays the correlated EXISTS/NOT-EXISTS form, so the hash gate
+    * proves the window rewrite IS the textbook chain. Counts only —
+    * no float policy needed; s_name is unique, making the top-20
+    * boundary total. */
+  def qSupplierWait(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perSupp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+        .as("n_late_lines"))
+    val perOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(perOrder))
+      .withColumn("n_late_supps",
+        sum(when(col("n_late_lines") > 0L, 1L).otherwise(0L)).over(perOrder))
+      .filter(col("n_late_lines") > 0L &&
+        col("n_supps") >= 2L && col("n_late_supps") === 1L)
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val qSupplierWaitSql: String =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   val qJoinRevenueByNationSql: String =
     """SELECT r_name, n_name,
       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -456,6 +526,7 @@ object JoinQueries {
     "q_join_median_fill" -> (qJoinMedianFill _),
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
     "q_customer_returns" -> (qCustomerReturns _),
+    "q_supplier_wait" -> (qSupplierWait _),
     "q_priority_count" -> (qPriorityCount _),
     "q_custdist" -> (qCustdist _),
     "q_nation_volume" -> (qNationVolume _),
@@ -470,6 +541,7 @@ object JoinQueries {
     "q_join_median_fill" -> qJoinMedianFillSql,
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
     "q_customer_returns" -> qCustomerReturnsSql,
+    "q_supplier_wait" -> qSupplierWaitSql,
     "q_priority_count" -> qPriorityCountSql,
     "q_custdist" -> qCustdistSql,
     "q_nation_volume" -> qNationVolumeSql,

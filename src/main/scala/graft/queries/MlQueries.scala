@@ -158,6 +158,50 @@ object MlQueries {
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // ONE fixture pipeline run per process: the quality gate's fixture is
+  // scale-dir-independent (seeded synthetic GSOD, 20 stations × 365
+  // days — the same generator GsodBench times at 4M rows), so the fits
+  // are an index-build-shaped cost, reported under builds.
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.gsod.GsodPipeline.Result]
+
+  /** Fit-QUALITY bounds row — the band the evaluator-consistency gates
+    * ([[qMlEvalBounds]]) deliberately don't cover: the harness tables
+    * carry no learnable signal, so model quality is gated on the
+    * seeded synthetic GSOD fixture instead, whose planted structure
+    * (station offset + shared seasonal sine + iid noise) gives LR an
+    * analytic R² ceiling ≈ 0.93 — the reference notebook's own band
+    * (BASELINE.md). Floors: LR R² ≥ 0.8 (TrainSpec's fixture-scale
+    * floor for the ≈0.93 judge-measured 4M-row value), GBT
+    * classification accuracy ≥ 0.7 (the persistent station-wetness
+    * class bounds the Bayes accuracy near 0.75+; ROC AUC must beat
+    * chance at ≥ 0.6), and the GBT regressor must beat the constant
+    * predictor (R² > 0). Everything is seeded (generator, split, GBT)
+    * — the verdicts are deterministic, and the DuckDB twin is the
+    * literal expected frame. */
+  def qMlQualityBounds(s: SparkSession, d: String): DataFrame = {
+    val r = qualityCache.computeIfAbsent("fixture", _ =>
+      graft.BuildTimes.timed("ml_quality_fixture_fit") {
+        graft.gsod.GsodPipeline.run(
+          graft.bench.GsodBench.generate(s, 20, 365), gbtIter = 5)
+      })
+    import s.implicits._
+    Seq(("gbt_acc_in_band", r.classification.accuracy >= 0.7 &&
+          r.classification.accuracy <= 1.0),
+        ("gbt_auc_beats_chance", r.classification.areaUnderROC >= 0.6),
+        ("gbt_r2_beats_constant", r.gbtRegression.r2 > 0.0),
+        ("lr_r2_in_band", r.regression.r2 >= 0.8 && r.regression.r2 <= 1.0))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qMlQualityBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('gbt_acc_in_band', true),
+      |  ('gbt_auc_beats_chance', true), ('gbt_r2_beats_constant', true),
+      |  ('lr_r2_in_band', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   /** M15/M16 analogue (SURVEY §7.5: SHAP → featureImportances): GBT
     * impurity importances as (feature, importance) rows, read off the
     * SAME shared fit as q_ml_gbt_regression. Rows-only. */
@@ -296,6 +340,7 @@ object MlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_bucketize" -> (qMlBucketize _),
     "q_ml_eval_bounds" -> (qMlEvalBounds _),
+    "q_ml_quality_bounds" -> (qMlQualityBounds _),
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),
     "q_ml_onehot" -> (qMlOnehot _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
@@ -309,6 +354,7 @@ object MlQueries {
   val oracles: Map[String, String] = Map(
     "q_ml_bucketize" -> qMlBucketizeSql,
     "q_ml_eval_bounds" -> qMlEvalBoundsSql,
+    "q_ml_quality_bounds" -> qMlQualityBoundsSql,
     "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
     "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->

@@ -186,13 +186,10 @@ object SimilarityQueries {
 
   /** Embedding-cosine near-dup pairs on corpus ∪ scaled copy (scaled
     * vectors are exact cosine-1 duplicates) — rows-only check. */
-  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val base = corpus(s, d)
-    val doubled = base.select((col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
-      transform(col("embedding"), x => x * 2.0f).as("embedding"))
-    Similarity.embeddingNearDupPairs(base.union(doubled), minCosine = 0.95)
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      corpus(s, d).union(scaledDelta(s, d)), minCosine = 0.95)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // build-once cluster assignment for the semantic-dedup corpus (same
   // contract and cache discipline as ivfCache above)
@@ -255,11 +252,9 @@ object SimilarityQueries {
     })
     import s.implicits._
     val centroids = localCentroids.toDF("cell", "centroid")
-    val delta = corpus(s, d).select(
-      (col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
-      transform(col("embedding"), x => x * 2.0f).as("embedding"))
     Similarity.semanticDedupIncrement(
-      priorIndex, s.read.parquet(keepersPath), Similarity.ivfAssign(delta, centroids))
+      priorIndex, s.read.parquet(keepersPath),
+      Similarity.ivfAssign(scaledDelta(s, d), centroids))
       .orderBy(col("vec_id"))
   }
 
@@ -338,10 +333,7 @@ object SimilarityQueries {
     val (ivfPath, localCentroids) = ivfIndexFor(s, d)
     import s.implicits._
     val centroids = localCentroids.toDF("cell", "centroid")
-    val delta = corpus(s, d).select(
-      (col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
-      transform(col("embedding"), x => x * 2.0f).as("embedding"))
-    val assigned = Similarity.ivfAssign(delta, centroids)
+    val assigned = Similarity.ivfAssign(scaledDelta(s, d), centroids)
     val base = s.read.parquet(ivfPath).groupBy(col("cell"))
       .agg(count(lit(1)).as("n_base"))
     base.join(assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_delta")),
@@ -477,6 +469,196 @@ object SimilarityQueries {
       |  ('pq', true, true)) t(tier, truth_complete, recall_ok)
       |ORDER BY tier""".stripMargin
 
+  /** The scaled-copy delta every incremental similarity tier folds in:
+    * corpus vectors ×2.0f at offset ids — exact cosine-1 duplicates of
+    * their base twins (scaling preserves direction), so equivalence
+    * facts are analytic, not tuned. */
+  private def scaledDelta(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).select(
+      (col("vec_id") + DedupQueries.IdOffset).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+
+  /** Equivalence-bounds oracle row for [[qSimIvfIncremental]] — the
+    * q_contamination_incremental contract brought to the ANN index:
+    * the frozen-centroid assignment of the scaled delta must land
+    * every vector in EXACTLY its base twin's cell (scaled copies
+    * normalize to the identical unit vector, so the nearest-centroid
+    * rule cannot distinguish them — any divergence means the
+    * incremental path and the index build disagree on the assignment
+    * rule). Checked per-VECTOR via one full-outer join of
+    * (delta id − offset, delta cell) against the persisted index —
+    * strictly stronger than the per-cell count view the rows-only
+    * query reports. All sides are Spark computations (k-means isn't
+    * SQL-expressible); the DuckDB twin is the literal expected frame,
+    * fail-closed via `delta_covers_base` (an empty delta or a
+    * half-written index reads false, never vacuous-true). */
+  def qSimIvfIncBounds(s: SparkSession, d: String): DataFrame = {
+    val (ivfPath, localCentroids) = ivfIndexFor(s, d)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val assigned = Similarity.ivfAssign(scaledDelta(s, d), centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = s.read.parquet(ivfPath).select(col("vec_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBase = base.count()
+      val nDelta = assigned.count()
+      val mismatched = assigned
+        .select((col("vec_id") - DedupQueries.IdOffset).as("vec_id"),
+          col("cell").as("delta_cell"))
+        .join(base, Seq("vec_id"), "full_outer")
+        .filter(col("delta_cell").isNull || col("cell").isNull ||
+          col("delta_cell") =!= col("cell"))
+        .count()
+      Seq(("ivf_inc", nDelta > 0 && nDelta == nBase, mismatched == 0L))
+        .toDF("tier", "delta_covers_base", "frozen_assign_matches_base_cells")
+    } finally { assigned.unpersist(); base.unpersist(); () }
+  }
+
+  val qSimIvfIncBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('ivf_inc', true, true))
+      |  t(tier, delta_covers_base, frozen_assign_matches_base_cells)""".stripMargin
+
+  /** Equivalence-bounds oracle row for [[qDedupSemanticIncremental]]:
+    * the incremental fold (affected-cells-only verify, prior verdicts
+    * as star edges) must produce the IDENTICAL (vec_id, keeper) map as
+    * a from-scratch batch dedup over the same clustering (base index ∪
+    * frozen-centroid-assigned delta) — the spec-pinned equivalence,
+    * now driver-visible. Second fact: every scaled copy must resolve
+    * to its base twin's keeper (cosine-1 by construction). Both
+    * checks are set-exact joins, no tolerance. Fail-closed on
+    * `map_nonempty`. */
+  def qSemIncBounds(s: SparkSession, d: String): DataFrame = {
+    val (ivfPath, localCentroids) = ivfIndexFor(s, d)
+    val priorIndex = s.read.parquet(ivfPath)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val inc = qDedupSemanticIncremental(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nMap = inc.count()
+      val assigned = Similarity.ivfAssign(scaledDelta(s, d), centroids)
+      val combined = priorIndex.select(col("vec_id"), col("cell"), col("norm"))
+        .unionByName(assigned)
+      val batch = Similarity.semanticDedupFromIndex(combined)
+        .withColumnRenamed("keeper", "batch_keeper")
+      val disagree = inc.join(batch, Seq("vec_id"), "full_outer")
+        .filter(col("keeper").isNull || col("batch_keeper").isNull ||
+          col("keeper") =!= col("batch_keeper"))
+        .count()
+      val twinBad = inc.filter(col("vec_id") >= DedupQueries.IdOffset)
+        .select((col("vec_id") - DedupQueries.IdOffset).as("vec_id"),
+          col("keeper").as("delta_keeper"))
+        .join(inc, Seq("vec_id"))
+        .filter(col("delta_keeper") =!= col("keeper"))
+        .count()
+      Seq(("semantic_inc", nMap > 0, disagree == 0L, twinBad == 0L))
+        .toDF("tier", "map_nonempty", "inc_matches_batch",
+          "twins_resolve_to_base_keeper")
+    } finally { inc.unpersist(); () }
+  }
+
+  val qSemIncBoundsSql: String =
+    """SELECT * FROM (VALUES ('semantic_inc', true, true, true))
+      |  t(tier, map_nonempty, inc_matches_batch,
+      |    twins_resolve_to_base_keeper)""".stripMargin
+
+  /** Trajectory-equivalence oracle row for the shortlist-MMR
+    * composition: a greedy MMR run restricted to the EXACT top-2k√N
+    * relevance shortlist (the IVF index probed at FULL width — every
+    * cell, so the shortlist is exactly the brute-force top-S, no
+    * pruning error in the oracle tier) must reproduce the full-corpus
+    * MMR trajectory row-for-row — same (rank, id, relevance,
+    * mmr_score). `coverage_holds` pins the premise of the
+    * greedy-argmax containment argument (every full-run pick inside
+    * the shortlist) as its own measured fact; `shortlist_matches_full`
+    * is the multiset-exact equality via exceptAll both ways.
+    *
+    * The REGISTERED [[qSimMmrShortlist]] probes half the cells — the
+    * 100 TB knob — and on uniform-random embeddings a diversity-driven
+    * pick can sit in an unprobed cell, so partial-probe trajectories
+    * legitimately diverge (measured at sf0.01): exactly the
+    * exact/approx tier split of q_ntile vs q_ntile_approx, with THIS
+    * row as the exact tier's gate. Fail-closed via
+    * `full_trajectory_complete` (k rows actually picked). */
+  def qSimMmrBounds(s: SparkSession, d: String): DataFrame = {
+    val (path, localCentroids) = ivfIndexFor(s, d)
+    val indexed = s.read.parquet(path)
+    import s.implicits._
+    val centroids = localCentroids.toDF("cell", "centroid")
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+    val shortlist = Similarity.ivfTopK(indexed, centroids, q,
+      k = pqShortlist(indexed.count()), nProbe = localCentroids.size)
+      .select(col("neighbor_id").as("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val full = qSimMmr(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val uncovered = full.select(col("vec_id"))
+          .join(shortlist, Seq("vec_id"), "left_anti").count()
+        val short = Similarity.mmrTopK(
+          corpus(s, d).join(broadcast(shortlist), Seq("vec_id")),
+          q, k = TopK, lambda = 0.7)
+        val diff = full.exceptAll(short).count() + short.exceptAll(full).count()
+        Seq(("mmr_shortlist", full.count() == TopK.toLong,
+            uncovered == 0L, diff == 0L))
+          .toDF("tier", "full_trajectory_complete", "coverage_holds",
+            "shortlist_matches_full")
+      } finally { full.unpersist(); () }
+    } finally { shortlist.unpersist(); () }
+  }
+
+  val qSimMmrBoundsSql: String =
+    """SELECT * FROM (VALUES ('mmr_shortlist', true, true, true))
+      |  t(tier, full_trajectory_complete, coverage_holds,
+      |    shortlist_matches_full)""".stripMargin
+
+  /** Recall-bounds oracle row for the SRP tier ([[qDedupEmbedding]]) —
+    * the one sketch that had no recall gate: measure SRP pair recall
+    * against the BRUTE-FORCE cosine truth set (all pairs ≥ 0.95 on the
+    * base ∪ scaled corpus — the oracle tier's O(N²) price, which is
+    * exactly why the banded SRP query alone is the 100 TB path).
+    * `truth_complete` pins that the truth set contains every planted
+    * (i, i + offset) exact-duplicate pair — fail-closed: an empty or
+    * truncated truth set reads false rather than vacuously passing.
+    * Floor 0.95; exact duplicates share all SRP bands (recall 1.0 for
+    * cos = 1), and uniform-random vectors contribute essentially no
+    * natural ≥ 0.95 pairs, so the measured recall sits at 1.0 with
+    * the floor as regeneration headroom. */
+  def qDedupSrpBounds(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d)
+    val all = base.union(scaledDelta(s, d))
+    val normed = Similarity.withNormalized(all).select(col("vec_id"), col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBase = base.count()
+      val a = normed.select(col("vec_id").as("id_a"), col("norm").as("na"))
+      val b = normed.select(col("vec_id").as("id_b"), col("norm").as("nb"))
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.dot(col("na"), col("nb")) >= 0.95)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nTruth = truth.count()
+        val plantedMissing = truth
+          .filter(col("id_b") === col("id_a") + DedupQueries.IdOffset).count() < nBase
+        val srp = Similarity.embeddingNearDupPairs(all, minCosine = 0.95)
+          .select(col("id_a"), col("id_b"))
+        val hit = srp.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+        val recallOk = nTruth > 0 && hit.toDouble / nTruth >= 0.95
+        import s.implicits._
+        Seq(("srp", !plantedMissing && nTruth >= nBase, recallOk))
+          .toDF("tier", "truth_complete", "recall_ok")
+      } finally { truth.unpersist(); () }
+    } finally { normed.unpersist(); () }
+  }
+
+  val qDedupSrpBoundsSql: String =
+    """SELECT * FROM (VALUES ('srp', true, true))
+      |  t(tier, truth_complete, recall_ok)""".stripMargin
+
   /** L2 normalization — the preprocessing pass every cosine/IVF
     * pipeline runs before indexing (unit vectors turn cosine into a
     * dot product and make PQ cells isotropic). Pure in-row
@@ -517,6 +699,10 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_normalize" -> (qEmbeddingNormalize _),
     "q_sim_recall_bounds" -> (qSimRecallBounds _),
+    "q_sim_ivf_inc_bounds" -> (qSimIvfIncBounds _),
+    "q_sem_inc_bounds" -> (qSemIncBounds _),
+    "q_sim_mmr_bounds" -> (qSimMmrBounds _),
+    "q_dedup_srp_bounds" -> (qDedupSrpBounds _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_sim_mmr" -> (qSimMmr _),
     "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
@@ -533,6 +719,10 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_embedding_normalize" -> qEmbeddingNormalizeSql,
     "q_sim_recall_bounds" -> qSimRecallBoundsSql,
+    "q_sim_ivf_inc_bounds" -> qSimIvfIncBoundsSql,
+    "q_sem_inc_bounds" -> qSemIncBoundsSql,
+    "q_sim_mmr_bounds" -> qSimMmrBoundsSql,
+    "q_dedup_srp_bounds" -> qDedupSrpBoundsSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_embedding_stats" -> qEmbeddingStatsSql)

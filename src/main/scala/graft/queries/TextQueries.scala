@@ -832,6 +832,49 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Round-trip inversion gate for the BPE tier ([[qBpeTrain]] /
+    * [[qBpeEncode]] are rows-only — the merge loop isn't
+    * SQL-expressible): train the same 30-merge table as the encode
+    * query, encode the corpus vocabulary with the pieces KEPT, and
+    * assert the decoder's contract distributed-side — (a)
+    * decode(encode(w)) == w for EVERY distinct word (concatenating
+    * the pieces is the BPE decoder; any piece loss, reorder, or
+    * boundary slip breaks a word), (b) every multi-character piece is
+    * the output of a LEARNED merge (pieces come from the trained
+    * vocabulary, nowhere else — the closed-vocabulary invariant a
+    * real tokenizer ships with), and (c) the full merge budget was
+    * learned and actually contracts the corpus (merge count == vocab
+    * growth of 30 new symbols; at least one word shrinks). The DuckDB
+    * twin is the literal expected frame; fail-closed on
+    * `vocab_nonempty`. */
+  def qBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val merges = graft.text.Bpe.learnMerges(docs, numMerges = 30)
+    val enc = graft.text.Bpe.encodePiecesByWord(docs, merges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = enc.count()
+      val badRoundtrip = enc
+        .filter(concat_ws("", col("pieces")) =!= col("w")).count()
+      import s.implicits._
+      val learned = merges.map(m => m.left + m.right).distinct.toDF("sym")
+      val foreignPieces = enc.select(explode(col("pieces")).as("p"))
+        .filter(length(col("p")) > 1)
+        .join(learned, col("p") === col("sym"), "left_anti").count()
+      val contracted = enc.filter(size(col("pieces")) < length(col("w"))).count()
+      Seq(("bpe", nWords > 0, badRoundtrip == 0L, foreignPieces == 0L,
+          merges.size == 30 && contracted > 0))
+        .toDF("tier", "vocab_nonempty", "decode_inverts_encode",
+          "pieces_from_learned_vocab", "merges_learned_and_applied")
+    } finally { enc.unpersist(); () }
+  }
+
+  val qBpeRoundtripSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('bpe', true, true, true, true))
+      |  t(tier, vocab_nonempty, decode_inverts_encode,
+      |    pieces_from_learned_vocab, merges_learned_and_applied)""".stripMargin
+
   /** Overlapping token-window chunking ([[graft.text.Chunker]]):
     * 64-token windows, stride 48 (16 tokens of overlap). Hash-checked
     * end to end — window starts, short-tail handling, the
@@ -1208,6 +1251,7 @@ object TextQueries {
     "q_chunk_documents" -> (qChunkDocuments _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_roundtrip" -> (qBpeRoundtrip _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_char_entropy" -> (qCharEntropy _),
@@ -1235,6 +1279,7 @@ object TextQueries {
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_heavy_hitters_incremental" -> qHeavyHittersIncrementalSql,
     "q_contamination_incremental" -> qContaminationIncrementalSql,
+    "q_bpe_roundtrip" -> qBpeRoundtripSql,
     "q_quality_gopher" -> qQualityGopherSql,
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,

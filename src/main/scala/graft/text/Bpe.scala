@@ -237,6 +237,26 @@ object Bpe {
     * corpus-side work is one explode+groupBy and one (vocab-sized,
     * AQE-broadcastable) join — no UDF ever touches a document row.
     * Returns (doc_id, n_tokens, n_pieces) per document. */
+  /** Encode the corpus VOCABULARY with the pieces kept — the
+    * inversion-gate surface ([[encodeStats]] keeps only counts):
+    * (word, pieces) over the distinct words. Same vocab-bounded
+    * `mapPartitions` discipline — the imperative merge loop never
+    * touches a document row, only the Heaps'-law-bounded word table,
+    * with the merge ranks broadcast once. */
+  def encodePiecesByWord(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bRank = spark.sparkContext.broadcast(rank)
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "").distinct().as[String]
+      .mapPartitions { it =>
+        val r = bRank.value
+        it.map(w => (w, encodeWord(w, r).toSeq))
+      }.toDF("w", "pieces")
+  }
+
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession

@@ -20,7 +20,7 @@ class AnalyticsQueriesSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("basket pairs: canonical order, counts bounded by orders, non-increasing") {
+  test("basket pairs: canonical order, counts bounded by orders, non-increasing, no harness truncation") {
     val rows = AnalyticsQueries.qBasketPairs(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be canonical")
@@ -28,6 +28,40 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) <= nOrders))
     val ns = rows.map(_.getLong(2))
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, "support must be sorted desc")
+    // the cap is headroom on real baskets: nothing truncated at sf0.001
+    assert(rows.forall(_.getLong(3) == 0L), "harness baskets must not hit the cap")
+  }
+
+  test("basket pairs cap: planted mega-basket bounded to C(cap,2); small baskets match the uncapped join; truncation surfaced") {
+    import spark.implicits._
+    // 50 small baskets of 4 parts (ids < 1000) + one degenerate basket
+    // holding 500 parts (ids 1001..1500) — the C(basket,2) hazard
+    val small = for { ok <- 1 to 50; j <- 1 to 4 }
+      yield (ok.toLong, (ok * 7L + j * 13L) % 97L)
+    val mega = (1 to 500).map(pk => (999L, 1000L + pk))
+    val baskets = (small ++ mega).toDF("ok", "pk").distinct()
+      .localCheckpoint(true)
+    val out = AnalyticsQueries.basketPairs(baskets, cap = 32).cache()
+    // the mega basket contributes exactly C(32,2) pairs (its 32
+    // smallest part keys), not C(500,2) = 124 750
+    val megaSupport = out.filter(col("part_a") > 1000L)
+      .agg(coalesce(sum(col("n_orders")), lit(0L))).head().getLong(0)
+    assert(megaSupport == 32L * 31 / 2, s"mega basket not capped: $megaSupport")
+    // truncation is visible on every row, and counts exactly 1 basket
+    assert(out.select(col("n_capped_baskets")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // small baskets are untouched: pair supports equal the plain join's
+    val smallB = baskets.filter(col("pk") < 1000L)
+    val plain = smallB.as("a").join(smallB.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+    val capped = out.filter(col("part_a") < 1000L && col("part_b") < 1000L)
+      .select(col("part_a"), col("part_b"), col("n_orders"))
+    assert(capped.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(capped).count() == 0,
+      "small-basket pair supports must be identical to the uncapped join")
+    out.unpersist()
   }
 
   test("rfm: segment digits in 1-5, quintiles balanced within 1, recency non-negative") {

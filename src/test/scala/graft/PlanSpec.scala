@@ -187,6 +187,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("supplier wait (Q21): ONE fact scan (window rewrite, not EXISTS self-joins), dims broadcast, TakeOrdered cut") {
+    val p = plan(JoinQueries.qSupplierWait(spark, sf001))
+    val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(liScans == 1,
+      s"the multi-EXISTS chain must collapse to one lineitem scan, got $liScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be heap-based:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and
