@@ -181,6 +181,46 @@ object ExtraQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Statistical-bounds oracle row for the Bernoulli tier
+    * ([[qSampleStratified]]) — the one sampling face still rows-only:
+    * the seeded per-stratum coin flips must land each stratum's
+    * sampled count inside a ±5σ binomial band around n·p (p the
+    * registered fraction; at sf0.01 the tightest stratum has
+    * n ≈ 20k, p = 0.05, σ ≈ 31 — a 5σ band is ±155 rows around
+    * 1 000, far wider than seed-to-seed jitter yet tight enough that
+    * a fraction mix-up, a double-sample, or a stratum key bug blows
+    * it), and no row from a stratum outside the registered map may
+    * appear. Spark-side only (a seeded rand stream isn't
+    * cross-engine); literal-frame twin, fail-closed via
+    * `strata_nonempty` (every registered stratum must actually
+    * sample > 0 rows). */
+  def qSampleStratifiedBounds(s: SparkSession, d: String): DataFrame = {
+    val fractions = Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1)
+    val source = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_src")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = qSampleStratified(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_smp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unlisted = sampled.keySet -- fractions.keySet
+    val inBand = fractions.forall { case (k, p) =>
+      val n = source.getOrElse(k, 0L).toDouble
+      val sigma = math.sqrt(n * p * (1 - p))
+      math.abs(sampled.getOrElse(k, 0L) - n * p) <= 5.0 * sigma
+    }
+    import s.implicits._
+    Seq(("bernoulli", fractions.keys.forall(sampled.getOrElse(_, 0L) > 0L),
+        inBand, unlisted.isEmpty))
+      .toDF("tier", "strata_nonempty", "counts_in_binomial_band",
+        "no_unlisted_strata")
+  }
+
+  val qSampleStratifiedBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('bernoulli', true, true, true))
+      |  t(tier, strata_nonempty, counts_in_binomial_band,
+      |    no_unlisted_strata)""".stripMargin
+
   /** Deterministic hash-stratified sample — the reproducible
     * train/test-split pattern a 100 TB pipeline wants: a seeded
     * rand() stream (q_sample_stratified) is engine- and
@@ -1149,6 +1189,7 @@ object ExtraQueries {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_stratified_bounds" -> (qSampleStratifiedBounds _),
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
@@ -1188,6 +1229,7 @@ object ExtraQueries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
+    "q_sample_stratified_bounds" -> qSampleStratifiedBoundsSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_scd2_merge" -> qScd2MergeSql,

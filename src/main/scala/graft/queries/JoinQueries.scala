@@ -370,6 +370,135 @@ object JoinQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * line quantity clears a threshold, with customer context — the
+    * groupBy-HAVING-join-back composition behind every "find the
+    * whales, then show their detail" report. The textbook spelling
+    * aggregates lineitem TWICE (once inside the IN subquery, once for
+    * the output sum); here the single per-order aggregate serves as
+    * both the filter and the output column, so the fact table is
+    * scanned and shuffled ONCE. Orders join the (post-HAVING, tiny)
+    * big-order frame — broadcast-eligible, AQE decides; customer
+    * broadcasts. Quantities are integral doubles summed exactly
+    * (< 2^53) — no float policy needed; the top-20 boundary
+    * tie-breaks on the unique order key. The DuckDB oracle replays
+    * the textbook double-aggregate IN form, so the hash gate proves
+    * the single-pass rewrite. */
+  def qBigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 120.0)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val qBigOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  sum(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** Top-revenue supplier (the TPC-H Q15 shape): the revenue view's
+    * maximum row(s) recovered by equality against a scalar aggregate —
+    * the argmax-of-an-aggregate join-back every "who won the quarter"
+    * query uses. One partial-aggregable pass builds the per-supplier
+    * quarterly revenue; the 1-row max broadcasts; supplier broadcasts.
+    * Revenue ROUNDS at 6 on BOTH engines BEFORE the max and the
+    * equality compare (per-supplier sums ≈ 2e6 carry ~1e-9 reorder
+    * error — an unrounded float-equality join would make max
+    * membership engine-dependent; class-2 boundary discipline, same
+    * as q_dormant_accounts' threshold). Ties after rounding emit all
+    * winners on both engines. The quarter filter pushes to the
+    * parquet scan. */
+  def qTopSupplierRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("total_rev"))
+    val m = rev.agg(max(col("total_rev")).as("max_rev"))
+    val sup = Tables.supplier(s, d)
+    rev.crossJoin(broadcast(m))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val qTopSupplierRevenueSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |), m AS (SELECT max(total_rev) AS max_rev FROM rev)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN m ON total_rev = max_rev
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Cheapest supplier per part (the TPC-H Q2 shape): per-group argmin
+    * recovered by joining the per-(part, supplier) cost frame back to
+    * the per-part minimum — the correlated-subquery composition
+    * (`cost = (SELECT min ...)`) a procurement/routing query runs,
+    * here over unit costs derived from the fact table. Both frames
+    * descend from the SAME (part, supplier) aggregate, so the join-back
+    * is co-partitioned on the part key (one fact shuffle total);
+    * supplier/nation broadcast. The unit cost is a single IEEE
+    * division and the minima are picks (never sums) — bit-exact
+    * across engines, so the equality join needs no tolerance; the
+    * display column rounds at 6. Ties (two suppliers at the exact
+    * minimum) emit all winners on both engines, and (part, s_name)
+    * makes the output order total. */
+  def qCheapestSupplier(s: SparkSession, d: String): DataFrame = {
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = cost.groupBy(col("l_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    cost.join(best, Seq("l_partkey"))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .select(col("l_partkey").as("p_key"), col("s_name"), col("n_name"),
+        round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy(col("p_key"), col("s_name"))
+  }
+
+  val qCheapestSupplierSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), best AS (
+      |  SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+      |)
+      |SELECT c.l_partkey AS p_key, s_name, n_name,
+      |  round(c.unit_cost, 6) AS unit_cost
+      |FROM cost c JOIN best b
+      |  ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+      |JOIN supplier ON c.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY p_key, s_name""".stripMargin
+
   val qJoinRevenueByNationSql: String =
     """SELECT r_name, n_name,
       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -527,6 +656,9 @@ object JoinQueries {
     "q_join_revenue_by_nation" -> (qJoinRevenueByNation _),
     "q_customer_returns" -> (qCustomerReturns _),
     "q_supplier_wait" -> (qSupplierWait _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_top_supplier_revenue" -> (qTopSupplierRevenue _),
+    "q_cheapest_supplier" -> (qCheapestSupplier _),
     "q_priority_count" -> (qPriorityCount _),
     "q_custdist" -> (qCustdist _),
     "q_nation_volume" -> (qNationVolume _),
@@ -542,6 +674,9 @@ object JoinQueries {
     "q_join_revenue_by_nation" -> qJoinRevenueByNationSql,
     "q_customer_returns" -> qCustomerReturnsSql,
     "q_supplier_wait" -> qSupplierWaitSql,
+    "q_big_orders" -> qBigOrdersSql,
+    "q_top_supplier_revenue" -> qTopSupplierRevenueSql,
+    "q_cheapest_supplier" -> qCheapestSupplierSql,
     "q_priority_count" -> qPriorityCountSql,
     "q_custdist" -> qCustdistSql,
     "q_nation_volume" -> qNationVolumeSql,
