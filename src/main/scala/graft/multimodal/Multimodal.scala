@@ -134,6 +134,107 @@ object Multimodal {
     })
   }
 
+  final case class MediaSig(media_id: Long, kind: String, sig: Long, valid: Boolean)
+
+  /** 64-bit average-hash perceptual signature (aHash — the classical
+    * pHash-family baseline): the decoded payload collapses to a
+    * 64-cell luminance grid (channels averaged, cells spanning equal
+    * pixel runs), each cell thresholded against the grid mean → one
+    * bit. Perceptually-similar media (re-encodes, small edits,
+    * brightness shifts — a GLOBAL shift moves every cell AND the mean
+    * together, so the signature is exactly invariant to it) land
+    * within a small Hamming distance; unrelated media sit near 32.
+    * The codec-side half of multimodal near-dedup — per-partition
+    * imperative work like [[decodeMeta]] (the documented mapPartitions
+    * exemption); the banded matching over the resulting longs is pure
+    * DataFrame ([[signaturePairs]]). Corrupt media → `valid = false`,
+    * never a task failure. Swapping a real decoder changes only the
+    * pixel source; grid, threshold, and banding survive. */
+  def perceptualSignatures(media: Dataset[MediaRow]): Dataset[MediaSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaCodec.decode(m.bytes) match {
+        case Some((w, h, c, p)) =>
+          val pixels = w * h
+          val cell = new Array[Double](64)
+          val cnt = new Array[Long](64)
+          var i = 0
+          while (i < pixels) {
+            var s = 0; var ch = 0
+            while (ch < c) { s += p(i * c + ch) & 0xFF; ch += 1 }
+            val idx = (i.toLong * 64 / pixels).toInt
+            cell(idx) += s.toDouble / c; cnt(idx) += 1
+            i += 1
+          }
+          var mean = 0.0
+          var j = 0
+          while (j < 64) {
+            if (cnt(j) > 0) cell(j) /= cnt(j)
+            mean += cell(j); j += 1
+          }
+          mean /= 64
+          var sig = 0L
+          j = 0
+          while (j < 64) { if (cell(j) >= mean) sig |= 1L << j; j += 1 }
+          MediaSig(m.media_id, m.kind, sig, valid = true)
+        case None => MediaSig(m.media_id, m.kind, 0L, valid = false)
+      }
+    })
+  }
+
+  /** Banded near-dup matching over perceptual signatures — the
+    * DataFrame half: the 64-bit signature splits into `numBands`
+    * equal bands; candidates equi-join on (band, key) — only
+    * (id, long) pairs travel, the SimHash discipline — and verify
+    * with `bit_count(sig_a ^ sig_b) ≤ maxHamming` (codegen'd).
+    * Banding guarantee: a pair within `64/numBands − 1` flipped bits
+    * has ≥ 1 intact band (pigeonhole) → recall 1.0 for exact and
+    * near-exact duplicates; beyond that, OR-amplified probabilistic
+    * recall, measured and gated in q_multimodal_dedup_bounds. */
+  def signaturePairs(sigs: DataFrame, maxHamming: Int = 16,
+      numBands: Int = 4): DataFrame = {
+    require(64 % numBands == 0)
+    val bits = 64 / numBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = sigs.filter(col("valid"))
+      .select(col("media_id"), col("sig"),
+        posexplode(array((0 until numBands).map(b =>
+          expr(s"shiftright(sig, ${b * bits}) & $mask")): _*))
+          .as(Seq("band", "key")))
+    val a = banded.select(col("media_id").as("id_a"), col("band"),
+      col("key"), col("sig").as("sig_a"))
+    val b = banded.select(col("media_id").as("id_b"), col("band"),
+      col("key"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Deterministic perceptual perturbation for fixtures: re-encode
+    * with the first 1/16th of the payload brightened by +100 (mod
+    * 256) at a new id — a strong LOCAL edit touching ~4 of the 64
+    * grid cells, the "cropped logo / watermark" analogue that a
+    * near-dup tier must still catch. */
+  def perturbed(media: Dataset[MediaRow], idOffset: Long): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaCodec.decode(m.bytes) match {
+        case Some((w, h, c, p)) =>
+          val out = p.clone()
+          var i = 0
+          while (i < out.length / 16) { out(i) = (out(i) + 100).toByte; i += 1 }
+          MediaRow(m.media_id + idOffset, m.kind, MediaCodec.encode(w, h, c, out))
+        case None => m.copy(media_id = m.media_id + idOffset)
+      }
+    })
+  }
+
   /** Frame sampling for video media: every `everyN`-th frame becomes
     * its own row (media_id, frame_idx, frame bytes as an 8×8×3 GRF1
     * image). The row explosion happens partition-locally. */

@@ -181,6 +181,54 @@ object ExtraQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Deterministic epoch-seeded corpus shuffle — the reproducible
+    * training-order primitive: each epoch's data order must be (a) a
+    * fixed pseudo-random permutation (training runs must be
+    * re-runnable bit-for-bit for debugging and loss-spike forensics),
+    * (b) DIFFERENT across epochs (reusing one order hurts
+    * convergence), and (c) independent of physical layout (a
+    * re-partitioned or compacted corpus must not change the order).
+    * Position = rank under a portable multiplicative hash of
+    * (doc_id, epoch salt) — a pure function of the KEY, which is what
+    * buys (c); the seeded-rand alternative is layout-dependent (the
+    * q_sample_stratified vs q_sample_hash_stratified distinction,
+    * applied to ordering).
+    *
+    * Scale shape: the global rank rides
+    * [[graft.ops.SaltedWindow.groupedRank]]'s two-level bucketed
+    * ranking under a constant group — the hash column spreads rows
+    * over 256 buckets, each bucket ranks independently, offsets
+    * broadcast — never a single-task whole-corpus sort (what a naive
+    * `row_number() OVER (ORDER BY hash)` plans). The oracle IS that
+    * naive global window, so the hash gate doubles as a
+    * plan-equivalence proof (q_salted_rank's contract, global
+    * edition). At 100 TB the positions feed a range-partitioned write
+    * — the shuffle happens once per epoch, at rest. */
+  def qCorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    def ranked(epoch: Int) = graft.ops.SaltedWindow.groupedRank(
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("_g", lit(1))
+          .withColumn("_h",
+            graft.ops.DomainMix.portableBucket(col("doc_id") * 31L + epoch)),
+        "_g", "_h", "doc_id", ascending = true)
+      .select(col("doc_id"), col("rank").as(s"pos_e$epoch"))
+    ranked(0).join(ranked(1), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCorpusShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ((doc_id * 31 + 0) % 1000003) * 2654435761 % 1000000 AS h0,
+      |    ((doc_id * 31 + 1) % 1000003) * 2654435761 % 1000000 AS h1
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  row_number() OVER (ORDER BY h0, doc_id) AS pos_e0,
+      |  row_number() OVER (ORDER BY h1, doc_id) AS pos_e1
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   /** Statistical-bounds oracle row for the Bernoulli tier
     * ([[qSampleStratified]]) — the one sampling face still rows-only:
     * the seeded per-stratum coin flips must land each stratum's
@@ -1190,6 +1238,7 @@ object ExtraQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_stratified_bounds" -> (qSampleStratifiedBounds _),
+    "q_corpus_shuffle" -> (qCorpusShuffle _),
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
@@ -1230,6 +1279,7 @@ object ExtraQueries {
     "q_cube" -> qCubeSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_stratified_bounds" -> qSampleStratifiedBoundsSql,
+    "q_corpus_shuffle" -> qCorpusShuffleSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_scd2_merge" -> qScd2MergeSql,

@@ -52,6 +52,76 @@ object MultimodalQueries {
         col("channels"), col("valid"))
       .orderBy(col("media_id"))
 
+  /** The multimodal near-dup corpus: the synthetic lake ∪ verbatim
+    * byte copies (+off — the exact-dup class every media pipeline
+    * sees from re-uploads) ∪ locally-brightened perturbed copies
+    * (+2·off — the re-encode/watermark class). */
+  private def dedupMedia(s: SparkSession, d: String) = {
+    val base = media(s, d)
+    import s.implicits._
+    base
+      .union(base.map(m => m.copy(media_id = m.media_id + DedupQueries.IdOffset)))
+      .union(Multimodal.perturbed(base, 2L * DedupQueries.IdOffset))
+  }
+
+  /** Multimodal near-dedup: 64-bit aHash perceptual signatures →
+    * banded candidate join → bit_count Hamming verify
+    * ([[Multimodal.perceptualSignatures]]/[[Multimodal.signaturePairs]])
+    * — image/audio/video dedup over opaque binary columns, the
+    * modality sibling of the text MinHash/SimHash tiers. Rows-only
+    * (byte-level codec work isn't SQL-expressible); recall and
+    * false-pair invariants are the q_multimodal_dedup_bounds gate.
+    *
+    * Scale shape: signatures are one codec pass (mapPartitions, the
+    * documented exemption); candidates shuffle only (id, band-key)
+    * longs; the verify is a codegen'd XOR popcount on two longs —
+    * the whole pair stage never touches media bytes. */
+  def qMultimodalDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.signaturePairs(
+      Multimodal.perceptualSignatures(dedupMedia(s, d)).toDF())
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Bounds gate for the perceptual-dedup tier: (a) every planted
+    * VERBATIM copy pairs with its base at Hamming 0 — recall exactly
+    * 1.0, guaranteed by banding (identical signatures share all
+    * bands); (b) the locally-perturbed copies (strong edit on ~4 of
+    * 64 grid cells) are recovered at ≥ 0.9 — measured 1.0 on the
+    * harness lake (≤ 15 flipped bits leaves ≥ 1 of 4 16-bit bands
+    * intact by pigeonhole whenever flips cluster, and the verify
+    * threshold 16 sits beyond the edit's bit damage), floor with
+    * headroom for corpus drift; (c) no emitted pair exceeds the
+    * Hamming threshold (verify correctness); (d) a global brightness
+    * shift is signature-INVARIANT (cells and mean move together) —
+    * pinned in MultimodalSpec, not here, since it needs a custom
+    * shift. Fail-closed on `lake_nonempty`. */
+  def qMultimodalDedupBounds(s: SparkSession, d: String): DataFrame = {
+    val off = DedupQueries.IdOffset
+    val pairs = qMultimodalDedup(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBase = media(s, d).count()
+      val exactFound = pairs
+        .filter(col("id_b") === col("id_a") + off && col("id_a") < off &&
+          col("hamming") === 0).count()
+      val noisedFound = pairs
+        .filter(col("id_b") === col("id_a") + 2L * off && col("id_a") < off)
+        .count()
+      val overThreshold = pairs.filter(col("hamming") > 16).count()
+      import s.implicits._
+      Seq(("perceptual", nBase > 0, exactFound == nBase,
+          nBase > 0 && noisedFound.toDouble / nBase >= 0.9,
+          overThreshold == 0L))
+        .toDF("tier", "lake_nonempty", "exact_dups_all_found",
+          "perturbed_recall_ok", "no_pairs_over_threshold")
+    } finally { pairs.unpersist(); () }
+  }
+
+  val qMultimodalDedupBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('perceptual', true, true, true, true))
+      |  t(tier, lake_nonempty, exact_dups_all_found,
+      |    perturbed_recall_ok, no_pairs_over_threshold)""".stripMargin
+
   /** Oracle row for the multimodal tier — the property-gate contract
     * of the sketch-bounds family applied to the codec plumbing: the
     * synthetic media lake's invariants are analytic (every generated
@@ -98,6 +168,8 @@ object MultimodalQueries {
       |ORDER BY "check"""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_dedup" -> (qMultimodalDedup _),
+    "q_multimodal_dedup_bounds" -> (qMultimodalDedupBounds _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -105,5 +177,6 @@ object MultimodalQueries {
     "q_multimodal_bounds" -> (qMultimodalBounds _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_dedup_bounds" -> qMultimodalDedupBoundsSql,
     "q_multimodal_bounds" -> qMultimodalBoundsSql)
 }

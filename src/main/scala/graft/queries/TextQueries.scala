@@ -177,6 +177,104 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunk-level language-mixture profile over a planted
+    * code-switched corpus — the segment-granular language ID a
+    * multilingual pipeline needs where doc-level langid smears: a
+    * document that switches language mid-way (translations, quoted
+    * sources, boilerplate in a second language) should be ROUTED or
+    * SPLIT, not labeled with whichever language wins the global vote.
+    * The corpus has no mixed docs, so each doc is concatenated with
+    * its rotation partner ((doc_id + 17) mod N — frequently a
+    * different language), the mixed text chunks into non-overlapping
+    * 32-token windows ([[graft.text.Chunker]]), each chunk votes via
+    * [[TextAnalysis.langId]], and the per-doc profile reports chunk
+    * count, distinct languages, the dominant language (ties broken by
+    * the larger code — replayed identically by the twin), its chunk
+    * count, and the is_mixed verdict.
+    *
+    * Scale shape: the partner join is an equi-join on a computed key
+    * (one shuffle of (id, text)); chunking is an in-row explode
+    * bounded by doc length; votes are two partial-aggregable
+    * groupBys (doc×lang ≤ 5 rows per doc). The oracle replays
+    * everything — rotation, chunker, the profile-generated argmax,
+    * the vote — so the whole composition is hash-gated. */
+  def qLangidMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val b = Tables.documents(s, d)
+      .select(col("doc_id").as("b_id"), col("text").as("text_b"))
+    val mixed = docs.withColumn("b_id", (col("doc_id") + 17) % n)
+      .join(b, "b_id")
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("text_b")).as("text"))
+    val votes = graft.text.Chunker.chunk(mixed, sizeTokens = 32, stride = 32)
+      .select(col("doc_id"), TextAnalysis.langId(col("chunk_text")).as("lang"))
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("c"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("_top"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("_top.lang").as("dom_lang"), col("_top.c").as("dom_chunks"),
+        (col("n_langs") > 1).as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin — rotation partner, 32/32 chunker, and the
+    * profile-generated langid argmax all replayed; dominant-language
+    * tie-break = (count DESC, lang DESC), matching Spark's
+    * max(struct(c, lang)). */
+  val qLangidMixtureSql: String = {
+    val scoreCols = TextAnalysis.langProfiles.map { case (lang, prof) =>
+      val lits = prof.map(w => s"'$w'").mkString(", ")
+      s"    len(list_intersect(list_distinct(ctoks), [$lits])) AS s_$lang"
+    }.mkString(",\n")
+    val best = TextAnalysis.langProfiles.map(p => s"s_${p._1}")
+      .mkString("greatest(", ", ", ")")
+    val whens = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"    WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |mixed AS (
+       |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+       |  FROM documents a CROSS JOIN nn
+       |  JOIN documents b ON b.doc_id = (a.doc_id + 17) % nn.n
+       |), toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+       |  FROM mixed
+       |), sized AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+       |), chunks AS (
+       |  SELECT doc_id, u.k AS chunk_id,
+       |    list_slice(toks, u.k * 32 + 1, u.k * 32 + 32) AS ctoks
+       |  FROM sized,
+       |    unnest(generate_series(0, greatest(0, CAST(ceil((n - 32) / 32.0) AS INT)))) AS u(k)
+       |), sc AS (
+       |  SELECT doc_id, chunk_id,
+       |$scoreCols
+       |  FROM chunks
+       |), b2 AS (SELECT *, $best AS best FROM sc),
+       |lid AS (
+       |  SELECT doc_id, CASE
+       |      WHEN best = 0 THEN 'und'
+       |$whens
+       |    END AS lang
+       |  FROM b2
+       |), votes AS (
+       |  SELECT doc_id, lang, count(*) AS c FROM lid GROUP BY doc_id, lang
+       |), ranked AS (
+       |  SELECT doc_id, lang, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn,
+       |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_langs
+       |  FROM votes
+       |)
+       |SELECT doc_id, n_chunks, n_langs, lang AS dom_lang, c AS dom_chunks,
+       |  n_langs > 1 AS is_mixed
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/eval contamination check — the decontamination op every
     * training-data pipeline runs before an eval release: for each eval
     * document (odd doc_id), the fraction of its distinct token
@@ -1252,6 +1350,7 @@ object TextQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_roundtrip" -> (qBpeRoundtrip _),
+    "q_langid_mixture" -> (qLangidMixture _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_char_entropy" -> (qCharEntropy _),
@@ -1280,6 +1379,7 @@ object TextQueries {
     "q_heavy_hitters_incremental" -> qHeavyHittersIncrementalSql,
     "q_contamination_incremental" -> qContaminationIncrementalSql,
     "q_bpe_roundtrip" -> qBpeRoundtripSql,
+    "q_langid_mixture" -> qLangidMixtureSql,
     "q_quality_gopher" -> qQualityGopherSql,
     "q_chunk_documents" -> qChunkDocumentsSql,
     "q_text_tokens" -> qTextTokensSql,

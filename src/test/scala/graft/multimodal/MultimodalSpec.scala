@@ -57,6 +57,52 @@ class MultimodalSpec extends SparkSpec {
       audioAfter.map(m => (m.media_id, m.width)).toSet)
   }
 
+  test("perceptual signature: global brightness shift is exactly invariant; local edit moves few bits") {
+    import spark.implicits._
+    def shiftAll(m: MediaRow, delta: Int, off: Long): MediaRow = {
+      val Some((w, h, c, p)) = MediaCodec.decode(m.bytes)
+      MediaRow(m.media_id + off, m.kind,
+        MediaCodec.encode(w, h, c, p.map(b => (((b & 0xFF) + delta) % 256).toByte)))
+    }
+    val rows = media.collect().take(12)
+    // +40 to every byte, wrap-free inputs only: cells and mean shift
+    // together, so every threshold comparison — and the signature —
+    // is unchanged
+    val safe = rows.filter { m =>
+      val Some((_, _, _, p)) = MediaCodec.decode(m.bytes)
+      p.forall(b => (b & 0xFF) + 40 < 256)
+    }
+    if (safe.nonEmpty) {
+      val both = safe.toSeq.toDS().union(safe.map(shiftAll(_, 40, 100000L)).toSeq.toDS())
+      val sigs = perceptualSignatures(both).collect().map(s => s.media_id -> s.sig).toMap
+      safe.foreach(m => assert(sigs(m.media_id) == sigs(m.media_id + 100000L),
+        s"brightness shift changed signature for ${m.media_id}"))
+    }
+    // the fixture's local perturbation flips SOME bits but stays well
+    // under the verify threshold
+    val base = rows.toSeq.toDS()
+    val pert = Multimodal.perturbed(base, 100000L)
+    val sigs = perceptualSignatures(base.union(pert)).collect()
+      .map(s => s.media_id -> s.sig).toMap
+    rows.foreach { m =>
+      val d = java.lang.Long.bitCount(sigs(m.media_id) ^ sigs(m.media_id + 100000L))
+      assert(d <= 16, s"local edit moved ${d} bits for ${m.media_id} — over the verify threshold")
+    }
+  }
+
+  test("signature pairs: identical signatures always pair (banding recall 1.0 at hamming 0)") {
+    import spark.implicits._
+    val base = media.limit(20)
+    val copies = base.map(m => m.copy(media_id = m.media_id + 100000L))
+    val got = signaturePairs(perceptualSignatures(base.union(copies)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = base.collect().map(_.media_id)
+    ids.foreach { id =>
+      assert(got.exists(p => p._1 == id && p._2 == id + 100000L && p._3 == 0),
+        s"exact copy of $id not paired at hamming 0")
+    }
+  }
+
   test("frame sampling: every 2nd frame, each a decodable 3-channel image") {
     val videos = decodeMeta(media).collect().filter(_.kind == "video")
     val frames = sampleFrames(media, everyN = 2).collect()
