@@ -191,7 +191,20 @@ object Multimodal {
     * Banding guarantee: a pair within `64/numBands − 1` flipped bits
     * has ≥ 1 intact band (pigeonhole) → recall 1.0 for exact and
     * near-exact duplicates; beyond that, OR-amplified probabilistic
-    * recall, measured and gated in q_multimodal_dedup_bounds. */
+    * recall, measured and gated in q_multimodal_dedup_bounds.
+    *
+    * Corpus-scale sizing: a 16-bit band key saturates once the lake
+    * far exceeds 2^16 rows — per-key candidate lists then grow
+    * linearly with N and candidate volume quadratically, the same
+    * regime every fixed-width LSH hits. The production move is the
+    * text-SimHash discipline: widen the signature (128/256-bit grids)
+    * and keep bands ≥ 20 bits so expected per-key occupancy stays
+    * O(1); this 64-bit config is sized for the harness lake. The
+    * tier is deliberately NOT in the sf1+ soak — its ground-truth
+    * pair count is itself superlinear (random-signature collisions
+    * grow with C(N,2)), so a wall-clock exponent would measure the
+    * corpus, not the operator (the q_graph_triangles exclusion,
+    * perceptual edition). */
   def signaturePairs(sigs: DataFrame, maxHamming: Int = 16,
       numBands: Int = 4): DataFrame = {
     require(64 % numBands == 0)

@@ -392,6 +392,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl is idempotent over the component grid") {
+    import spark.implicits._
+    // every combination of the components the canonicalizer touches:
+    // canonical(canonical(u)) == canonical(u) must hold for all of them
+    val urls = for {
+      scheme <- Seq("http", "HTTPS")
+      user <- Seq("", "User:pw@")
+      host <- Seq("h.com", "WWW.Ex.COM", "[2001:DB8::1]")
+      port <- Seq("", ":443", ":8443")
+      path <- Seq("", "/p/1", "/Mixed/Case///")
+      query <- Seq("", "?utm_source=x", "?b=2&utm_medium=y&a=1")
+      frag <- Seq("", "#sec")
+    } yield s"$scheme://$user$host$port$path$query$frag"
+    val once = urls.toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c1"))
+    val twice = once.select(col("c1"),
+      TextAnalysis.canonicalUrl(col("c1")).as("c2"))
+    val bad = twice.filter(col("c1") =!= col("c2")).collect()
+    assert(bad.isEmpty,
+      s"not idempotent on ${bad.length}: ${bad.take(5).mkString("; ")}")
+  }
+
   test("q_url_normalize: every canonical absorbs both planted spellings of each doc") {
     val out = TextQueries.qUrlNormalize(spark, sf001).cache()
     assert(out.count() > 0)
