@@ -62,4 +62,28 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__sample_key", "__rn")
   }
+
+  /** The production spelling of [[exactPerGroup]] — exact-k per-group
+    * sampling that fixes BOTH of the rand/window form's documented
+    * weaknesses at once: the sample key is the portable multiplicative
+    * hash of a caller-supplied row key (a pure function of the DATA —
+    * layout-independent and reproducible across re-partitioned or
+    * compacted inputs, where `rand(seed)` silently reshuffles; and
+    * replayable by an ANSI-SQL oracle, which makes the full sampled
+    * ROWS hash-checkable, not just their counts), and the per-group
+    * top-n rides [[SaltedWindow.groupedRank]]'s two-level bucketed
+    * ranking — a sample stratified over FEW HOT groups (3 return
+    * flags owning the whole fact table) never lands a group's full
+    * row set in one window task. Ties on the hash (the key space is
+    * 1e6 buckets) break on the raw row key; duplicate full rows
+    * straddling the boundary keep the output multiset deterministic
+    * either way. */
+  def exactPerGroupHashed(df: DataFrame, groupCol: String, n: Int,
+      rowKey: Column): DataFrame =
+    SaltedWindow.groupedRank(
+      df.withColumn("__row_key", rowKey)
+        .withColumn("__sample_key", DomainMix.portableBucket(col("__row_key"))),
+      groupCol, "__sample_key", "__row_key", ascending = true)
+      .filter(col("rank") <= n)
+      .drop("__sample_key", "__row_key", "rank")
 }

@@ -149,21 +149,50 @@ object ExtraQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
 
   /** Exact-size per-group sampling (reservoir semantics): exactly
-    * min(1000, |group|) lineitem rows per return flag, seeded — the
+    * min(1000, |group|) lineitem rows per return flag — the
     * complement of Bernoulli `sampleBy` (q_sample_stratified), for
-    * curation recipes that say "exactly N per bucket". Rows-only
-    * (rand streams aren't portable across engines); exact sizes,
-    * determinism, and the subset property are spec'd. */
-  def qSampleReservoir(s: SparkSession, d: String): DataFrame =
-    graft.ops.Sampling.exactPerGroup(
+    * curation recipes that say "exactly N per bucket". Since r12 this
+    * runs [[graft.ops.Sampling.exactPerGroupHashed]]: the sample key
+    * is the portable hash of the row's own columns (layout-
+    * independent, unlike the seeded-rand legacy spelling, and
+    * replayable in ANSI SQL — so the FULL SAMPLED ROWS are
+    * hash-oracled, not just the per-group counts), and the per-group
+    * top-1000 rides the two-level bucketed ranking: the three
+    * return-flag groups each own ~a third of the fact table, exactly
+    * the hot-group shape a naive `PARTITION BY flag` window
+    * single-tasks. The oracle replays the naive window spelling, so
+    * the hash gate doubles as a plan-equivalence proof
+    * (q_salted_rank's contract applied to sampling). */
+  def qSampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
+      + col("l_suppkey")) * 31L + col("l_partkey")
+    graft.ops.Sampling.exactPerGroupHashed(
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_partkey"), col("l_returnflag")),
-      "l_returnflag", n = 1000, seed = 42L,
-      tieBreak = Seq(col("l_orderkey"), col("l_linenumber"),
-        col("l_suppkey"), col("l_partkey")))
+      "l_returnflag", n = 1000, rowKey = rowKey)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_partkey"), col("l_returnflag"))
+  }
+
+  val qSampleReservoirSql: String =
+    """WITH keyed AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag,
+      |    ((l_orderkey * 31 + l_linenumber) * 31 + l_suppkey) * 31
+      |      + l_partkey AS rk
+      |  FROM lineitem
+      |), hashed AS (
+      |  SELECT *, ((rk % 1000003) * 2654435761) % 1000000 AS sk FROM keyed
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY sk, rk) AS rn
+      |  FROM hashed
+      |)
+      |SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag
+      |FROM ranked WHERE rn <= 1000
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag""".stripMargin
 
   /** Per-stratum sizes of the exact reservoir tier — the engine-
     * independent face of seeded sampling: whatever the rand stream
@@ -1277,6 +1306,7 @@ object ExtraQueries {
     "q_rollup" -> qRollupSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_cube" -> qCubeSql,
+    "q_sample_reservoir" -> qSampleReservoirSql,
     "q_sample_reservoir_counts" -> qSampleReservoirCountsSql,
     "q_sample_stratified_bounds" -> qSampleStratifiedBoundsSql,
     "q_corpus_shuffle" -> qCorpusShuffleSql,

@@ -31,6 +31,27 @@ class SamplingSpec extends SparkSpec {
     assert(a.forall(all.contains))
   }
 
+  test("hashed exact-per-group sample is layout-independent and skew-proof in plan") {
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_returnflag")
+    val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
+      + col("l_suppkey")) * 31L + col("l_partkey")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.exactPerGroupHashed(df, "l_returnflag", 500, rowKey)
+        .collect().map(_.toString).sorted.toSeq
+    // the sample is a pure function of the DATA: any physical layout
+    // produces the identical row set (rand(seed) fails exactly this)
+    val base = run(li)
+    assert(base == run(li.repartition(13)) &&
+      base == run(li.orderBy(col("l_partkey").desc)),
+      "hashed sample must not depend on partitioning or row order")
+    // and the ranking is the two-level bucketed plan, never a
+    // single-task whole-group window over the hot flag groups
+    val plan = Sampling.exactPerGroupHashed(li, "l_returnflag", 500, rowKey)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_bucket"), s"expected the bucketed ranking:\n$plan")
+  }
+
   test("hash-stratified sample is layout-independent and hits its nominal fractions") {
     // each row's fate is a pure function of its key, so repartitioning
     // the input must select the SAME rows — the property a rand-stream
