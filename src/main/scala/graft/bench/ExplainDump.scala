@@ -53,7 +53,8 @@ object ExplainDump {
     "q_pagerank_inc_bounds", "q_sim_mmr_bounds", "q_dedup_srp_bounds",
     "q_bpe_roundtrip", "q_ml_quality_bounds",
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
-    "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle")
+    "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle",
+    "q_cdc_fold_bounds", "q_sample_reservoir")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -682,6 +682,61 @@ object ExtraQueries {
       |WHERE l.op IS NULL OR l.op <> 'd'
       |ORDER BY c_custkey""".stripMargin
 
+  /** Equivalence-bounds oracle row for the versioned CDC state fold
+    * ([[graft.ops.Cdc.foldVersioned]]) — the ninth incremental-family
+    * member, previously spec-only (CdcSpec/CdcPropertySpec): the
+    * orders change log (the q_cdc_apply derivation) splits into three
+    * trigger batches by order-key residue, and the driver row asserts
+    * the algebra the streaming contract rests on, set-exactly via
+    * exceptAll both ways on unrounded stored doubles (copies, not
+    * arithmetic): (a) two different batch arrival orders converge to
+    * the IDENTICAL state (max_by under a total version order is
+    * associative + commutative); (b) the folded state equals
+    * collapse(whole log) in one shot; (c) folding an empty batch is a
+    * fixpoint (no-op triggers don't drift state); (d) tombstones are
+    * RETAINED in state (present, blocking stragglers) and exactly
+    * filtered by the reader view. Fail-closed on `log_nonempty` and
+    * on tombstones actually occurring. */
+  def qCdcFoldBounds(s: SparkSession, d: String): DataFrame = {
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("c_custkey"),
+      when(col("o_orderstatus") === "F", lit("d")).otherwise(lit("u")).as("op"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderdate"), col("o_orderkey"))
+    def fold(st: DataFrame, b: DataFrame) =
+      graft.ops.Cdc.foldVersioned(st, b, "c_custkey", "op",
+        Seq("o_orderdate", "o_orderkey"), Seq("c_acctbal"))
+    val batches = (0 to 2).map(i => log.filter(col("o_orderkey") % 3 === i))
+    val empty = log.limit(0)
+    val aState = Seq(0, 1, 2).map(batches).foldLeft(empty)(fold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bState = Seq(2, 0, 1).map(batches).foldLeft(empty)(fold)
+      val whole = fold(empty, log)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def same(x: DataFrame, y: DataFrame): Boolean =
+          x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0
+        val nState = aState.count()
+        val nTomb = whole.filter(col("op") === "d").count()
+        val nLive = graft.ops.Cdc.live(whole, "op").count()
+        import s.implicits._
+        Seq(("cdc_fold", nState > 0,
+            same(aState, bState) && same(aState, whole),
+            same(fold(aState, empty), aState),
+            nTomb > 0 && nLive == nState - nTomb))
+          .toDF("tier", "log_nonempty", "orders_converge_to_collapse",
+            "empty_batch_is_fixpoint", "tombstones_retained_and_filtered")
+      } finally { whole.unpersist(); () }
+    } finally { aState.unpersist(); () }
+  }
+
+  val qCdcFoldBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('cdc_fold', true, true, true, true))
+      |  t(tier, log_nonempty, orders_converge_to_collapse,
+      |    empty_batch_is_fixpoint, tombstones_retained_and_filtered)""".stripMargin
+
   /** Skew-proof grouped ranking ([[graft.ops.SaltedWindow]]): top-100
     * events per type by value through the two-level bucketed window —
     * the plan that survives a hub group (one event type owning half
@@ -1280,6 +1335,7 @@ object ExtraQueries {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_fold_bounds" -> (qCdcFoldBounds _),
     "q_sketch_overlap_bounds" -> (qSketchOverlapBounds _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ml_eval_class_bounds" -> (qMlEvalClassBounds _),
@@ -1314,6 +1370,7 @@ object ExtraQueries {
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_cdc_apply" -> qCdcApplySql,
+    "q_cdc_fold_bounds" -> qCdcFoldBoundsSql,
     "q_sketch_overlap_bounds" -> qSketchOverlapBoundsSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_ml_eval_class_bounds" -> qMlEvalClassBoundsSql,
