@@ -54,7 +54,7 @@ object ExplainDump {
     "q_bpe_roundtrip", "q_ml_quality_bounds",
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
     "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle",
-    "q_cdc_fold_bounds", "q_sample_reservoir")
+    "q_cdc_fold_bounds", "q_sample_reservoir", "q_seasonal_decompose")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -209,6 +209,63 @@ object AnalyticsQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------- Seasonal decomposition
+  /** Classical additive seasonal decomposition (STL-lite) of the
+    * hourly event-value series: `y = trend + seasonal + resid` with
+    * trend = centered ±12 h moving average and seasonal = the mean
+    * detrended value per hour-of-day — the decomposition behind every
+    * "is this drop daily rhythm or a real regression" call in traffic
+    * and pipeline-volume monitoring.
+    *
+    * Scale shape: the only corpus-proportional stage is ONE
+    * partial-aggregable groupBy to the hourly frame; everything after
+    * (trend window, 24-row seasonal profile, the join-back) runs on
+    * the calendar-BOUNDED hourly series — the global-ordered trend
+    * window is single-task over |hours| rows, never |events|
+    * (q_median_histogram's distinct-frame discipline), and the
+    * seasonal profile broadcasts. Floats: emitted UNROUNDED, the
+    * q_window_rows_avg convention — the 2-decimal-quantized event
+    * values put frame means EXACTLY on decimal rounding boundaries
+    * (a frame mean of cents / 25 like 164.31575), where rounding
+    * AMPLIFIES the engines' ~1e-11 sliding-aggregation wobble into a
+    * full last-digit mismatch (measured at sf0.01, at round 6 AND
+    * round 4); the driver's 1e-9-tolerance float compare absorbs the
+    * raw wobble instead. Both engines derive seasonal from the
+    * unrounded trend, so the twin replays the exact pipeline. */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(col("value")).as("y"))
+    val w = Window.orderBy(col("hour_ts")).rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("trend", avg(col("y")).over(w))
+      .withColumn("hod", hour(col("hour_ts")))
+    val seasonal = trended.groupBy(col("hod"))
+      .agg(avg(col("y") - col("trend")).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("hod"))
+      .select(col("hour_ts"), col("y"), col("trend"), col("seasonal"),
+        (col("y") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy(col("hour_ts"))
+  }
+
+  val qSeasonalDecomposeSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, sum(value) AS y
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT hour_ts, y,
+      |    avg(y) OVER (ORDER BY hour_ts
+      |                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+      |    hour(hour_ts) AS hod
+      |  FROM hourly
+      |), s AS (
+      |  SELECT hod, avg(y - trend) AS seasonal FROM t GROUP BY hod
+      |)
+      |SELECT t.hour_ts, t.y, t.trend, s.seasonal,
+      |  t.y - t.trend - s.seasonal AS resid
+      |FROM t JOIN s USING (hod)
+      |ORDER BY hour_ts""".stripMargin
+
   // ------------------------------------------------------------ Resample + ffill
   /** Time-series regularization — the resample → aggregate → gap-fill
     * pass every sensor/telemetry training pipeline runs: each sampled
@@ -1603,6 +1660,7 @@ object AnalyticsQueries {
     "q_group_quantiles" -> (qGroupQuantiles _),
     "q_attribution" -> (qAttribution _),
     "q_resample_ffill" -> (qResampleFfill _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_interpolate" -> (qInterpolate _),
     "q_retention" -> (qRetention _))
 
@@ -1630,6 +1688,7 @@ object AnalyticsQueries {
     "q_group_quantiles" -> qGroupQuantilesSql,
     "q_attribution" -> qAttributionSql,
     "q_resample_ffill" -> qResampleFfillSql,
+    "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_interpolate" -> qInterpolateSql,
     "q_retention" -> qRetentionSql)
 }

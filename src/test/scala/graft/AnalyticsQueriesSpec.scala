@@ -64,6 +64,28 @@ class AnalyticsQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("seasonal decompose: identity holds, per-hour-of-day residual means vanish, trend inside data range") {
+    val out = AnalyticsQueries.qSeasonalDecompose(spark, sf001).cache()
+    val n = out.count()
+    assert(n > 0)
+    // additive identity y = trend + seasonal + resid (float-tight)
+    val badId = out.filter(
+      abs(col("y") - col("trend") - col("seasonal") - col("resid")) > 1e-6).count()
+    assert(badId == 0)
+    // seasonal is the mean detrended value per hour-of-day, so the
+    // residual means per hour-of-day are zero by construction
+    val hodMeans = out.withColumn("hod", hour(col("hour_ts")))
+      .groupBy(col("hod")).agg(avg(col("resid")).as("m"))
+      .filter(abs(col("m")) > 1e-6).count()
+    assert(hodMeans == 0, "per-hod residual means must vanish")
+    // a moving average can never leave the data's range
+    val r = out.agg(min(col("y")).as("lo"), max(col("y")).as("hi")).head()
+    val badTrend = out.filter(col("trend") < r.getDouble(0) - 1e-9 ||
+      col("trend") > r.getDouble(1) + 1e-9).count()
+    assert(badTrend == 0)
+    out.unpersist()
+  }
+
   test("rfm: segment digits in 1-5, quintiles balanced within 1, recency non-negative") {
     val rows = AnalyticsQueries.qRfm(spark, sf001).collect()
     val nCust = rows.length
