@@ -79,11 +79,17 @@ object Sampling {
     * straddling the boundary keep the output multiset deterministic
     * either way. */
   def exactPerGroupHashed(df: DataFrame, groupCol: String, n: Int,
-      rowKey: Column): DataFrame =
+      rowKey: Column): DataFrame = {
+    // '__row_key'/'__sample_key'/'rank' are working columns — refuse
+    // inputs that would silently collide (SaltedJoin's guard)
+    require(!df.columns.exists(Set("__row_key", "__sample_key", "rank")),
+      "exactPerGroupHashed uses __row_key/__sample_key/rank working " +
+        "columns; rename them on the input first")
     SaltedWindow.groupedRank(
       df.withColumn("__row_key", rowKey)
         .withColumn("__sample_key", DomainMix.portableBucket(col("__row_key"))),
       groupCol, "__sample_key", "__row_key", ascending = true)
       .filter(col("rank") <= n)
       .drop("__sample_key", "__row_key", "rank")
+  }
 }

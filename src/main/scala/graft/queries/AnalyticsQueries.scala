@@ -561,6 +561,10 @@ object AnalyticsQueries {
     * pair volume + agreement with the uncapped join on small
     * baskets. */
   def basketPairs(baskets: DataFrame, cap: Int = BasketCap): DataFrame = {
+    // the two-level ranking introduces 'rank'/'group_n' working columns
+    // — refuse inputs that would silently collide (SaltedJoin's guard)
+    require(baskets.columns.toSet == Set("ok", "pk"),
+      s"basketPairs expects exactly (ok, pk), got ${baskets.columns.mkString(",")}")
     // materialized once (localCheckpoint, lifecycle-tied): the ranking
     // feeds both the cap count and the kept rows — one two-level pass,
     // not two
