@@ -48,13 +48,15 @@ object ExplainDump {
     "q_basket_pairs", "q_rfm", "q_session_funnel",
     "q_customer_returns", "q_priority_count", "q_shipmode_priority",
     "q_custdist", "q_dormant_accounts", "q_nation_volume",
-    "q_supplier_wait", "q_dedup_minhash_inc_bounds",
-    "q_curation_inc_bounds", "q_sim_ivf_inc_bounds", "q_sem_inc_bounds",
-    "q_pagerank_inc_bounds", "q_sim_mmr_bounds", "q_dedup_srp_bounds",
-    "q_bpe_roundtrip", "q_ml_quality_bounds",
+    // the r12 *_bounds / roundtrip gates are deliberately NOT dumped:
+    // their verdicts are driver-computed (the returned frame is a
+    // LocalTableScan of literals), so a dump would pay the full
+    // two-tier oracle computation for zero reviewable plan shape —
+    // the plans that matter are the registered per-tier queries below
+    "q_supplier_wait",
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
     "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle",
-    "q_cdc_fold_bounds", "q_sample_reservoir", "q_seasonal_decompose")
+    "q_sample_reservoir", "q_seasonal_decompose")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -59,9 +59,22 @@ object SaltedWindow {
       idCol: String, buckets: Int = 256, ascending: Boolean = false): DataFrame =
     rankAndTotal(df, groupCol, sortCol, idCol, buckets, ascending)
 
+  /** Columns rankAndTotal introduces: working (`_lo/_hi/_bucket/_intra/
+    * _offset/_bn`, dropped) and output (`rank`, `group_n`). */
+  private val OwnedColumns = Set(
+    "_lo", "_hi", "_bucket", "_intra", "_offset", "_bn", "rank", "group_n")
+
   private def rankAndTotal(df: DataFrame, groupCol: String, sortCol: String,
       idCol: String, buckets: Int, ascending: Boolean): DataFrame = {
     require(buckets > 0)
+    // one guard at the operator, protecting EVERY caller: an input
+    // column named like a working column would be silently replaced
+    // and dropped (or, for rank/group_n, shadowed in the output) —
+    // refuse instead of corrupting (SaltedJoin's '_salt' discipline)
+    val clash = df.columns.filter(OwnedColumns)
+    require(clash.isEmpty,
+      s"SaltedWindow uses ${clash.mkString("/")} as working/output " +
+        "columns; rename them on the input first")
     val v = col(sortCol).cast("double")
     val bounds = df.agg(min(v).as("_lo"), max(v).as("_hi"))
     // monotone bucket map in the sort direction; NULL v → last bucket

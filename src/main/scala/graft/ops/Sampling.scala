@@ -75,19 +75,23 @@ object Sampling {
     * ranking — a sample stratified over FEW HOT groups (3 return
     * flags owning the whole fact table) never lands a group's full
     * row set in one window task. Ties on the hash (the key space is
-    * 1e6 buckets) break on the raw row key; duplicate full rows
-    * straddling the boundary keep the output multiset deterministic
-    * either way. */
+    * 1e6 buckets, so collisions are routine) break on `tieKey`, which
+    * the CALLER must make injective per row (distinct rows, distinct
+    * tie keys — e.g. a fixed-width concat of the table's key columns):
+    * SaltedWindow's determinism contract needs a total order, and a
+    * lossy packed key that collides for distinct rows would let
+    * layout decide which of two tied rows crosses the rank-n boundary
+    * — exactly the nondeterminism this operator exists to remove. */
   def exactPerGroupHashed(df: DataFrame, groupCol: String, n: Int,
-      rowKey: Column): DataFrame = {
+      rowKey: Column, tieKey: Column): DataFrame = {
     // '__row_key'/'__sample_key'/'rank' are working columns — refuse
     // inputs that would silently collide (SaltedJoin's guard)
     require(!df.columns.exists(Set("__row_key", "__sample_key", "rank")),
       "exactPerGroupHashed uses __row_key/__sample_key/rank working " +
         "columns; rename them on the input first")
     SaltedWindow.groupedRank(
-      df.withColumn("__row_key", rowKey)
-        .withColumn("__sample_key", DomainMix.portableBucket(col("__row_key"))),
+      df.withColumn("__row_key", tieKey)
+        .withColumn("__sample_key", DomainMix.portableBucket(rowKey)),
       groupCol, "__sample_key", "__row_key", ascending = true)
       .filter(col("rank") <= n)
       .drop("__sample_key", "__row_key", "rank")

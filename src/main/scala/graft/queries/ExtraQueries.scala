@@ -137,13 +137,18 @@ object ExtraQueries {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** The registered per-stratum fractions — ONE definition shared by
+    * the sampling query and its binomial-band gate (a drifting copy
+    * would band-test different fractions than the query samples). */
+  val StratifiedFractions: Map[String, Double] =
+    Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1)
+
   /** Stratified sampling by return flag (training-data curation op).
     * Seeded Bernoulli-per-stratum; sampling layout is engine-specific →
     * rows-only check, invariants in the spec. */
   def qSampleStratified(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .stat.sampleBy("l_returnflag",
-        Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1), seed = 42L)
+      .stat.sampleBy("l_returnflag", StratifiedFractions, seed = 42L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_partkey"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
@@ -162,15 +167,24 @@ object ExtraQueries {
     * the hot-group shape a naive `PARTITION BY flag` window
     * single-tasks. The oracle replays the naive window spelling, so
     * the hash gate doubles as a plan-equivalence proof
-    * (q_salted_rank's contract applied to sampling). */
+    * (q_salted_rank's contract applied to sampling).
+    *
+    * The packed long seeding the hash may collide for distinct rows
+    * (×31 strides overlap — e.g. linenumber +1 vs suppkey −31); that
+    * only co-locates their hash, it never decides between them: the
+    * TIE key is the fixed-width digit concat of all four key columns
+    * — injective, so the order is total and the sample really is
+    * layout-independent (the same lpad concat orders the oracle). */
   def qSampleReservoir(s: SparkSession, d: String): DataFrame = {
     val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
       + col("l_suppkey")) * 31L + col("l_partkey")
+    val tieKey = format_string("%012d%03d%08d%010d", col("l_orderkey"),
+      col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
     graft.ops.Sampling.exactPerGroupHashed(
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_partkey"), col("l_returnflag")),
-      "l_returnflag", n = 1000, rowKey = rowKey)
+      "l_returnflag", n = 1000, rowKey = rowKey, tieKey = tieKey)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_partkey"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
@@ -181,13 +195,17 @@ object ExtraQueries {
     """WITH keyed AS (
       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag,
       |    ((l_orderkey * 31 + l_linenumber) * 31 + l_suppkey) * 31
-      |      + l_partkey AS rk
+      |      + l_partkey AS rk,
+      |    lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+      |      || lpad(CAST(l_linenumber AS VARCHAR), 3, '0')
+      |      || lpad(CAST(l_suppkey AS VARCHAR), 8, '0')
+      |      || lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS tk
       |  FROM lineitem
       |), hashed AS (
       |  SELECT *, ((rk % 1000003) * 2654435761) % 1000000 AS sk FROM keyed
       |), ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
-      |    ORDER BY sk, rk) AS rn
+      |    ORDER BY sk, tk) AS rn
       |  FROM hashed
       |)
       |SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag
@@ -272,7 +290,7 @@ object ExtraQueries {
     * `strata_nonempty` (every registered stratum must actually
     * sample > 0 rows). */
   def qSampleStratifiedBounds(s: SparkSession, d: String): DataFrame = {
-    val fractions = Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1)
+    val fractions = StratifiedFractions
     val source = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_src")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -64,6 +64,11 @@ object MultimodalQueries {
       .union(Multimodal.perturbed(base, 2L * DedupQueries.IdOffset))
   }
 
+  /** The registered Hamming verify threshold — ONE definition shared
+    * by the query and its bounds gate (a drifting copy would make the
+    * gate test a different operator than the one registered). */
+  val DedupMaxHamming = 16
+
   /** Multimodal near-dedup: 64-bit aHash perceptual signatures →
     * banded candidate join → bit_count Hamming verify
     * ([[Multimodal.perceptualSignatures]]/[[Multimodal.signaturePairs]])
@@ -78,7 +83,8 @@ object MultimodalQueries {
     * the whole pair stage never touches media bytes. */
   def qMultimodalDedup(s: SparkSession, d: String): DataFrame =
     Multimodal.signaturePairs(
-      Multimodal.perceptualSignatures(dedupMedia(s, d)).toDF())
+      Multimodal.perceptualSignatures(dedupMedia(s, d)).toDF(),
+      maxHamming = DedupMaxHamming)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Bounds gate for the perceptual-dedup tier: (a) every planted
@@ -88,39 +94,60 @@ object MultimodalQueries {
     * 64 grid cells) are recovered at ≥ 0.9 — measured 1.0 on the
     * harness lake (≤ 15 flipped bits leaves ≥ 1 of 4 16-bit bands
     * intact by pigeonhole whenever flips cluster, and the verify
-    * threshold 16 sits beyond the edit's bit damage), floor with
-    * headroom for corpus drift; (c) no emitted pair exceeds the
-    * Hamming threshold (verify correctness); (d) a global brightness
+    * threshold sits beyond the edit's bit damage), floor with
+    * headroom for corpus drift; (c) every emitted pair's REPORTED
+    * Hamming equals an independent recompute from the signatures
+    * re-fetched by id, and none exceeds the registered
+    * [[DedupMaxHamming]] — a differential check of the pair
+    * plumbing's (sig_a, sig_b) carriage through the band join and
+    * distinct (re-filtering the operator's own filtered output would
+    * be vacuous); (d) a global brightness
     * shift is signature-INVARIANT (cells and mean move together) —
     * pinned in MultimodalSpec, not here, since it needs a custom
     * shift. Fail-closed on `lake_nonempty`. */
   def qMultimodalDedupBounds(s: SparkSession, d: String): DataFrame = {
     val off = DedupQueries.IdOffset
-    val pairs = qMultimodalDedup(s, d)
+    val sigs = Multimodal.perceptualSignatures(dedupMedia(s, d)).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nBase = media(s, d).count()
-      val exactFound = pairs
-        .filter(col("id_b") === col("id_a") + off && col("id_a") < off &&
-          col("hamming") === 0).count()
-      val noisedFound = pairs
-        .filter(col("id_b") === col("id_a") + 2L * off && col("id_a") < off)
-        .count()
-      val overThreshold = pairs.filter(col("hamming") > 16).count()
-      import s.implicits._
-      Seq(("perceptual", nBase > 0, exactFound == nBase,
-          nBase > 0 && noisedFound.toDouble / nBase >= 0.9,
-          overThreshold == 0L))
-        .toDF("tier", "lake_nonempty", "exact_dups_all_found",
-          "perturbed_recall_ok", "no_pairs_over_threshold")
-    } finally { pairs.unpersist(); () }
+      val pairs = Multimodal.signaturePairs(sigs, maxHamming = DedupMaxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nBase = media(s, d).count()
+        val exactFound = pairs
+          .filter(col("id_b") === col("id_a") + off && col("id_a") < off &&
+            col("hamming") === 0).count()
+        val noisedFound = pairs
+          .filter(col("id_b") === col("id_a") + 2L * off && col("id_a") < off)
+          .count()
+        // differential check of the pair PLUMBING: re-fetch each
+        // side's signature BY ID and re-derive the distance — a
+        // column mix-up or stale sig carried through the band join +
+        // distinct flips this, where re-filtering the already-filtered
+        // output would be vacuous (same expression, same verdict)
+        val recomputeBad = pairs
+          .join(sigs.select(col("media_id").as("id_a"), col("sig").as("ra")),
+            Seq("id_a"))
+          .join(sigs.select(col("media_id").as("id_b"), col("sig").as("rb")),
+            Seq("id_b"))
+          .filter(expr("bit_count(ra ^ rb)").cast("int") =!= col("hamming") ||
+            col("hamming") > DedupMaxHamming)
+          .count()
+        import s.implicits._
+        Seq(("perceptual", nBase > 0, exactFound == nBase,
+            nBase > 0 && noisedFound.toDouble / nBase >= 0.9,
+            recomputeBad == 0L))
+          .toDF("tier", "lake_nonempty", "exact_dups_all_found",
+            "perturbed_recall_ok", "hamming_matches_recompute")
+      } finally { pairs.unpersist(); () }
+    } finally { sigs.unpersist(); () }
   }
 
   val qMultimodalDedupBoundsSql: String =
     // property-gate twin: literal expected frame, NOT a recomputation
     """SELECT * FROM (VALUES ('perceptual', true, true, true, true))
       |  t(tier, lake_nonempty, exact_dups_all_found,
-      |    perturbed_recall_ok, no_pairs_over_threshold)""".stripMargin
+      |    perturbed_recall_ok, hamming_matches_recompute)""".stripMargin
 
   /** Oracle row for the multimodal tier — the property-gate contract
     * of the sketch-bounds family applied to the codec plumbing: the

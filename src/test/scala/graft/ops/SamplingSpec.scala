@@ -36,8 +36,10 @@ class SamplingSpec extends SparkSpec {
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_returnflag")
     val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
       + col("l_suppkey")) * 31L + col("l_partkey")
+    val tieKey = format_string("%012d%03d%08d%010d", col("l_orderkey"),
+      col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
     def run(df: org.apache.spark.sql.DataFrame) =
-      Sampling.exactPerGroupHashed(df, "l_returnflag", 500, rowKey)
+      Sampling.exactPerGroupHashed(df, "l_returnflag", 500, rowKey, tieKey)
         .collect().map(_.toString).sorted.toSeq
     // the sample is a pure function of the DATA: any physical layout
     // produces the identical row set (rand(seed) fails exactly this)
@@ -47,7 +49,7 @@ class SamplingSpec extends SparkSpec {
       "hashed sample must not depend on partitioning or row order")
     // and the ranking is the two-level bucketed plan, never a
     // single-task whole-group window over the hot flag groups
-    val plan = Sampling.exactPerGroupHashed(li, "l_returnflag", 500, rowKey)
+    val plan = Sampling.exactPerGroupHashed(li, "l_returnflag", 500, rowKey, tieKey)
       .queryExecution.executedPlan.toString
     assert(plan.contains("_bucket"), s"expected the bucketed ranking:\n$plan")
   }
