@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -334,8 +335,7 @@ object JoinQueries {
       .agg(sum(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
         .as("n_late_lines"))
-    val perOrder = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_orderkey"))
+    val perOrder = Window.partitionBy(col("l_orderkey"))
     val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
     perSupp
@@ -415,7 +415,8 @@ object JoinQueries {
     * maximum row(s) recovered by equality against a scalar aggregate —
     * the argmax-of-an-aggregate join-back every "who won the quarter"
     * query uses. One partial-aggregable pass builds the per-supplier
-    * quarterly revenue; the 1-row max broadcasts; supplier broadcasts.
+    * quarterly revenue (the ONLY fact scan); the max rides a global
+    * window over that |suppliers|-bounded view; supplier broadcasts.
     * Revenue ROUNDS at 6 on BOTH engines BEFORE the max and the
     * equality compare (per-supplier sums ≈ 2e6 carry ~1e-9 reorder
     * error — an unrounded float-equality join would make max
@@ -430,9 +431,16 @@ object JoinQueries {
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
         .as("total_rev"))
-    val m = rev.agg(max(col("total_rev")).as("max_rev"))
+    // the scalar max as a GLOBAL window over the revenue view — rev is
+    // bounded by |suppliers| (the aggregate, never the fact table), so
+    // the single-task window is the q_median_histogram bounded-frame
+    // case; a separate agg-plus-join would plan a SECOND full fact
+    // scan (the shared rev subframe is not reused across branches —
+    // measured, the q_supplier_wait lesson)
+    val w = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val sup = Tables.supplier(s, d)
-    rev.crossJoin(broadcast(m))
+    rev.withColumn("max_rev", max(col("total_rev")).over(w))
       .filter(col("total_rev") === col("max_rev"))
       .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
@@ -457,12 +465,16 @@ object JoinQueries {
     * recovered by joining the per-(part, supplier) cost frame back to
     * the per-part minimum — the correlated-subquery composition
     * (`cost = (SELECT min ...)`) a procurement/routing query runs,
-    * here over unit costs derived from the fact table. Both frames
-    * descend from the SAME (part, supplier) aggregate, so the join-back
-    * is co-partitioned on the part key (one fact shuffle total);
-    * supplier/nation broadcast. The unit cost is a single IEEE
+    * here over unit costs derived from the fact table. The per-part
+    * minimum rides a window over the (part, supplier) AGGREGATE frame
+    * — partitions are parts (high-cardinality, ≤ |suppliers per part|
+    * rows each, no hub hazard), so the fact table is scanned and
+    * shuffled ONCE; a separate groupBy-then-join-back spelling plans
+    * a SECOND full fact scan (the shared cost subframe is not reused
+    * across branches — measured, the q_supplier_wait lesson).
+    * Supplier/nation broadcast. The unit cost is a single IEEE
     * division and the minima are picks (never sums) — bit-exact
-    * across engines, so the equality join needs no tolerance; the
+    * across engines, so the equality compare needs no tolerance; the
     * display column rounds at 6. Ties (two suppliers at the exact
     * minimum) emit all winners on both engines, and (part, s_name)
     * makes the output order total. */
@@ -470,11 +482,10 @@ object JoinQueries {
     val cost = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-    val best = cost.groupBy(col("l_partkey"))
-      .agg(min(col("unit_cost")).as("min_cost"))
+    val perPart = Window.partitionBy(col("l_partkey"))
     val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
-    cost.join(best, Seq("l_partkey"))
+    cost.withColumn("min_cost", min(col("unit_cost")).over(perPart))
       .filter(col("unit_cost") === col("min_cost"))
       .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))

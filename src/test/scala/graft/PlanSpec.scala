@@ -197,6 +197,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("Q2/Q15/Q18 shapes: each scans the fact table exactly once (window/aggregate rewrites, no branch rescan)") {
+    Seq("Q2" -> JoinQueries.qCheapestSupplier(spark, sf001),
+        "Q15" -> JoinQueries.qTopSupplierRevenue(spark, sf001),
+        "Q18" -> JoinQueries.qBigOrders(spark, sf001)).foreach { case (n, df) =>
+      val p = plan(df)
+      val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+      assert(liScans == 1, s"$n: expected ONE lineitem scan, got $liScans:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), n)
+    }
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and
