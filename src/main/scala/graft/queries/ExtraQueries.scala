@@ -178,7 +178,11 @@ object ExtraQueries {
   def qSampleReservoir(s: SparkSession, d: String): DataFrame = {
     val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
       + col("l_suppkey")) * 31L + col("l_partkey")
-    val tieKey = format_string("%012d%03d%08d%010d", col("l_orderkey"),
+    // 19-digit fields cover the whole non-negative long domain on
+    // BOTH engines (DuckDB's lpad TRUNCATES once a value outgrows its
+    // field — a narrow width would break injectivity exactly at the
+    // scale factors this exists for)
+    val tieKey = format_string("%019d%019d%019d%019d", col("l_orderkey"),
       col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
     graft.ops.Sampling.exactPerGroupHashed(
       Tables.lineitem(s, d)
@@ -196,10 +200,10 @@ object ExtraQueries {
       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_returnflag,
       |    ((l_orderkey * 31 + l_linenumber) * 31 + l_suppkey) * 31
       |      + l_partkey AS rk,
-      |    lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
-      |      || lpad(CAST(l_linenumber AS VARCHAR), 3, '0')
-      |      || lpad(CAST(l_suppkey AS VARCHAR), 8, '0')
-      |      || lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS tk
+      |    lpad(CAST(l_orderkey AS VARCHAR), 19, '0')
+      |      || lpad(CAST(l_linenumber AS VARCHAR), 19, '0')
+      |      || lpad(CAST(l_suppkey AS VARCHAR), 19, '0')
+      |      || lpad(CAST(l_partkey AS VARCHAR), 19, '0') AS tk
       |  FROM lineitem
       |), hashed AS (
       |  SELECT *, ((rk % 1000003) * 2654435761) % 1000000 AS sk FROM keyed

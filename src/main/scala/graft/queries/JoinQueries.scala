@@ -415,9 +415,16 @@ object JoinQueries {
     * maximum row(s) recovered by equality against a scalar aggregate —
     * the argmax-of-an-aggregate join-back every "who won the quarter"
     * query uses. One partial-aggregable pass builds the per-supplier
-    * quarterly revenue (the ONLY fact scan); the max rides a global
-    * window over that |suppliers|-bounded view; supplier broadcasts.
-    * Revenue ROUNDS at 6 on BOTH engines BEFORE the max and the
+    * quarterly revenue, materialized ONCE (localCheckpoint — the
+    * shared-subframe discipline of basketPairs: without it the two
+    * branches re-plan the fact scan twice, measured); the scalar max
+    * is then a fully-PARALLEL partial aggregate over that view
+    * crossed back as a 1-row broadcast — never a no-partition window,
+    * which would single-task the |suppliers|-proportional frame (at
+    * TPC-H scale suppliers grow with SF; the bounded-frame window
+    * exemption is for calendar/distinct-value frames only). Supplier
+    * broadcasts. Revenue ROUNDS at 6 on BOTH engines BEFORE the max
+    * and the
     * equality compare (per-supplier sums ≈ 2e6 carry ~1e-9 reorder
     * error — an unrounded float-equality join would make max
     * membership engine-dependent; class-2 boundary discipline, same
@@ -431,16 +438,10 @@ object JoinQueries {
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
         .as("total_rev"))
-    // the scalar max as a GLOBAL window over the revenue view — rev is
-    // bounded by |suppliers| (the aggregate, never the fact table), so
-    // the single-task window is the q_median_histogram bounded-frame
-    // case; a separate agg-plus-join would plan a SECOND full fact
-    // scan (the shared rev subframe is not reused across branches —
-    // measured, the q_supplier_wait lesson)
-    val w = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .localCheckpoint(true)
+    val m = rev.agg(max(col("total_rev")).as("max_rev"))
     val sup = Tables.supplier(s, d)
-    rev.withColumn("max_rev", max(col("total_rev")).over(w))
+    rev.crossJoin(broadcast(m))
       .filter(col("total_rev") === col("max_rev"))
       .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))

@@ -130,8 +130,10 @@ object MultimodalQueries {
             Seq("id_a"))
           .join(sigs.select(col("media_id").as("id_b"), col("sig").as("rb")),
             Seq("id_b"))
+          // compare and bound the RECOMPUTED distance — bounding the
+          // reported column would re-test the operator's own filter
           .filter(expr("bit_count(ra ^ rb)").cast("int") =!= col("hamming") ||
-            col("hamming") > DedupMaxHamming)
+            expr("bit_count(ra ^ rb)").cast("int") > DedupMaxHamming)
           .count()
         import s.implicits._
         Seq(("perceptual", nBase > 0, exactFound == nBase,

@@ -197,13 +197,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
-  test("Q2/Q15/Q18 shapes: each scans the fact table exactly once (window/aggregate rewrites, no branch rescan)") {
+  test("Q2/Q15/Q18 shapes: each scans the fact table at most once (no branch rescan)") {
+    // Q15's revenue view is localCheckpoint'd (shared-subframe
+    // discipline), so its FINAL plan shows ZERO fact scans — the one
+    // scan happened at materialization; Q2/Q18 keep theirs in-plan
     Seq("Q2" -> JoinQueries.qCheapestSupplier(spark, sf001),
         "Q15" -> JoinQueries.qTopSupplierRevenue(spark, sf001),
         "Q18" -> JoinQueries.qBigOrders(spark, sf001)).foreach { case (n, df) =>
       val p = plan(df)
       val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
-      assert(liScans == 1, s"$n: expected ONE lineitem scan, got $liScans:\n$p")
+      assert(liScans <= 1, s"$n: expected at most one lineitem scan, got $liScans:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), n)
     }
   }

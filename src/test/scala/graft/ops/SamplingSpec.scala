@@ -36,7 +36,7 @@ class SamplingSpec extends SparkSpec {
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_returnflag")
     val rowKey = ((col("l_orderkey") * 31L + col("l_linenumber")) * 31L
       + col("l_suppkey")) * 31L + col("l_partkey")
-    val tieKey = format_string("%012d%03d%08d%010d", col("l_orderkey"),
+    val tieKey = format_string("%019d%019d%019d%019d", col("l_orderkey"),
       col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
     def run(df: org.apache.spark.sql.DataFrame) =
       Sampling.exactPerGroupHashed(df, "l_returnflag", 500, rowKey, tieKey)
