@@ -56,7 +56,7 @@ object ExplainDump {
     "q_supplier_wait",
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
     "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle",
-    "q_sample_reservoir", "q_seasonal_decompose")
+    "q_sample_reservoir", "q_seasonal_decompose", "q_rolling_anomaly")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -266,6 +266,51 @@ object AnalyticsQueries {
       |FROM t JOIN s USING (hod)
       |ORDER BY hour_ts""".stripMargin
 
+  // --------------------------------------------------- Rolling anomaly score
+  /** Trailing z-score anomaly scoring — the online-monitoring twin of
+    * [[qSeasonalDecompose]]'s offline decomposition: each event is
+    * scored against ITS OWN user's trailing 50 events (mean and
+    * sample stddev over `ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING` —
+    * the current row EXCLUDED, so a spike can't suppress its own
+    * baseline), the standard per-entity drift/outlier pass over a
+    * telemetry stream.
+    *
+    * Scale shape: one shuffle on user_id; window partitions are
+    * per-user (high cardinality, no hub hazard) with a bounded
+    * 50-row frame. Emitted UNROUNDED (the q_window_rows_avg /
+    * q_seasonal_decompose convention — frame means over
+    * decimal-quantized values sit on rounding boundaries; the
+    * tolerance compare absorbs the sliding-aggregation wobble
+    * instead). Degenerate frames stay NULL on both engines: fewer
+    * than 2 trailing rows → stddev_samp NULL → z NULL, and an
+    * all-equal frame (sd = 0) is explicitly NULL rather than an
+    * engine-dependent ±Infinity. */
+  def qRollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-50, -1)
+    Tables.events(s, d)
+      .withColumn("base_mean", avg(col("value")).over(w))
+      .withColumn("base_sd", stddev_samp(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("base_mean"), col("base_sd"),
+        when(col("base_sd") > 0.0,
+          (col("value") - col("base_mean")) / col("base_sd")).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRollingAnomalySql: String =
+    """SELECT event_id, user_id, value,
+      |  avg(value) OVER w AS base_mean,
+      |  stddev_samp(value) OVER w AS base_sd,
+      |  CASE WHEN stddev_samp(value) OVER w > 0
+      |       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+      |  END AS z
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ Resample + ffill
   /** Time-series regularization — the resample → aggregate → gap-fill
     * pass every sensor/telemetry training pipeline runs: each sampled
@@ -1669,6 +1714,7 @@ object AnalyticsQueries {
     "q_attribution" -> (qAttribution _),
     "q_resample_ffill" -> (qResampleFfill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_interpolate" -> (qInterpolate _),
     "q_retention" -> (qRetention _))
 
@@ -1697,6 +1743,7 @@ object AnalyticsQueries {
     "q_attribution" -> qAttributionSql,
     "q_resample_ffill" -> qResampleFfillSql,
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
+    "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_interpolate" -> qInterpolateSql,
     "q_retention" -> qRetentionSql)
 }

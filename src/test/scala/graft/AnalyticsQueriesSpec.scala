@@ -86,6 +86,39 @@ class AnalyticsQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("rolling anomaly: current row excluded from its baseline; degenerate frames NULL; z recomputes") {
+    val out = AnalyticsQueries.qRollingAnomaly(spark, sf001).cache()
+    // z must recompute from the emitted baseline wherever defined
+    val badZ = out.filter(col("z").isNotNull &&
+      abs(col("z") - (col("value") - col("base_mean")) / col("base_sd")) > 1e-9)
+    assert(badZ.count() == 0)
+    // sd defined ⇒ mean defined; z defined ⇒ sd > 0
+    assert(out.filter(col("base_sd").isNotNull && col("base_mean").isNull).count() == 0)
+    assert(out.filter(col("z").isNotNull && !(col("base_sd") > 0.0)).count() == 0)
+    // per user: first event has an EMPTY trailing frame (all NULL) and
+    // the second's baseline mean is exactly the first's value with sd
+    // NULL (n=1 → stddev_samp undefined) — the current-row exclusion
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect().groupBy(_.getLong(0))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    ev.foreach { case (_, es) =>
+      val sorted = es.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      val first = sorted.head
+      assert(rows(first.getLong(2)) == ((None, None)),
+        s"first event ${first.getLong(2)} must have an empty baseline")
+      if (sorted.length > 1) {
+        val second = sorted(1)
+        val (m, sd) = rows(second.getLong(2))
+        assert(m.contains(first.getDouble(3)) && sd.isEmpty,
+          s"second event ${second.getLong(2)}: baseline must be exactly the first value, sd undefined")
+      }
+    }
+    out.unpersist()
+  }
+
   test("rfm: segment digits in 1-5, quintiles balanced within 1, recency non-negative") {
     val rows = AnalyticsQueries.qRfm(spark, sf001).collect()
     val nCust = rows.length
