@@ -108,6 +108,11 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Self-register the graft session functions on THIS session — the
+    // lazy per-helper registration targets the thread's active session,
+    // which in a multi-session app may not be the one analyzing the
+    // plan (see functions.Registry). Guarded, so effectively free.
+    graft.functions.Registry.registerAll(spark)
     // No-op for micros files; lets a TIMESTAMP(NANOS) regeneration load
     // as a long (which `canon` then converts) instead of erroring.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

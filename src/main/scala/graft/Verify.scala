@@ -21,9 +21,13 @@ object Verify {
     // the driver always runs the full set.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dev-only knob for COVERAGE.md's determinism sweep: a 128 KB run
+    // splits scan-side partial aggregation; the driver never sets it.
+    val mpb = sys.env.getOrElse("SPARK_GRAFT_MPB", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", mpb)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -223,46 +223,70 @@ object AnalyticsQueries {
     * the calendar-BOUNDED hourly series — the global-ordered trend
     * window is single-task over |hours| rows, never |events|
     * (q_median_histogram's distinct-frame discipline), and the
-    * seasonal profile broadcasts. Floats: emitted UNROUNDED, the
-    * q_window_rows_avg convention — the 2-decimal-quantized event
-    * values put frame means EXACTLY on decimal rounding boundaries
-    * (a frame mean of cents / 25 like 164.31575), where rounding
-    * AMPLIFIES the engines' ~1e-11 sliding-aggregation wobble into a
-    * full last-digit mismatch (measured at sf0.01, at round 6 AND
-    * round 4); the driver's 1e-9-tolerance float compare absorbs the
-    * raw wobble instead. Both engines derive seasonal from the
-    * unrounded trend, so the twin replays the exact pipeline. */
+    * seasonal profile broadcasts.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling): event
+    * values are 2-decimal quantized, so every aggregate is carried in
+    * INTEGER CENTS — `sum(round(value*100))` partial-aggregates
+    * exactly in any order (magnitudes ≪ 2^53: hourly cent sums stay
+    * exact to ~10^5 events/hour of max-magnitude values, i.e. well
+    * past petabyte scale at this grain), the trend frame carries
+    * `(trend_sum_cents, trend_n)`, and the seasonal mean is
+    * restricted to FULL ±12 frames (trend_n = 25) so its numerator
+    * `25·y_cents − trend_sum_cents` is itself an exact integer. All
+    * emitted doubles are ONE terminal division (or sum/difference of
+    * such) over identical integers on both engines — bit-exact under
+    * the driver's hash gate by IEEE determinism, no tolerance needed.
+    * Edge rows (first/last 12 hours, partial frames) still receive a
+    * trend and a resid; they are only excluded from ESTIMATING the
+    * 24-row seasonal profile. */
   def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(sum(col("value")).as("y"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_cents"))
     val w = Window.orderBy(col("hour_ts")).rowsBetween(-12, 12)
     val trended = hourly
-      .withColumn("trend", avg(col("y")).over(w))
+      .withColumn("trend_sum", sum(col("y_cents")).over(w))
+      .withColumn("trend_n", count(lit(1)).over(w))
       .withColumn("hod", hour(col("hour_ts")))
-    val seasonal = trended.groupBy(col("hod"))
-      .agg(avg(col("y") - col("trend")).as("seasonal"))
+    val seasonal = trended
+      .where(col("trend_n") === 25)
+      .groupBy(col("hod"))
+      .agg((sum(lit(25L) * col("y_cents") - col("trend_sum")).cast("double") /
+        (lit(2500.0) * count(lit(1)))).as("seasonal"))
+    val y = col("y_cents").cast("double") / lit(100.0)
+    val trend = col("trend_sum").cast("double") / (lit(100.0) * col("trend_n"))
     trended.join(broadcast(seasonal), Seq("hod"))
-      .select(col("hour_ts"), col("y"), col("trend"), col("seasonal"),
-        (col("y") - col("trend") - col("seasonal")).as("resid"))
+      .select(col("hour_ts"), y.as("y"), trend.as("trend"), col("seasonal"),
+        (y - trend - col("seasonal")).as("resid"))
       .orderBy(col("hour_ts"))
   }
 
   val qSeasonalDecomposeSql: String =
     """WITH hourly AS (
-      |  SELECT date_trunc('hour', ts) AS hour_ts, sum(value) AS y
+      |  SELECT date_trunc('hour', ts) AS hour_ts,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS y_cents
       |  FROM events GROUP BY 1
       |), t AS (
-      |  SELECT hour_ts, y,
-      |    avg(y) OVER (ORDER BY hour_ts
-      |                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+      |  SELECT hour_ts, y_cents,
+      |    sum(y_cents) OVER w AS trend_sum,
+      |    count(*) OVER w AS trend_n,
       |    hour(hour_ts) AS hod
       |  FROM hourly
+      |  WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
       |), s AS (
-      |  SELECT hod, avg(y - trend) AS seasonal FROM t GROUP BY hod
+      |  SELECT hod,
+      |    CAST(sum(25 * y_cents - trend_sum) AS DOUBLE) /
+      |      (2500.0 * count(*)) AS seasonal
+      |  FROM t WHERE trend_n = 25 GROUP BY hod
       |)
-      |SELECT t.hour_ts, t.y, t.trend, s.seasonal,
-      |  t.y - t.trend - s.seasonal AS resid
+      |SELECT t.hour_ts,
+      |  CAST(y_cents AS DOUBLE) / 100.0 AS y,
+      |  CAST(trend_sum AS DOUBLE) / (100.0 * trend_n) AS trend,
+      |  s.seasonal,
+      |  CAST(y_cents AS DOUBLE) / 100.0
+      |    - CAST(trend_sum AS DOUBLE) / (100.0 * trend_n)
+      |    - s.seasonal AS resid
       |FROM t JOIN s USING (hod)
       |ORDER BY hour_ts""".stripMargin
 
@@ -277,21 +301,41 @@ object AnalyticsQueries {
     *
     * Scale shape: one shuffle on user_id; window partitions are
     * per-user (high cardinality, no hub hazard) with a bounded
-    * 50-row frame. Emitted UNROUNDED (the q_window_rows_avg /
-    * q_seasonal_decompose convention — frame means over
-    * decimal-quantized values sit on rounding boundaries; the
-    * tolerance compare absorbs the sliding-aggregation wobble
-    * instead). Degenerate frames stay NULL on both engines: fewer
-    * than 2 trailing rows → stddev_samp NULL → z NULL, and an
-    * all-equal frame (sd = 0) is explicitly NULL rather than an
+    * 50-row frame.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling): the
+    * 2-decimal-quantized values are carried through the frame as
+    * INTEGER CENTS — the frame aggregates are exact integer
+    * `(n, Σc, Σc²)` (Σc² ≤ 50·(56·10^3)² ≈ 1.6·10^11 ≪ 2^53, exact
+    * in ANY partial-agg order), and mean/variance are derived by
+    * EXPLICIT terminal expressions — `mean = Σc/(100·n)`,
+    * `var = (Σc² − Σc·Σc/n)/(n−1)` in cents², `sd = sqrt(max(var,0))
+    * /100` — never the engine-internal `stddev_samp` update order,
+    * which differs between Spark and DuckDB by one ulp. Identical
+    * IEEE expression trees over identical integers are bit-exact
+    * cross-engine, so the hash gate needs no tolerance. Degenerate
+    * frames stay NULL on both engines: fewer than 2 trailing rows →
+    * sd NULL → z NULL, and an all-equal frame (var = 0, clamped by
+    * the max against cancellation) is explicitly NULL rather than an
     * engine-dependent ±Infinity. */
   def qRollingAnomaly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-50, -1)
-    Tables.events(s, d)
-      .withColumn("base_mean", avg(col("value")).over(w))
-      .withColumn("base_sd", stddev_samp(col("value")).over(w))
+    val cents = round(col("value") * lit(100)).cast("long")
+    val base = Tables.events(s, d)
+      .withColumn("c", cents)
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+    val mean = col("s1").cast("double") / (lit(100.0) * col("n"))
+    val varC2 = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+      (col("n") - lit(1L))
+    val sd = sqrt(greatest(varC2, lit(0.0))) / lit(100.0)
+    base
+      .withColumn("base_mean", when(col("n") >= 1, mean))
+      .withColumn("base_sd", when(col("n") >= 2, sd))
       .select(col("event_id"), col("user_id"), col("value"),
         col("base_mean"), col("base_sd"),
         when(col("base_sd") > 0.0,
@@ -300,15 +344,28 @@ object AnalyticsQueries {
   }
 
   val qRollingAnomalySql: String =
-    """SELECT event_id, user_id, value,
-      |  avg(value) OVER w AS base_mean,
-      |  stddev_samp(value) OVER w AS base_sd,
-      |  CASE WHEN stddev_samp(value) OVER w > 0
-      |       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
-      |  END AS z
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-      |             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    """WITH b AS (
+      |  SELECT event_id, user_id, value,
+      |    count(c) OVER w AS n,
+      |    sum(c) OVER w AS s1,
+      |    sum(c * c) OVER w AS s2
+      |  FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+      |), m AS (
+      |  SELECT event_id, user_id, value,
+      |    CASE WHEN n >= 1
+      |         THEN CAST(s1 AS DOUBLE) / (100.0 * n) END AS base_mean,
+      |    CASE WHEN n >= 2
+      |         THEN sqrt(greatest(
+      |                (CAST(s2 AS DOUBLE)
+      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |                / (n - 1), 0.0)) / 100.0 END AS base_sd
+      |  FROM b
+      |)
+      |SELECT event_id, user_id, value, base_mean, base_sd,
+      |  CASE WHEN base_sd > 0 THEN (value - base_mean) / base_sd END AS z
+      |FROM m
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ Resample + ffill

@@ -22,28 +22,47 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- §2.5 A1
   /** TPC-H Q1-shaped pricing summary (ref ipynb c13:23-27, SURVEY §2.5 A1).
-    * Partial (map-side) agg + one shuffle on a 6-value key: fully scalable. */
+    * Partial (map-side) agg + one shuffle on a 6-value key: fully scalable.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling — r13): the
+    * money columns are 2-decimal quantized, so price sums are carried
+    * as INTEGER CENTS (`sum(round(x*100))` partial-aggregates exactly
+    * in any order; the discounted sum's per-row term
+    * `ec·(100−dc) ≤ ~10^9` keeps group sums ≪ 2^63 up to ~10^9 rows
+    * per group — beyond that, switch the accumulator to DECIMAL(38,0),
+    * the [[ExtraQueries.qCorr]] pattern) with ONE terminal division
+    * per emitted column. `sum_qty`/`avg_qty` stay plain doubles:
+    * quantities are integer-valued, so every partial sum is an exact
+    * integer < 2^53 in ANY order, and the terminal divisions are IEEE-
+    * deterministic. The r12 spelling (raw `sum(l_extendedprice)`) was
+    * hash-green only by layout luck — DeterminismSpec's reordered-copy
+    * sweep flips it. */
   def q1Agg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"),
+        round(col("l_discount") * lit(100)).cast("long").as("dc"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+        (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0))
+          .as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_discount")).as("avg_disc"),
+        (sum(col("dc")).cast("double") / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_base_price,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  CAST(sum(ec) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(sum(ec * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
       |  avg(l_quantity) AS avg_qty,
-      |  avg(l_discount) AS avg_disc,
+      |  CAST(sum(dc) AS DOUBLE) / (100.0 * count(*)) AS avg_disc,
       |  count(*) AS count_order
-      |FROM lineitem
+      |FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+      |        CAST(round(l_discount * 100) AS BIGINT) AS dc FROM lineitem)
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 

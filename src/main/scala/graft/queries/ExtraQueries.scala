@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{AsOfJoin, SaltedAgg}
@@ -70,32 +70,44 @@ object ExtraQueries {
 
   /** Pivot: per-user event-type value sums as columns. Oracle via
     * conditional aggregation (identical semantics, no PIVOT syntax
-    * dependence). */
+    * dependence). Sums are carried as integer cents (values are
+    * 2-decimal quantized) with one terminal division — exact in any
+    * partial-agg order, so bit-stable under layout moves
+    * (DeterminismSpec); an absent (user, type) cell stays NULL through
+    * the division on both engines. */
   def qPivot(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("c"))
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(sum(col("value")))
+      .agg(sum(col("c")).cast("double") / lit(100.0))
       .orderBy(col("user_id"))
 
   val qPivotSql: String =
     """SELECT user_id,
-      |  sum(value) FILTER (WHERE event_type = 'click') AS click,
-      |  sum(value) FILTER (WHERE event_type = 'error') AS error,
-      |  sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
-      |  sum(value) FILTER (WHERE event_type = 'signup') AS signup,
-      |  sum(value) FILTER (WHERE event_type = 'view') AS view
-      |FROM events
+      |  CAST(sum(c) FILTER (WHERE event_type = 'click') AS DOUBLE) / 100.0 AS click,
+      |  CAST(sum(c) FILTER (WHERE event_type = 'error') AS DOUBLE) / 100.0 AS error,
+      |  CAST(sum(c) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 100.0 AS purchase,
+      |  CAST(sum(c) FILTER (WHERE event_type = 'signup') AS DOUBLE) / 100.0 AS signup,
+      |  CAST(sum(c) FILTER (WHERE event_type = 'view') AS DOUBLE) / 100.0 AS view
+      |FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c FROM events)
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
   /** Rollup: revenue at (returnflag, linestatus), (returnflag), ()
     * levels. Null grouping keys are replaced so the total ordering is
-    * hash-stable across engines. */
+    * hash-stable across engines. Price sums in integer cents + one
+    * terminal division (class-2 integer-exact spelling) — the rollup's
+    * subtotal rows re-sum the same partials in engine-chosen order,
+    * which is exactly where a raw double sum drifts. */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .agg((sum(col("ec")).cast("double") / lit(100.0)).as("sum_price"),
+        count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("sum_price"), col("n"))
@@ -104,8 +116,9 @@ object ExtraQueries {
   val qRollupSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
-      |  sum(l_extendedprice) AS sum_price, count(*) AS n
-      |FROM lineitem
+      |  CAST(sum(ec) AS DOUBLE) / 100.0 AS sum_price, count(*) AS n
+      |FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS ec
+      |      FROM lineitem)
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
@@ -438,11 +451,16 @@ object ExtraQueries {
     * NULL groups. */
   def qGroupingSets(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    // Price sums in integer cents + one terminal division (class-2
+    // integer-exact spelling; see qRollup — subtotal sets re-sum the
+    // same partials in engine-chosen order).
     s.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  grouping_id(l_returnflag, l_linestatus) AS gid,
-        |  sum(l_extendedprice) AS sum_price, count(*) AS n
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price,
+        |  count(*) AS n
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, rf, ls""".stripMargin)
@@ -452,7 +470,9 @@ object ExtraQueries {
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  grouping_id(l_returnflag, l_linestatus) AS gid,
-      |  sum(l_extendedprice) AS sum_price, count(*) AS n
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_price,
+      |  count(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY gid, rf, ls""".stripMargin
@@ -910,62 +930,155 @@ object ExtraQueries {
 
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
-    * feature-correlation profiling). Outputs rounded to 9 decimals on
-    * both sides: corr/covar accumulate moments in engine-specific
-    * order, so the raw doubles diverge by ~1 ulp across engines
-    * (float-determinism policy, COVERAGE.md). */
-  def qCorr(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    * feature-correlation profiling).
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling — r13): the
+    * r12 version emitted engine-internal `corr`/`covar_samp` rounded
+    * at 9, which still flipped when a raw moment landed on a rounding
+    * boundary (caught by DeterminismSpec's reordered-layout sweep).
+    * Now the EXACT integer moments `(n, Σx, Σy, Σxy, Σx², Σy²)` are
+    * accumulated over integer-scaled columns (quantity is integral;
+    * price/discount/tax are 2-decimal → cents), and Pearson/covariance
+    * are derived by one explicit terminal formula, identical on both
+    * engines — bit-exact by IEEE determinism, no rounding. Σ(ec²) can
+    * exceed 2^63 (≈10^14/row), so that one moment is accumulated as
+    * DECIMAL(38,0) on the Spark side (DuckDB's BIGINT sum widens to
+    * HUGEINT exactly); both feed the formula through one
+    * exact-integer → double cast. Pearson is scale-invariant, so
+    * computing it over cents equals the dollar-unit value; covariance
+    * is descaled by the terminal /100. Zero-variance groups are NULL
+    * via an explicit denominator guard on both engines. */
+  def qCorr(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"),
+        round(col("l_discount") * lit(100)).cast("long").as("dc"),
+        round(col("l_tax") * lit(100)).cast("long").as("tc"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 9).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 9).as("cov_qty_price"),
-        round(corr(col("l_discount"), col("l_tax")), 9).as("corr_disc_tax"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("q")).cast("double").as("sq"),
+        sum(col("ec")).cast("double").as("se"),
+        sum(col("q") * col("ec")).cast("double").as("sqe"),
+        sum(col("q") * col("q")).cast("double").as("sqq"),
+        sum(col("ec").cast("decimal(19,0)") * col("ec").cast("decimal(19,0)"))
+          .cast("double").as("see"),
+        sum(col("dc")).cast("double").as("sd"),
+        sum(col("tc")).cast("double").as("st"),
+        sum(col("dc") * col("tc")).cast("double").as("sdt"),
+        sum(col("dc") * col("dc")).cast("double").as("sdd"),
+        sum(col("tc") * col("tc")).cast("double").as("stt"))
+    // greatest(_, 0) guards the sqrt against a tiny-negative
+    // cancellation residue of a zero-variance group (DuckDB's sqrt
+    // raises on negatives; Spark's returns NaN — both unwanted).
+    def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column, syy: Column): Column = {
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0)))
+      when(den > 0.0, (n * sxy - sx * sy) / den)
+    }
+    g.select(col("l_returnflag"),
+      pearson(col("n"), col("sq"), col("se"), col("sqe"), col("sqq"), col("see"))
+        .as("corr_qty_price"),
+      when(col("n") > 1.0,
+        (col("sqe") - col("sq") * col("se") / col("n")) / (col("n") - 1.0) / 100.0)
+        .as("cov_qty_price"),
+      pearson(col("n"), col("sd"), col("st"), col("sdt"), col("sdd"), col("stt"))
+        .as("corr_disc_tax"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qCorrSql: String =
-    """SELECT l_returnflag,
-      |  round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_extendedprice), 9) AS cov_qty_price,
-      |  round(corr(l_discount, l_tax), 9) AS corr_disc_tax
-      |FROM lineitem
-      |GROUP BY l_returnflag
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS sq,
+      |    CAST(sum(ec) AS DOUBLE) AS se,
+      |    CAST(sum(q * ec) AS DOUBLE) AS sqe,
+      |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+      |    CAST(sum(ec * ec) AS DOUBLE) AS see,
+      |    CAST(sum(dc) AS DOUBLE) AS sd,
+      |    CAST(sum(tc) AS DOUBLE) AS st,
+      |    CAST(sum(dc * tc) AS DOUBLE) AS sdt,
+      |    CAST(sum(dc * dc) AS DOUBLE) AS sdd,
+      |    CAST(sum(tc * tc) AS DOUBLE) AS stt
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS BIGINT) AS q,
+      |          CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+      |          CAST(round(l_discount * 100) AS BIGINT) AS dc,
+      |          CAST(round(l_tax * 100) AS BIGINT) AS tc
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |  CASE WHEN sqrt(greatest(n * sqq - sq * sq, 0.0))
+      |         * sqrt(greatest(n * see - se * se, 0.0)) > 0
+      |       THEN (n * sqe - sq * se)
+      |            / (sqrt(greatest(n * sqq - sq * sq, 0.0))
+      |               * sqrt(greatest(n * see - se * se, 0.0)))
+      |  END AS corr_qty_price,
+      |  CASE WHEN n > 1
+      |       THEN (sqe - sq * se / n) / (n - 1.0) / 100.0 END AS cov_qty_price,
+      |  CASE WHEN sqrt(greatest(n * sdd - sd * sd, 0.0))
+      |         * sqrt(greatest(n * stt - st * st, 0.0)) > 0
+      |       THEN (n * sdt - sd * st)
+      |            / (sqrt(greatest(n * sdd - sd * sd, 0.0))
+      |               * sqrt(greatest(n * stt - st * st, 0.0)))
+      |  END AS corr_disc_tax
+      |FROM m
       |ORDER BY l_returnflag""".stripMargin
 
   /** TPC-H Q6-shaped forecasting-revenue filter-aggregate: the whole
     * predicate reaches the parquet reader (PushedFilters), one partial+
-    * final agg, no shuffle of any width. */
+    * final agg, no shuffle of any width. Revenue is accumulated as the
+    * exact integer `Σ ec·dc` (price cents × discount hundredths,
+    * ≤ ~10^9/row) with one terminal /10⁴ — bit-stable in any
+    * partial-agg order (class-2 integer-exact spelling). */
   def qRevenueFilterAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+      .select(round(col("l_extendedprice") * lit(100)).cast("long").as("ec"),
+        round(col("l_discount") * lit(100)).cast("long").as("dc"))
+      .agg((sum(col("ec") * col("dc")).cast("double") / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n"))
 
   val qRevenueFilterAggSql: String =
-    """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS revenue,
+      |  count(*) AS n
       |FROM lineitem
       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q3-shaped shipping priority: selective dimension filter
-    * broadcast into the fact join, grouped top-10 by revenue. */
+    * broadcast into the fact join, grouped top-10 by revenue. Revenue
+    * is the exact integer `Σ ec·(100−dc)` with one terminal /10⁴
+    * (class-2 integer-exact spelling) — which also makes the
+    * top-10-by-revenue CUTOFF layout-stable, not just the printed
+    * values (a rank flip from a wobbling sum would swap rows 10/11). */
   def qShippingPriority(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"),
+        round(col("l_discount") * lit(100)).cast("long").as("dc"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg((sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
 
   val qShippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -66,9 +66,17 @@ object JoinQueries {
   // ---------------------------------------------------------------- multi-join
   /** TPC-H Q5-shaped star join: revenue per nation. Dimension chain
     * (customer→nation→region) broadcasts; lineitem⋈orders is the only
-    * shuffle (both sides partitioned on the order key). */
+    * shuffle (both sides partitioned on the order key). Revenue is the
+    * exact integer `Σ ec·(100−dc)` (price cents × retained-discount
+    * hundredths) with one terminal /10⁴ — bit-stable in any partial-agg
+    * order (class-2 integer-exact spelling, r13; the raw double sum
+    * was layout-lucky and flipped under DeterminismSpec's reordered
+    * copy). */
   def qJoinRevenueByNation(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"),
+        round(col("l_discount") * lit(100)).cast("long").as("dc"))
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
@@ -79,7 +87,8 @@ object JoinQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -513,7 +522,9 @@ object JoinQueries {
 
   val qJoinRevenueByNationSql: String =
     """SELECT r_name, n_name,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -72,12 +72,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val badId = out.filter(
       abs(col("y") - col("trend") - col("seasonal") - col("resid")) > 1e-6).count()
     assert(badId == 0)
-    // seasonal is the mean detrended value per hour-of-day, so the
-    // residual means per hour-of-day are zero by construction
-    val hodMeans = out.withColumn("hod", hour(col("hour_ts")))
+    // seasonal is the mean detrended value per hour-of-day ESTIMATED
+    // over full ±12 frames (the integer-exact r13 spelling), so the
+    // residual means per hour-of-day vanish by construction over
+    // exactly those rows: in a ROWS frame the full-frame rows are
+    // positions 12 .. n-13 of the hour_ts order.
+    val pos = org.apache.spark.sql.expressions.Window.orderBy(col("hour_ts"))
+    val hodMeans = out
+      .withColumn("i", row_number().over(pos))
+      .filter(col("i") > 12 && col("i") <= lit(n - 12))
+      .withColumn("hod", hour(col("hour_ts")))
       .groupBy(col("hod")).agg(avg(col("resid")).as("m"))
       .filter(abs(col("m")) > 1e-6).count()
-    assert(hodMeans == 0, "per-hod residual means must vanish")
+    assert(hodMeans == 0, "per-hod full-frame residual means must vanish")
     // a moving average can never leave the data's range
     val r = out.agg(min(col("y")).as("lo"), max(col("y")).as("hi")).head()
     val badTrend = out.filter(col("trend") < r.getDouble(0) - 1e-9 ||
