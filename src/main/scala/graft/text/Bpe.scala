@@ -224,19 +224,6 @@ object Bpe {
     s
   }
 
-  /** Distributed encoding of a corpus with a learned merge table —
-    * the apply side of [[learnMerges]], and the honest way to count
-    * post-tokenization tokens for packing/budgeting. Same word-table
-    * trick as training: the corpus reduces to DISTINCT words
-    * (vocab-bounded, Heaps' law), each word is encoded ONCE, and
-    * documents join their tokens back to the per-word piece counts.
-    * The imperative merge loop runs via `mapPartitions` over the
-    * VOCAB — bounded rows, never the corpus; a documented last-resort
-    * (genuinely iterative per-row logic, the same exemption as the
-    * multimodal codec) with the merge ranks broadcast once. The
-    * corpus-side work is one explode+groupBy and one (vocab-sized,
-    * AQE-broadcastable) join — no UDF ever touches a document row.
-    * Returns (doc_id, n_tokens, n_pieces) per document. */
   /** Encode the corpus VOCABULARY with the pieces kept — the
     * inversion-gate surface ([[encodeStats]] keeps only counts):
     * (word, pieces) over the distinct words. Same vocab-bounded
@@ -257,6 +244,19 @@ object Bpe {
       }.toDF("w", "pieces")
   }
 
+  /** Distributed encoding of a corpus with a learned merge table —
+    * the apply side of [[learnMerges]], and the honest way to count
+    * post-tokenization tokens for packing/budgeting. Same word-table
+    * trick as training: the corpus reduces to DISTINCT words
+    * (vocab-bounded, Heaps' law), each word is encoded ONCE, and
+    * documents join their tokens back to the per-word piece counts.
+    * The imperative merge loop runs via `mapPartitions` over the
+    * VOCAB — bounded rows, never the corpus; a documented last-resort
+    * (genuinely iterative per-row logic, the same exemption as the
+    * multimodal codec) with the merge ranks broadcast once. The
+    * corpus-side work is one explode+groupBy and one (vocab-sized,
+    * AQE-broadcastable) join — no UDF ever touches a document row.
+    * Returns (doc_id, n_tokens, n_pieces) per document. */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
