@@ -381,6 +381,89 @@ object Streaming {
     * data path; an idle user's state is evicted by `EventTimeTimeout`
     * once the watermark passes the newest session's close boundary,
     * emitting that session's final form. */
+  /** Per-event trailing frame state for [[anomalyScores]]: the last
+    * ≤ `window` values IN CENTS, newest last. The frame is COUNT-based
+    * (ROWS BETWEEN window PRECEDING AND 1 PRECEDING), so eviction needs
+    * the raw trailing values, not just running sums — the exact
+    * `(n, Σc, Σc²)` triple is derived per event from the ring, which
+    * keeps the state bounded at `window` longs (~½ KB) per user
+    * regardless of stream length. */
+  final case class TrailBuffer(cents: Seq[Long])
+
+  final case class AnomalyScore(event_id: Long, user_id: Long,
+      value: Double, base_mean: Option[Double], base_sd: Option[Double],
+      z: Option[Double])
+
+  /** Streaming face of
+    * [[graft.queries.AnalyticsQueries.qRollingAnomaly]] — online
+    * per-entity drift/outlier monitoring: each event is scored against
+    * its user's trailing `window` events (current row EXCLUDED, so a
+    * spike can't suppress its own baseline), with per-user ring-buffer
+    * state folded across trigger batches via flatMapGroupsWithState.
+    *
+    * EXACT-REPLAY CONTRACT (StreamingSpec): emits the batch twin's
+    * rows bit-for-bit. The arithmetic is the twin's integer-exact
+    * spelling — values are 2-decimal quantized, the ring holds exact
+    * integer cents, and mean/variance are derived per event by the
+    * IDENTICAL terminal IEEE expressions (`mean = Σc/(100·n)`,
+    * `var = (Σc² − Σc·Σc/n)/(n−1)`, `sd = √max(var,0)/100`, z only
+    * when sd > 0) — so stream == batch is exact equality, not
+    * tolerance. Events are sorted by (ts, event_id) within each
+    * micro-batch; the equality contract assumes per-user event-time-
+    * monotonic trigger batches (the same in-order-arrival premise as
+    * the sessionization replay spec — a cross-batch straggler scores
+    * against a baseline that already absorbed newer events).
+    *
+    * Scale shape: one stateful shuffle on user_id (high cardinality,
+    * no hub hazard); state is `window` longs per user — 10^9 users ≈
+    * 0.5 TB across a 1000-executor state store, linear and spillable.
+    * NoTimeout by default: the baseline survives idle periods, which
+    * is the monitoring semantics (an aged baseline is still a
+    * baseline); deployments that must reclaim dormant keys can wrap
+    * this with an event-time timeout that drops state — the next
+    * event then re-warms from an empty frame, a documented semantic
+    * deviation from the batch twin. */
+  def anomalyScores(events: Dataset[Event], window: Int = 50)(
+      implicit enc: org.apache.spark.sql.Encoder[AnomalyScore],
+      encL: org.apache.spark.sql.Encoder[Long]): Dataset[AnomalyScore] = {
+    implicit val bufEnc: org.apache.spark.sql.Encoder[TrailBuffer] =
+      org.apache.spark.sql.Encoders.product[TrailBuffer]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrailBuffer, AnomalyScore](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TrailBuffer]) =>
+          var ring = state.getOption.map(_.cents.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val n = ring.length
+            val (mean, sd) =
+              if (n >= 1) {
+                var s1 = 0L; var s2 = 0L
+                ring.foreach { c => s1 += c; s2 += c * c }
+                // spelled exactly like the batch twin's terminal
+                // expressions (double ÷ promoted long, same op order)
+                val m = s1.toDouble / (100.0 * n)
+                val s =
+                  if (n >= 2) {
+                    val v = (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+                    Some(math.sqrt(math.max(v, 0.0)) / 100.0)
+                  } else None
+                (Some(m), s)
+              } else (None, None)
+            val z = (mean, sd) match {
+              case (Some(m), Some(s)) if s > 0.0 => Some((e.value - m) / s)
+              case _ => None
+            }
+            // push AFTER scoring: the -1 frame bound excludes this row
+            ring = (ring :+ math.round(e.value * 100)).takeRight(window)
+            AnomalyScore(e.event_id, userId, e.value, mean, sd, z)
+          }
+          state.update(TrailBuffer(ring))
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Long,
       watermark: String = "30 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[UserSession],

@@ -891,4 +891,49 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(live == Map(1L -> 30.0, 5L -> 5.0))
   }
+
+  test("streaming rolling anomaly replay: multi-trigger ring-buffer state == batch twin, bit-exact") {
+    // Feed the whole sf0.001 events fixture in three ts-ordered trigger
+    // batches (one file each, so the in-order contract holds across
+    // micro-batches) and require EXACT equality with the hash-green
+    // batch twin: the operator's integer-cents spelling makes stream
+    // == batch a bit-for-bit claim, not a tolerance claim.
+    import java.nio.file.{Files => JFiles}
+    val all = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // rows SHUFFLED within each trigger batch (seeded): the operator
+    // must re-establish (ts, event_id) order inside every micro-batch;
+    // only the CROSS-batch order is the contract
+    val rnd = new scala.util.Random(13)
+    val chunks = all.grouped((all.length + 2) / 3).toSeq
+      .map(c => rnd.shuffle(c.toSeq))
+    val dir = JFiles.createTempDirectory("graft-anomaly")
+    val watch = JFiles.createTempDirectory("graft-anomaly-stream")
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(watch.toString).as[Streaming.Event]
+    val q = Streaming.anomalyScores(events)
+      .writeStream.format("memory").queryName("anomaly_scores")
+      .outputMode("append").start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toSeq.toDS().coalesce(1).write.parquet(dir.resolve(s"b$i").toString)
+        JFiles.list(dir.resolve(s"b$i")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            JFiles.copy(p, watch.resolve(s"b$i-${p.getFileName}"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the batch twin emits (event_id, user_id, value, base_mean,
+    // base_sd, z) — same field order as AnomalyScore, so Row.toString
+    // comparison is a bitwise claim on every double
+    val got = spark.table("anomaly_scores").orderBy(col("event_id"))
+      .collect().map(_.toString)
+    val want = graft.queries.AnalyticsQueries.qRollingAnomaly(spark, sf001)
+      .collect().map(_.toString)
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
 }
