@@ -55,7 +55,8 @@ object ExplainDump {
     // the plans that matter are the registered per-tier queries below
     "q_supplier_wait",
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
-    "q_multimodal_dedup", "q_langid_mixture", "q_corpus_shuffle",
+    "q_multimodal_dedup", "q_multimodal_dedup_wide", "q_langid_mixture",
+    "q_corpus_shuffle",
     "q_sample_reservoir", "q_seasonal_decompose", "q_rolling_anomaly")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body

@@ -153,32 +153,74 @@ object Multimodal {
   def perceptualSignatures(media: Dataset[MediaRow]): Dataset[MediaSig] = {
     val spark = media.sparkSession
     import spark.implicits._
+    perceptualSignaturesN(media, 64)
+      .map(sn => MediaSig(sn.media_id, sn.kind, sn.sig.head, sn.valid))
+  }
+
+  /** Width-parameterized signature: `gridBits / 64` little-endian
+    * words, word 0 bit 0 = cell 0. */
+  final case class MediaSigN(media_id: Long, kind: String, sig: Seq[Long],
+      valid: Boolean)
+
+  /** [[perceptualSignatures]] at an arbitrary multiple-of-64 grid
+    * width — the saturation escape hatch its 64-bit scaladoc promises:
+    * past ~2^16 media rows the 16-bit band keys of the narrow config
+    * collide linearly, so a bigger lake WIDENS the signature
+    * (128/256-bit grids) and keeps band keys ≥ 20 bits
+    * ([[signaturePairsWide]] enforces the floor). Same aHash contract
+    * at every width: channels averaged, equal pixel runs per cell,
+    * threshold against the grid mean — a GLOBAL brightness shift
+    * moves every cell and the mean together, so the invariance
+    * survives widening (MultimodalSpec pins it at 128). Grid cells
+    * beyond the pixel count stay empty and threshold to 0
+    * deterministically — harmless for matching (identical payloads
+    * stay identical), but they dilute per-band entropy, so the width
+    * should track payload size, not exceed it. */
+  def perceptualSignaturesN(media: Dataset[MediaRow], gridBits: Int): Dataset[MediaSigN] = {
+    require(gridBits > 0 && gridBits % 64 == 0,
+      s"gridBits must be a positive multiple of 64, got $gridBits")
+    val spark = media.sparkSession
+    import spark.implicits._
     media.mapPartitions(_.map { m =>
       MediaCodec.decode(m.bytes) match {
         case Some((w, h, c, p)) =>
           val pixels = w * h
-          val cell = new Array[Double](64)
-          val cnt = new Array[Long](64)
+          val cell = new Array[Double](gridBits)
+          val cnt = new Array[Long](gridBits)
           var i = 0
           while (i < pixels) {
             var s = 0; var ch = 0
             while (ch < c) { s += p(i * c + ch) & 0xFF; ch += 1 }
-            val idx = (i.toLong * 64 / pixels).toInt
+            val idx = (i.toLong * gridBits / pixels).toInt
             cell(idx) += s.toDouble / c; cnt(idx) += 1
             i += 1
           }
+          // threshold against the mean of POPULATED cells only: when
+          // gridBits exceeds the pixel count the empty cells would
+          // otherwise drag the mean to ~half the true cell average and
+          // every populated cell would read 1 — signatures degenerate
+          // to one shared key and the banded join goes quadratic
+          // (measured: a 0x5555… key held ~30% of the harness lake
+          // before this guard). Empty cells emit 0 deterministically.
+          // For payloads ≥ gridBits pixels every cell is populated and
+          // this is EXACTLY the classical aHash mean.
           var mean = 0.0
+          var nPop = 0L
           var j = 0
-          while (j < 64) {
-            if (cnt(j) > 0) cell(j) /= cnt(j)
-            mean += cell(j); j += 1
+          while (j < gridBits) {
+            if (cnt(j) > 0) { cell(j) /= cnt(j); mean += cell(j); nPop += 1 }
+            j += 1
           }
-          mean /= 64
-          var sig = 0L
+          mean /= nPop
+          val words = new Array[Long](gridBits / 64)
           j = 0
-          while (j < 64) { if (cell(j) >= mean) sig |= 1L << j; j += 1 }
-          MediaSig(m.media_id, m.kind, sig, valid = true)
-        case None => MediaSig(m.media_id, m.kind, 0L, valid = false)
+          while (j < gridBits) {
+            if (cnt(j) > 0 && cell(j) >= mean) words(j >> 6) |= 1L << (j & 63)
+            j += 1
+          }
+          MediaSigN(m.media_id, m.kind, words.toSeq, valid = true)
+        case None =>
+          MediaSigN(m.media_id, m.kind, Seq.fill(gridBits / 64)(0L), valid = false)
       }
     })
   }
@@ -227,6 +269,74 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** The banded frame shared by [[signaturePairsWide]] and
+    * [[bandOccupancy]]: one row per (media, band) with the band's key
+    * sliced out of the word array (word `b / bandsPerWord`, offset
+    * `(b % bandsPerWord) · bandBits`). */
+  private def bandedWide(sigs: DataFrame, gridBits: Int, bandBits: Int): DataFrame = {
+    require(bandBits >= 20,
+      s"band keys below 20 bits saturate past ~2^16 rows (the narrow " +
+        s"config's documented limit) — got $bandBits")
+    require(64 % bandBits == 0 && gridBits % 64 == 0,
+      s"bandBits must divide 64 and gridBits must be a multiple of 64, " +
+        s"got gridBits=$gridBits bandBits=$bandBits")
+    val bandsPerWord = 64 / bandBits
+    val numBands = (gridBits / 64) * bandsPerWord
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandExprs = (0 until numBands).map { b =>
+      val w = b / bandsPerWord
+      val off = (b % bandsPerWord) * bandBits
+      expr(s"shiftright(sig[$w], $off) & $mask")
+    }
+    sigs.filter(col("valid"))
+      .select(col("media_id"), col("sig"),
+        posexplode(array(bandExprs: _*)).as(Seq("band", "key")))
+  }
+
+  /** [[signaturePairs]] for wide ([[MediaSigN]]) signatures — the
+    * production-scale config the narrow scaladoc points at: with
+    * `bandBits ≥ 20` (enforced) expected per-key occupancy stays O(1)
+    * well past 2^16 rows, so candidate volume grows linearly with the
+    * lake, not quadratically. Pigeonhole guarantee at every width:
+    * fewer than `numBands` flipped bits leave ≥ 1 band intact (each
+    * flip damages at most one band) → recall exactly 1.0 for pairs
+    * within `numBands − 1` flips — and trivially for verbatim
+    * re-uploads — spec-pinned at 128 and 256 bits. The Hamming verify
+    * is a per-word XOR popcount sum over the word array; only
+    * (id, band-key) longs travel through the join, never media
+    * bytes. [[bandOccupancy]] is the companion skew surface — gate it
+    * (q_multimodal_dedup_wide_bounds does) so saturation is a
+    * measured property, not a hope. */
+  def signaturePairsWide(sigs: DataFrame, gridBits: Int,
+      maxHamming: Int, bandBits: Int = 32): DataFrame = {
+    val words = gridBits / 64
+    val hammingExpr = (0 until words)
+      .map(w => s"bit_count(sig_a[$w] ^ sig_b[$w])").mkString(" + ")
+    val banded = bandedWide(sigs, gridBits, bandBits)
+    val a = banded.select(col("media_id").as("id_a"), col("band"),
+      col("key"), col("sig").as("sig_a"))
+    val b = banded.select(col("media_id").as("id_b"), col("band"),
+      col("key"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr(hammingExpr).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Per-(band, key) occupancy of the wide banded index — the skew
+    * diagnostic for the candidate join: a hot key turns the equi-join
+    * quadratic locally (C(occupancy, 2) candidate pairs), so the
+    * expected-O(1) claim behind [[signaturePairsWide]] should be
+    * GATED on the measured max, the q_skew_diagnostics discipline. */
+  def bandOccupancy(sigs: DataFrame, gridBits: Int,
+      bandBits: Int = 32): DataFrame =
+    bandedWide(sigs, gridBits, bandBits)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
 
   /** Deterministic perceptual perturbation for fixtures: re-encode
     * with the first 1/16th of the payload brightened by +100 (mod

@@ -151,6 +151,98 @@ object MultimodalQueries {
       |  t(tier, lake_nonempty, exact_dups_all_found,
       |    perturbed_recall_ok, hamming_matches_recompute)""".stripMargin
 
+  /** The wide (production-scale) perceptual config, ONE definition
+    * shared by query, bounds gate, and spec: 128-bit grid, 32-bit
+    * band keys (4 bands), verify threshold scaled with the grid
+    * (16/64 → 32/128). 32-bit keys keep expected per-key occupancy
+    * O(1) past 2^16 rows — the saturation the narrow config's
+    * scaladoc documents as its limit. */
+  val WideGridBits = 128
+  val WideBandBits = 32
+  val WideMaxHamming = 32
+
+  /** Multimodal near-dedup at the WIDE signature width — the
+    * registered face of [[Multimodal.signaturePairsWide]]'s
+    * beyond-2^16 scale path (the narrow q_multimodal_dedup stays the
+    * harness-lake config). Rows-only like its sibling; the recall /
+    * recompute / occupancy invariants are
+    * q_multimodal_dedup_wide_bounds. */
+  def qMultimodalDedupWide(s: SparkSession, d: String): DataFrame =
+    Multimodal.signaturePairsWide(
+      Multimodal.perceptualSignaturesN(dedupMedia(s, d), WideGridBits).toDF(),
+      gridBits = WideGridBits, maxHamming = WideMaxHamming,
+      bandBits = WideBandBits)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Bounds gate for the wide tier — the narrow gate's contract at
+    * 128 bits PLUS the occupancy bound the widening exists to buy:
+    * (a) verbatim copies at Hamming 0, recall exactly 1.0 (pigeonhole
+    * — identical signatures share all four 32-bit bands); (b) local
+    * perturbation recovered at ≥ 0.9 (the edit damages the leading
+    * cells' bands; the trailing bands stay intact); (c) every emitted
+    * pair's reported Hamming equals an independent per-word XOR
+    * popcount recompute from signatures re-fetched by id, none over
+    * the registered threshold; (d) max per-(band, key) occupancy ≤ 12
+    * — planted structure contributes 3 rows per content key (base +
+    * copy + perturbed-with-intact-band) and 32-bit keys make random
+    * collisions between content groups rare (measured max 3/·/9 at
+    * sf0.001/0.01/0.1 — the planted triple plus birthday pile-ups),
+    * so a dozen bounds every harness SF with headroom while
+    * SATURATION — the failure mode this gate exists to catch, e.g.
+    * the pre-fix degenerate threshold that parked ~30% of the lake on
+    * one 0x5555… key — scales with N and blows through it
+    * immediately. Fail-closed on `lake_nonempty`. */
+  def qMultimodalDedupWideBounds(s: SparkSession, d: String): DataFrame = {
+    val off = DedupQueries.IdOffset
+    val sigs = Multimodal
+      .perceptualSignaturesN(dedupMedia(s, d), WideGridBits).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Multimodal.signaturePairsWide(sigs,
+        gridBits = WideGridBits, maxHamming = WideMaxHamming,
+        bandBits = WideBandBits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nBase = media(s, d).count()
+        val exactFound = pairs
+          .filter(col("id_b") === col("id_a") + off && col("id_a") < off &&
+            col("hamming") === 0).count()
+        val noisedFound = pairs
+          .filter(col("id_b") === col("id_a") + 2L * off && col("id_a") < off)
+          .count()
+        val words = WideGridBits / 64
+        val recompute = (0 until words)
+          .map(w => s"bit_count(ra[$w] ^ rb[$w])").mkString(" + ")
+        val recomputeBad = pairs
+          .join(sigs.select(col("media_id").as("id_a"), col("sig").as("ra")),
+            Seq("id_a"))
+          .join(sigs.select(col("media_id").as("id_b"), col("sig").as("rb")),
+            Seq("id_b"))
+          .filter(expr(recompute).cast("int") =!= col("hamming") ||
+            expr(recompute).cast("int") > WideMaxHamming)
+          .count()
+        val occ = Multimodal.bandOccupancy(sigs, WideGridBits, WideBandBits)
+          .agg(max(col("n")).as("mx")).head()
+        val maxOcc = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+        import s.implicits._
+        Seq(("perceptual_wide", nBase > 0, exactFound == nBase,
+            nBase > 0 && noisedFound.toDouble / nBase >= 0.9,
+            recomputeBad == 0L,
+            maxOcc > 0L && maxOcc <= 12L))
+          .toDF("tier", "lake_nonempty", "exact_dups_all_found",
+            "perturbed_recall_ok", "hamming_matches_recompute",
+            "occupancy_bounded")
+      } finally { pairs.unpersist(); () }
+    } finally { sigs.unpersist(); () }
+  }
+
+  val qMultimodalDedupWideBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('perceptual_wide', true, true, true, true, true))
+      |  t(tier, lake_nonempty, exact_dups_all_found,
+      |    perturbed_recall_ok, hamming_matches_recompute,
+      |    occupancy_bounded)""".stripMargin
+
   /** Oracle row for the multimodal tier — the property-gate contract
     * of the sketch-bounds family applied to the codec plumbing: the
     * synthetic media lake's invariants are analytic (every generated
@@ -199,6 +291,8 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_dedup" -> (qMultimodalDedup _),
     "q_multimodal_dedup_bounds" -> (qMultimodalDedupBounds _),
+    "q_multimodal_dedup_wide" -> (qMultimodalDedupWide _),
+    "q_multimodal_dedup_wide_bounds" -> (qMultimodalDedupWideBounds _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -207,5 +301,6 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_dedup_bounds" -> qMultimodalDedupBoundsSql,
+    "q_multimodal_dedup_wide_bounds" -> qMultimodalDedupWideBoundsSql,
     "q_multimodal_bounds" -> qMultimodalBoundsSql)
 }

@@ -103,6 +103,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wide signatures: pigeonhole recall 1.0 at 128 and 256 bits for sub-numBands flips") {
+    // pure DataFrame-level claim, no codec needed: signaturePairsWide
+    // must recover EVERY pair whose Hamming distance is under the band
+    // count, because each flipped bit damages at most one band and at
+    // least one band then survives intact. Plant synthetic word-array
+    // signatures plus twins with exactly numBands-1 flipped bits, each
+    // flip in a DIFFERENT band (the adversarial placement: maximum
+    // bands damaged for the flip budget), and verbatim twins at 0.
+    import spark.implicits._
+    for (gridBits <- Seq(128, 256); bandBits = 32) {
+      val words = gridBits / 64
+      val numBands = gridBits / bandBits
+      val rnd = new scala.util.Random(gridBits)
+      val base = (0 until 40).map { i =>
+        (i.toLong, "synthetic", Seq.fill(words)(rnd.nextLong()), true)
+      }
+      val flipped = base.map { case (id, k, sig, v) =>
+        val arr = sig.toArray
+        // numBands-1 flips, one per band starting at band 1 — band 0
+        // is the guaranteed survivor
+        (1 until numBands).foreach { b =>
+          val bit = b * bandBits + rnd.nextInt(bandBits)
+          arr(bit / 64) ^= 1L << (bit % 64)
+        }
+        (id + 1000L, k, arr.toSeq, v)
+      }
+      val verbatim = base.map { case (id, k, sig, v) => (id + 2000L, k, sig, v) }
+      val sigs = (base ++ flipped ++ verbatim)
+        .toDF("media_id", "kind", "sig", "valid")
+      val got = Multimodal.signaturePairsWide(sigs, gridBits,
+        maxHamming = numBands, bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      base.foreach { case (id, _, _, _) =>
+        assert(got.contains((id, id + 1000L, numBands - 1)),
+          s"gridBits=$gridBits: ${numBands - 1}-flip twin of $id not recovered")
+        assert(got.contains((id, id + 2000L, 0)),
+          s"gridBits=$gridBits: verbatim twin of $id not recovered at hamming 0")
+      }
+    }
+  }
+
+  test("wide signatures: 128-bit brightness invariance and narrow/wide word-0 agreement") {
+    import spark.implicits._
+    // the wide path at 64 bits IS the narrow signature (same loop),
+    // so MediaSig.sig must equal MediaSigN word 0 at gridBits=64
+    val narrow = perceptualSignatures(media).collect()
+      .map(s => s.media_id -> s.sig).toMap
+    val wide64 = perceptualSignaturesN(media, 64).collect()
+      .map(s => s.media_id -> s.sig.head).toMap
+    assert(narrow == wide64)
+    // global brightness shift invariance survives widening: cells and
+    // the populated-cell mean move together at any width
+    def shiftAll(m: MediaRow, delta: Int, off: Long): MediaRow = {
+      val Some((w, h, c, p)) = MediaCodec.decode(m.bytes)
+      MediaRow(m.media_id + off, m.kind,
+        MediaCodec.encode(w, h, c, p.map(b => (((b & 0xFF) + delta) % 256).toByte)))
+    }
+    val rows = media.collect().take(12)
+    val safe = rows.filter { m =>
+      val Some((_, _, _, p)) = MediaCodec.decode(m.bytes)
+      p.forall(b => (b & 0xFF) + 40 < 256)
+    }
+    if (safe.nonEmpty) {
+      val both = safe.toSeq.toDS().union(safe.map(shiftAll(_, 40, 100000L)).toSeq.toDS())
+      val sigs = perceptualSignaturesN(both, 128).collect()
+        .map(s => s.media_id -> s.sig).toMap
+      safe.foreach(m => assert(sigs(m.media_id) == sigs(m.media_id + 100000L),
+        s"128-bit brightness shift changed signature for ${m.media_id}"))
+    }
+  }
+
   test("frame sampling: every 2nd frame, each a decodable 3-channel image") {
     val videos = decodeMeta(media).collect().filter(_.kind == "video")
     val frames = sampleFrames(media, everyN = 2).collect()
