@@ -57,7 +57,9 @@ object ExplainDump {
     "q_big_orders", "q_top_supplier_revenue", "q_cheapest_supplier",
     "q_multimodal_dedup", "q_multimodal_dedup_wide", "q_langid_mixture",
     "q_corpus_shuffle",
-    "q_sample_reservoir", "q_seasonal_decompose", "q_rolling_anomaly")
+    "q_sample_reservoir", "q_seasonal_decompose", "q_rolling_anomaly",
+    "q_market_share", "q_promo_share", "q_small_qty_revenue",
+    "q_banded_revenue")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

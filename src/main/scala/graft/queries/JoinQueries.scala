@@ -672,7 +672,221 @@ object JoinQueries {
       |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------ Q8 market share
+  /** National market share (the TPC-H Q8 shape): within one region's
+    * market for one part type, the share of revenue supplied by one
+    * nation, per order year — the "who is winning this market"
+    * competitive query, and the densest star in the suite (seven
+    * tables).
+    *
+    * Scale shape: lineitem⋈orders is the only wide shuffle; part
+    * (type-filtered), supplier, customer, and both nation/region
+    * dimension chains broadcast. The share is a RATIO of two exact
+    * integer revenue sums (cents × retained-discount hundredths,
+    * conditional numerator via an integer CASE) accumulated in ONE
+    * pass — one terminal division per year, bit-exact cross-engine
+    * (class-2 integer-exact spelling); no descale needed since the
+    * 10⁴ factors cancel. A year with no focal-nation rows reads share
+    * 0, not NULL. */
+  def qMarketShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * lit(100)).cast("long") *
+          (lit(100L) - round(col("l_discount") * lit(100)).cast("long")))
+          .as("rev_i"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("o_year"))
+    val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val cn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_19", col("rev_i"))
+          .otherwise(lit(0L))).as("num_i"),
+        sum(col("rev_i")).as("den_i"))
+      .select(col("o_year"),
+        (col("num_i").cast("double") / col("den_i")).as("mkt_share"),
+        (col("den_i").cast("double") / lit(10000.0)).as("volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val qMarketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_19' THEN rev_i ELSE 0 END)
+      |       AS DOUBLE) / sum(rev_i) AS mkt_share,
+      |  CAST(sum(rev_i) AS DOUBLE) / 10000.0 AS volume
+      |FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_i
+      |      FROM lineitem)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY year(o_orderdate)
+      |ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------ Q14 promo effect
+  /** Promotion revenue share (the TPC-H Q14 shape) per ship year: the
+    * percentage of revenue earned by promotional parts — the classic
+    * conditional-aggregate-over-a-join KPI.
+    *
+    * Scale shape: ONE shuffle (lineitem⋈part is broadcast on the
+    * dimension; the groupBy on the 7-value year key is partial-
+    * aggregable). promo_pct is 100·(exact integer num)/(exact integer
+    * den) — one multiply + one divide over exact inputs, bit-exact
+    * cross-engine. */
+  def qPromoShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("l_year"),
+        (round(col("l_extendedprice") * lit(100)).cast("long") *
+          (lit(100L) - round(col("l_discount") * lit(100)).cast("long")))
+          .as("rev_i"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_i")).otherwise(lit(0L)))
+          .as("num_i"),
+        sum(col("rev_i")).as("den_i"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_year"),
+        (lit(100.0) * col("num_i").cast("double") / col("den_i"))
+          .as("promo_pct"),
+        col("n_items"))
+      .orderBy(col("l_year"))
+  }
+
+  val qPromoShareSql: String =
+    """SELECT year(l_shipdate) AS l_year,
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END)
+      |              AS DOUBLE) / sum(rev_i) AS promo_pct,
+      |  count(*) AS n_items
+      |FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_i
+      |      FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY year(l_shipdate)
+      |ORDER BY l_year""".stripMargin
+
+  // ---------------------------------------------- Q17 small-quantity revenue
+  /** Small-quantity-order revenue (the TPC-H Q17 shape): average
+    * yearly revenue lost if orders under half a part's average
+    * quantity were not taken — the correlated-scalar-subquery shape
+    * (per-part average joined back against the same fact table).
+    *
+    * Scale shape: ONE fact scan (the Q21/Q18 discipline — the
+    * textbook's correlated subquery would rescan lineitem for the
+    * per-part profile): the brand's parts broadcast as a semi-filter,
+    * then per-part exact integer (Σq, n) come from an unbounded
+    * window over l_partkey — valid because the brand predicate is
+    * PART-sided, so the filtered slice still contains every lineitem
+    * of every surviving part, and the window partitions are bounded
+    * by per-part lineitem multiplicity (~tens), no hub hazard. The
+    * oracle replays the textbook two-pass CTE, so the hash gate is a
+    * plan-equivalence proof. The threshold compare
+    * `l_quantity < 0.5·(Σq/n)` is a double expression over exact
+    * integers, deterministic cross-engine, so the qualifying ROW SET
+    * is identical on both engines (the argmin/argmax IEEE-exactness
+    * argument, Q2's discipline); the emitted sum is exact cents with
+    * one terminal /700 (descale × 7-year horizon). */
+  def qSmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * lit(100)).cast("long").as("ec"))
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn("sq", sum(col("l_quantity").cast("long")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("l_quantity") <
+        lit(0.5) * (col("sq").cast("double") / col("cnt")))
+      .agg((sum(col("ec")).cast("double") / lit(700.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val qSmallQtyRevenueSql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 700.0 AS avg_yearly,
+      |  count(*) AS n_small
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+      |JOIN pq USING (l_partkey)
+      |WHERE l_quantity < 0.5 * (CAST(sq AS DOUBLE) / cnt)""".stripMargin
+
+  // ------------------------------------------------- Q19 disjunctive filter
+  /** Discounted revenue under a disjunction of brand/size/quantity
+    * bands (the TPC-H Q19 shape): three OR'd conjunctive predicates
+    * spanning both the fact and the dimension — the shape that
+    * exercises an optimizer's disjunction handling (no single band is
+    * pushable alone; the OR must evaluate post-join while each leg's
+    * common prefix still prunes).
+    *
+    * Scale shape: part broadcasts (the only join); the predicate is
+    * a pure row-local boolean over joined columns — no shuffle beyond
+    * the single global aggregate. Revenue is the exact integer
+    * `Σ ec·(100−dc)` with one terminal /10⁴. */
+  def qBandedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        (round(col("l_extendedprice") * lit(100)).cast("long") *
+          (lit(100L) - round(col("l_discount") * lit(100)).cast("long")))
+          .as("rev_i"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg((sum(col("rev_i")).cast("double") / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qBandedRevenueSql: String =
+    """SELECT CAST(sum(rev_i) AS DOUBLE) / 10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_i
+      |      FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_market_share" -> (qMarketShare _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_banded_revenue" -> (qBandedRevenue _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_join_bucketed" -> (qBucketedJoin _),
     "q_join_median_fill" -> (qJoinMedianFill _),
@@ -691,6 +905,10 @@ object JoinQueries {
     "q_join_anti" -> (qJoinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "q_market_share" -> qMarketShareSql,
+    "q_promo_share" -> qPromoShareSql,
+    "q_small_qty_revenue" -> qSmallQtyRevenueSql,
+    "q_banded_revenue" -> qBandedRevenueSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_join_bucketed" -> qBucketedJoinSql,
     "q_join_median_fill" -> qJoinMedianFillSql,

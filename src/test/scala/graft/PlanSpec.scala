@@ -211,6 +211,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q8/Q14/Q17/Q19 shapes: one fact scan each, dimensions broadcast, no cartesian") {
+    Seq("Q8" -> JoinQueries.qMarketShare(spark, sf001),
+        "Q14" -> JoinQueries.qPromoShare(spark, sf001),
+        "Q17" -> JoinQueries.qSmallQtyRevenue(spark, sf001),
+        "Q19" -> JoinQueries.qBandedRevenue(spark, sf001)).foreach { case (n, df) =>
+      val p = plan(df)
+      val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+      assert(liScans == 1, s"$n: expected exactly one lineitem scan, got $liScans:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$n: no broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), n)
+    }
+    // Q17's per-part profile must be the window, not a second scan or
+    // a fact-fact SortMergeJoin (the textbook correlated-subquery plan)
+    val q17 = plan(JoinQueries.qSmallQtyRevenue(spark, sf001))
+    assert(q17.contains("Window"), s"Q17: expected the one-scan window profile:\n$q17")
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and
