@@ -59,7 +59,7 @@ object ExplainDump {
     "q_corpus_shuffle",
     "q_sample_reservoir", "q_seasonal_decompose", "q_rolling_anomaly",
     "q_market_share", "q_promo_share", "q_small_qty_revenue",
-    "q_banded_revenue")
+    "q_banded_revenue", "q_ewma_smooth", "q_level_shift")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -368,6 +368,135 @@ object AnalyticsQueries {
       |FROM m
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------------- EWMA smoothing
+  /** Exponentially-weighted moving average per user with α = 1/2 —
+    * the standard telemetry smoother, in a spelling that is EXACT:
+    * dyadic weights 2⁻¹, 2⁻², … are exactly representable, so the
+    * 8-term truncated EWMA is an INTEGER dot product
+    * `Σ c_{t−k}·2^(7−k)` over the trailing cents (current row
+    * included, the classical recursion unrolled) divided by the
+    * integer weight mass `Σ 2^(7−k)` of the terms actually present —
+    * one terminal division, bit-exact cross-engine (class-2
+    * integer-exact doctrine; a float recursion would compound
+    * rounding per step AND be inexpressible without recursion
+    * anyway). Truncation at 8 terms is the operator's DEFINITION
+    * (weight 2⁻⁸ ≈ 0.4% of mass), not an approximation of some other
+    * oracle — the twin replays the identical unrolling.
+    *
+    * Scale shape: one shuffle on user_id; the unrolled lags are 16
+    * expressions over ONE ordered window pass (no self-joins, no
+    * per-row arrays); partitions are per-user, frames bounded. */
+  def qEwmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val c = round(col("value") * lit(100)).cast("long")
+    val num = (0 until K).map { k =>
+      coalesce(lag(col("c"), k).over(w) * lit(1L << (K - 1 - k)), lit(0L))
+    }.reduce(_ + _)
+    val mass = (0 until K).map { k =>
+      when(lag(col("c"), k).over(w).isNotNull, lit(1L << (K - 1 - k)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .withColumn("c", c)
+      .withColumn("num", num)
+      .withColumn("mass", mass)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("num").cast("double") / (lit(100.0) * col("mass"))).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  val qEwmaSmoothSql: String = {
+    val K = 8
+    val num = (0 until K)
+      .map(k => s"coalesce(lag(c, $k) OVER w * ${1L << (K - 1 - k)}, 0)")
+      .mkString(" + ")
+    val mass = (0 until K)
+      .map(k => s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN ${1L << (K - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT event_id, user_id, value,
+       |  CAST($num AS DOUBLE) / (100.0 * ($mass)) AS ewma
+       |FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- Level-shift scan
+  /** Level-shift (change-point) scoring — the drift complement of
+    * [[qRollingAnomaly]]'s point-outlier z: at every event, the mean
+    * of the NEXT 8 values (current row included) is compared against
+    * the mean of the PREVIOUS 8, standardized by the trailing sample
+    * sd — the two-window CUSUM-lite behind "did this user's metric
+    * step to a new level here". Both frames must be FULL (8 rows) and
+    * the trailing sd positive, else NULL — partial-frame scores would
+    * be noise at the series edges.
+    *
+    * Floats: both frames carry exact integer `(Σc, Σc², n)`
+    * (class-2 integer-exact spelling); means, the explicit trailing
+    * variance, and the shift z are single terminal IEEE expressions
+    * replayed verbatim by the twin. Scale shape: one shuffle on
+    * user_id, two bounded frames over the same ordered window pass. */
+  def qLevelShift(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wt = base.rowsBetween(-8, -1)
+    val wl = base.rowsBetween(0, 7)
+    val c = round(col("value") * lit(100)).cast("long")
+    val meanT = col("st1").cast("double") / (lit(100.0) * col("nt"))
+    val meanL = col("sl1").cast("double") / (lit(100.0) * col("nl"))
+    val varT = (col("st2").cast("double") -
+      col("st1").cast("double") * col("st1").cast("double") / col("nt")) /
+      (col("nt") - lit(1L))
+    val sdT = sqrt(greatest(varT, lit(0.0))) / lit(100.0)
+    Tables.events(s, d)
+      .withColumn("c", c)
+      .withColumn("nt", count(col("c")).over(wt))
+      .withColumn("st1", sum(col("c")).over(wt))
+      .withColumn("st2", sum(col("c") * col("c")).over(wt))
+      .withColumn("nl", count(col("c")).over(wl))
+      .withColumn("sl1", sum(col("c")).over(wl))
+      .withColumn("mean_trail", when(col("nt") === 8, meanT))
+      .withColumn("mean_lead", when(col("nl") === 8, meanL))
+      .withColumn("sd_trail", when(col("nt") === 8, sdT))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("mean_trail"), col("mean_lead"),
+        when(col("sd_trail") > 0.0 && col("mean_lead").isNotNull,
+          (col("mean_lead") - col("mean_trail")) / col("sd_trail"))
+          .as("shift_z"))
+      .orderBy(col("event_id"))
+  }
+
+  val qLevelShiftSql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, value,
+      |    count(c) OVER wt AS nt, sum(c) OVER wt AS st1,
+      |    sum(c * c) OVER wt AS st2,
+      |    count(c) OVER wl AS nl, sum(c) OVER wl AS sl1
+      |  FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+      |  WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+      |         wl AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+      |), m AS (
+      |  SELECT event_id, user_id, value,
+      |    CASE WHEN nt = 8
+      |         THEN CAST(st1 AS DOUBLE) / (100.0 * nt) END AS mean_trail,
+      |    CASE WHEN nl = 8
+      |         THEN CAST(sl1 AS DOUBLE) / (100.0 * nl) END AS mean_lead,
+      |    CASE WHEN nt = 8
+      |         THEN sqrt(greatest(
+      |                (CAST(st2 AS DOUBLE)
+      |                   - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) / nt)
+      |                / (nt - 1), 0.0)) / 100.0 END AS sd_trail
+      |  FROM b
+      |)
+      |SELECT event_id, user_id, value, mean_trail, mean_lead,
+      |  CASE WHEN sd_trail > 0 AND mean_lead IS NOT NULL
+      |       THEN (mean_lead - mean_trail) / sd_trail END AS shift_z
+      |FROM m
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ Resample + ffill
   /** Time-series regularization — the resample → aggregate → gap-fill
     * pass every sensor/telemetry training pipeline runs: each sampled
@@ -1772,6 +1901,8 @@ object AnalyticsQueries {
     "q_resample_ffill" -> (qResampleFfill _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
+    "q_ewma_smooth" -> (qEwmaSmooth _),
+    "q_level_shift" -> (qLevelShift _),
     "q_interpolate" -> (qInterpolate _),
     "q_retention" -> (qRetention _))
 
@@ -1801,6 +1932,8 @@ object AnalyticsQueries {
     "q_resample_ffill" -> qResampleFfillSql,
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_rolling_anomaly" -> qRollingAnomalySql,
+    "q_ewma_smooth" -> qEwmaSmoothSql,
+    "q_level_shift" -> qLevelShiftSql,
     "q_interpolate" -> qInterpolateSql,
     "q_retention" -> qRetentionSql)
 }

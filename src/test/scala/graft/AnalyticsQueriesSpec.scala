@@ -126,6 +126,61 @@ class AnalyticsQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ewma: first event equals its own value; smoother stays inside the trailing range; exact replay") {
+    val out = AnalyticsQueries.qEwmaSmooth(spark, sf001).cache()
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect().groupBy(_.getLong(0))
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ev.foreach { case (_, es) =>
+      val sorted = es.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      // independent in-memory replay of the 8-term integer unrolling
+      val cents = sorted.map(r => math.round(r.getDouble(3) * 100))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val terms = (0 until 8).filter(_ <= i)
+        val num = terms.map(k => cents(i - k) * (1L << (7 - k))).sum
+        val mass = terms.map(k => 1L << (7 - k)).sum
+        val want = num.toDouble / (100.0 * mass)
+        val g = got(r.getLong(2))
+        assert(java.lang.Double.doubleToLongBits(g) ==
+          java.lang.Double.doubleToLongBits(want),
+          s"event ${r.getLong(2)}: ewma $g != replay $want")
+        // a weighted mean can never leave its window's range
+        val window = terms.map(k => sorted(i - k).getDouble(3))
+        assert(g >= window.min - 1e-9 && g <= window.max + 1e-9)
+      }
+    }
+    out.unpersist()
+  }
+
+  test("level shift: edges NULL, planted step detected at the boundary with positive z") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // synthetic: one user, 12 quiet values with a little jitter, then
+    // 12 values stepped up by 4.00 — the max shift_z must sit exactly
+    // where the lead window first covers the new level
+    val rows = (0 until 24).map { i =>
+      val v = (if (i < 12) 1.00 else 5.00) + (i % 3) * 0.01
+      (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "view", v)
+    }
+    val dir = graft.TempDirs.create("graft-levelshift").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.qLevelShift(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // first 8 events: trailing frame partial -> mean_trail NULL
+    (0 until 8).foreach(i => assert(byId(i.toLong).isNullAt(3), s"event $i"))
+    // last 7 events: lead frame partial -> mean_lead NULL
+    (17 until 24).foreach(i => assert(byId(i.toLong).isNullAt(4), s"event $i"))
+    val scored = out.filter(!_.isNullAt(5)).map(r => r.getLong(0) -> r.getDouble(5))
+    assert(scored.nonEmpty)
+    val (argmax, zmax) = scored.maxBy(_._2)
+    assert(argmax == 12L,
+      s"max shift_z at event $argmax, expected the step at 12 (scores: ${scored.toSeq.sorted})")
+    assert(zmax > 3.0, s"step z $zmax not significant")
+  }
+
   test("rfm: segment digits in 1-5, quintiles balanced within 1, recency non-negative") {
     val rows = AnalyticsQueries.qRfm(spark, sf001).collect()
     val nCust = rows.length
