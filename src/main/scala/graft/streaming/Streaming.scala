@@ -464,6 +464,49 @@ object Streaming {
       }
   }
 
+  final case class EwmaScore(event_id: Long, user_id: Long,
+      value: Double, ewma: Double)
+
+  /** Streaming face of
+    * [[graft.queries.AnalyticsQueries.qEwmaSmooth]] — the same
+    * ring-buffer fold as [[anomalyScores]], with the current event
+    * INCLUDED (the classical EWMA recursion): state is the user's
+    * last ≤ 8 cent values, and each event emits the exact integer
+    * dot product `Σ c_{t−k}·2^(7−k)` over the terms present, divided
+    * once — the batch twin's spelling, so stream == batch is
+    * bit-for-bit (StreamingSpec). Same in-order-arrival contract and
+    * bounded-state story (8 longs/user) as anomalyScores. */
+  def ewmaSmooth(events: Dataset[Event], terms: Int = 8)(
+      implicit enc: org.apache.spark.sql.Encoder[EwmaScore],
+      encL: org.apache.spark.sql.Encoder[Long]): Dataset[EwmaScore] = {
+    implicit val bufEnc: org.apache.spark.sql.Encoder[TrailBuffer] =
+      org.apache.spark.sql.Encoders.product[TrailBuffer]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrailBuffer, EwmaScore](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TrailBuffer]) =>
+          var ring = state.getOption.map(_.cents.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            // current row included: push FIRST, then weight newest-high
+            ring = (ring :+ math.round(e.value * 100)).takeRight(terms)
+            var num = 0L; var mass = 0L
+            var k = 0
+            while (k < ring.length) {
+              val wgt = 1L << (terms - 1 - k)
+              num += ring(ring.length - 1 - k) * wgt
+              mass += wgt
+              k += 1
+            }
+            EwmaScore(e.event_id, userId, e.value,
+              num.toDouble / (100.0 * mass))
+          }
+          state.update(TrailBuffer(ring))
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Long,
       watermark: String = "30 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[UserSession],

@@ -936,4 +936,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.nonEmpty)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
+
+  test("streaming ewma replay: ring-buffer state == batch twin, bit-exact") {
+    // same harness as the anomaly replay: three ts-ordered trigger
+    // batches, rows shuffled within each batch
+    import java.nio.file.{Files => JFiles}
+    val all = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val rnd = new scala.util.Random(29)
+    val chunks = all.grouped((all.length + 2) / 3).toSeq
+      .map(c => rnd.shuffle(c.toSeq))
+    val dir = JFiles.createTempDirectory("graft-ewma")
+    val watch = JFiles.createTempDirectory("graft-ewma-stream")
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(watch.toString).as[Streaming.Event]
+    val q = Streaming.ewmaSmooth(events)
+      .writeStream.format("memory").queryName("ewma_scores")
+      .outputMode("append").start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toSeq.toDS().coalesce(1).write.parquet(dir.resolve(s"b$i").toString)
+        JFiles.list(dir.resolve(s"b$i")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            JFiles.copy(p, watch.resolve(s"b$i-${p.getFileName}"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ewma_scores").orderBy(col("event_id"))
+      .collect().map(_.toString)
+    val want = graft.queries.AnalyticsQueries.qEwmaSmooth(spark, sf001)
+      .collect().map(_.toString)
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
 }
