@@ -239,7 +239,10 @@ object AnalyticsQueries {
     * the driver's hash gate by IEEE determinism, no tolerance needed.
     * Edge rows (first/last 12 hours, partial frames) still receive a
     * trend and a resid; they are only excluded from ESTIMATING the
-    * 24-row seasonal profile. */
+    * 24-row seasonal profile. On a series too short for some
+    * hour-of-day to own any full frame, those rows keep y and trend
+    * and carry NULL seasonal/resid (LEFT join-back) rather than being
+    * dropped. */
   def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
@@ -256,7 +259,10 @@ object AnalyticsQueries {
         (lit(2500.0) * count(lit(1)))).as("seasonal"))
     val y = col("y_cents").cast("double") / lit(100.0)
     val trend = col("trend_sum").cast("double") / (lit(100.0) * col("trend_n"))
-    trended.join(broadcast(seasonal), Seq("hod"))
+    // LEFT join: a degenerate series too short to produce any full
+    // ±12 frame for some hour-of-day keeps its rows (NULL seasonal and
+    // resid) instead of silently vanishing from the decomposition.
+    trended.join(broadcast(seasonal), Seq("hod"), "left")
       .select(col("hour_ts"), y.as("y"), trend.as("trend"), col("seasonal"),
         (y - trend - col("seasonal")).as("resid"))
       .orderBy(col("hour_ts"))
@@ -287,7 +293,7 @@ object AnalyticsQueries {
       |  CAST(y_cents AS DOUBLE) / 100.0
       |    - CAST(trend_sum AS DOUBLE) / (100.0 * trend_n)
       |    - s.seasonal AS resid
-      |FROM t JOIN s USING (hod)
+      |FROM t LEFT JOIN s USING (hod)
       |ORDER BY hour_ts""".stripMargin
 
   // --------------------------------------------------- Rolling anomaly score

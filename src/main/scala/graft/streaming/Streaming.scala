@@ -390,6 +390,32 @@ object Streaming {
     * regardless of stream length. */
   final case class TrailBuffer(cents: Seq[Long])
 
+  /** Shared stateful shell for the per-user trailing-cents operators
+    * ([[anomalyScores]], [[ewmaSmooth]]): decode the ring state,
+    * replay the micro-batch in (ts, event_id) order — FULL timestamp
+    * precision via (getTime, getNanos); truncating to milliseconds
+    * would diverge from the batch twins' microsecond window order for
+    * same-millisecond events — fold each event through `score`, cap
+    * the ring at `cap` cents, persist. `pushFirst` selects the frame
+    * convention: true = current row included (EWMA recursion), false =
+    * current row excluded (anomaly baseline). */
+  private def trailingCentsFold[T](it: Iterator[Event],
+      state: GroupState[TrailBuffer], cap: Int, pushFirst: Boolean)(
+      score: (Vector[Long], Event) => T): Iterator[T] = {
+    var ring = state.getOption.map(_.cents.toVector)
+      .getOrElse(Vector.empty[Long])
+    val out = it.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .map { e =>
+        if (pushFirst) ring = (ring :+ math.round(e.value * 100)).takeRight(cap)
+        val scored = score(ring, e)
+        if (!pushFirst) ring = (ring :+ math.round(e.value * 100)).takeRight(cap)
+        scored
+      }
+    state.update(TrailBuffer(ring))
+    out.iterator
+  }
+
   final case class AnomalyScore(event_id: Long, user_id: Long,
       value: Double, base_mean: Option[Double], base_sd: Option[Double],
       z: Option[Double])
@@ -433,9 +459,9 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[TrailBuffer]) =>
-          var ring = state.getOption.map(_.cents.toVector)
-            .getOrElse(Vector.empty[Long])
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          // push AFTER scoring (pushFirst=false): the -1 frame bound
+          // excludes the current row from its own baseline
+          trailingCentsFold(it, state, window, pushFirst = false) { (ring, e) =>
             val n = ring.length
             val (mean, sd) =
               if (n >= 1) {
@@ -455,12 +481,8 @@ object Streaming {
               case (Some(m), Some(s)) if s > 0.0 => Some((e.value - m) / s)
               case _ => None
             }
-            // push AFTER scoring: the -1 frame bound excludes this row
-            ring = (ring :+ math.round(e.value * 100)).takeRight(window)
             AnomalyScore(e.event_id, userId, e.value, mean, sd, z)
           }
-          state.update(TrailBuffer(ring))
-          out.iterator
       }
   }
 
@@ -486,11 +508,8 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[TrailBuffer]) =>
-          var ring = state.getOption.map(_.cents.toVector)
-            .getOrElse(Vector.empty[Long])
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            // current row included: push FIRST, then weight newest-high
-            ring = (ring :+ math.round(e.value * 100)).takeRight(terms)
+          // current row included: push FIRST, then weight newest-high
+          trailingCentsFold(it, state, terms, pushFirst = true) { (ring, e) =>
             var num = 0L; var mass = 0L
             var k = 0
             while (k < ring.length) {
@@ -502,8 +521,6 @@ object Streaming {
             EwmaScore(e.event_id, userId, e.value,
               num.toDouble / (100.0 * mass))
           }
-          state.update(TrailBuffer(ring))
-          out.iterator
       }
   }
 

@@ -80,12 +80,13 @@ class DeterminismSpec extends SparkSpec {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val bad = Await.result(Future.traverse(names) { n => Future {
-      val a = SparkEntry.queries(n)(spark, sf001).collect().map(_.toString).sorted
-      val b = SparkEntry.queries(n)(alt, reordered).collect().map(_.toString).sorted
-      if (a.length == b.length && a.indices.forall(i => a(i) == b(i))) None else Some(n)
-    }}, Duration.Inf).flatten
-    pool.shutdown()
+    val bad =
+      try Await.result(Future.traverse(names) { n => Future {
+        val a = SparkEntry.queries(n)(spark, sf001).collect().map(_.toString).sorted
+        val b = SparkEntry.queries(n)(alt, reordered).collect().map(_.toString).sorted
+        if (a.length == b.length && a.indices.forall(i => a(i) == b(i))) None else Some(n)
+      }}, Duration.Inf).flatten
+      finally pool.shutdown() // a throwing query must not leak the pool's non-daemon threads
     assert(bad.isEmpty,
       s"layout-sensitive float output (would go hash-red at the driver): ${bad.mkString(", ")}")
   }
