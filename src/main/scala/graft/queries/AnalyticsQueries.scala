@@ -243,7 +243,13 @@ object AnalyticsQueries {
     * hour-of-day to own any full frame, those rows keep y and trend
     * and carry NULL seasonal/resid (LEFT join-back) rather than being
     * dropped. */
-  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+  /** Shared decomposition core ([[qSeasonalDecompose]],
+    * [[qSeasonalOutliers]]): the hourly cent frame with its ±12 trend
+    * sums and the broadcast 24-row seasonal profile LEFT-joined back —
+    * a degenerate series too short to produce any full ±12 frame for
+    * some hour-of-day keeps its rows (NULL seasonal and resid) instead
+    * of silently vanishing from the decomposition. */
+  private[graft] def seasonalFrame(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_cents"))
@@ -257,16 +263,20 @@ object AnalyticsQueries {
       .groupBy(col("hod"))
       .agg((sum(lit(25L) * col("y_cents") - col("trend_sum")).cast("double") /
         (lit(2500.0) * count(lit(1)))).as("seasonal"))
-    val y = col("y_cents").cast("double") / lit(100.0)
-    val trend = col("trend_sum").cast("double") / (lit(100.0) * col("trend_n"))
-    // LEFT join: a degenerate series too short to produce any full
-    // ±12 frame for some hour-of-day keeps its rows (NULL seasonal and
-    // resid) instead of silently vanishing from the decomposition.
     trended.join(broadcast(seasonal), Seq("hod"), "left")
-      .select(col("hour_ts"), y.as("y"), trend.as("trend"), col("seasonal"),
-        (y - trend - col("seasonal")).as("resid"))
-      .orderBy(col("hour_ts"))
   }
+
+  /** Terminal-division emits over [[seasonalFrame]]'s exact integers. */
+  private def seasonalY: Column = col("y_cents").cast("double") / lit(100.0)
+  private def seasonalTrend: Column =
+    col("trend_sum").cast("double") / (lit(100.0) * col("trend_n"))
+
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame =
+    seasonalFrame(s, d)
+      .select(col("hour_ts"), seasonalY.as("y"), seasonalTrend.as("trend"),
+        col("seasonal"),
+        (seasonalY - seasonalTrend - col("seasonal")).as("resid"))
+      .orderBy(col("hour_ts"))
 
   val qSeasonalDecomposeSql: String =
     """WITH hourly AS (
@@ -502,6 +512,183 @@ object AnalyticsQueries {
       |       THEN (mean_lead - mean_trail) / sd_trail END AS shift_z
       |FROM m
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- Autocorrelation
+  /** Autocorrelation of the hourly event-value series at lags 1 and 24
+    * (Pearson over the lagged pairs) — the rhythm diagnostic behind
+    * seasonality detection: a strong lag-24 ACF says "model the daily
+    * cycle" (and picks the period [[qSeasonalDecompose]] assumes), a
+    * strong lag-1 says "trending/AR(1)".
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to the hourly frame; the lead() window and the per-lag sums run
+    * on the calendar-BOUNDED hourly series (the decompose family's
+    * documented single-task-window discipline), with both lags stacked
+    * by an in-row explode so the bounded frame is scanned once.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling): hourly cent
+    * sums are exact longs; the Pearson moments (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) are carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    * n·Σxy reaches ~8·10^18 at sf0.1, past 2^53 and near 2^63, so the
+    * long path is NOT safe; 128-bit integer aggregation is exact in
+    * any order on both engines. The correlation is then a fixed
+    * terminal IEEE tree (two casts-to-double of exact integers —
+    * round-to-nearest-even on both engines — two sqrts, one multiply,
+    * one divide), bit-exact cross-engine. */
+  def qAcf(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+    val w = Window.orderBy(col("hour_ts"))
+    val pairs = hourly
+      .select(col("c"),
+        lead(col("c"), 1).over(w).as("c1"),
+        lead(col("c"), 24).over(w).as("c24"))
+      .select(col("c"), explode(array(
+        struct(lit(1).as("lag_h"), col("c1").as("cl")),
+        struct(lit(24).as("lag_h"), col("c24").as("cl")))).as("e"))
+      .select(col("e.lag_h").as("lag_h"), col("c"), col("e.cl").as("cl"))
+      .where(col("cl").isNotNull)
+    pairs.groupBy(col("lag_h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c").cast(dec)).as("sx"),
+        sum(col("cl").cast(dec)).as("sy"),
+        sum(col("c").cast(dec) * col("cl").cast(dec)).as("sxy"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("sxx"),
+        sum(col("cl").cast(dec) * col("cl").cast(dec)).as("syy"))
+      .select(col("lag_h"), col("n_pairs"),
+        ((col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("acf"))
+      .orderBy(col("lag_h"))
+  }
+
+  val qAcfSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1
+      |), lagged AS (
+      |  SELECT c,
+      |    lead(c, 1)  OVER (ORDER BY hour_ts) AS c1,
+      |    lead(c, 24) OVER (ORDER BY hour_ts) AS c24
+      |  FROM hourly
+      |), pairs AS (
+      |  SELECT 1 AS lag_h, c, c1 AS cl FROM lagged WHERE c1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 24, c, c24 FROM lagged WHERE c24 IS NOT NULL
+      |), sums AS (
+      |  SELECT lag_h, count(*) AS n_pairs,
+      |    sum(CAST(c AS HUGEINT)) AS sx,
+      |    sum(CAST(cl AS HUGEINT)) AS sy,
+      |    sum(CAST(c AS HUGEINT) * cl) AS sxy,
+      |    sum(CAST(c AS HUGEINT) * c) AS sxx,
+      |    sum(CAST(cl AS HUGEINT) * cl) AS syy
+      |  FROM pairs GROUP BY lag_h
+      |)
+      |SELECT lag_h, n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |   (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+      |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+      |FROM sums ORDER BY lag_h""".stripMargin
+
+  // -------------------------------------------------- Seasonal outliers
+  /** Seasonal-adjusted robust outlier scan — the composition the
+    * decomposition EXISTS for: hours whose residual (observed −
+    * trend − daily rhythm, [[seasonalFrame]]) deviates from the median
+    * residual by more than 3× the median absolute deviation. MAD, not
+    * stddev, so a single extreme hour cannot inflate its own
+    * admission threshold (same robustness doctrine as
+    * q_mad_outliers, applied post-decomposition).
+    *
+    * Scale shape: the corpus-proportional stage is seasonalFrame's one
+    * partial-aggregable groupBy; everything after runs on the
+    * calendar-BOUNDED hourly residual frame, localCheckpoint'ed ONCE
+    * and reused across the median/MAD/emit branches (three plan
+    * branches would otherwise re-run the corpus scan).
+    *
+    * Floats: residuals are the decompose's bit-exact doubles. Medians
+    * are spelled as EXPLICIT rank picks — row_number over (value,
+    * hour_ts), midpoint `(lo + hi)/2` of the two middle ranks — not
+    * engine percentile builtins, whose interpolation spelling is
+    * engine-internal; the 3·MAD admission compare is then a
+    * deterministic predicate over bit-exact doubles on both engines. */
+  def qSeasonalOutliers(s: SparkSession, d: String): DataFrame = {
+    val resid = (seasonalY - seasonalTrend - col("seasonal")).as("resid")
+    val r = seasonalFrame(s, d)
+      .select(col("hour_ts"), seasonalY.as("y"), resid)
+      .where(col("resid").isNotNull)
+      .localCheckpoint() // bounded hourly frame, reused by 3 branches
+    def medianOf(df: DataFrame, value: Column, out: String): DataFrame = {
+      val ranked = df
+        .withColumn("v", value)
+        .withColumn("rk", row_number().over(Window.orderBy(col("v"), col("hour_ts"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.orderBy(col("v"), col("hour_ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      ranked
+        .where(col("rk") === expr("(n + 1) div 2") || col("rk") === expr("n div 2 + 1"))
+        .agg(((min(col("v")) + max(col("v"))) / lit(2.0)).as(out))
+    }
+    val med = medianOf(r, col("resid"), "med")
+    val withMed = r.crossJoin(broadcast(med))
+    val mad = medianOf(withMed, abs(col("resid") - col("med")), "mad")
+    withMed.crossJoin(broadcast(mad))
+      .where(abs(col("resid") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("hour_ts"), col("y"), col("resid"), col("med"), col("mad"))
+      .orderBy(col("hour_ts"))
+  }
+
+  val qSeasonalOutliersSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS y_cents
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT hour_ts, y_cents,
+      |    sum(y_cents) OVER w AS trend_sum,
+      |    count(*) OVER w AS trend_n,
+      |    hour(hour_ts) AS hod
+      |  FROM hourly
+      |  WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |), s AS (
+      |  SELECT hod,
+      |    CAST(sum(25 * y_cents - trend_sum) AS DOUBLE) /
+      |      (2500.0 * count(*)) AS seasonal
+      |  FROM t WHERE trend_n = 25 GROUP BY hod
+      |), r AS (
+      |  SELECT t.hour_ts,
+      |    CAST(y_cents AS DOUBLE) / 100.0 AS y,
+      |    CAST(y_cents AS DOUBLE) / 100.0
+      |      - CAST(trend_sum AS DOUBLE) / (100.0 * trend_n)
+      |      - s.seasonal AS resid
+      |  FROM t LEFT JOIN s USING (hod)
+      |  WHERE s.seasonal IS NOT NULL
+      |), rn AS (
+      |  SELECT *, row_number() OVER (ORDER BY resid, hour_ts) AS rk,
+      |            count(*) OVER () AS n
+      |  FROM r
+      |), med AS (
+      |  SELECT (min(v) + max(v)) / 2.0 AS med
+      |  FROM (SELECT resid AS v, rk, n FROM rn)
+      |  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+      |), dn AS (
+      |  SELECT rn.*, med.med, abs(resid - med.med) AS dev
+      |  FROM rn CROSS JOIN med
+      |), drn AS (
+      |  SELECT *, row_number() OVER (ORDER BY dev, hour_ts) AS drk FROM dn
+      |), mad AS (
+      |  SELECT (min(dev) + max(dev)) / 2.0 AS mad FROM drn
+      |  WHERE drk = (n + 1) // 2 OR drk = n // 2 + 1
+      |)
+      |SELECT hour_ts, y, resid, med, mad.mad
+      |FROM dn CROSS JOIN mad
+      |WHERE dev > 3.0 * mad.mad
+      |ORDER BY hour_ts""".stripMargin
 
   // ------------------------------------------------------------ Resample + ffill
   /** Time-series regularization — the resample → aggregate → gap-fill
@@ -1751,6 +1938,100 @@ object AnalyticsQueries {
       |  3.0 * tri.n_triangles / wt.n_wedges AS clustering
       |FROM tri CROSS JOIN wt""".stripMargin
 
+  // ------------------------------------------------ Bounded-hop BFS
+  /** Sparse planted ring-chord topology over the domain vertices (each
+    * domain linked to its lexicographic successor, every 5th domain to
+    * the domain n/3 around the ring) — the [[triangleEdges]] rotation
+    * graph is near-complete at harness scale (diameter 1), useless for
+    * exercising multi-hop traversal, so the BFS scaffold plants a
+    * graph with real distance structure (O(n) edges, O(n) diameter).
+    * Canonical a < b, deduped; |edges| is |domains|-sized. */
+  private[graft] def ringChordEdges(s: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(s, d).select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        (row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+          .as("idx"))
+    // |domains|-sized action, same documented budget as triangleEdges
+    val n = math.max(1L, srcs.count())
+    val sA = srcs.select(col("host").as("ha"), col("idx").as("ia"))
+    val sB = srcs.select(col("host").as("hb"), col("idx").as("ib"))
+    val ring = sA.join(broadcast(sB), col("ib") === (col("ia") + 1L) % lit(n))
+    val chord = sA.where(col("ia") % 5 === 0)
+      .join(broadcast(sB), col("ib") === (col("ia") + lit(n / 3)) % lit(n))
+    ring.unionByName(chord)
+      .where(col("ha") =!= col("hb"))
+      .select(least(col("ha"), col("hb")).as("a"),
+        greatest(col("ha"), col("hb")).as("b"))
+      .distinct()
+  }
+
+  /** Bounded-hop BFS: exact shortest-path hop distances from the
+    * lexicographically smallest vertex, within 4 hops, over the
+    * planted ring-chord domain graph — k-hop reachability is the
+    * blast-radius / link-spam-neighborhood primitive a crawl pipeline
+    * runs around a flagged domain. Vertices beyond 4 hops are absent
+    * from the output (reachability semantics, not ∞-distance).
+    *
+    * Scale shape — frontier-expansion BFS (the iterative Pregel-lite
+    * form): k bounded JOIN rounds, each `frontier ⋈ adjacency` keyed
+    * on the vertex (shuffle on vertex id, no hub hazard beyond max
+    * degree), new vertices separated by LEFT ANTI against the settled
+    * distance set. Every per-round frame is ≤|V| rows and
+    * localCheckpoint'ed, so lineage stays k-deep and the settled set
+    * is never recomputed — the same iteration discipline as
+    * [[graft.graph.PageRank]]. The oracle replays the traversal as a
+    * DuckDB recursive CTE with min-hop aggregation; hop counts are
+    * exact integers (float policy class 1, no float in the row). */
+  def qGraphBfs(s: SparkSession, d: String): DataFrame = {
+    val maxHops = 4
+    val edges = ringChordEdges(s, d).localCheckpoint()
+    val adj = edges.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("w")))
+    var dist = edges.agg(min(col("a")).as("v"))
+      .select(col("v"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    for (hop <- 1 to maxHops) {
+      frontier = frontier.join(adj, "v")
+        .select(col("w").as("v"))
+        .join(dist, Seq("v"), "left_anti")
+        .distinct()
+        .select(col("v"), lit(hop).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionAll(frontier).localCheckpoint()
+    }
+    dist.orderBy(col("v"))
+  }
+
+  val qGraphBfsSql: String =
+    """WITH RECURSIVE srcs AS (
+      |  SELECT source || '.example.com' AS host,
+      |         row_number() OVER (ORDER BY source) - 1 AS idx
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), nn AS (SELECT count(*) AS n FROM srcs),
+      |ring AS (
+      |  SELECT i.host AS ha, j.host AS hb
+      |  FROM srcs i CROSS JOIN nn JOIN srcs j ON j.idx = (i.idx + 1) % nn.n
+      |  UNION ALL
+      |  SELECT i.host, j.host
+      |  FROM srcs i CROSS JOIN nn
+      |  JOIN srcs j ON j.idx = (i.idx + nn.n // 3) % nn.n
+      |  WHERE i.idx % 5 = 0
+      |), edges AS (
+      |  SELECT DISTINCT least(ha, hb) AS a, greatest(ha, hb) AS b
+      |  FROM ring WHERE ha <> hb
+      |), adj AS (
+      |  SELECT a AS v, b AS w FROM edges UNION ALL SELECT b, a FROM edges
+      |), seed AS (SELECT min(a) AS v FROM edges),
+      |bfs(v, hop) AS (
+      |  SELECT v, 0 FROM seed
+      |  UNION
+      |  SELECT adj.w, bfs.hop + 1 FROM bfs JOIN adj ON adj.v = bfs.v
+      |  WHERE bfs.hop < 4
+      |)
+      |SELECT v, CAST(min(hop) AS INT) AS dist
+      |FROM bfs GROUP BY v ORDER BY v""".stripMargin
+
   // ------------------------------------ Rolling-origin evaluation folds
   /** Expanding-window time-series cross-validation folds over events
     * (rolling-origin evaluation, Bergmeir & Benítez Inf.Sci.'12 — the
@@ -1909,6 +2190,9 @@ object AnalyticsQueries {
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_ewma_smooth" -> (qEwmaSmooth _),
     "q_level_shift" -> (qLevelShift _),
+    "q_acf" -> (qAcf _),
+    "q_seasonal_outliers" -> (qSeasonalOutliers _),
+    "q_graph_bfs" -> (qGraphBfs _),
     "q_interpolate" -> (qInterpolate _),
     "q_retention" -> (qRetention _))
 
@@ -1940,6 +2224,9 @@ object AnalyticsQueries {
     "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_ewma_smooth" -> qEwmaSmoothSql,
     "q_level_shift" -> qLevelShiftSql,
+    "q_acf" -> qAcfSql,
+    "q_seasonal_outliers" -> qSeasonalOutliersSql,
+    "q_graph_bfs" -> qGraphBfsSql,
     "q_interpolate" -> qInterpolateSql,
     "q_retention" -> qRetentionSql)
 }

@@ -495,4 +495,69 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(w.count() == nonEmpty)
     w.unpersist()
   }
+
+  test("acf: correlations within [-1,1], pair counts complement the lag, lag-24 is the daily-rhythm probe") {
+    val rows = AnalyticsQueries.qAcf(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 24))
+    val nHours = graft.Tables.events(spark, sf001)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    // lead(k) pairs ROW t with row t+k of the hour-ordered frame, so
+    // exactly n-k pairs exist regardless of calendar gaps
+    rows.foreach { r =>
+      assert(r.getLong(1) == nHours - r.getInt(0),
+        s"lag ${r.getInt(0)}: ${r.getLong(1)} pairs vs $nHours hours")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("graph bfs: seed at 0, hops contiguous from 0, every frontier vertex adjacent to the previous one") {
+    val dist = AnalyticsQueries.qGraphBfs(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val edges = AnalyticsQueries.ringChordEdges(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val seed = edges.map(_._1).min
+    assert(dist(seed) == 0 && dist.values.count(_ == 0) == 1)
+    assert(dist.values.forall(d => d >= 0 && d <= 4))
+    val hops = dist.values.toSet
+    assert((0 to hops.max).forall(hops.contains), "hop levels must be contiguous")
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    // BFS invariant: a vertex at hop d>0 has a neighbor at hop d-1,
+    // and none at anything smaller than d-1
+    dist.foreach { case (v, dh) =>
+      if (dh > 0) {
+        val nd = adj(v).flatMap(dist.get)
+        assert(nd.min == dh - 1, s"$v at $dh has neighbor hops ${nd.toSet}")
+      }
+    }
+    // 4-hop truncation: any absent vertex must have no neighbor closer than hop 4
+    val absent = adj.keySet.filterNot(dist.contains)
+    absent.foreach { v =>
+      assert(adj(v).flatMap(dist.get).forall(_ >= 4), s"$v unreached but near")
+    }
+  }
+
+  test("seasonal outliers: every flagged hour violates the 3-MAD band; recompute from the decompose agrees") {
+    val out = AnalyticsQueries.qSeasonalOutliers(spark, sf001).collect()
+    assert(out.nonEmpty, "harness series must flag at least one hour")
+    out.foreach { r =>
+      val (resid, med, mad) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(resid - med) > 3.0 * mad)
+    }
+    // independent recompute over the decompose's residuals (exact
+    // midpoint-of-sorted medians, same spelling)
+    val resids = AnalyticsQueries.qSeasonalDecompose(spark, sf001)
+      .filter(col("resid").isNotNull)
+      .select(col("hour_ts").cast("string"), col("resid"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+    }
+    val med = medianOf(resids.map(_._2))
+    val mad = medianOf(resids.map(x => math.abs(x._2 - med)))
+    val expected = resids.filter(x => math.abs(x._2 - med) > 3.0 * mad)
+      .map(_._1).toSet
+    assert(out.map(_.getTimestamp(0).toString.replaceAll("\\.0$", "")).toSet ==
+      expected.map(_.replaceAll("\\.0$", "")).toSet)
+  }
 }
