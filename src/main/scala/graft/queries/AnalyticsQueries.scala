@@ -596,6 +596,81 @@ object AnalyticsQueries {
       |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
       |FROM sums ORDER BY lag_h""".stripMargin
 
+  // -------------------------------------------------- Per-group OLS trend
+  /** Per-user least-squares trend fit — slope and R² of event value
+    * against time for every user, in ONE aggregation pass: the
+    * million-model "grouped regression" pattern (a trend feature per
+    * entity for churn/LTV models, or a drift alarm per sensor) that
+    * would be a driver-side loop in the reference's architecture.
+    *
+    * Scale shape: OLS reduces to the five moments (n, Σx, Σy, Σxy,
+    * Σx²[, Σy² for R²]) — all partial-aggregable, so the whole fit is
+    * one corpus-proportional groupBy on user_id (map-side combine,
+    * one shuffle) and a per-group terminal projection. No window, no
+    * per-group sort, no iteration: the same plan at 100 TB, just more
+    * partitions.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling): x = epoch
+    * SECONDS (exact integer, both engines floor-divide the same
+    * micros), y = exact cents; moments carried in DECIMAL(38,0) /
+    * HUGEINT (x² ≈ 3·10^18 per row — n·Σx² reaches ~10^22, past both
+    * 2^53 and 2^63). slope = Δxy/Δxx and R² = Δxy²/(Δxx·Δyy) are then
+    * fixed terminal IEEE trees over exact integers (casts round to
+    * nearest-even identically; ·864.0 rescales cents/sec → units/day
+    * exactly). Constant series (Δxx = 0) and constant values
+    * (Δyy = 0) emit NULL, never ±Inf/NaN. */
+  def qGroupedOls(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val moments = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("x"),
+        round(col("value") * lit(100)).cast("long").as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val dxy = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val dxx = (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dyy = (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    moments.select(col("user_id"), col("n"),
+      when(col("n") >= 3 && dxx =!= 0.0, dxy / dxx * lit(864.0))
+        .as("slope_per_day"),
+      when(col("n") >= 3 && dxx =!= 0.0 && dyy =!= 0.0,
+        dxy * dxy / (dxx * dyy)).as("r2"))
+      .orderBy(col("user_id"))
+  }
+
+  val qGroupedOlsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM e GROUP BY user_id
+      |)
+      |SELECT user_id, n,
+      |  CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0 THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE) * 864.0 END AS slope_per_day,
+      |  CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
+      |            AND n * syy - sy * sy <> 0 THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |  END AS r2
+      |FROM m ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------- Seasonal outliers
   /** Seasonal-adjusted robust outlier scan — the composition the
     * decomposition EXISTS for: hours whose residual (observed −
@@ -2191,6 +2266,7 @@ object AnalyticsQueries {
     "q_ewma_smooth" -> (qEwmaSmooth _),
     "q_level_shift" -> (qLevelShift _),
     "q_acf" -> (qAcf _),
+    "q_grouped_ols" -> (qGroupedOls _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_interpolate" -> (qInterpolate _),
@@ -2225,6 +2301,7 @@ object AnalyticsQueries {
     "q_ewma_smooth" -> qEwmaSmoothSql,
     "q_level_shift" -> qLevelShiftSql,
     "q_acf" -> qAcfSql,
+    "q_grouped_ols" -> qGroupedOlsSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,
     "q_graph_bfs" -> qGraphBfsSql,
     "q_interpolate" -> qInterpolateSql,

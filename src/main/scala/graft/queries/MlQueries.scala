@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.gsod.Train
@@ -341,7 +341,88 @@ object MlQueries {
       |  count(*) AS n, round(avg(l_extendedprice), 9) AS avg_price
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------- Smoothed target encoding
+  /** m-estimate target encoding of the (event_type × hour-of-day)
+    * crossed categorical against event value (Micci-Barreca SIGKDD
+    * Expl.'01) — the high-cardinality-categorical feature builder tree
+    * models want where one-hot explodes: each category maps to its
+    * smoothed target mean `(Σy_g + m·prior)/(n_g + m)`, shrunk toward
+    * the global prior so rare categories can't memorize noise. The
+    * leave-one-out band [loo_lo, loo_hi] (encoding range when any
+    * single row's own target is held out) is emitted alongside: a wide
+    * band flags categories whose encoding is one-row-fragile — the
+    * target-leakage diagnostic LOO encoding exists to control.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * (count/sum/min/max per category — map-side combine, one shuffle),
+    * then a 1-row broadcast of the global totals onto the
+    * category-bounded frame. Never a per-row join: the per-row LOO
+    * extremes collapse to min/max because LOO is monotone in the
+    * held-out value (shared denominator), so the encoding TABLE plus
+    * its band is exact without touching row grain twice.
+    *
+    * Floats (class-2 integer-exact): y in exact cents; the smoothed
+    * mean is spelled with the prior CLEARED of its own division —
+    * (N·Σc_g + m·Σc_all)/(N·(n_g + m)) — so numerator and denominator
+    * are exact integers and each emitted double is ONE integer-integer
+    * division then one ÷100.0 (both IEEE-exact deterministic). LOO
+    * bands guard n_g ≥ 2 (a singleton's hold-out set is empty → NULL,
+    * never a 0-denominator). */
+  def qTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val m = 20
+    val e = graft.Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        round(col("value") * lit(100)).cast("long").as("c"))
+    val g = e.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+        min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+    val tot = e.agg(count(lit(1)).as("n_all"), sum(col("c")).as("s_all"))
+    def enc(num: Column, den: Column): Column =
+      num.cast("double") / den.cast("double") / lit(100.0)
+    // products in DECIMAL(38,0): n_all·s_g outgrows a long once corpus
+    // count × group cent-sum passes ~9·10^18 (DuckDB auto-promotes its
+    // side to HUGEINT; 128-bit keeps the Spark side exact to match)
+    val dec = "decimal(38,0)"
+    val nAll = col("n_all").cast(dec)
+    g.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("hod"), col("n_g"),
+        enc(nAll * col("s_g") + lit(m) * col("s_all").cast(dec),
+          nAll * (col("n_g") + lit(m))).as("enc"),
+        when(col("n_g") >= 2,
+          enc(nAll * (col("s_g") - col("c_max")) + lit(m) * col("s_all").cast(dec),
+            nAll * (col("n_g") - 1 + lit(m)))).as("loo_lo"),
+        when(col("n_g") >= 2,
+          enc(nAll * (col("s_g") - col("c_min")) + lit(m) * col("s_all").cast(dec),
+            nAll * (col("n_g") - 1 + lit(m)))).as("loo_hi"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val qTargetEncodeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, hour(ts) AS hod,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, hod, count(*) AS n_g, sum(c) AS s_g,
+      |         min(c) AS c_min, max(c) AS c_max
+      |  FROM e GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT count(*) AS n_all, sum(c) AS s_all FROM e
+      |)
+      |SELECT event_type, hod, n_g,
+      |  CAST(n_all * s_g + 20 * s_all AS DOUBLE) /
+      |    CAST(n_all * (n_g + 20) AS DOUBLE) / 100.0 AS enc,
+      |  CASE WHEN n_g >= 2 THEN
+      |    CAST(n_all * (s_g - c_max) + 20 * s_all AS DOUBLE) /
+      |      CAST(n_all * (n_g - 1 + 20) AS DOUBLE) / 100.0 END AS loo_lo,
+      |  CASE WHEN n_g >= 2 THEN
+      |    CAST(n_all * (s_g - c_min) + 20 * s_all AS DOUBLE) /
+      |      CAST(n_all * (n_g - 1 + 20) AS DOUBLE) / 100.0 END AS loo_hi
+      |FROM g CROSS JOIN tot
+      |ORDER BY event_type, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> (qTargetEncode _),
     "q_ml_bucketize" -> (qMlBucketize _),
     "q_ml_eval_bounds" -> (qMlEvalBounds _),
     "q_ml_quality_bounds" -> (qMlQualityBounds _),
@@ -356,6 +437,7 @@ object MlQueries {
     * StandardScaler divides by the SAMPLE stddev), so the feature query
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
+    "q_target_encode" -> qTargetEncodeSql,
     "q_ml_bucketize" -> qMlBucketizeSql,
     "q_ml_eval_bounds" -> qMlEvalBoundsSql,
     "q_ml_quality_bounds" -> qMlQualityBoundsSql,

@@ -1353,7 +1353,93 @@ object TextQueries {
       |WHERE n > (SELECT sum(n) FROM c) / 200.0
       |ORDER BY n DESC, term""".stripMargin
 
+  // ------------------------------------------------ PMI collocations
+  /** Pointwise-mutual-information collocation mining — the top-20
+    * adjacent word pairs that co-occur far above chance (Church &
+    * Hanks CL'90), with a min-count floor so rare accidental pairs
+    * can't dominate: the phrase detector feeding tokenizer vocab
+    * decisions ("new york" as one unit) and boilerplate discovery.
+    * PMI uses token-frequency unigram margins and pair-frequency
+    * joints: ln(P(ab)/(P(a)P(b))) = ln(n_ab·N_tok²/(N_pair·n_a·n_b)).
+    *
+    * Scale shape: ONE corpus-proportional stage — each document emits
+    * its (token, successor-or-NULL) positions IN-ROW (transform over
+    * the split array, no window, no self-join) into a single
+    * partial-aggregable groupBy; every downstream frame (unigram
+    * margins re-aggregated from the bigram frame, the two margin
+    * joins, the 1-row totals) is bigram-vocab-bounded, and the final
+    * top-20 compiles to TakeOrderedAndProject. The margin joins carry
+    * no broadcast hint on purpose (tfidf's rationale: a hint never
+    * auto-degrades; AQE picks broadcast when the vocab fits).
+    *
+    * Floats: counts are exact integers on both engines; pmi is one
+    * terminal expression whose products stay under 2^53, rounded at 9
+    * BEFORE ranking because ln() is libm-dependent (~1 ulp across
+    * engines — the float-determinism policy, COVERAGE.md), with the
+    * (a, b) tie-break resolving exact-9-decimal ties. Adjacency note:
+    * the harness corpus is single-space separated (verified: zero
+    * multi-space/tab/newline docs), so the oracle's split-on-space
+    * sees the same successor pairs as the Spark side's \s+ split. */
+  def qCollocations(s: SparkSession, d: String): DataFrame = {
+    // (token, successor) per position, successor NULL at the last
+    // position — ONE scan feeds both the pair joints and (by re-agg)
+    // the unigram margins, so the corpus is never read twice
+    val pos = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("l"))
+      .select(explode(expr(
+        "transform(l, (t, i) -> struct(t as a, try_element_at(l, i + 2) as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      // bigram-vocab-bounded frame reused by FOUR plan branches (uni,
+      // n_pair, the join probe) — materialize once or each branch
+      // re-plans the corpus scan (the r12 shared-subframe lesson)
+      .localCheckpoint()
+    val uni = pos.groupBy(col("a").as("term")).agg(sum(col("n")).as("n_t"))
+    val totals = uni.agg(sum(col("n_t")).as("n_tok"))
+      .crossJoin(pos.where(col("b").isNotNull && col("b") =!= "")
+        .agg(sum(col("n")).as("n_pair")))
+    val pairs = pos.where(col("b").isNotNull && col("b") =!= "" &&
+        col("n") >= 5)
+      .join(uni.withColumnRenamed("term", "a").withColumnRenamed("n_t", "n_a"), "a")
+      .join(uni.withColumnRenamed("term", "b").withColumnRenamed("n_t", "n_b"), "b")
+      .crossJoin(broadcast(totals))
+    pairs.select(col("a"), col("b"), col("n").as("n_ab"),
+        round(log(col("n").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_pair").cast("double") * col("n_a") * col("n_b"))), 9)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val qCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS l FROM documents
+      |), pos AS (
+      |  SELECT l[i] AS a, l[i + 1] AS b
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+      |), pc AS (
+      |  SELECT a, b, count(*) AS n FROM pos WHERE a <> '' GROUP BY a, b
+      |), uni AS (
+      |  SELECT a AS term, sum(n) AS n_t FROM pc GROUP BY a
+      |), tot AS (
+      |  SELECT (SELECT sum(n_t) FROM uni) AS n_tok,
+      |         (SELECT sum(n) FROM pc
+      |          WHERE b IS NOT NULL AND b <> '') AS n_pair
+      |)
+      |SELECT pc.a, pc.b, pc.n AS n_ab,
+      |  round(ln(CAST(pc.n AS DOUBLE) * n_tok * n_tok /
+      |    (CAST(n_pair AS DOUBLE) * ua.n_t * ub.n_t)), 9) AS pmi
+      |FROM pc CROSS JOIN tot
+      |JOIN uni ua ON ua.term = pc.a
+      |JOIN uni ub ON ub.term = pc.b
+      |WHERE pc.b IS NOT NULL AND pc.b <> '' AND pc.n >= 5
+      |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (qCollocations _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_url_normalize" -> (qUrlNormalize _),
@@ -1387,6 +1473,7 @@ object TextQueries {
     "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
+    "q_collocations" -> qCollocationsSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_url_normalize" -> qUrlNormalizeSql,

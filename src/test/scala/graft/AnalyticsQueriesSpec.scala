@@ -536,6 +536,38 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("grouped ols: per-user slope and r2 match an independent in-memory least-squares fit") {
+    val out = AnalyticsQueries.qGroupedOls(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val raw = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000"),
+        round(col("value") * lit(100)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (u, rows) =>
+      val n = rows.length.toDouble
+      val xs = rows.map(_._2.toDouble); val ys = rows.map(_._3.toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val (dxy, dxx, dyy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      val r = out(u)
+      assert(r.getLong(1) == rows.length)
+      if (rows.length >= 3 && dxx != 0.0) {
+        // in-memory doubles accumulate error the DECIMAL path doesn't;
+        // compare relatively
+        assert(math.abs(r.getDouble(2) - dxy / dxx * 864.0) <=
+          1e-6 * math.max(1.0, math.abs(r.getDouble(2))), s"slope user $u")
+        if (dyy != 0.0)
+          assert(math.abs(r.getDouble(3) - dxy * dxy / (dxx * dyy)) <= 1e-6,
+            s"r2 user $u")
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
+      } else assert(r.isNullAt(2), s"degenerate user $u must stay NULL")
+    }
+  }
+
   test("seasonal outliers: every flagged hour violates the 3-MAD band; recompute from the decompose agrees") {
     val out = AnalyticsQueries.qSeasonalOutliers(spark, sf001).collect()
     assert(out.nonEmpty, "harness series must flag at least one hour")

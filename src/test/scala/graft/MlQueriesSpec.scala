@@ -70,4 +70,37 @@ class MlQueriesSpec extends SparkSpec {
       assert(m >= lo && m < hi, s"bucket ${r.getInt(0)} mean $m outside [$lo,$hi)")
     }
   }
+
+  test("target encode: smoothed means and LOO band match an in-memory recount; shrinkage pulls toward the prior") {
+    val out = MlQueries.qTargetEncode(spark, sf001).collect()
+    val raw = Tables.events(spark, sf001)
+      .select(col("event_type"), hour(col("ts")), round(col("value") * lit(100)).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nAll = raw.valuesIterator.map(_.length.toLong).sum
+    val sAll = raw.valuesIterator.map(_.sum).sum
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSet == raw.keySet)
+    out.foreach { r =>
+      val cs = raw((r.getString(0), r.getInt(1)))
+      val (n, s) = (cs.length.toLong, cs.sum)
+      assert(r.getLong(2) == n)
+      def enc(num: Double, den: Double) = num / den / 100.0
+      assert(r.getDouble(3) ==
+        enc((nAll * s + 20 * sAll).toDouble, (nAll * (n + 20)).toDouble))
+      if (n >= 2) {
+        assert(r.getDouble(4) ==
+          enc((nAll * (s - cs.max) + 20 * sAll).toDouble, (nAll * (n - 1 + 20)).toDouble))
+        assert(r.getDouble(5) ==
+          enc((nAll * (s - cs.min) + 20 * sAll).toDouble, (nAll * (n - 1 + 20)).toDouble))
+        assert(r.getDouble(4) <= r.getDouble(5))
+      }
+      // m-estimate shrinkage: the encoding sits strictly between the
+      // raw group mean and the global prior (when they differ)
+      val prior = sAll.toDouble / nAll / 100.0
+      val rawMean = s.toDouble / n / 100.0
+      if (math.abs(rawMean - prior) > 1e-9)
+        assert((r.getDouble(3) - rawMean) * (r.getDouble(3) - prior) < 0,
+          s"enc must lie between group mean $rawMean and prior $prior")
+    }
+  }
 }

@@ -486,4 +486,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == exact, "sketch-merged φ-frequent set must equal the exact recount")
     counts.unpersist(); out.unpersist()
   }
+
+  test("collocations: top-20 PMI rows match an in-memory recount of adjacency, margins, and totals") {
+    val out = TextQueries.qCollocations(spark, sf001).collect()
+    assert(out.length == 20)
+    // independent single-threaded recount over the raw corpus
+    val texts = graft.Tables.documents(spark, sf001)
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nTok = 0L; var nPair = 0L
+    texts.foreach { t =>
+      val l = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      l.foreach { w => uni(w) = uni.getOrElse(w, 0L) + 1L; nTok += 1 }
+      l.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); pair(k) = pair.getOrElse(k, 0L) + 1L; nPair += 1
+      }
+    }
+    def pmi(a: String, b: String): Double = {
+      val nab = pair((a, b))
+      BigDecimal(math.log(nab.toDouble * nTok * nTok /
+        (nPair.toDouble * uni(a) * uni(b))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = pair.keys.toSeq.filter(k => pair(k) >= 5)
+      .map { case (a, b) => (a, b, pair((a, b)), pmi(a, b)) }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // PMI ordering sanity: non-increasing down the emitted ranks
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
