@@ -671,6 +671,88 @@ object AnalyticsQueries {
       |  END AS r2
       |FROM m ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------- Two-sample z-test
+  /** Welch two-sample z readout per event type — difference in mean
+    * event value between two deterministic user cohorts (user_id
+    * parity stands in for the assignment hash), standardized by the
+    * unpooled standard error: the experimentation primitive every
+    * product-analytics deployment runs, and at these group sizes
+    * (n ≫ 100) the z and t references coincide. `significant` applies
+    * the two-sided 5% gate |z| > 1.96.
+    *
+    * Scale shape: ONE partial-aggregable conditional-aggregation pass
+    * (each cohort's n, Σc, Σc² as FILTER-style when() sums — no
+    * per-cohort scan, no join, no window); the z is a per-row terminal
+    * projection on the |event_type|-bounded frame.
+    *
+    * Floats (class-2 integer-exact): moments in exact cents with the
+    * Σc² products carried in DECIMAL(38,0)/HUGEINT; mean, variance
+    * (explicit (nΣc² − (Σc)²)/(n²(n−1)) spelling — never
+    * engine-internal var_samp), and z are fixed terminal IEEE trees
+    * (casts, multiplies, divides, one sqrt — all exact-deterministic
+    * cross-engine). Degenerate cohorts (n < 2) emit NULL z, and the
+    * significance boolean derives from the deterministic z. */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = round(col("value") * lit(100)).cast("long")
+    def side(cohort: Int, expr: Column): Column =
+      sum(when(col("user_id") % 2 === cohort, expr))
+    val g = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), c.as("c"))
+      .groupBy(col("event_type"))
+      // counts via count(when(...)): an empty cohort reads 0 like the
+      // oracle's FILTER count, where sum(when(...,1)) would read NULL
+      .agg(count(when(col("user_id") % 2 === 0, lit(1))).as("n_a"),
+        count(when(col("user_id") % 2 === 1, lit(1))).as("n_b"),
+        side(0, col("c")).as("s_a"), side(1, col("c")).as("s_b"),
+        side(0, col("c").cast(dec) * col("c")).as("q_a"),
+        side(1, col("c").cast(dec) * col("c")).as("q_b"))
+    def mean(sc: String, n: String): Column =
+      col(sc).cast("double") / col(n) / lit(100.0)
+    def seSq(n: String, q: String, sc: String): Column =
+      (col(n).cast(dec) * col(q) - col(sc).cast(dec) * col(sc)).cast("double") /
+        (col(n).cast("double") * col(n) * (col(n) - 1) * lit(10000.0))
+    val z = (mean("s_a", "n_a") - mean("s_b", "n_b")) /
+      sqrt(seSq("n_a", "q_a", "s_a") + seSq("n_b", "q_b", "s_b"))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+        mean("s_a", "n_a").as("mean_a"), mean("s_b", "n_b").as("mean_b"),
+        (mean("s_a", "n_a") - mean("s_b", "n_b")).as("diff"),
+        when(col("n_a") >= 2 && col("n_b") >= 2, z).as("z"))
+      .withColumn("significant", abs(col("z")) > lit(1.96))
+      .orderBy(col("event_type"))
+  }
+
+  val qAbTestSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS cohort,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    count(*) FILTER (cohort = 0) AS n_a,
+      |    count(*) FILTER (cohort = 1) AS n_b,
+      |    sum(c) FILTER (cohort = 0) AS s_a,
+      |    sum(c) FILTER (cohort = 1) AS s_b,
+      |    sum(CAST(c AS HUGEINT) * c) FILTER (cohort = 0) AS q_a,
+      |    sum(CAST(c AS HUGEINT) * c) FILTER (cohort = 1) AS q_b
+      |  FROM e GROUP BY 1
+      |), t AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+      |    CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+      |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+      |      (CAST(s_a AS DOUBLE) / n_a / 100.0 - CAST(s_b AS DOUBLE) / n_b / 100.0) /
+      |      sqrt(CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE) /
+      |             (CAST(n_a AS DOUBLE) * n_a * (n_a - 1) * 10000.0)
+      |         + CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE) /
+      |             (CAST(n_b AS DOUBLE) * n_b * (n_b - 1) * 10000.0))
+      |    END AS z
+      |  FROM g
+      |)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b,
+      |  mean_a - mean_b AS diff, z, abs(z) > 1.96 AS significant
+      |FROM t ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------- Seasonal outliers
   /** Seasonal-adjusted robust outlier scan — the composition the
     * decomposition EXISTS for: hours whose residual (observed −
@@ -2267,6 +2349,7 @@ object AnalyticsQueries {
     "q_level_shift" -> (qLevelShift _),
     "q_acf" -> (qAcf _),
     "q_grouped_ols" -> (qGroupedOls _),
+    "q_ab_test" -> (qAbTest _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_interpolate" -> (qInterpolate _),
@@ -2302,6 +2385,7 @@ object AnalyticsQueries {
     "q_level_shift" -> qLevelShiftSql,
     "q_acf" -> qAcfSql,
     "q_grouped_ols" -> qGroupedOlsSql,
+    "q_ab_test" -> qAbTestSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,
     "q_graph_bfs" -> qGraphBfsSql,
     "q_interpolate" -> qInterpolateSql,

@@ -421,8 +421,78 @@ object MlQueries {
       |FROM g CROSS JOIN tot
       |ORDER BY event_type, hod""".stripMargin
 
+  // ------------------------------------------------- Exact AUC (Mann–Whitney)
+  /** EXACT ROC-AUC of "event value separates purchases from the rest",
+    * via the Mann–Whitney midrank identity — the hash-oracled exact
+    * tier under the mllib evaluator surface (M12's
+    * BinaryClassificationEvaluator is rows-only; this row makes the
+    * AUC itself driver-verified): AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻), with midranks handling the heavy cent-grain ties that
+    * trapezoid implementations interpolate.
+    *
+    * Scale shape — NO per-row ranking anywhere: ranks live on the
+    * VALUE HISTOGRAM (one corpus-proportional partial-aggregable
+    * groupBy to (score, count, positives)), the running below-count is
+    * a window over the DISTINCT-VALUE frame (bounded by the score
+    * domain — the cent grid — not corpus rows; q_median_histogram's
+    * documented discipline), and the rank sum folds back in one
+    * 1-row aggregate. A naive row_number spelling would global-sort
+    * 100 TB; this sorts ≤|domain| histogram buckets.
+    *
+    * Floats (class-2): everything is exact integers — 2·midrank =
+    * 2·rank_min + cnt − 1 keeps the tie midpoint integral, the rank
+    * sum is carried in DECIMAL(38,0)/HUGEINT (Σ np_c·2·rank reaches
+    * n⁺·2N ≈ 10^23 at the 100 TB tier) — until ONE terminal division.
+    * MlQueriesSpec pins equality with mllib's trapezoid areaUnderROC. */
+  def qAucExact(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = graft.Tables.events(s, d)
+      .select(round(col("value") * lit(100)).cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np_c"))
+    val below = sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val r = h.withColumn("below", coalesce(below, lit(0L)))
+    val sums = r.agg(
+      sum(col("np_c").cast(dec) *
+        (lit(2L) * (col("below") + 1L) + col("cnt") - 1L)).as("two_rank_sum"),
+      sum(col("np_c")).as("n_pos"), sum(col("cnt")).as("n_all"))
+    sums.select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+      ((col("two_rank_sum") - col("n_pos").cast(dec) * (col("n_pos") + 1L))
+        .cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * (col("n_all") - col("n_pos"))))
+        .as("auc"))
+  }
+
+  val qAucExactSql: String =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events
+      |), h AS (
+      |  SELECT c, count(*) AS cnt, sum(pos) AS np_c FROM e GROUP BY c
+      |), r AS (
+      |  SELECT c, cnt, np_c,
+      |    coalesce(sum(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM h
+      |), s AS (
+      |  SELECT
+      |    sum(CAST(np_c AS HUGEINT) * (2 * (below + 1) + cnt - 1)) AS two_rank_sum,
+      |    sum(np_c) AS n_pos, sum(cnt) AS n_all
+      |  FROM r
+      |)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_all - n_pos AS BIGINT) AS n_neg,
+      |  CAST(two_rank_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) /
+      |    (2.0 * CAST(n_pos AS DOUBLE) * (n_all - n_pos)) AS auc
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_target_encode" -> (qTargetEncode _),
+    "q_auc_exact" -> (qAucExact _),
     "q_ml_bucketize" -> (qMlBucketize _),
     "q_ml_eval_bounds" -> (qMlEvalBounds _),
     "q_ml_quality_bounds" -> (qMlQualityBounds _),
@@ -438,6 +508,7 @@ object MlQueries {
     * gets an oracle; the GBT query stays rows-only. */
   val oracles: Map[String, String] = Map(
     "q_target_encode" -> qTargetEncodeSql,
+    "q_auc_exact" -> qAucExactSql,
     "q_ml_bucketize" -> qMlBucketizeSql,
     "q_ml_eval_bounds" -> qMlEvalBoundsSql,
     "q_ml_quality_bounds" -> qMlQualityBoundsSql,

@@ -524,6 +524,89 @@ object Streaming {
       }
   }
 
+  /** Ring state for [[levelShiftScores]]: the last ≤ 16 events as
+    * parallel sequences (identity + exact cents + original value),
+    * plus how many the user has EVER sent — the candidate row's trail
+    * frame is full only from the 16th event on, and the ring alone
+    * can't distinguish "16 seen" from "just 9". */
+  final case class LevelBuffer(ids: Seq[Long], cents: Seq[Long],
+      values: Seq[Double], seen: Long)
+
+  final case class LevelShiftScore(event_id: Long, user_id: Long,
+      value: Double, mean_trail: Option[Double], mean_lead: Option[Double],
+      shift_z: Option[Double])
+
+  /** Streaming face of
+    * [[graft.queries.AnalyticsQueries.qLevelShift]] — online
+    * change-point monitoring with the operator's inherent emission
+    * LAG: a row's score compares the NEXT 8 values (itself included)
+    * against the previous 8, so the stream emits each event exactly
+    * when its lead frame completes — 7 events later. A user's final 7
+    * events stay pending forever (their lead frames never fill); the
+    * replay spec compares against the batch twin MINUS each user's
+    * tail, which is the honest online contract, not a deviation.
+    *
+    * EXACT-REPLAY CONTRACT (StreamingSpec): emitted rows equal the
+    * batch twin's bit-for-bit — the ring holds exact integer cents
+    * and the means / explicit trailing variance / shift z are the
+    * twin's terminal IEEE expressions verbatim (mean = Σc/(100·n),
+    * var = (Σc² − Σc·Σc/n)/(n−1), sd = √max(var,0)/100, z only when
+    * sd > 0 and both frames full). Same in-order-arrival premise and
+    * (ts, event_id) micro-batch ordering as [[anomalyScores]].
+    *
+    * Scale shape: one stateful shuffle on user_id; state is 16 longs +
+    * 16 doubles + a counter per user (~0.4 KB) regardless of stream
+    * length — same linear-and-spillable story as anomalyScores. */
+  def levelShiftScores(events: Dataset[Event])(
+      implicit enc: org.apache.spark.sql.Encoder[LevelShiftScore],
+      encL: org.apache.spark.sql.Encoder[Long]): Dataset[LevelShiftScore] = {
+    implicit val bufEnc: org.apache.spark.sql.Encoder[LevelBuffer] =
+      org.apache.spark.sql.Encoders.product[LevelBuffer]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LevelBuffer, LevelShiftScore](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LevelBuffer]) =>
+          val st = state.getOption.getOrElse(
+            LevelBuffer(Vector.empty, Vector.empty, Vector.empty, 0L))
+          var ids = st.ids.toVector
+          var cs = st.cents.toVector
+          var vs = st.values.toVector
+          var seen = st.seen
+          val out = Vector.newBuilder[LevelShiftScore]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              ids :+= e.event_id; cs :+= math.round(e.value * 100)
+              vs :+= e.value; seen += 1
+              if (ids.length > 16) { ids = ids.tail; cs = cs.tail; vs = vs.tail }
+              val len = ids.length
+              if (len >= 8) {
+                val i = len - 8 // candidate: lead frame just completed
+                val lead = cs.slice(i, i + 8)
+                val meanLead = Some(lead.sum.toDouble / (100.0 * 8L))
+                val (meanTrail, sdTrail) =
+                  if (seen >= 16) {
+                    val trail = cs.slice(i - 8, i)
+                    var s1 = 0L; var s2 = 0L
+                    trail.foreach { c => s1 += c; s2 += c * c }
+                    val m = s1.toDouble / (100.0 * 8L)
+                    val v = (s2.toDouble - s1.toDouble * s1.toDouble / 8L) / 7L
+                    (Some(m), Some(math.sqrt(math.max(v, 0.0)) / 100.0))
+                  } else (None, None)
+                val z = (meanTrail, sdTrail, meanLead) match {
+                  case (Some(mt), Some(sd), Some(ml)) if sd > 0.0 =>
+                    Some((ml - mt) / sd)
+                  case _ => None
+                }
+                out += LevelShiftScore(ids(i), userId, vs(i),
+                  meanTrail, meanLead, z)
+              }
+            }
+          state.update(LevelBuffer(ids, cs, vs, seen))
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Long,
       watermark: String = "30 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[UserSession],

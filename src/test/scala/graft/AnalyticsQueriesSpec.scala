@@ -568,6 +568,34 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ab test: per-type Welch z matches an independent in-memory two-sample computation") {
+    val out = AnalyticsQueries.qAbTest(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val raw = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id") % 2,
+        round(col("value") * lit(100)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (t, rows) =>
+      val a = rows.filter(_._2 == 0L).map(_._3.toDouble / 100.0)
+      val b = rows.filter(_._2 == 1L).map(_._3.toDouble / 100.0)
+      val r = out(t)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+      def meanOf(xs: Seq[Double]) = xs.sum / xs.length
+      def varOf(xs: Seq[Double]) = {
+        val m = meanOf(xs)
+        xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      }
+      if (a.length >= 2 && b.length >= 2) {
+        val z = (meanOf(a) - meanOf(b)) /
+          math.sqrt(varOf(a) / a.length + varOf(b) / b.length)
+        assert(math.abs(r.getDouble(6) - z) <= 1e-9, s"$t: ${r.getDouble(6)} vs $z")
+        assert(!r.isNullAt(7) && r.getBoolean(7) == (math.abs(r.getDouble(6)) > 1.96))
+      } else assert(r.isNullAt(6) && r.isNullAt(7))
+    }
+  }
+
   test("seasonal outliers: every flagged hour violates the 3-MAD band; recompute from the decompose agrees") {
     val out = AnalyticsQueries.qSeasonalOutliers(spark, sf001).collect()
     assert(out.nonEmpty, "harness series must flag at least one hour")

@@ -103,4 +103,22 @@ class MlQueriesSpec extends SparkSpec {
           s"enc must lie between group mean $rawMean and prior $prior")
     }
   }
+
+  test("exact AUC: Mann-Whitney midrank identity agrees with mllib's trapezoid areaUnderROC") {
+    val row = MlQueries.qAucExact(spark, sf001).collect()(0)
+    val (nPos, nNeg, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val scoreAndLabels = Tables.events(spark, sf001)
+      .select(round(col("value") * lit(100)).cast("double"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    val metrics =
+      new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(scoreAndLabels)
+    // trapezoid-over-score-grouped-thresholds and midrank Mann-Whitney
+    // are the same estimator; only float summation order differs
+    assert(math.abs(auc - metrics.areaUnderROC()) <= 1e-12,
+      s"$auc vs mllib ${metrics.areaUnderROC()}")
+    val total = Tables.events(spark, sf001).count()
+    assert(nPos + nNeg == total && nPos > 0 && nNeg > 0)
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }

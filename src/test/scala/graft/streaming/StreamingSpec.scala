@@ -972,4 +972,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.nonEmpty)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
+
+  test("streaming level-shift replay: delayed-emission ring state == batch twin minus each user's unresolved tail, bit-exact") {
+    // same harness: three trigger batches in cross-batch ts order,
+    // rows shuffled within each batch
+    import java.nio.file.{Files => JFiles}
+    val all = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val rnd = new scala.util.Random(41)
+    val chunks = all.grouped((all.length + 2) / 3).toSeq
+      .map(c => rnd.shuffle(c.toSeq))
+    val dir = JFiles.createTempDirectory("graft-lshift")
+    val watch = JFiles.createTempDirectory("graft-lshift-stream")
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streaming.Event]].schema)
+      .parquet(watch.toString).as[Streaming.Event]
+    val q = Streaming.levelShiftScores(events)
+      .writeStream.format("memory").queryName("lshift_scores")
+      .outputMode("append").start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toSeq.toDS().coalesce(1).write.parquet(dir.resolve(s"b$i").toString)
+        JFiles.list(dir.resolve(s"b$i")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            JFiles.copy(p, watch.resolve(s"b$i-${p.getFileName}"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream emits a row exactly when its 8-row lead frame
+    // completes, so each user's last 7 events stay pending — the
+    // expected set is the batch twin minus those tails (and on those
+    // tails the twin's mean_lead is NULL by the same frame logic)
+    val pending = all.groupBy(_.user_id).values
+      .flatMap(_.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .takeRight(7).map(_.event_id)).toSet
+    val batch = graft.queries.AnalyticsQueries.qLevelShift(spark, sf001).collect()
+    batch.filter(r => pending.contains(r.getLong(0)))
+      .foreach(r => assert(r.isNullAt(4), s"tail row with full lead? $r"))
+    val want = batch.filterNot(r => pending.contains(r.getLong(0))).map(_.toString)
+    val got = spark.table("lshift_scores").orderBy(col("event_id"))
+      .collect().map(_.toString)
+    assert(got.length == want.length && got.nonEmpty,
+      s"${got.length} streamed vs ${want.length} resolvable batch rows")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
 }
