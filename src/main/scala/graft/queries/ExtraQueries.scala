@@ -1439,7 +1439,120 @@ object ExtraQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- Quantile normalization
+  /** Quantile normalization of per-source score distributions onto the
+    * pooled global distribution (the microarray-normalization idea,
+    * Bolstad et al. Bioinformatics'03, in its empirical-CDF form):
+    * each source's document-length score maps to the global value at
+    * its within-source midrank fraction — `norm = G⁻¹(F_s(x))` — so
+    * sources whose raters/heuristics ran hot or cold become
+    * comparable before any cross-source quality cut. Output is at
+    * (source, value) HISTOGRAM grain with multiplicity, monotone in x
+    * within every source by construction.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to the (source, value) histogram; everything downstream —
+    * per-source cumulative ranks, the global histogram re-aggregated
+    * from it, the |sources|×|domain| cutpoint frame, and the
+    * union+forward-window as-of match — lives on value-domain-bounded
+    * frames (score domains don't grow with corpus size; the
+    * q_median_histogram discipline). The per-source window is over
+    * histogram rows, never document rows, so a hot source costs
+    * |domain|, not |docs|.
+    *
+    * Exactness: NO floats anywhere (class 1) — the quantile compare
+    * `cumG(v)/N ≥ midrank_s/n_s` cross-multiplies to the integer
+    * predicate `2·cumG(v)·n_s ≥ (2·below_s + cnt + 1)·N` (2× keeps
+    * midranks integral), carried in DECIMAL(38,0)/HUGEINT since the
+    * products reach N·n_s ≈ 10^24 at the 100 TB tier. The as-of match
+    * is the union trick: cutpoints and requests interleave on the
+    * integer key (requests BEFORE cutpoints on ties, so an equal key
+    * — the ≥ boundary — stays in the request's forward frame) and
+    * `first_value ignoreNulls` over the forward frame picks the
+    * smallest qualifying global value. */
+  def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hs = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      // histogram reused by the per-source rank pass AND the global
+      // re-aggregation — materialize once (shared-subframe rule)
+      .localCheckpoint()
+    val wS = Window.partitionBy(col("source")).orderBy(col("c"))
+    val hsr = hs
+      .withColumn("below", coalesce(sum(col("cnt")).over(
+        wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_s", sum(col("cnt")).over(
+        Window.partitionBy(col("source"))))
+    val hg = hs.groupBy(col("c").as("v")).agg(sum(col("cnt")).as("gcnt"))
+    val hgr = hg
+      .withColumn("cumg", sum(col("gcnt")).over(
+        Window.orderBy(col("v"))))
+      .crossJoin(broadcast(hg.agg(sum(col("gcnt")).as("n_all"))))
+    val srcs = hsr.select(col("source"), col("n_s")).distinct()
+    val cut = hgr.crossJoin(broadcast(srcs))
+      .select(col("source"), col("v"),
+        (lit(2L) * col("cumg").cast(dec) * col("n_s")).as("key"),
+        lit(1).as("kind"), lit(null).cast("long").as("c"),
+        lit(null).cast("long").as("cnt"))
+    val nAll = broadcast(hgr.select(col("n_all")).limit(1))
+    val req = hsr.crossJoin(nAll)
+      .select(col("source"), lit(null).cast("long").as("v"),
+        ((lit(2L) * col("below") + col("cnt") + 1L).cast(dec) * col("n_all"))
+          .as("key"),
+        lit(0).as("kind"), col("c"), col("cnt"))
+    val wF = Window.partitionBy(col("source"))
+      .orderBy(col("key"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cut.unionByName(req)
+      .withColumn("norm", first(col("v"), ignoreNulls = true).over(wF))
+      .where(col("kind") === 0)
+      .select(col("source"), col("c").as("n_chars"),
+        col("cnt").as("n_rows"), col("norm"))
+      .orderBy(col("source"), col("n_chars"))
+  }
+
+  val qQuantileNormalizeSql: String =
+    """WITH hs AS (
+      |  SELECT source, n_chars AS c, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), hsr AS (
+      |  SELECT source, c, cnt,
+      |    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    sum(cnt) OVER (PARTITION BY source) AS n_s
+      |  FROM hs
+      |), hg AS (
+      |  SELECT c AS v, sum(cnt) AS gcnt FROM hs GROUP BY c
+      |), hgr AS (
+      |  SELECT v, sum(gcnt) OVER (ORDER BY v) AS cumg,
+      |         (SELECT sum(gcnt) FROM hg) AS n_all
+      |  FROM hg
+      |), cut AS (
+      |  SELECT s.source, hgr.v, 2 * hgr.cumg * s.n_s AS key, 1 AS kind,
+      |         NULL::BIGINT AS c, NULL::BIGINT AS cnt
+      |  FROM hgr CROSS JOIN (SELECT DISTINCT source, n_s FROM hsr) s
+      |), req AS (
+      |  SELECT source, NULL::BIGINT AS v,
+      |    (2 * below + cnt + 1) * (SELECT n_all FROM hgr LIMIT 1) AS key,
+      |    0 AS kind, c, cnt
+      |  FROM hsr
+      |), u AS (
+      |  SELECT * FROM cut UNION ALL SELECT * FROM req
+      |), m AS (
+      |  SELECT source, c, cnt, kind,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY source
+      |      ORDER BY key, kind
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS norm
+      |  FROM u
+      |)
+      |SELECT source, c AS n_chars, cnt AS n_rows, norm
+      |FROM m WHERE kind = 0
+      |ORDER BY source, n_chars""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_unpivot" -> (qUnpivot _),
     "q_histogram" -> (qHistogram _),
     "q_skew_diagnostics" -> (qSkewDiagnostics _),
@@ -1503,6 +1616,7 @@ object ExtraQueries {
     "q_corpus_shuffle" -> qCorpusShuffleSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "q_quantile_normalize" -> qQuantileNormalizeSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_cdc_fold_bounds" -> qCdcFoldBoundsSql,

@@ -134,4 +134,43 @@ class RelationalExtSpec extends SparkSpec {
     assert(row.getLong(2) == tri)
     assert(row.getDouble(3) == 3.0 * tri / wedges)
   }
+
+  test("quantile normalize: matches a brute-force empirical-CDF mapping; monotone, domain-closed, count-preserving") {
+    val out = ExtraQueries.qQuantileNormalize(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val raw = graft.Tables.documents(spark, sf001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val globalSorted = raw.map(_._2).sorted
+    val n = globalSorted.length.toLong
+    val globalHist = raw.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val bySource = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // brute-force G^-1(F_s(x)) per (source, value)
+    val expected = bySource.flatMap { case (s, xs) =>
+      val ns = xs.length.toLong
+      val cnts = xs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val globalCum = globalHist.scanLeft(("", 0L)) {
+        case ((_, cum), (v, g)) => (v.toString, cum + g)
+      }.tail.map { case (v, cum) => (v.toLong, cum) }
+      var below = 0L
+      cnts.map { case (c, cnt) =>
+        val rhs = (2 * below + cnt + 1) * n
+        val norm = globalCum.find { case (_, cum) => 2 * cum * ns >= rhs }.get._1
+        below += cnt
+        (s, c, cnt, norm)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    // monotone within source; normalized values come from the global
+    // domain; multiplicities preserved per source
+    val globalSet = globalSorted.toSet
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)), s)
+      assert(rows.forall(r => globalSet.contains(r._4)), s)
+      assert(rows.map(_._3).sum == bySource(s).length.toLong, s)
+    }
+  }
 }
