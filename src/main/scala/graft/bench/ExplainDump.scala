@@ -112,6 +112,39 @@ object ExplainDump {
       "q_graph_triangles stage 3: oriented wedge self-join + closure semi-join" -> closed)
   }
 
+  /** BFS stages (`q_graph_bfs`): the end-to-end dump is a Sort over
+    * the final checkpointed distance frame — both the corpus-
+    * proportional edge derivation and the per-round frontier join are
+    * invisible. Stage 1 is the un-checkpointed ring-chord derivation
+    * (the |domains|-budgeted corpus pass); stage 2 is ONE frontier-
+    * expansion round over a checkpointed edge frame — the join shape
+    * (frontier ⋈ adjacency on the vertex, LEFT ANTI vs the settled
+    * set) that repeats per hop. */
+  def bfsStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
+    import graft.queries.AnalyticsQueries
+    val edges = AnalyticsQueries.ringChordEdges(spark, sf)
+    val edgesCp = edges.localCheckpoint(true)
+    val adj = edgesCp.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(edgesCp.select(col("b").as("v"), col("a").as("w")))
+    val dist0 = edgesCp.agg(min(col("a")).as("v"))
+      .select(col("v"), lit(0).as("dist")).localCheckpoint(true)
+    val round = dist0.join(adj, "v").select(col("w").as("v"))
+      .join(dist0, Seq("v"), "left_anti").distinct()
+      .select(col("v"), lit(1).as("dist"))
+    Seq(
+      "q_graph_bfs stage 1: planted ring-chord edge derivation" -> edges,
+      "q_graph_bfs stage 2: one frontier-expansion round (repeats per hop)" -> round)
+  }
+
+  /** Corpus-proportional first stages of the two r13 queries whose
+    * end-to-end dumps hide them behind a checkpointed bounded frame. */
+  def histogramStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] =
+    Seq(
+      "q_collocations stage 1: in-row successor pairing + bigram aggregation" ->
+        graft.queries.TextQueries.collocationPositions(spark, sf),
+      "q_quantile_normalize stage 1: (source, value) histogram aggregation" ->
+        graft.queries.ExtraQueries.sourceLengthHistogram(spark, sf))
+
   /** Stage-wise frames for the pipelines whose per-stage
     * `localCheckpoint` hides the real operators behind a
     * `Scan ExistingRDD` shell in the end-to-end dump (q_curation,
@@ -203,7 +236,8 @@ object ExplainDump {
     // checkpointed pipelines: end-to-end plans above print a Scan
     // ExistingRDD shell, so their stages are dumped individually
     (curationStages(spark, sf) ++ incrementalStages(spark, sf) ++
-      pagerankStages(spark, sf) ++ triangleStages(spark, sf))
+      pagerankStages(spark, sf) ++ triangleStages(spark, sf) ++
+      bfsStages(spark, sf) ++ histogramStages(spark, sf))
       .foreach { case (name, df) => dump(name, df) }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

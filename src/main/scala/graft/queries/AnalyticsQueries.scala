@@ -210,49 +210,43 @@ object AnalyticsQueries {
       |ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------- Seasonal decomposition
-  /** Classical additive seasonal decomposition (STL-lite) of the
-    * hourly event-value series: `y = trend + seasonal + resid` with
-    * trend = centered ±12 h moving average and seasonal = the mean
-    * detrended value per hour-of-day — the decomposition behind every
-    * "is this drop daily rhythm or a real regression" call in traffic
-    * and pipeline-volume monitoring.
-    *
-    * Scale shape: the only corpus-proportional stage is ONE
-    * partial-aggregable groupBy to the hourly frame; everything after
-    * (trend window, 24-row seasonal profile, the join-back) runs on
-    * the calendar-BOUNDED hourly series — the global-ordered trend
-    * window is single-task over |hours| rows, never |events|
-    * (q_median_histogram's distinct-frame discipline), and the
-    * seasonal profile broadcasts.
-    *
-    * Floats (COVERAGE.md class-2, integer-exact spelling): event
-    * values are 2-decimal quantized, so every aggregate is carried in
-    * INTEGER CENTS — `sum(round(value*100))` partial-aggregates
-    * exactly in any order (magnitudes ≪ 2^53: hourly cent sums stay
-    * exact to ~10^5 events/hour of max-magnitude values, i.e. well
-    * past petabyte scale at this grain), the trend frame carries
-    * `(trend_sum_cents, trend_n)`, and the seasonal mean is
-    * restricted to FULL ±12 frames (trend_n = 25) so its numerator
-    * `25·y_cents − trend_sum_cents` is itself an exact integer. All
-    * emitted doubles are ONE terminal division (or sum/difference of
-    * such) over identical integers on both engines — bit-exact under
-    * the driver's hash gate by IEEE determinism, no tolerance needed.
-    * Edge rows (first/last 12 hours, partial frames) still receive a
-    * trend and a resid; they are only excluded from ESTIMATING the
-    * 24-row seasonal profile. On a series too short for some
-    * hour-of-day to own any full frame, those rows keep y and trend
-    * and carry NULL seasonal/resid (LEFT join-back) rather than being
-    * dropped. */
+  /** The hourly event-value series in EXACT INTEGER CENTS — the shared
+    * corpus-proportional stage of the whole time-series family
+    * ([[seasonalFrame]], [[qAcf]]): one partial-aggregable groupBy,
+    * `sum(round(value*100))` exact in any order (magnitudes ≪ 2^53:
+    * hourly cent sums stay exact to ~10^5 events/hour of max-magnitude
+    * values, well past petabyte scale at this grain). */
+  private def hourlyCents(s: SparkSession, d: String, out: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as(out))
+
   /** Shared decomposition core ([[qSeasonalDecompose]],
     * [[qSeasonalOutliers]]): the hourly cent frame with its ±12 trend
-    * sums and the broadcast 24-row seasonal profile LEFT-joined back —
-    * a degenerate series too short to produce any full ±12 frame for
-    * some hour-of-day keeps its rows (NULL seasonal and resid) instead
-    * of silently vanishing from the decomposition. */
+    * sums and the broadcast 24-row seasonal profile LEFT-joined back.
+    *
+    * Scale shape: the only corpus-proportional stage is
+    * [[hourlyCents]]; everything after (trend window, 24-row seasonal
+    * profile, the join-back) runs on the calendar-BOUNDED hourly
+    * series — the global-ordered trend window is single-task over
+    * |hours| rows, never |events| (q_median_histogram's distinct-frame
+    * discipline), and the seasonal profile broadcasts.
+    *
+    * Floats (COVERAGE.md class-2, integer-exact spelling): the trend
+    * frame carries `(trend_sum_cents, trend_n)` exact integers, and
+    * the seasonal mean is restricted to FULL ±12 frames (trend_n = 25)
+    * so its numerator `25·y_cents − trend_sum_cents` is itself an
+    * exact integer — every double derived downstream is ONE terminal
+    * division (or sum/difference of such) over identical integers on
+    * both engines, bit-exact under the driver's hash gate by IEEE
+    * determinism. Edge rows (first/last 12 hours, partial frames)
+    * still receive a trend and a resid; they are only excluded from
+    * ESTIMATING the 24-row profile. A degenerate series too short to
+    * produce any full ±12 frame for some hour-of-day keeps its rows
+    * (NULL seasonal and resid, LEFT join-back) instead of silently
+    * vanishing from the decomposition. */
   private[graft] def seasonalFrame(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_cents"))
+    val hourly = hourlyCents(s, d, "y_cents")
     val w = Window.orderBy(col("hour_ts")).rowsBetween(-12, 12)
     val trended = hourly
       .withColumn("trend_sum", sum(col("y_cents")).over(w))
@@ -271,6 +265,13 @@ object AnalyticsQueries {
   private def seasonalTrend: Column =
     col("trend_sum").cast("double") / (lit(100.0) * col("trend_n"))
 
+  /** Classical additive seasonal decomposition (STL-lite) of the
+    * hourly event-value series: `y = trend + seasonal + resid` with
+    * trend = centered ±12 h moving average and seasonal = the mean
+    * detrended value per hour-of-day — the decomposition behind every
+    * "is this drop daily rhythm or a real regression" call in traffic
+    * and pipeline-volume monitoring. Scale + float rationale live on
+    * [[seasonalFrame]]; the emits here are its terminal divisions. */
   def qSeasonalDecompose(s: SparkSession, d: String): DataFrame =
     seasonalFrame(s, d)
       .select(col("hour_ts"), seasonalY.as("y"), seasonalTrend.as("trend"),
@@ -537,9 +538,7 @@ object AnalyticsQueries {
     * one divide), bit-exact cross-engine. */
   def qAcf(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+    val hourly = hourlyCents(s, d, "c")
     val w = Window.orderBy(col("hour_ts"))
     val pairs = hourly
       .select(col("c"),
@@ -2108,6 +2107,11 @@ object AnalyticsQueries {
       .select(concat(col("source"), lit(".example.com")).as("host"),
         (row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
           .as("idx"))
+      // |domains|-sized frame consumed FIVE times (count + both sides
+      // of the ring and chord joins) — materialize once or each
+      // reference re-plans the corpus scan + distinct + global
+      // row_number (the shared-subframe rule)
+      .localCheckpoint()
     // |domains|-sized action, same documented budget as triangleEdges
     val n = math.max(1L, srcs.count())
     val sA = srcs.select(col("host").as("ha"), col("idx").as("ia"))

@@ -1470,15 +1470,19 @@ object ExtraQueries {
     * — the ≥ boundary — stays in the request's forward frame) and
     * `first_value ignoreNulls` over the forward frame picks the
     * smallest qualifying global value. */
+  /** [[qQuantileNormalize]]'s corpus-proportional stage,
+    * un-checkpointed for ExplainDump: the (source, value) histogram. */
+  private[graft] def sourceLengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+
   def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val hs = Tables.documents(s, d)
-      .groupBy(col("source"), col("n_chars").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-      // histogram reused by the per-source rank pass AND the global
-      // re-aggregation — materialize once (shared-subframe rule)
-      .localCheckpoint()
+    // histogram reused by the per-source rank pass AND the global
+    // re-aggregation — materialize once (shared-subframe rule)
+    val hs = sourceLengthHistogram(s, d).localCheckpoint()
     val wS = Window.partitionBy(col("source")).orderBy(col("c"))
     val hsr = hs
       .withColumn("below", coalesce(sum(col("cnt")).over(

@@ -459,10 +459,13 @@ object MlQueries {
       sum(col("np_c").cast(dec) *
         (lit(2L) * (col("below") + 1L) + col("cnt") - 1L)).as("two_rank_sum"),
       sum(col("np_c")).as("n_pos"), sum(col("cnt")).as("n_all"))
+    // one-class slices (no positives or no negatives) have no ROC —
+    // NULL, never 0/0 = NaN (the family's degenerate-input doctrine)
     sums.select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
-      ((col("two_rank_sum") - col("n_pos").cast(dec) * (col("n_pos") + 1L))
-        .cast("double") /
-        (lit(2.0) * col("n_pos").cast("double") * (col("n_all") - col("n_pos"))))
+      when(col("n_pos") > 0 && col("n_all") - col("n_pos") > 0,
+        (col("two_rank_sum") - col("n_pos").cast(dec) * (col("n_pos") + 1L))
+          .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * (col("n_all") - col("n_pos"))))
         .as("auc"))
   }
 
@@ -486,8 +489,9 @@ object MlQueries {
       |)
       |SELECT CAST(n_pos AS BIGINT) AS n_pos,
       |  CAST(n_all - n_pos AS BIGINT) AS n_neg,
-      |  CAST(two_rank_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) /
-      |    (2.0 * CAST(n_pos AS DOUBLE) * (n_all - n_pos)) AS auc
+      |  CASE WHEN n_pos > 0 AND n_all - n_pos > 0 THEN
+      |    CAST(two_rank_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) /
+      |      (2.0 * CAST(n_pos AS DOUBLE) * (n_all - n_pos)) END AS auc
       |FROM s""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

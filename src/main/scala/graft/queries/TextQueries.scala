@@ -1377,14 +1377,21 @@ object TextQueries {
     * BEFORE ranking because ln() is libm-dependent (~1 ulp across
     * engines — the float-determinism policy, COVERAGE.md), with the
     * (a, b) tie-break resolving exact-9-decimal ties. Adjacency note:
-    * the harness corpus is single-space separated (verified: zero
-    * multi-space/tab/newline docs), so the oracle's split-on-space
-    * sees the same successor pairs as the Spark side's \s+ split. */
-  def qCollocations(s: SparkSession, d: String): DataFrame = {
-    // (token, successor) per position, successor NULL at the last
-    // position — ONE scan feeds both the pair joints and (by re-agg)
-    // the unigram margins, so the corpus is never read twice
-    val pos = Tables.documents(s, d)
+    * BOTH engines split on a single literal space and drop pairs
+    * touching an empty token, so cross-engine agreement holds for any
+    * input — but unlike the \s+ multiset tokenizers elsewhere,
+    * adjacency is position-sensitive: a multi-space gap SEVERS the
+    * pair rather than bridging it. The harness corpus is single-space
+    * separated (verified: zero multi-space/tab/newline docs), so the
+    * severed-pair semantics never engages. */
+  /** [[qCollocations]]'s corpus-proportional stage, un-checkpointed
+    * (ExplainDump prints it — the end-to-end dump hides it behind the
+    * Scan ExistingRDD shell): (token, successor) per position,
+    * successor NULL at the last position — ONE scan feeds both the
+    * pair joints and (by re-agg) the unigram margins, so the corpus
+    * is never read twice. */
+  private[graft] def collocationPositions(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(split(col("text"), " ").as("l"))
       .select(explode(expr(
         "transform(l, (t, i) -> struct(t as a, try_element_at(l, i + 2) as b))"))
@@ -1393,10 +1400,12 @@ object TextQueries {
       .where(col("a") =!= "")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n"))
-      // bigram-vocab-bounded frame reused by FOUR plan branches (uni,
-      // n_pair, the join probe) — materialize once or each branch
-      // re-plans the corpus scan (the r12 shared-subframe lesson)
-      .localCheckpoint()
+
+  def qCollocations(s: SparkSession, d: String): DataFrame = {
+    // bigram-vocab-bounded frame reused by FOUR plan branches (uni,
+    // n_pair, the join probe) — materialize once or each branch
+    // re-plans the corpus scan (the r12 shared-subframe lesson)
+    val pos = collocationPositions(s, d).localCheckpoint()
     val uni = pos.groupBy(col("a").as("term")).agg(sum(col("n")).as("n_t"))
     val totals = uni.agg(sum(col("n_t")).as("n_tok"))
       .crossJoin(pos.where(col("b").isNotNull && col("b") =!= "")

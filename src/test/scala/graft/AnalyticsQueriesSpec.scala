@@ -547,24 +547,30 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .groupBy(_._1)
     assert(out.keySet == raw.keySet)
     raw.foreach { case (u, rows) =>
-      val n = rows.length.toDouble
-      val xs = rows.map(_._2.toDouble); val ys = rows.map(_._3.toDouble)
+      // exact BigInt moments: the query gates NULL on EXACT integer
+      // Δxx/Δyy, and x² ≈ 3e18 > 2^53 means a double recompute could
+      // take the wrong branch (rounding residue where the exact Δ is 0)
+      val n = BigInt(rows.length)
+      val xs = rows.map(r => BigInt(r._2)); val ys = rows.map(r => BigInt(r._3))
       val (sx, sy) = (xs.sum, ys.sum)
       val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
       val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
       val (dxy, dxx, dyy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
       val r = out(u)
       assert(r.getLong(1) == rows.length)
-      if (rows.length >= 3 && dxx != 0.0) {
-        // in-memory doubles accumulate error the DECIMAL path doesn't;
-        // compare relatively
-        assert(math.abs(r.getDouble(2) - dxy / dxx * 864.0) <=
-          1e-6 * math.max(1.0, math.abs(r.getDouble(2))), s"slope user $u")
-        if (dyy != 0.0)
-          assert(math.abs(r.getDouble(3) - dxy * dxy / (dxx * dyy)) <= 1e-6,
-            s"r2 user $u")
-        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
-      } else assert(r.isNullAt(2), s"degenerate user $u must stay NULL")
+      if (rows.length >= 3 && dxx != 0) {
+        val slope = (BigDecimal(dxy) / BigDecimal(dxx)).toDouble * 864.0
+        assert(math.abs(r.getDouble(2) - slope) <=
+          1e-6 * math.max(1.0, math.abs(slope)), s"slope user $u")
+        if (dyy != 0) {
+          val r2 = (BigDecimal(dxy * dxy) / BigDecimal(dxx * dyy)).toDouble
+          assert(math.abs(r.getDouble(3) - r2) <= 1e-6, s"r2 user $u")
+          assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
+        } else assert(r.isNullAt(3), s"constant-value user $u r2 must stay NULL")
+      } else {
+        assert(r.isNullAt(2), s"degenerate user $u slope must stay NULL")
+        assert(r.isNullAt(3), s"degenerate user $u r2 must stay NULL")
+      }
     }
   }
 

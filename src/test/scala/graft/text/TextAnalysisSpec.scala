@@ -497,10 +497,14 @@ class TextAnalysisSpec extends SparkSpec {
     val pair = scala.collection.mutable.Map.empty[(String, String), Long]
     var nTok = 0L; var nPair = 0L
     texts.foreach { t =>
-      val l = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      l.foreach { w => uni(w) = uni.getOrElse(w, 0L) + 1L; nTok += 1 }
+      // the QUERY's tokenization: single-space split, no case folding,
+      // empty tokens excluded from margins and severing their pairs
+      val l = t.split(" ", -1)
+      l.foreach { w => if (w.nonEmpty) { uni(w) = uni.getOrElse(w, 0L) + 1L; nTok += 1 } }
       l.sliding(2).filter(_.length == 2).foreach { p =>
-        val k = (p(0), p(1)); pair(k) = pair.getOrElse(k, 0L) + 1L; nPair += 1
+        if (p(0).nonEmpty && p(1).nonEmpty) {
+          val k = (p(0), p(1)); pair(k) = pair.getOrElse(k, 0L) + 1L; nPair += 1
+        }
       }
     }
     def pmi(a: String, b: String): Double = {
