@@ -928,6 +928,89 @@ object ExtraQueries {
       |  ('p99', true)) t(quantile, within_bounds)
       |ORDER BY quantile""".stripMargin
 
+  /** Count-min point-frequency tier ([[graft.functions.CmsSketch]],
+    * Cormode–Muthukrishnan J.Alg'05) — the frequency member of the
+    * mergeable-sketch family: per-source CMS blobs over the token
+    * stream, merged into a corpus sketch WITHOUT re-scanning rows,
+    * probed for the 5 globally-heaviest terms next to their exact
+    * counts. approx_top_k answers "which items are heavy"; this
+    * answers the dual — "how often does THIS item occur" for items
+    * chosen after the scan, from a few KB of persisted state per
+    * ingest partition.
+    *
+    * Scale shape: ONE corpus-proportional explode+groupBy to the
+    * (source, term) tf frame feeds BOTH the exact counts and the
+    * sketches (weighted adds — counter addition makes tf-weighted
+    * folding identical to per-row folding); the per-source sketch agg,
+    * the global merge, and the 5-row probe are all vocab-bounded.
+    * Rows-only for the driver (estimates are seed-deterministic but a
+    * differential SQL twin would have to re-implement the hash);
+    * [[qSketchFreqBounds]] is the hash-gated contract. */
+  def qSketchFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsSketch._
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // (source, term)-bounded frame feeding exact counts AND sketches
+      .localCheckpoint()
+    val merged = tf.groupBy(col("source"))
+      .agg(cmsSketchAgg(col("term"), col("tf")).as("sk"))
+      .agg(cmsMergeAgg(col("sk")).as("sk"))
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(5)
+    top.crossJoin(broadcast(merged))
+      .select(col("term"), col("exact"),
+        cmsEstimate(col("sk"), col("term")).as("est"),
+        cmsTotal(col("sk")).as("n_tokens"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
+  /** Hash-gated contract row for the CMS tier (the *_bounds pattern):
+    * (a) `all_ge` — est ≥ exact for every top-10 term (count-min can
+    * only overcount, deterministically true); (b) `all_le_eps` —
+    * est ≤ exact + ε·N for every probe (the sketch's accuracy
+    * guarantee, deterministic for the fixed seed); (c) `merge_exact` —
+    * the blob merged from per-source sketches is BYTE-IDENTICAL to the
+    * monolithic corpus sketch (counter arrays add exactly; the
+    * mergeability proof KLL's randomized compaction can't make);
+    * (d) fail-closed — `n_probes` counts the probe frame (an empty
+    * corpus yields 0 ≠ 10 and NULL booleans ≠ true). */
+  def qSketchFreqBounds(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsSketch._
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val merged = tf.groupBy(col("source"))
+      .agg(cmsSketchAgg(col("term"), col("tf")).as("sk"))
+      .agg(cmsMergeAgg(col("sk")).as("sk_merged"))
+    val mono = tf.agg(cmsSketchAgg(col("term"), col("tf")).as("sk_mono"))
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(10)
+    top.crossJoin(broadcast(merged)).crossJoin(broadcast(mono))
+      .select(col("term"), col("exact"),
+        cmsEstimate(col("sk_merged"), col("term")).as("est"),
+        cmsTotal(col("sk_merged")).as("n_tok"),
+        (col("sk_merged") === col("sk_mono")).as("mm"))
+      .agg(count(lit(1)).as("n_probes"),
+        min(col("est") >= col("exact")).as("all_ge"),
+        min(col("est").cast("double") <=
+          col("exact").cast("double") +
+            lit(graft.functions.CmsSketch.DefaultEps) * col("n_tok"))
+          .as("all_le_eps"),
+        min(col("mm")).as("merge_exact"))
+  }
+
+  val qSketchFreqBoundsSql: String =
+    """SELECT * FROM (VALUES (CAST(10 AS BIGINT), true, true, true))
+      |  t(n_probes, all_ge, all_le_eps, merge_exact)""".stripMargin
+
   /** Bivariate statistics: Pearson correlation + sample covariance per
     * group — single-pass, map-side combinable (the scale path for
     * feature-correlation profiling).
@@ -1582,6 +1665,8 @@ object ExtraQueries {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_distinct_bounds" -> (qApproxDistinctBounds _),
     "q_sketch_quantile_bounds" -> (qSketchQuantileBounds _),
+    "q_sketch_freq" -> (qSketchFreq _),
+    "q_sketch_freq_bounds" -> (qSketchFreqBounds _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -1607,6 +1692,7 @@ object ExtraQueries {
     "q_salted_agg" -> qSaltedAggSql,
     "q_approx_distinct_bounds" -> qApproxDistinctBoundsSql,
     "q_sketch_quantile_bounds" -> qSketchQuantileBoundsSql,
+    "q_sketch_freq_bounds" -> qSketchFreqBoundsSql,
     "q_corr" -> qCorrSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -143,4 +143,57 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(0) == 0L, "null values must not rank")
     assert(row.isNullAt(1), "empty sketch quantile must be NULL")
   }
+
+  test("cms: estimates >= exact and within eps*N under forced collisions; persist->reload->merge == monolithic") {
+    import graft.functions.CmsSketch._
+    import spark.implicits._
+    // 500 distinct items into a deliberately TINY sketch (eps=0.2 →
+    // width 10) so collisions are guaranteed and the ≥ / ≤ eps·N band
+    // is exercised where it bites, not where the sketch is exact
+    val eps = 0.2
+    val rows = (1 to 500).map(i => (s"item_${i % 100}", (i % 7) + 1L, i % 4))
+    val df = rows.toDF("item", "w", "part")
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val n = rows.map(_._2).sum
+    val mono = df.agg(cmsSketchAgg(col("item"), col("w"), eps).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val monoSk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(mono))
+    assert(monoSk.totalCount() == n)
+    var sawOver = false
+    exact.foreach { case (item, ex) =>
+      val est = monoSk.estimateCount(item)
+      assert(est >= ex, s"$item undercounted: $est < $ex")
+      assert(est <= ex + (eps * n).toLong + 1, s"$item out of band: $est vs $ex")
+      if (est > ex) sawOver = true
+    }
+    assert(sawOver, "collision regime not reached — the band assert is vacuous")
+    // persist per-part blobs to parquet, reload, merge: byte-identical
+    // to the monolithic sketch (counter arrays add exactly)
+    val dir = TempDirs.create("cms-roundtrip").toString
+    df.groupBy(col("part")).agg(cmsSketchAgg(col("item"), col("w"), eps).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(cmsMergeAgg(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, mono),
+      "merged-from-parts blob must be byte-identical to the monolithic sketch")
+    // weighted fold == per-row fold (counts add)
+    val perRow = df.as[(String, Long, Int)].flatMap { case (i, w, p) =>
+      Seq.fill(w.toInt)((i, 1L, p)) }.toDF("item", "w", "part")
+      .agg(cmsSketchAgg(col("item"), col("w"), eps).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(perRow, mono),
+      "tf-weighted adds must equal per-occurrence adds")
+    // merge over zero blobs is NULL (the geometry lives in the blobs,
+    // so there is nothing valid to return); null items must not count
+    val emptyMerge = spark.read.parquet(dir).where(lit(false))
+      .agg(cmsMergeAgg(col("sk")).as("sk")).head()
+    assert(emptyMerge.isNullAt(0), "empty merge must be NULL")
+    val nulls = Seq((Option.empty[String], 1L)).toDF("item", "w")
+      .agg(cmsSketchAgg(col("item"), col("w"), eps).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(nulls)).totalCount() == 0L,
+      "null items must not count")
+  }
 }
