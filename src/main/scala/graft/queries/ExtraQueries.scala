@@ -1219,6 +1219,67 @@ object ExtraQueries {
       .toDF("accuracy", "area_pr", "area_roc")
   }
 
+  /** Calibration (reliability) bins for the GBT classifier — the
+    * evaluator surface AUC can't see: per predicted-probability decile,
+    * how often the positive class actually occurred. A model can rank
+    * perfectly (AUC 1) yet be badly calibrated; decision thresholds
+    * and expected-cost estimates need THIS table, not the AUC.
+    * Rows-only (model probabilities have no SQL twin);
+    * [[qMlCalibrationBounds]] is the hash-gated contract.
+    *
+    * Scale shape: scoring is embarrassingly parallel; the table is one
+    * partial-aggregable groupBy on the 10-value bin key. frac_pos is
+    * one exact integer division; mean_p is the only model-float
+    * aggregate and stays rows-only. */
+  def qMlCalibration(s: SparkSession, d: String): DataFrame = {
+    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
+      val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
+      new org.apache.spark.ml.classification.GBTClassifier()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setMaxIter(3).setSeed(42L)
+        .fit(train)
+    })
+    val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
+    val scored = model.transform(test)
+      .select(col("label"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("p"))
+    scored
+      .withColumn("bin", least(floor(col("p") * 10), lit(9L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        avg(col("p")).as("mean_p"))
+      .select(col("bin"), col("n"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"), col("mean_p"))
+      .orderBy(col("bin"))
+  }
+
+  /** Hash-gated contract for the calibration table (q_ml_eval_bounds
+    * pattern — the booleans ARE the oracle row): the bins PARTITION
+    * the test set (Σn == |test|), every frac_pos is a probability,
+    * every bin's mean predicted probability lies inside that bin's
+    * own interval [bin/10, (bin+1)/10) (bin 9 closed at 1.0) — a
+    * binning-arithmetic or column-order bug breaks a boolean.
+    * Fail-closed: empty test set → 0 == 0 rows but has_bins false. */
+  def qMlCalibrationBounds(s: SparkSession, d: String): DataFrame = {
+    val cal = qMlCalibration(s, d)
+    val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
+    cal.crossJoin(broadcast(
+        test.agg(count(lit(1)).as("n_test"))))
+      .agg(count(lit(1)).as("n_bins"),
+        (sum(col("n")) === first(col("n_test"))).as("bins_partition"),
+        min(col("frac_pos") >= 0.0 && col("frac_pos") <= 1.0).as("frac_in_range"),
+        min(col("mean_p") >= col("bin") / lit(10.0) &&
+          (col("mean_p") < (col("bin") + 1) / lit(10.0) ||
+            (col("bin") === 9 && col("mean_p") <= 1.0))).as("bins_consistent"))
+      .select((col("n_bins") >= 1).as("has_bins"), col("bins_partition"),
+        col("frac_in_range"), col("bins_consistent"))
+  }
+
+  val qMlCalibrationBoundsSql: String =
+    """SELECT * FROM (VALUES (true, true, true, true))
+      |  t(has_bins, bins_partition, frac_in_range, bins_consistent)""".stripMargin
+
   /** Target corpus mix for [[qDomainMix]], permille by source: the
     * head sources dominate, the tail is downweighted — the shape of a
     * real pretraining mix. Sums to 1000 (DomainMix requires it); the
@@ -1648,6 +1709,8 @@ object ExtraQueries {
     "q_shipping_priority" -> (qShippingPriority _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_ml_gbt_classifier" -> (qMlGbtClassifier _),
+    "q_ml_calibration" -> (qMlCalibration _),
+    "q_ml_calibration_bounds" -> (qMlCalibrationBounds _),
     "q_corr" -> (qCorr _),
     "q_asof_join" -> (qAsofJoin _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1693,6 +1756,7 @@ object ExtraQueries {
     "q_approx_distinct_bounds" -> qApproxDistinctBoundsSql,
     "q_sketch_quantile_bounds" -> qSketchQuantileBoundsSql,
     "q_sketch_freq_bounds" -> qSketchFreqBoundsSql,
+    "q_ml_calibration_bounds" -> qMlCalibrationBoundsSql,
     "q_corr" -> qCorrSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,

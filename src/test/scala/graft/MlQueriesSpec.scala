@@ -104,6 +104,23 @@ class MlQueriesSpec extends SparkSpec {
     }
   }
 
+  test("calibration bins: partition the test set, stay in their decile intervals, and the bounds row reads all-true") {
+    val cal = graft.queries.ExtraQueries.qMlCalibration(spark, sf001).collect()
+    assert(cal.nonEmpty)
+    assert(cal.map(_.getInt(0)).toSeq == cal.map(_.getInt(0)).toSeq.sorted)
+    cal.foreach { r =>
+      val (bin, n, frac, meanP) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 9 && n >= 1)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(meanP >= bin / 10.0 &&
+        (meanP < (bin + 1) / 10.0 || (bin == 9 && meanP <= 1.0)),
+        s"bin $bin mean_p $meanP outside its interval")
+    }
+    val b = graft.queries.ExtraQueries.qMlCalibrationBounds(spark, sf001).head()
+    (0 until 4).foreach(i => assert(b.getBoolean(i), s"bounds col $i"))
+  }
+
   test("exact AUC: Mann-Whitney midrank identity agrees with mllib's trapezoid areaUnderROC") {
     val row = MlQueries.qAucExact(spark, sf001).collect()(0)
     val (nPos, nNeg, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
