@@ -116,13 +116,17 @@ object ExplainDump {
   /** BFS stages (`q_graph_bfs`): the end-to-end dump is a Sort over
     * the final checkpointed distance frame — both the corpus-
     * proportional edge derivation and the per-round frontier join are
-    * invisible. Stage 1 is the un-checkpointed ring-chord derivation
-    * (the |domains|-budgeted corpus pass); stage 2 is ONE frontier-
-    * expansion round over a checkpointed edge frame — the join shape
-    * (frontier ⋈ adjacency on the vertex, LEFT ANTI vs the settled
-    * set) that repeats per hop. */
+    * invisible. Stage 1 is the un-checkpointed domain-vertex
+    * derivation (the |domains|-budgeted corpus pass — distinct sources
+    * + global row_number; `ringChordEdges` itself checkpoints this
+    * frame internally, so the edge assembly dumps as joins over its
+    * shell); stage 2 is ONE frontier-expansion round over a
+    * checkpointed edge frame — the join shape (frontier ⋈ adjacency
+    * on the vertex, LEFT ANTI vs the settled set) that repeats per
+    * hop. */
   def bfsStages(spark: SparkSession, sf: String): Seq[(String, DataFrame)] = {
     import graft.queries.AnalyticsQueries
+    val srcs = AnalyticsQueries.ringChordSources(spark, sf)
     val edges = AnalyticsQueries.ringChordEdges(spark, sf)
     val edgesCp = edges.localCheckpoint(true)
     val adj = edgesCp.select(col("a").as("v"), col("b").as("w"))
@@ -133,7 +137,7 @@ object ExplainDump {
       .join(dist0, Seq("v"), "left_anti").distinct()
       .select(col("v"), lit(1).as("dist"))
     Seq(
-      "q_graph_bfs stage 1: planted ring-chord edge derivation" -> edges,
+      "q_graph_bfs stage 1: domain-vertex derivation (corpus pass)" -> srcs,
       "q_graph_bfs stage 2: one frontier-expansion round (repeats per hop)" -> round)
   }
 

@@ -290,7 +290,7 @@ case class CmsTotal(sketchExpr: Expression)
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = sketchExpr.nullable
   override def prettyName: String = "cms_total"
 
   override protected def nullSafeEval(sketch: Any): Any =

@@ -22,6 +22,7 @@ object Registry {
   def registerAll(spark: SparkSession): Unit = {
     Bloom.register(spark)
     KllSketch.register(spark)
+    CmsSketch.register(spark)
     TopKBy.register(spark)
     ArrayMath.register(spark)
   }

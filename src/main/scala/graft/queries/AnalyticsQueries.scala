@@ -2102,11 +2102,19 @@ object AnalyticsQueries {
     * exercising multi-hop traversal, so the BFS scaffold plants a
     * graph with real distance structure (O(n) edges, O(n) diameter).
     * Canonical a < b, deduped; |edges| is |domains|-sized. */
-  private[graft] def ringChordEdges(s: SparkSession, d: String): DataFrame = {
-    val srcs = Tables.documents(s, d).select(col("source")).distinct()
+  /** Un-checkpointed domain-vertex derivation — the only corpus-
+    * proportional stage of the ring-chord graph (distinct sources +
+    * global row_number over the |domains|-bounded frame). Split out so
+    * [[graft.bench.ExplainDump.bfsStages]] can dump the REAL corpus
+    * pass; [[ringChordEdges]] materializes it once. */
+  private[graft] def ringChordSources(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("source")).distinct()
       .select(concat(col("source"), lit(".example.com")).as("host"),
         (row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
           .as("idx"))
+
+  private[graft] def ringChordEdges(s: SparkSession, d: String): DataFrame = {
+    val srcs = ringChordSources(s, d)
       // |domains|-sized frame consumed FIVE times (count + both sides
       // of the ring and chord joins) — materialize once or each
       // reference re-plans the corpus scan + distinct + global

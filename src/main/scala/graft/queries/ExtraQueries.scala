@@ -948,14 +948,8 @@ object ExtraQueries {
     * [[qSketchFreqBounds]] is the hash-gated contract. */
   def qSketchFreq(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CmsSketch._
-    val tf = Tables.documents(s, d)
-      .select(col("source"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      // (source, term)-bounded frame feeding exact counts AND sketches
-      .localCheckpoint()
+    // (source, term)-bounded frame feeding exact counts AND sketches
+    val tf = cmsTermFrequency(s, d).localCheckpoint()
     val merged = tf.groupBy(col("source"))
       .agg(cmsSketchAgg(col("term"), col("tf")).as("sk"))
       .agg(cmsMergeAgg(col("sk")).as("sk"))
@@ -968,25 +962,36 @@ object ExtraQueries {
       .orderBy(col("exact").desc, col("term"))
   }
 
+  /** The (source, term) tf frame shared verbatim by [[qSketchFreq]]
+    * and [[qSketchFreqBounds]] — ONE corpus-proportional
+    * explode+groupBy definition (callers checkpoint it, since each
+    * consumes it from multiple plan branches). */
+  private def cmsTermFrequency(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Hash-gated contract row for the CMS tier (the *_bounds pattern):
     * (a) `all_ge` — est ≥ exact for every top-10 term (count-min can
     * only overcount, deterministically true); (b) `all_le_eps` —
-    * est ≤ exact + ε·N for every probe (the sketch's accuracy
-    * guarantee, deterministic for the fixed seed); (c) `merge_exact` —
-    * the blob merged from per-source sketches is BYTE-IDENTICAL to the
+    * est ≤ exact + 2ε·N for every probe. The SKETCH's guarantee is
+    * ε·N only at confidence 1−δ = 0.99 per probe — deterministic for
+    * the fixed seed and corpus, but not a theorem, so gating it
+    * exactly would bet a driver row on seed luck at every new scale;
+    * the gate doubles the bound (an implementation bug — wrong width,
+    * un-merged rows, collision-mass blowup — overshoots by ~N, four
+    * orders above 2ε·N ≈ 0.2% of N). (c) `merge_exact` — the blob
+    * merged from per-source sketches is BYTE-IDENTICAL to the
     * monolithic corpus sketch (counter arrays add exactly; the
     * mergeability proof KLL's randomized compaction can't make);
     * (d) fail-closed — `n_probes` counts the probe frame (an empty
     * corpus yields 0 ≠ 10 and NULL booleans ≠ true). */
   def qSketchFreqBounds(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CmsSketch._
-    val tf = Tables.documents(s, d)
-      .select(col("source"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = cmsTermFrequency(s, d).localCheckpoint()
     val merged = tf.groupBy(col("source"))
       .agg(cmsSketchAgg(col("term"), col("tf")).as("sk"))
       .agg(cmsMergeAgg(col("sk")).as("sk_merged"))
@@ -1002,7 +1007,7 @@ object ExtraQueries {
         min(col("est") >= col("exact")).as("all_ge"),
         min(col("est").cast("double") <=
           col("exact").cast("double") +
-            lit(graft.functions.CmsSketch.DefaultEps) * col("n_tok"))
+            lit(2.0 * graft.functions.CmsSketch.DefaultEps) * col("n_tok"))
           .as("all_le_eps"),
         min(col("mm")).as("merge_exact"))
   }
@@ -1202,16 +1207,25 @@ object ExtraQueries {
   private val gbtClsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.classification.GBTClassificationModel]
 
-  /** GBT classifier smoke (binary label derived from price; rows-only),
-    * completing the M9/M11/M13 surface at the driver level. */
-  def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
-    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
+  /** The ONE seeded classifier fit behind [[qMlGbtClassifier]],
+    * [[qMlCalibration]] and [[qMlEvalClassBounds]] — a single
+    * definition so the cache (keyed by scale dir only) can never serve
+    * a model whose params drifted in one of three copy-pasted
+    * closures. */
+  private def gbtClsModel(
+      s: SparkSession, d: String): org.apache.spark.ml.classification.GBTClassificationModel =
+    gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
       val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
       new org.apache.spark.ml.classification.GBTClassifier()
         .setFeaturesCol("features").setLabelCol("label")
         .setMaxIter(3).setSeed(42L)
         .fit(train)
     })
+
+  /** GBT classifier smoke (binary label derived from price; rows-only),
+    * completing the M9/M11/M13 surface at the driver level. */
+  def qMlGbtClassifier(s: SparkSession, d: String): DataFrame = {
+    val model = gbtClsModel(s, d)
     val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
     val m = graft.gsod.Train.evaluateClassification(model.transform(test), "label")
     import s.implicits._
@@ -1232,13 +1246,7 @@ object ExtraQueries {
     * one exact integer division; mean_p is the only model-float
     * aggregate and stays rows-only. */
   def qMlCalibration(s: SparkSession, d: String): DataFrame = {
-    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
-      val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
-      new org.apache.spark.ml.classification.GBTClassifier()
-        .setFeaturesCol("features").setLabelCol("label")
-        .setMaxIter(3).setSeed(42L)
-        .fit(train)
-    })
+    val model = gbtClsModel(s, d)
     val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
     val scored = model.transform(test)
       .select(col("label"),
@@ -1260,18 +1268,27 @@ object ExtraQueries {
     * every bin's mean predicted probability lies inside that bin's
     * own interval [bin/10, (bin+1)/10) (bin 9 closed at 1.0) — a
     * binning-arithmetic or column-order bug breaks a boolean.
-    * Fail-closed: empty test set → 0 == 0 rows but has_bins false. */
+    * Fail-closed: empty test set → 0 == 0 rows but has_bins false.
+    *
+    * Float determinism (COVERAGE.md class-2): `mean_p` is an avg of
+    * model doubles, order-sensitive in its last ulp, and a bin whose
+    * members all sit ON a boundary would make the exact-inequality
+    * boolean one reorder away from flipping — so the interval check
+    * carries an explicit 1e-9 slack on both ends. A real binning bug
+    * displaces mean_p by ~0.1, seven orders above the slack. */
   def qMlCalibrationBounds(s: SparkSession, d: String): DataFrame = {
     val cal = qMlCalibration(s, d)
     val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
+    val eps = lit(1e-9)
     cal.crossJoin(broadcast(
         test.agg(count(lit(1)).as("n_test"))))
       .agg(count(lit(1)).as("n_bins"),
         (sum(col("n")) === first(col("n_test"))).as("bins_partition"),
         min(col("frac_pos") >= 0.0 && col("frac_pos") <= 1.0).as("frac_in_range"),
-        min(col("mean_p") >= col("bin") / lit(10.0) &&
-          (col("mean_p") < (col("bin") + 1) / lit(10.0) ||
-            (col("bin") === 9 && col("mean_p") <= 1.0))).as("bins_consistent"))
+        min(col("mean_p") >= col("bin") / lit(10.0) - eps &&
+          (col("mean_p") < (col("bin") + 1) / lit(10.0) + eps ||
+            (col("bin") === 9 && col("mean_p") <= lit(1.0) + eps)))
+          .as("bins_consistent"))
       .select((col("n_bins") >= 1).as("has_bins"), col("bins_partition"),
         col("frac_in_range"), col("bins_consistent"))
   }
@@ -1307,13 +1324,7 @@ object ExtraQueries {
     * test set where the trapezoid identity would be vacuous. DuckDB
     * twin = literal all-true frame. */
   def qMlEvalClassBounds(s: SparkSession, d: String): DataFrame = {
-    val model = gbtClsCache.computeIfAbsent(d, _ => graft.BuildTimes.timed("gbt_classifier_fit") {
-      val (train, _) = graft.gsod.Train.split(assembledCls(s, d))
-      new org.apache.spark.ml.classification.GBTClassifier()
-        .setFeaturesCol("features").setLabelCol("label")
-        .setMaxIter(3).setSeed(42L)
-        .fit(train)
-    })
+    val model = gbtClsModel(s, d)
     val (_, test) = graft.gsod.Train.split(assembledCls(s, d))
     val pred = model.transform(test)
       .select(col("prediction").cast("double").as("prediction"),
@@ -1584,6 +1595,13 @@ object ExtraQueries {
       |ORDER BY bucket""".stripMargin
 
   // --------------------------------------------- Quantile normalization
+  /** [[qQuantileNormalize]]'s corpus-proportional stage,
+    * un-checkpointed for ExplainDump: the (source, value) histogram. */
+  private[graft] def sourceLengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Quantile normalization of per-source score distributions onto the
     * pooled global distribution (the microarray-normalization idea,
     * Bolstad et al. Bioinformatics'03, in its empirical-CDF form):
@@ -1614,13 +1632,6 @@ object ExtraQueries {
     * — the ≥ boundary — stays in the request's forward frame) and
     * `first_value ignoreNulls` over the forward frame picks the
     * smallest qualifying global value. */
-  /** [[qQuantileNormalize]]'s corpus-proportional stage,
-    * un-checkpointed for ExplainDump: the (source, value) histogram. */
-  private[graft] def sourceLengthHistogram(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .groupBy(col("source"), col("n_chars").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-
   def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"

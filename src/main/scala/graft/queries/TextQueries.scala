@@ -1354,6 +1354,23 @@ object TextQueries {
       |ORDER BY n DESC, term""".stripMargin
 
   // ------------------------------------------------ PMI collocations
+  /** [[qCollocations]]'s corpus-proportional stage, un-checkpointed
+    * (ExplainDump prints it — the end-to-end dump hides it behind the
+    * Scan ExistingRDD shell): (token, successor) per position,
+    * successor NULL at the last position — ONE scan feeds both the
+    * pair joints and (by re-agg) the unigram margins, so the corpus
+    * is never read twice. */
+  private[graft] def collocationPositions(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("l"))
+      .select(explode(expr(
+        "transform(l, (t, i) -> struct(t as a, try_element_at(l, i + 2) as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
   /** Pointwise-mutual-information collocation mining — the top-20
     * adjacent word pairs that co-occur far above chance (Church &
     * Hanks CL'90), with a min-count floor so rare accidental pairs
@@ -1384,23 +1401,6 @@ object TextQueries {
     * pair rather than bridging it. The harness corpus is single-space
     * separated (verified: zero multi-space/tab/newline docs), so the
     * severed-pair semantics never engages. */
-  /** [[qCollocations]]'s corpus-proportional stage, un-checkpointed
-    * (ExplainDump prints it — the end-to-end dump hides it behind the
-    * Scan ExistingRDD shell): (token, successor) per position,
-    * successor NULL at the last position — ONE scan feeds both the
-    * pair joints and (by re-agg) the unigram margins, so the corpus
-    * is never read twice. */
-  private[graft] def collocationPositions(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(split(col("text"), " ").as("l"))
-      .select(explode(expr(
-        "transform(l, (t, i) -> struct(t as a, try_element_at(l, i + 2) as b))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .where(col("a") =!= "")
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"))
-
   def qCollocations(s: SparkSession, d: String): DataFrame = {
     // bigram-vocab-bounded frame reused by FOUR plan branches (uni,
     // n_pair, the join probe) — materialize once or each branch
