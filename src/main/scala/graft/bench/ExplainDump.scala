@@ -63,7 +63,8 @@ object ExplainDump {
     "q_acf", "q_seasonal_outliers", "q_graph_bfs",
     "q_grouped_ols", "q_target_encode", "q_collocations",
     "q_ab_test", "q_auc_exact", "q_quantile_normalize",
-    "q_sketch_freq", "q_ml_calibration")
+    "q_sketch_freq", "q_ml_calibration",
+    "q_chi2_independence", "q_rater_agreement")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

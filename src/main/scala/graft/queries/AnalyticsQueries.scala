@@ -752,6 +752,79 @@ object AnalyticsQueries {
       |  mean_a - mean_b AS diff, z, abs(z) > 1.96 AS significant
       |FROM t ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- Chi-squared independence
+  /** Pearson chi-squared test of independence between event type and
+    * assignment cohort (user-id parity, [[qAbTest]]'s cohorts) at CELL
+    * grain: observed count, expected-under-independence count, the
+    * cell's chi-squared contribution, and its standardized residual
+    * (O−E)/√E — the categorical twin of the Welch readout, and the
+    * standard sample-ratio-mismatch / guardrail check run before
+    * trusting any experiment: a skewed assignment hash shows up as a
+    * large |std_resid| long before it biases the metric deltas. Cell
+    * grain (not one global statistic) is deliberate — it exposes WHICH
+    * cell drives dependence, and it keeps every emitted double a
+    * per-row terminal expression (a global χ² would sum
+    * order-sensitive doubles across cells; consumers fold the bounded
+    * cell frame however they like).
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to (event_type, cohort) counts; the margin windows and emits run
+    * on the |types|×2 cell frame — bounded by type cardinality, never
+    * by |events| (the no-partition total window spans ~10 rows).
+    *
+    * Floats (class-1 integer-exact): counts and margins are exact
+    * integers; the deviation `N·O − R·C` and product `R·C` are carried
+    * in DECIMAL(38,0)/HUGEINT (N·O ≈ 10^20 at the 100 TB tier
+    * outgrows longs), and every emitted double is one fixed terminal
+    * IEEE tree over those exact integers — casts, one division per
+    * column, one sqrt — identical on both engines, no rounding
+    * needed. */
+  def qChi2Independence(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("obs"))
+    val m = o
+      .withColumn("r_tot",
+        sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("c_tot",
+        sum(col("obs")).over(Window.partitionBy(col("cohort"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+    val rc = col("r_tot").cast(dec) * col("c_tot")
+    val dev = col("n").cast(dec) * col("obs") - rc
+    m.select(col("event_type"), col("cohort"), col("obs"),
+        (rc.cast("double") / col("n")).as("expected"),
+        (dev.cast("double") * dev.cast("double") /
+          (col("n").cast("double") * rc.cast("double"))).as("contrib"),
+        (dev.cast("double") /
+          (col("n").cast("double") * sqrt(rc.cast("double") / col("n"))))
+          .as("std_resid"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  val qChi2IndependenceSql: String =
+    """WITH o AS (
+      |  SELECT event_type, user_id % 2 AS cohort, count(*) AS obs
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, cohort, obs,
+      |    sum(obs) OVER (PARTITION BY event_type) AS r_tot,
+      |    sum(obs) OVER (PARTITION BY cohort) AS c_tot,
+      |    sum(obs) OVER () AS n
+      |  FROM o
+      |)
+      |SELECT event_type, cohort, obs,
+      |  CAST(CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE) / n AS expected,
+      |  CAST(CAST(n AS HUGEINT) * obs - CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE)
+      |    * CAST(CAST(n AS HUGEINT) * obs - CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE))
+      |    AS contrib,
+      |  CAST(CAST(n AS HUGEINT) * obs - CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) *
+      |       sqrt(CAST(CAST(r_tot AS HUGEINT) * c_tot AS DOUBLE) / n))
+      |    AS std_resid
+      |FROM m ORDER BY event_type, cohort""".stripMargin
+
   // -------------------------------------------------- Seasonal outliers
   /** Seasonal-adjusted robust outlier scan — the composition the
     * decomposition EXISTS for: hours whose residual (observed −
@@ -2362,6 +2435,7 @@ object AnalyticsQueries {
     "q_acf" -> (qAcf _),
     "q_grouped_ols" -> (qGroupedOls _),
     "q_ab_test" -> (qAbTest _),
+    "q_chi2_independence" -> (qChi2Independence _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_interpolate" -> (qInterpolate _),
@@ -2398,6 +2472,7 @@ object AnalyticsQueries {
     "q_acf" -> qAcfSql,
     "q_grouped_ols" -> qGroupedOlsSql,
     "q_ab_test" -> qAbTestSql,
+    "q_chi2_independence" -> qChi2IndependenceSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,
     "q_graph_bfs" -> qGraphBfsSql,
     "q_interpolate" -> qInterpolateSql,

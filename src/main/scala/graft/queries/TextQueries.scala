@@ -1447,7 +1447,93 @@ object TextQueries {
       |WHERE pc.b IS NOT NULL AND pc.b <> '' AND pc.n >= 5
       |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------- Inter-rater agreement
+  /** Cohen's kappa between two independent keep/reject heuristics, per
+    * source — the inter-annotator-agreement readout every labeling or
+    * filtering pipeline publishes next to its rater verdicts (Cohen
+    * Educ.Psychol.Meas.'60): rater A keeps length (n_chars ≥ 250),
+    * rater B keeps information mass (≥ 25 DISTINCT whitespace tokens);
+    * kappa corrects their raw agreement for the agreement the two
+    * base rates produce by chance, so a source where both raters
+    * rubber-stamp everything scores ~0, not ~1. Emits the full
+    * confusion row (n11/n10/n01/n00), observed agreement po, chance
+    * agreement pe, and kappa.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable
+    * conditional-count pass (the [[qAbTest]] FILTER-count discipline —
+    * both verdicts are per-row expressions, so the confusion matrix
+    * needs no join and no second scan); everything after runs on the
+    * |sources|-bounded frame.
+    *
+    * Floats (class-1 integer-exact): both rater verdicts are INTEGER
+    * predicates (the token-mass threshold compares a count, never a
+    * ratio — no float boundary anywhere), confusion counts and the
+    * chance-agreement numerator `(n11+n10)(n11+n01)+(n01+n00)(n10+n00)`
+    * are exact integers in DECIMAL(38,0)/HUGEINT (n² ≈ 10^20 per
+    * source at the 100 TB tier), and po/pe/kappa are each ONE terminal
+    * division of identical exact integers on both engines. The
+    * degenerate source where pe = 1 (both raters constant — kappa's
+    * 0/0) emits NULL via an explicit denominator guard, mirrored in
+    * the twin. */
+  def qRaterAgreement(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = TextAnalysis.tokens(col("text"))
+    val ra = when(col("n_chars") >= 250, 1).otherwise(0)
+    val rb = when(length(trim(col("text"))) > 0 &&
+      size(array_distinct(toks)) >= 25, 1).otherwise(0)
+    val g = Tables.documents(s, d)
+      .select(col("source"), ra.as("ra"), rb.as("rb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("ra") === 1 && col("rb") === 1, lit(1))).as("n11"),
+        count(when(col("ra") === 1 && col("rb") === 0, lit(1))).as("n10"),
+        count(when(col("ra") === 0 && col("rb") === 1, lit(1))).as("n01"),
+        count(when(col("ra") === 0 && col("rb") === 0, lit(1))).as("n00"))
+    val peNum = (col("n11") + col("n10")).cast(dec) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")).cast(dec) * (col("n10") + col("n00"))
+    val n2 = col("n").cast(dec) * col("n")
+    g.select(col("source"), col("n"),
+        col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("n11") + col("n00")).cast("double") / col("n")).as("po"),
+        (peNum.cast("double") / n2.cast("double")).as("pe"),
+        when(n2 - peNum =!= 0,
+          (col("n").cast(dec) * (col("n11") + col("n00")) - peNum)
+            .cast("double") / (n2 - peNum).cast("double")).as("kappa"))
+      .orderBy(col("source"))
+  }
+
+  val qRaterAgreementSql: String =
+    """WITH v AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN length(trim(text)) > 0 AND
+      |      len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) >= 25
+      |      THEN 1 ELSE 0 END AS rb
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, count(*) AS n,
+      |    count(*) FILTER (ra = 1 AND rb = 1) AS n11,
+      |    count(*) FILTER (ra = 1 AND rb = 0) AS n10,
+      |    count(*) FILTER (ra = 0 AND rb = 1) AS n01,
+      |    count(*) FILTER (ra = 0 AND rb = 0) AS n00
+      |  FROM v GROUP BY source
+      |), k AS (
+      |  SELECT source, n, n11, n10, n01, n00,
+      |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_num
+      |  FROM g
+      |)
+      |SELECT source, n, n11, n10, n01, n00,
+      |  CAST(n11 + n00 AS DOUBLE) / n AS po,
+      |  CAST(pe_num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS pe,
+      |  CASE WHEN CAST(n AS HUGEINT) * n - pe_num <> 0 THEN
+      |    CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+      |  END AS kappa
+      |FROM k ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rater_agreement" -> (qRaterAgreement _),
     "q_collocations" -> (qCollocations _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
@@ -1482,6 +1568,7 @@ object TextQueries {
     "q_url_domains" -> (qUrlDomains _))
 
   val oracles: Map[String, String] = Map(
+    "q_rater_agreement" -> qRaterAgreementSql,
     "q_collocations" -> qCollocationsSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,

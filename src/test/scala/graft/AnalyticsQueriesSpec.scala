@@ -626,4 +626,37 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(out.map(_.getTimestamp(0).toString.replaceAll("\\.0$", "")).toSet ==
       expected.map(_.replaceAll("\\.0$", "")).toSet)
   }
+
+  test("chi2 independence: cells recompute from raw counts; margin deviations cancel exactly") {
+    val out = AnalyticsQueries.qChi2Independence(spark, sf001).collect()
+    val raw = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id") % 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val obs = raw.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = raw.length.toLong
+    val rTot = raw.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cTot = raw.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSet == obs.keySet)
+    out.foreach { r =>
+      val (t, c, o) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(o == obs((t, c)))
+      val rc = BigInt(rTot(t)) * BigInt(cTot(c))
+      val dev = BigInt(n) * BigInt(o) - rc
+      val expd = rc.toDouble / n
+      assert(math.abs(r.getDouble(3) - expd) <= 1e-9 * math.max(1.0, expd))
+      val contrib = dev.toDouble * dev.toDouble / (n.toDouble * rc.toDouble)
+      assert(math.abs(r.getDouble(4) - contrib) <= 1e-9 * math.max(1.0, contrib))
+      assert(r.getDouble(4) >= 0.0)
+      val sr = dev.toDouble / (n.toDouble * math.sqrt(rc.toDouble / n))
+      assert(math.abs(r.getDouble(5) - sr) <= 1e-9)
+      // std_resid² recovers the cell contribution (the χ² identity)
+      assert(math.abs(sr * sr - contrib) <= 1e-6 * math.max(1.0, contrib))
+    }
+    // each margin's integer deviations cancel EXACTLY: Σ_j (N·O − R·C) = 0
+    rTot.keys.foreach { t =>
+      val s = cTot.keys.map(c =>
+        BigInt(n) * BigInt(obs((t, c))) - BigInt(rTot(t)) * BigInt(cTot(c))).sum
+      assert(s == 0, s"margin $t")
+    }
+  }
 }

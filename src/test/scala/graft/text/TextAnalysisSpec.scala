@@ -521,4 +521,47 @@ class TextAnalysisSpec extends SparkSpec {
     // PMI ordering sanity: non-increasing down the emitted ranks
     assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("rater agreement: confusion and kappa recompute from raw rater verdicts") {
+    val out = TextQueries.qRaterAgreement(spark, sf001).collect()
+    val raw = graft.Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map { r =>
+        val ra = if (r.getLong(1) >= 250L) 1 else 0
+        val t = r.getString(2).trim
+        val rb = if (t.nonEmpty &&
+          t.toLowerCase.split("\\s+").distinct.length >= 25) 1 else 0
+        (r.getString(0), ra, rb)
+      }.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == raw.keySet)
+    out.foreach { r =>
+      val rows = raw(r.getString(0))
+      val Seq(n11, n10, n01, n00) =
+        Seq((1, 1), (1, 0), (0, 1), (0, 0)).map { case (a, b) =>
+          rows.count(x => x._2 == a && x._3 == b).toLong
+        }
+      assert(r.getLong(1) == rows.length.toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((n11, n10, n01, n00)))
+      val n = rows.length.toLong
+      val peNum = BigInt(n11 + n10) * BigInt(n11 + n01) +
+        BigInt(n01 + n00) * BigInt(n10 + n00)
+      val po = (n11 + n00).toDouble / n
+      val pe = peNum.toDouble / (n.toDouble * n)
+      assert(math.abs(r.getDouble(6) - po) <= 1e-12)
+      assert(math.abs(r.getDouble(7) - pe) <= 1e-12)
+      val denom = BigInt(n) * BigInt(n) - peNum
+      if (denom != 0) {
+        val kappa = (BigInt(n) * BigInt(n11 + n00) - peNum).toDouble / denom.toDouble
+        assert(math.abs(r.getDouble(8) - kappa) <= 1e-12)
+        assert(r.getDouble(8) >= -1.0 - 1e-12 && r.getDouble(8) <= 1.0 + 1e-12)
+      } else assert(r.isNullAt(8), "pe=1 source must emit NULL kappa")
+    }
+    // the harness corpus must actually exercise disagreement cells
+    assert(out.exists(r => r.getLong(3) + r.getLong(4) > 0),
+      "raters must disagree somewhere or kappa is vacuous")
+  }
 }
