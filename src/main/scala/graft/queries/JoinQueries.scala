@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.IntervalJoin
 
 /** Join operators (SURVEY.md §2.4) over the harness tables.
   *
@@ -882,7 +883,65 @@ object JoinQueries {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ------------------------------------------------ Interval-overlap join
+  /** Activity inside error-alert windows via [[graft.ops.IntervalJoin]]:
+    * every `error` event opens a global half-open 10-minute window
+    * `[ts, ts+10min)`; the join pairs EVERY event whose timestamp falls
+    * inside a window with that window, then aggregates to one row per
+    * incident (event count + cent-exact value total). The blast-radius
+    * readout an on-call dashboard runs, and the canonical range-join
+    * shape Spark plans as a BroadcastNestedLoopJoin when spelled
+    * naively — which is exactly what the DuckDB oracle does (naive
+    * theta join), so the hash gate is a plan-equivalence proof of the
+    * bucketed rewrite.
+    *
+    * Scale shape: two scans of events, DELIBERATE — the incident side
+    * reads (event_id, ts) with the `event_type = 'error'` filter pushed
+    * to parquet, the probe side reads (ts, value); materializing one
+    * shared frame would widen both scans to the union of their columns
+    * and drop the pushed filter. The op replicates each interval into
+    * ≤ 2 bucket copies (width = window length) and meets probe rows in
+    * a shuffled equi-join on the time bucket; bucket cardinality grows
+    * with the time span (4 320 at the harness month, millions at a
+    * 100 TB year), so the shuffle spreads; a burst hour is an AQE
+    * skew-join case, not a plan change. The post-join groupBy on
+    * incident_id partial-aggregates map-side.
+    *
+    * Floats (class-1 integer-exact): window bounds and bucket indices
+    * are exact epoch-micro longs; value totals are exact cent sums with
+    * ONE terminal division, the [[qBandedRevenue]] discipline. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("t_us"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+    val inc = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("end_us"))
+    IntervalJoin.overlap(probe, "t_us", inc, "start_us", "end_us",
+        keys = Nil, bucketWidth = 600000000L)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("total_value"))
+      .orderBy(col("incident_id"))
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH inc AS (
+      |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + 600000000 AS end_us
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT i.incident_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value
+      |FROM inc i JOIN events e
+      |  ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) < i.end_us
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
     "q_market_share" -> (qMarketShare _),
     "q_promo_share" -> (qPromoShare _),
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
@@ -905,6 +964,7 @@ object JoinQueries {
     "q_join_anti" -> (qJoinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" -> qIntervalJoinSql,
     "q_market_share" -> qMarketShareSql,
     "q_promo_share" -> qPromoShareSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
