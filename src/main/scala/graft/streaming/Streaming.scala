@@ -158,6 +158,52 @@ object Streaming {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream interval-overlap match — the streaming face of
+    * [[graft.ops.IntervalJoin]] / `q_interval_join`: every probe event
+    * inside an incident's half-open `[ts, ts + windowMinutes)` window
+    * pairs with that incident, live, with NO shared key between the
+    * streams. The batch op's bucketed rewrite is not just the fast
+    * plan here — it is what makes the operator EXPRESSIBLE: Spark's
+    * streaming symmetric hash join demands an equi-key, so the pure
+    * range predicate (a nested-loop, unsupported on two streams) is
+    * re-keyed on the time bucket exactly as in the batch op. Width =
+    * the window length, so each incident covers ≤ 2 buckets (exploded
+    * copies, disjoint ⇒ a pair matches at most once) and each probe
+    * sits in exactly 1.
+    *
+    * Works on batch OR streaming frames unchanged (withWatermark is a
+    * no-op on batch), and StreamingSpec proves the streamed pair set
+    * equals both this transform over batch frames and the batch
+    * [[graft.ops.IntervalJoin.overlap]] pair set.
+    *
+    * Scale/state: both sides carry watermarks and the join carries a
+    * two-sided event-time range (`i_ts ≤ e_ts < i_ts + window`), so
+    * each side's buffered state evicts once behind the other stream's
+    * watermark — bounded memory at any input rate. Bucket keys rotate
+    * with wall time, so the stateful shuffle spreads; an incident
+    * storm is a hot-bucket skew case, not a plan change. Bucket math
+    * is the op's exact long floor-div (micros), never a double. */
+  def intervalMatches(probe: DataFrame, incidents: DataFrame,
+      windowMinutes: Long = 10, watermark: String = "1 hour"): DataFrame = {
+    val wUs = windowMinutes * 60000000L
+    val p = probe
+      .select(col("event_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+      .withColumn("e_us", unix_micros(col("e_ts")))
+      .withColumn("bucket", expr(s"(e_us - pmod(e_us, ${wUs}L)) div ${wUs}L"))
+    val i = incidents
+      .select(col("event_id").as("incident_id"), col("ts").as("i_ts"))
+      .withWatermark("i_ts", watermark)
+      .withColumn("i_us", unix_micros(col("i_ts")))
+      .withColumn("i_b0", expr(s"(i_us - pmod(i_us, ${wUs}L)) div ${wUs}L"))
+      .withColumn("bucket", explode(array_distinct(array(col("i_b0"),
+        expr(s"((i_us + ${wUs - 1}L) - pmod(i_us + ${wUs - 1}L, ${wUs}L)) div ${wUs}L")))))
+    p.join(i, p("bucket") === i("bucket") &&
+        col("e_ts") >= col("i_ts") &&
+        col("e_ts") < col("i_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("incident_id"), col("event_id"))
+  }
+
   /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
     * window composition — events more than `gapMinutes` after their
     * predecessor (per user) open a new session; the session id is the

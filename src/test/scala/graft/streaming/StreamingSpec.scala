@@ -652,6 +652,43 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.size} streamed pairs vs ${batch.size} batch pairs")
   }
 
+  test("stream-stream interval match emits exactly the batch IntervalJoin pair set") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val incB = ev.filter(col("event_type") === "error")
+    val pDir = JFiles.createTempDirectory("graft-iv-probe")
+    val iDir = JFiles.createTempDirectory("graft-iv-inc")
+    ev.write.mode("overwrite").parquet(pDir.toString)
+    incB.write.mode("overwrite").parquet(iDir.toString)
+    val q = Streaming.intervalMatches(
+        spark.readStream.schema(ev.schema).parquet(pDir.toString),
+        spark.readStream.schema(incB.schema).parquet(iDir.toString))
+      .writeStream.format("memory").queryName("iv_pairs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("iv_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same transform over the batch frames (watermarks are no-ops)
+    val batch = Streaming.intervalMatches(ev, incB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // and the batch operator itself, its own exploded-bucket plan
+    val opPairs = graft.ops.IntervalJoin.overlap(
+        ev.select(col("event_id"), unix_micros(col("ts")).as("t_us")),
+        "t_us",
+        incB.select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("end_us")),
+        "start_us", "end_us", Nil, bucketWidth = 600000000L)
+      .select(col("incident_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(opPairs.nonEmpty, "fixture must produce interval matches")
+    assert(streamed == batch,
+      s"${streamed.size} streamed pairs vs ${batch.size} batch-transform pairs")
+    assert(streamed == opPairs,
+      s"${streamed.size} streamed pairs vs ${opPairs.size} IntervalJoin pairs")
+  }
+
   test("streaming dedup: re-delivered events dropped across trigger batches") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft-dedup-stream")
