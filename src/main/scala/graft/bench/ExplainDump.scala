@@ -64,7 +64,8 @@ object ExplainDump {
     "q_grouped_ols", "q_target_encode", "q_collocations",
     "q_ab_test", "q_auc_exact", "q_quantile_normalize",
     "q_sketch_freq", "q_ml_calibration",
-    "q_chi2_independence", "q_rater_agreement", "q_interval_join")
+    "q_chi2_independence", "q_rater_agreement", "q_interval_join",
+    "q_psi_drift")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

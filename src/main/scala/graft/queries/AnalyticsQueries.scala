@@ -825,6 +825,91 @@ object AnalyticsQueries {
       |    AS std_resid
       |FROM m ORDER BY event_type, cohort""".stripMargin
 
+  // ------------------------------------------------- PSI drift detection
+  /** Population-stability-index drift readout — the monitoring staple
+    * run on every feature of a deployed model/pipeline: the month's
+    * first half is the reference distribution, the second half the
+    * current one, and each (feature, bin) row carries both smoothed
+    * shares and its PSI term `(p_cur − p_ref)·ln(p_cur/p_ref)`
+    * (Σ > 0.2 is the conventional "investigate" line). Two features
+    * demonstrate both axes: `value_bin` ($50 fixed-width cent bins,
+    * clipped at bin 9) for the numeric case and `event_type` for the
+    * categorical case. Laplace-smoothed shares `(k+1)/(n+B)` (B = the
+    * feature's observed bin count) keep one-sided bins finite — the
+    * standard convention, replayed by the twin.
+    *
+    * Cell grain, not a global Σ, on [[qChi2Independence]]'s doctrine:
+    * a global PSI would sum order-sensitive doubles; consumers fold
+    * the ≤ 15-row frame however they like.
+    *
+    * Scale shape: ONE events scan; the two features fan out IN-ROW
+    * (explode over a 2-struct array — no second scan, no union of
+    * scans) into one corpus-proportional partial-aggregable groupBy;
+    * margins and emits run on the bounded (feature, bin) frame.
+    *
+    * Floats (class-2): counts are exact integers, shares are single
+    * correctly-rounded IEEE divisions, and the only libm call is `ln`
+    * on an exact-rational ratio — its output is irrational, so
+    * rounding at 9 cannot sit on a decimal boundary the way r12's
+    * rational frame-means did; the strict sweep covers it. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val pts = Tables.events(s, d)
+      .withColumn("cur", when(col("ts") < cut, 0).otherwise(1))
+      .withColumn("c", round(col("value") * lit(100)).cast("long"))
+      .select(col("cur"), explode(array(
+        struct(lit("value_bin").as("feature"),
+          least(expr("c div 5000"), lit(9L)).cast("string").as("bin")),
+        struct(lit("event_type").as("feature"),
+          col("event_type").as("bin")))).as("f"))
+      .select(col("cur"), col("f.feature").as("feature"), col("f.bin").as("bin"))
+    val o = pts.groupBy(col("feature"), col("bin"))
+      .agg(count(when(col("cur") === 0, 1)).as("n_ref"),
+        count(when(col("cur") === 1, 1)).as("n_cur"))
+    val wf = Window.partitionBy(col("feature"))
+    val m = o
+      .withColumn("tot_ref", sum(col("n_ref")).over(wf))
+      .withColumn("tot_cur", sum(col("n_cur")).over(wf))
+      .withColumn("b", count(lit(1)).over(wf))
+    val pRef = (col("n_ref") + lit(1L)).cast("double") / (col("tot_ref") + col("b"))
+    val pCur = (col("n_cur") + lit(1L)).cast("double") / (col("tot_cur") + col("b"))
+    m.select(col("feature"), col("bin"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+      .orderBy(col("feature"), col("bin"))
+  }
+
+  val qPsiDriftSql: String =
+    """WITH pts AS (
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS cur,
+      |         'value_bin' AS feature,
+      |         CAST(least(CAST(round(value*100) AS BIGINT) // 5000, 9)
+      |              AS VARCHAR) AS bin
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END,
+      |         'event_type', event_type FROM events
+      |), o AS (
+      |  SELECT feature, bin,
+      |    count(*) FILTER (cur = 0) AS n_ref,
+      |    count(*) FILTER (cur = 1) AS n_cur
+      |  FROM pts GROUP BY 1, 2
+      |), m AS (
+      |  SELECT feature, bin, n_ref, n_cur,
+      |    sum(n_ref) OVER (PARTITION BY feature) AS tot_ref,
+      |    sum(n_cur) OVER (PARTITION BY feature) AS tot_cur,
+      |    count(*) OVER (PARTITION BY feature) AS b
+      |  FROM o
+      |)
+      |SELECT feature, bin, n_ref, n_cur,
+      |  CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b) AS p_ref,
+      |  CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b) AS p_cur,
+      |  round((CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b)
+      |       - CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b))
+      |      * ln((CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b))
+      |         / (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b))), 9) AS psi_term
+      |FROM m ORDER BY feature, bin""".stripMargin
+
   // -------------------------------------------------- Seasonal outliers
   /** Seasonal-adjusted robust outlier scan — the composition the
     * decomposition EXISTS for: hours whose residual (observed −
@@ -2436,6 +2521,7 @@ object AnalyticsQueries {
     "q_grouped_ols" -> (qGroupedOls _),
     "q_ab_test" -> (qAbTest _),
     "q_chi2_independence" -> (qChi2Independence _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_interpolate" -> (qInterpolate _),
@@ -2473,6 +2559,7 @@ object AnalyticsQueries {
     "q_grouped_ols" -> qGroupedOlsSql,
     "q_ab_test" -> qAbTestSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
+    "q_psi_drift" -> qPsiDriftSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,
     "q_graph_bfs" -> qGraphBfsSql,
     "q_interpolate" -> qInterpolateSql,

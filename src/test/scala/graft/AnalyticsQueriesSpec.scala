@@ -659,4 +659,41 @@ class AnalyticsQueriesSpec extends SparkSpec {
       assert(s == 0, s"margin $t")
     }
   }
+
+  test("PSI drift: terms recompute from raw cohort counts; smoothed shares sum to 1") {
+    val out = AnalyticsQueries.qPsiDrift(spark, sf001).collect()
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val raw = graft.Tables.events(spark, sf001)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .collect().flatMap { r =>
+        val cur = if (r.getTimestamp(0).before(cut)) 0 else 1
+        val bin = math.min(math.round(r.getDouble(2) * 100) / 5000, 9L).toString
+        Seq((cur, "value_bin", bin), (cur, "event_type", r.getString(1)))
+      }
+    val counts = raw.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => k -> (v.count(_._1 == 0).toLong, v.count(_._1 == 1).toLong) }
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == counts.keySet)
+    val byFeature = counts.groupBy(_._1._1)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (nRef, nCur) = counts(key)
+      assert(r.getLong(2) == nRef && r.getLong(3) == nCur, s"counts $key")
+      val bins = byFeature(key._1)
+      val b = bins.size.toLong
+      val totRef = bins.valuesIterator.map(_._1).sum
+      val totCur = bins.valuesIterator.map(_._2).sum
+      val pRef = (nRef + 1).toDouble / (totRef + b)
+      val pCur = (nCur + 1).toDouble / (totCur + b)
+      assert(r.getDouble(4) == pRef && r.getDouble(5) == pCur, s"shares $key")
+      val term = BigDecimal((pCur - pRef) * math.log(pCur / pRef))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(6) - term) <= 1e-9, s"psi term $key")
+      assert(java.lang.Double.isFinite(r.getDouble(6)), s"non-finite term $key")
+    }
+    // Laplace closure: Σ (k+1)/(tot+B) over OBSERVED bins = 1 exactly
+    out.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12, s"$f p_ref")
+      assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12, s"$f p_cur")
+    }
+  }
 }
