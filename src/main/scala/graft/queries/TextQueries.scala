@@ -1447,6 +1447,83 @@ object TextQueries {
       |WHERE pc.b IS NOT NULL AND pc.b <> '' AND pc.n >= 5
       |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- TextRank keywords
+  /** TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): corpus
+    * keywords = PageRank over the word co-occurrence graph — content
+    * words (length ≥ 4, the classical POS-filter stand-in) are
+    * vertices, adjacent-pair counts with a ≥ 3 floor are undirected
+    * weighted edges, and 5 damped rounds of [[graft.graph.PageRank]]
+    * rank centrality. The unsupervised keyword/keyphrase seeder used
+    * for corpus topic audits and vocab curation — and the composition
+    * the graph tier exists for: the SAME operator ranks domains by
+    * link structure ([[graft.queries.AnalyticsQueries]]' domain
+    * PageRank) and words by co-occurrence, only the edge derivation
+    * changes.
+    *
+    * Scale shape: the only corpus-proportional stage is
+    * [[collocationPositions]]' in-row pairing groupBy (no windows, no
+    * self-joins); the symmetrized edge frame is bigram-vocab-bounded
+    * (the ≥ 3 floor prunes the accidental-pair tail), PageRank
+    * checkpoints the reduced graph ONCE and iterates on
+    * |vocab|-bounded frames, and the top-20 compiles to
+    * TakeOrderedAndProject.
+    *
+    * Floats: per-round in-rank sums are order-sensitive doubles —
+    * scores round at 9 BEFORE the rank cutoff (the domain-PageRank
+    * precedent: irrational-valued, never boundary-sitting) with the
+    * word tie-break resolving exact ties; the oracle unrolls the same
+    * 5 rounds as CTEs. */
+  def qTextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val wf = collocationPositions(s, d)
+      .where(length(col("a")) >= 4 && col("b").isNotNull &&
+        length(col("b")) >= 4 && col("n") >= 3)
+    val edges = wf.select(col("a").as("src"), col("b").as("dst"), col("n"))
+      .unionAll(wf.select(col("b").as("src"), col("a").as("dst"), col("n")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("weight"))
+    graft.graph.PageRank.pageRank(edges, iters = 5, damping = 0.85)
+      .select(col("node").as("word"), round(col("pr"), 9).as("score"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(20)
+  }
+
+  val qTextrankKeywordsSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node, (1.0 - 0.85) / nc.n + 0.85 * coalesce(c.ir, 0.0) AS pr
+         |  FROM nodes n CROSS JOIN nc
+         |  LEFT JOIN (
+         |    SELECT p.dst, sum(p.p * r.pr) AS ir
+         |    FROM p JOIN $prev r ON p.src = r.node GROUP BY p.dst
+         |  ) c ON n.node = c.dst
+         |)""".stripMargin
+    val iters = (1 to 5)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS l FROM documents
+       |), pos AS (
+       |  SELECT l[i] AS a, l[i + 1] AS b
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+       |), pc AS (
+       |  SELECT a, b, count(*) AS n FROM pos
+       |  WHERE len(a) >= 4 AND b IS NOT NULL AND len(b) >= 4
+       |  GROUP BY a, b
+       |), wf AS (SELECT a, b, n FROM pc WHERE n >= 3),
+       |edges AS (
+       |  SELECT a AS src, b AS dst, n AS w FROM wf
+       |  UNION ALL SELECT b, a, n FROM wf
+       |), e2 AS (SELECT src, dst, sum(w) AS w FROM edges GROUP BY 1, 2),
+       |out_w AS (SELECT src, sum(w) AS ow FROM e2 GROUP BY src),
+       |p AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS p
+       |  FROM e2 e JOIN out_w o ON e.src = o.src
+       |), nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nc.n AS pr FROM nodes CROSS JOIN nc),
+       |$iters
+       |SELECT node AS word, round(pr, 9) AS score FROM r5
+       |ORDER BY score DESC, word LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------- Inter-rater agreement
   /** Cohen's kappa between two independent keep/reject heuristics, per
     * source — the inter-annotator-agreement readout every labeling or
@@ -1535,6 +1612,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_collocations" -> (qCollocations _),
+    "q_textrank_keywords" -> (qTextrankKeywords _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_url_normalize" -> (qUrlNormalize _),
@@ -1570,6 +1648,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_rater_agreement" -> qRaterAgreementSql,
     "q_collocations" -> qCollocationsSql,
+    "q_textrank_keywords" -> qTextrankKeywordsSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_url_normalize" -> qUrlNormalizeSql,

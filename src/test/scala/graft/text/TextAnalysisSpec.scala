@@ -564,4 +564,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(3) + r.getLong(4) > 0),
       "raters must disagree somewhere or kappa is vacuous")
   }
+
+  test("textrank keywords: top-20 matches a driver-side power iteration; mass conserved") {
+    val out = TextQueries.qTextrankKeywords(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // rebuild the co-occurrence graph from the raw corpus
+    val pairs = Tables.documents(spark, sf001)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val w = t.split(" ", -1)
+        w.zip(w.drop(1)).filter { case (a, b) => a.length >= 4 && b.length >= 4 }
+      }
+    val wf = pairs.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 3).toSeq
+    val edges = (wf.map { case ((a, b), n) => ((a, b), n) } ++
+        wf.map { case ((a, b), n) => ((b, a), n) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(edges.nonEmpty, "fixture must produce a co-occurrence graph")
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = edges.keysIterator.flatMap(k => Seq(k._1, k._2)).toSet.toSeq.sorted
+    val n = nodes.size
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map.empty[String, Double]
+      // accumulate per dst in sorted (src, dst) order — any order lands
+      // within ulps; the comparison is at the rounded-9 grain
+      edges.toSeq.sortBy(_._1).foreach { case ((s0, d0), w) =>
+        in(d0) = in.getOrElse(d0, 0.0) + (w.toDouble / outW(s0)) * pr(s0)
+      }
+      pr = nodes.map(v => v -> ((1.0 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      "symmetrized graph has no dangling nodes: rank mass must be conserved")
+    val expected = pr.toSeq
+      .map { case (w, s) => (w, BigDecimal(s)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (w, s) => (-s, w) }.take(20)
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case ((gw, gs), (ew, es)) =>
+      assert(gw == ew && math.abs(gs - es) <= 2e-9, s"$gw=$gs vs $ew=$es")
+    }
+  }
 }
