@@ -595,6 +595,112 @@ object AnalyticsQueries {
       |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
       |FROM sums ORDER BY lag_h""".stripMargin
 
+  // ---------------------------------------------- Lagged cross-correlation
+  /** Lagged cross-correlation between two event series — hourly error
+    * COUNT (x) against hourly purchase cent volume (y) at lags −3…+3
+    * hours: the lead/lag diagnostic behind "do error bursts precede
+    * revenue dips, and by how many hours?" (positive lag = x leads y).
+    * The cross-series member of the [[qAcf]] family, sharing its
+    * conventions: the series is the OBSERVED hourly frame (an hour
+    * with no events at all is a gap, not a zero), pairs where the
+    * shifted partner runs off the series edge drop out per lag, and a
+    * Pearson r over exact integer moments.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to the hourly (x, y) frame; the single-task ordered window runs
+    * over the calendar-BOUNDED hourly series (q_seasonal_decompose's
+    * documented discipline), each row fans out IN-ROW into its ≤ 7
+    * lag pairs, and the moment groupBy reduces 7 lag groups.
+    *
+    * Floats (class-1 integer-exact, [[qAcf]]'s spelling): x, y and
+    * all five moments are exact integers in DECIMAL(38,0)/HUGEINT;
+    * r is ONE terminal IEEE tree (two sqrts, one division) over
+    * identical integers on both engines — no rounding needed. A lag
+    * whose overlap window is degenerate (either series constant →
+    * zero variance, r's 0/0) emits NULL via explicit denominator
+    * guards, mirrored in the twin. */
+  def qXcorrLagged(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(when(col("event_type") === "error", 1)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * lit(100)).cast("long"))), lit(0L)).as("y"))
+    val w = Window.orderBy(col("hour_ts"))
+    val leads = (1 to 3).flatMap(j => Seq(
+      lead(col("x"), j).over(w).as(s"x$j"),
+      lead(col("y"), j).over(w).as(s"y$j")))
+    val widened = hourly.select(col("x") +: col("y") +: leads: _*)
+    val arms = (-3 to 3).map { k =>
+      val (a, b) =
+        if (k > 0) (col("x"), col(s"y$k"))
+        else if (k < 0) (col(s"x${-k}"), col("y"))
+        else (col("x"), col("y"))
+      struct(lit(k).as("lag_h"), a.as("xx"), b.as("yy"))
+    }
+    val pairs = widened
+      .select(explode(array(arms: _*)).as("e"))
+      .select(col("e.lag_h").as("lag_h"), col("e.xx").as("xx"),
+        col("e.yy").as("yy"))
+      .where(col("xx").isNotNull && col("yy").isNotNull)
+    val m = pairs.groupBy(col("lag_h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xx").cast(dec)).as("sx"),
+        sum(col("yy").cast(dec)).as("sy"),
+        sum(col("xx").cast(dec) * col("yy").cast(dec)).as("sxy"),
+        sum(col("xx").cast(dec) * col("xx").cast(dec)).as("sxx"),
+        sum(col("yy").cast(dec) * col("yy").cast(dec)).as("syy"))
+    val vx = m("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val vy = m("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy")
+    m.select(col("lag_h"), col("n_pairs"),
+        when(vx =!= 0 && vy =!= 0,
+          (col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("xcorr"))
+      .orderBy(col("lag_h"))
+  }
+
+  val qXcorrLaggedSql: String = {
+    val arms = (-3 to 3).map { k =>
+      val (a, b) =
+        if (k > 0) ("x", s"y$k") else if (k < 0) (s"x${-k}", "y") else ("x", "y")
+      s"SELECT $k AS lag_h, $a AS xx, $b AS yy FROM lagged" +
+        s" WHERE $a IS NOT NULL AND $b IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts,
+       |    count(*) FILTER (event_type = 'error') AS x,
+       |    coalesce(sum(CAST(round(value * 100) AS BIGINT))
+       |             FILTER (event_type = 'purchase'), 0) AS y
+       |  FROM events GROUP BY 1
+       |), lagged AS (
+       |  SELECT x, y,
+       |    lead(x, 1) OVER w AS x1, lead(y, 1) OVER w AS y1,
+       |    lead(x, 2) OVER w AS x2, lead(y, 2) OVER w AS y2,
+       |    lead(x, 3) OVER w AS x3, lead(y, 3) OVER w AS y3
+       |  FROM hourly WINDOW w AS (ORDER BY hour_ts)
+       |), pairs AS (
+       |  $arms
+       |), m AS (
+       |  SELECT lag_h, count(*) AS n_pairs,
+       |    sum(CAST(xx AS HUGEINT)) AS sx,
+       |    sum(CAST(yy AS HUGEINT)) AS sy,
+       |    sum(CAST(xx AS HUGEINT) * yy) AS sxy,
+       |    sum(CAST(xx AS HUGEINT) * xx) AS sxx,
+       |    sum(CAST(yy AS HUGEINT) * yy) AS syy
+       |  FROM pairs GROUP BY lag_h
+       |)
+       |SELECT lag_h, n_pairs,
+       |  CASE WHEN n_pairs * sxx - sx * sx <> 0
+       |        AND n_pairs * syy - sy * sy <> 0
+       |       THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |            (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+       |             sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+       |  END AS xcorr
+       |FROM m ORDER BY lag_h""".stripMargin
+  }
+
   // -------------------------------------------------- Per-group OLS trend
   /** Per-user least-squares trend fit — slope and R² of event value
     * against time for every user, in ONE aggregation pass: the
@@ -2518,6 +2624,7 @@ object AnalyticsQueries {
     "q_ewma_smooth" -> (qEwmaSmooth _),
     "q_level_shift" -> (qLevelShift _),
     "q_acf" -> (qAcf _),
+    "q_xcorr_lagged" -> (qXcorrLagged _),
     "q_grouped_ols" -> (qGroupedOls _),
     "q_ab_test" -> (qAbTest _),
     "q_chi2_independence" -> (qChi2Independence _),
@@ -2556,6 +2663,7 @@ object AnalyticsQueries {
     "q_ewma_smooth" -> qEwmaSmoothSql,
     "q_level_shift" -> qLevelShiftSql,
     "q_acf" -> qAcfSql,
+    "q_xcorr_lagged" -> qXcorrLaggedSql,
     "q_grouped_ols" -> qGroupedOlsSql,
     "q_ab_test" -> qAbTestSql,
     "q_chi2_independence" -> qChi2IndependenceSql,

@@ -696,4 +696,45 @@ class AnalyticsQueriesSpec extends SparkSpec {
       assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12, s"$f p_cur")
     }
   }
+
+  test("lagged cross-correlation recomputes from the raw hourly series") {
+    val out = AnalyticsQueries.qXcorrLagged(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out.map(_._1) == (-3 to 3).toSeq, "one row per lag, ordered")
+    // rebuild the observed hourly (x, y) series driver-side
+    val hourly = graft.Tables.events(spark, sf001)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"), col("value"))
+      .collect().groupBy(_.getTimestamp(0)).toSeq.sortBy(_._1.getTime)
+      .map { case (_, rows) =>
+        (rows.count(_.getString(1) == "error").toLong,
+          rows.filter(_.getString(1) == "purchase")
+            .map(r => math.round(r.getDouble(2) * 100)).sum)
+      }
+    val n = hourly.length
+    def corr(ps: Seq[(Long, Long)]): Option[Double] = {
+      val m = ps.length.toLong
+      val (sx, sy) = (ps.map(p => BigInt(p._1)).sum, ps.map(p => BigInt(p._2)).sum)
+      val sxy = ps.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val sxx = ps.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = ps.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val (vx, vy) = (m * sxx - sx * sx, m * syy - sy * sy)
+      if (vx == 0 || vy == 0) None
+      else Some((m * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+    }
+    out.foreach { case (k, np, r) =>
+      assert(np == n - math.abs(k), s"n_pairs at lag $k")
+      val ps =
+        if (k >= 0) (0 until n - k).map(t => (hourly(t)._1, hourly(t + k)._2))
+        else (0 until n + k).map(t => (hourly(t - k)._1, hourly(t)._2))
+      (r, corr(ps)) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g - e) <= 1e-12, s"lag $k: $g vs $e")
+          assert(g >= -1.0 - 1e-12 && g <= 1.0 + 1e-12)
+        case (None, None) => // degenerate lag on both sides
+        case (g, e) => fail(s"lag $k: null mismatch $g vs $e")
+      }
+    }
+  }
 }
