@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{AsOfJoin, SaltedAgg}
@@ -1710,7 +1711,130 @@ object ExtraQueries {
       |FROM m WHERE kind = 0
       |ORDER BY source, n_chars""".stripMargin
 
+  // ------------------------------------------------ Gini concentration
+  /** Gini coefficient of customer lifetime revenue — the concentration
+    * readout behind "how top-heavy is this distribution" calls in
+    * both business analytics (whale dependence) and corpus curation
+    * (the same statistic over tokens-per-source quantifies domain
+    * imbalance before [[graft.ops.DomainMix]] rebalances it). Uses
+    * the rank identity `G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)` over
+    * values ranked ascending — tie order is irrelevant because equal
+    * x's contribute the same Σ rank·x under any permutation of their
+    * ranks.
+    *
+    * Scale shape: one corpus-proportional partial-aggregable groupBy
+    * to per-customer cents, then the global ascending rank rides
+    * [[graft.ops.SaltedWindow.groupedRank]] under a constant group
+    * (q_corpus_shuffle's discipline) — 256 bucket tasks, never the
+    * single-task whole-frame sort the naive `row_number() OVER
+    * (ORDER BY revenue)` plans; the oracle IS that naive window, so
+    * the hash gate doubles as a plan-equivalence proof. The final
+    * moments are one partial-aggregable global agg.
+    *
+    * Floats (class-1 integer-exact): cents, ranks and both Gini
+    * moments are exact integers in DECIMAL(38,0)/HUGEINT (rank·cents
+    * ≈ 10^17/term at the 100 TB tier); the coefficient and the total
+    * are each ONE terminal division of identical integers — no
+    * rounding needed. Empty input emits G NULL via the Σx ≠ 0
+    * guard. */
+  def qGiniConcentration(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * lit(100)).cast("long")).as("cents"))
+    val ranked = graft.ops.SaltedWindow.groupedRank(
+      per.withColumn("_g", lit(1)), "_g", "cents", "o_custkey",
+      ascending = true)
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(dec)).as("sx"),
+      sum(col("rank").cast(dec) * col("cents").cast(dec)).as("srx"))
+    m.select(col("n").as("n_customers"),
+        (col("sx").cast("double") / lit(100.0)).as("total_revenue"),
+        when(col("sx") =!= 0,
+          (lit(2).cast(dec) * col("srx") -
+            (col("n") + lit(1)).cast(dec) * col("sx")).cast("double") /
+            (col("n").cast(dec) * col("sx")).cast("double"))
+          .as("gini"))
+  }
+
+  val qGiniConcentrationSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT cents,
+      |    row_number() OVER (ORDER BY cents, o_custkey) AS rank
+      |  FROM per
+      |), m AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sx,
+      |    sum(CAST(rank AS HUGEINT) * cents) AS srx
+      |  FROM ranked
+      |)
+      |SELECT n AS n_customers,
+      |  CAST(sx AS DOUBLE) / 100.0 AS total_revenue,
+      |  CASE WHEN sx <> 0 THEN
+      |    CAST(2 * srx - (n + 1) * sx AS DOUBLE) /
+      |    CAST(CAST(n AS HUGEINT) * sx AS DOUBLE)
+      |  END AS gini
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------ Benford digit audit
+  /** Benford first-significant-digit audit of order totals — the
+    * classic fabricated-data / unit-mixing screen (Benford '38,
+    * Nigrini's fraud-audit practice): observed share of each leading
+    * digit 1–9 against the Benford expectation log₁₀(1 + 1/d), with
+    * the per-digit deviation. The readout flags synthetic or
+    * truncated value columns during data-quality review; it reports
+    * deviation rather than asserting conformance.
+    *
+    * Scale shape: the leading digit is a pure in-row projection
+    * (first character of the exact cent integer's decimal string —
+    * cents > 0 here, both engines print longs identically), ONE
+    * corpus-proportional partial-aggregable groupBy to 9 digit
+    * counts, margins via a window over the 9-row frame.
+    *
+    * Floats (class-2): counts exact, p_obs one exact-integer
+    * division; the only libm call is log₁₀ of the exact rational
+    * (d+1)/d, whose irrational output cannot sit on a decimal
+    * rounding boundary — p_benford and the deviation round at 9
+    * (the q_psi_drift rationale). */
+  def qBenfordDigits(s: SparkSession, d: String): DataFrame = {
+    val digit = substring(
+      round(col("o_totalprice") * lit(100)).cast("long").cast("string"), 1, 1)
+    val o = Tables.orders(s, d)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("n", sum(col("n_d")).over(Window.partitionBy()))
+    val pObs = col("n_d").cast("double") / col("n")
+    val pBen = log10((col("digit").cast("long") + lit(1)).cast("double") /
+      col("digit").cast("long"))
+    o.select(col("digit"), col("n_d"), pObs.as("p_obs"),
+        round(pBen, 9).as("p_benford"),
+        round(pObs - pBen, 9).as("dev"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordDigitsSql: String =
+    """WITH o AS (
+      |  SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |                        AS VARCHAR), 1, 1) AS digit,
+      |         count(*) AS n_d
+      |  FROM orders GROUP BY 1
+      |), m AS (SELECT digit, n_d, sum(n_d) OVER () AS n FROM o)
+      |SELECT digit, n_d,
+      |  CAST(n_d AS DOUBLE) / n AS p_obs,
+      |  round(log10(CAST(CAST(digit AS BIGINT) + 1 AS DOUBLE)
+      |              / CAST(digit AS BIGINT)), 9) AS p_benford,
+      |  round(CAST(n_d AS DOUBLE) / n
+      |        - log10(CAST(CAST(digit AS BIGINT) + 1 AS DOUBLE)
+      |                / CAST(digit AS BIGINT)), 9) AS dev
+      |FROM m ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini_concentration" -> (qGiniConcentration _),
+    "q_benford_digits" -> (qBenfordDigits _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_unpivot" -> (qUnpivot _),
     "q_histogram" -> (qHistogram _),
@@ -1757,6 +1881,8 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_gini_concentration" -> qGiniConcentrationSql,
+    "q_benford_digits" -> qBenfordDigitsSql,
     "q_unpivot" -> qUnpivotSql,
     "q_histogram" -> qHistogramSql,
     "q_skew_diagnostics" -> qSkewDiagnosticsSql,

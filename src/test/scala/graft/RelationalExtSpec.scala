@@ -173,4 +173,52 @@ class RelationalExtSpec extends SparkSpec {
       assert(rows.map(_._3).sum == bySource(s).length.toLong, s)
     }
   }
+
+  test("gini: exact match against the BigInt rank identity; bounded in [0, 1)") {
+    val out = ExtraQueries.qGiniConcentration(spark, sf001).collect()
+    assert(out.length == 1)
+    val cents = Tables.orders(spark, sf001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * lit(100)).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy(p => (p._2, p._1)).map(_._2)
+    val n = sorted.length
+    val sx = sorted.map(BigInt(_)).sum
+    val srx = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (2 * srx - BigInt(n + 1) * sx).toDouble / (BigInt(n) * sx).toDouble
+    val r = out.head
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == sx.toDouble / 100.0)
+    assert(r.getDouble(2) == gini, s"${r.getDouble(2)} vs $gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    // ties land identically under any rank permutation: perturb tie order
+    val perm = cents.sortBy(p => (p._2, -p._1)).map(_._2)
+    val srx2 = perm.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    assert(srx2 == srx, "rank identity must be tie-order invariant")
+  }
+
+  test("benford: shares recompute exactly; benford masses telescope to 1") {
+    val out = ExtraQueries.qBenfordDigits(spark, sf001).collect()
+    val raw = Tables.orders(spark, sf001)
+      .select(round(col("o_totalprice") * lit(100)).cast("long")).collect()
+      .map(_.getLong(0))
+    assert(raw.forall(_ > 0), "cent totals must be positive for a leading digit")
+    val exp = raw.groupBy(_.toString.take(1)).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_.getString(0)).toSet == exp.keySet)
+    assert(out.map(_.getString(0)).forall(d => d >= "1" && d <= "9"))
+    val n = raw.length.toLong
+    out.foreach { r =>
+      val d = r.getString(0)
+      assert(r.getLong(1) == exp(d), s"digit $d count")
+      assert(r.getDouble(2) == exp(d).toDouble / n, s"digit $d share")
+      val ben = math.log10((d.toLong + 1).toDouble / d.toLong)
+      assert(math.abs(r.getDouble(3) - ben) <= 1e-9, s"digit $d benford")
+      assert(math.abs(r.getDouble(4) - (exp(d).toDouble / n - ben)) <= 2e-9)
+    }
+    // Σ_d log10((d+1)/d) telescopes to log10(10) = 1 over d = 1..9
+    val mass = (1 to 9).map(d => math.log10((d + 1).toDouble / d)).sum
+    assert(math.abs(mass - 1.0) < 1e-12)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-12,
+      "observed shares must sum to 1")
+  }
 }
