@@ -52,8 +52,10 @@ object IntervalJoin {
     * double, which silently loses ulps past 2^53). `c − pmod(c, w)` is
     * the exact multiple `w·⌊c/w⌋` (pmod's remainder is non-negative),
     * so the truncating integral `div` recovers the floor exactly, in
-    * pure long arithmetic, for negative times too. */
-  private def floorDiv(name: String, w: Long): Column =
+    * pure long arithmetic, for negative times too. Shared with the
+    * streaming face ([[graft.streaming.Streaming.intervalMatches]]) so
+    * the two faces' bucket math can never drift apart. */
+  private[graft] def floorDiv(name: String, w: Long): Column =
     expr(s"(`$name` - pmod(`$name`, ${w}L)) div ${w}L")
 
   /** @param probe          rows to locate inside intervals

@@ -1803,7 +1803,12 @@ object ExtraQueries {
   def qBenfordDigits(s: SparkSession, d: String): DataFrame = {
     val digit = substring(
       round(col("o_totalprice") * lit(100)).cast("long").cast("string"), 1, 1)
+    // domain guard: a leading digit exists only for POSITIVE totals —
+    // a refund/credit row would make digit '-' or '0' (junk in Spark,
+    // a CAST error in the oracle's p_benford); both sides filter the
+    // same predicate so the audit fails closed, never diverges
     val o = Tables.orders(s, d)
+      .where(round(col("o_totalprice") * lit(100)).cast("long") > 0)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n_d"))
       .withColumn("n", sum(col("n_d")).over(Window.partitionBy()))
@@ -1821,7 +1826,9 @@ object ExtraQueries {
       |  SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
       |                        AS VARCHAR), 1, 1) AS digit,
       |         count(*) AS n_d
-      |  FROM orders GROUP BY 1
+      |  FROM orders
+      |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+      |  GROUP BY 1
       |), m AS (SELECT digit, n_d, sum(n_d) OVER () AS n FROM o)
       |SELECT digit, n_d,
       |  CAST(n_d AS DOUBLE) / n AS p_obs,

@@ -185,19 +185,25 @@ object Streaming {
     * is the op's exact long floor-div (micros), never a double. */
   def intervalMatches(probe: DataFrame, incidents: DataFrame,
       windowMinutes: Long = 10, watermark: String = "1 hour"): DataFrame = {
+    require(windowMinutes > 0, "windowMinutes must be positive")
     val wUs = windowMinutes * 60000000L
+    // bucket math = the batch op's exact long floor-div, one shared
+    // definition (a desync here would silently break the pair-set
+    // equality contract StreamingSpec pins)
     val p = probe
       .select(col("event_id"), col("ts").as("e_ts"))
       .withWatermark("e_ts", watermark)
       .withColumn("e_us", unix_micros(col("e_ts")))
-      .withColumn("bucket", expr(s"(e_us - pmod(e_us, ${wUs}L)) div ${wUs}L"))
+      .withColumn("bucket", graft.ops.IntervalJoin.floorDiv("e_us", wUs))
     val i = incidents
       .select(col("event_id").as("incident_id"), col("ts").as("i_ts"))
       .withWatermark("i_ts", watermark)
       .withColumn("i_us", unix_micros(col("i_ts")))
-      .withColumn("i_b0", expr(s"(i_us - pmod(i_us, ${wUs}L)) div ${wUs}L"))
+      .withColumn("i_b0", graft.ops.IntervalJoin.floorDiv("i_us", wUs))
+      .withColumn("i_em1", col("i_us") + lit(wUs - 1))
       .withColumn("bucket", explode(array_distinct(array(col("i_b0"),
-        expr(s"((i_us + ${wUs - 1}L) - pmod(i_us + ${wUs - 1}L, ${wUs}L)) div ${wUs}L")))))
+        graft.ops.IntervalJoin.floorDiv("i_em1", wUs)))))
+      .drop("i_em1")
     p.join(i, p("bucket") === i("bucket") &&
         col("e_ts") >= col("i_ts") &&
         col("e_ts") < col("i_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
