@@ -696,7 +696,89 @@ object SimilarityQueries {
       |  CASE WHEN norm > 0 THEN round(e[3] / norm, 6) ELSE 0.0 END AS d2
       |FROM n ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ Cluster silhouette
+  /** Per-point simplified silhouette over the IVF assignment — the
+    * shared distance frame of [[qSimSilhouette]] /
+    * [[qSimSilhouetteBounds]]: for each corpus vector, `a` = Euclidean
+    * distance to its OWN cell's centroid, `b` = distance to the
+    * nearest OTHER centroid, `dmin` = distance to the nearest centroid
+    * of all. Normalized vectors make the distance
+    * `√(1 + |c|² − 2·x·c)` (clamped against −ulp cancellation). */
+  private def silhouetteFrame(s: SparkSession, d: String): DataFrame = {
+    val (path, localCentroids) = ivfIndexFor(s, d)
+    val indexed = s.read.parquet(path)
+    import s.implicits._
+    val centroids = localCentroids.toDF("ccell", "centroid")
+    indexed.select(col("vec_id"), col("cell"), col("norm"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("dist", sqrt(greatest(lit(0.0),
+        lit(1.0) + Similarity.dot(col("centroid"), col("centroid"))
+          - lit(2.0) * Similarity.dot(col("norm"), col("centroid")))))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(when(col("ccell") === col("cell"), col("dist"))).as("a"),
+        min(when(col("ccell") =!= col("cell"), col("dist"))).as("b"),
+        min(col("dist")).as("dmin"))
+  }
+
+  /** Simplified (centroid-based) silhouette per corpus vector —
+    * Hamerly's cheap variant of Rousseeuw '87: `s = (b − a)/max(a, b)`
+    * with a = own-centroid distance, b = nearest-other-centroid
+    * distance. The cluster-quality readout published next to every
+    * ANN index build: s near 0 says cells barely separate (exactly
+    * what uniform-random harness embeddings should show — IVF's
+    * documented worst case), s < 0 says a point sits in the WRONG
+    * cell, so the silhouette doubles as an assignment audit.
+    *
+    * Scale shape: reads the build-once partitioned IVF artifact
+    * ([[ivfIndexFor]]); distances come from ONE broadcast of the
+    * √N-row centroid table against the corpus (candidate volume
+    * N·√N — the same budget as one IVF probe pass, never N²), then a
+    * partial-aggregable (vec_id, cell) min-fold. Full simplified
+    * silhouette at 10⁹ points is this same plan with more partitions.
+    *
+    * Rows-only (the centroids are a seeded k-means artifact no SQL
+    * oracle can replay); [[qSimSilhouetteBounds]] is the hash-gated
+    * face. Scores round at 9 (distance sqrt/dot are libm/order
+    * sensitive at the last ulp). */
+  def qSimSilhouette(s: SparkSession, d: String): DataFrame =
+    silhouetteFrame(s, d)
+      .select(col("vec_id"), col("cell"),
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 9).as("s"))
+      .orderBy(col("vec_id"))
+
+  /** Property gate turning the silhouette tier into a hash-green
+    * driver row (the sketch-bounds oracle discipline — the literal
+    * twin proves the self-checks' verdicts):
+    *
+    *   - `nonempty`   — fail-closed: an empty corpus reads false;
+    *   - `assignment_consistent` — NO point is strictly closer to a
+    *     foreign centroid than to its own (a == dmin everywhere; the
+    *     k-means assignment and this operator's distance spelling
+    *     agree) — the audit that catches a drifted/corrupted index;
+    *   - `range_ok`   — every rounded s in [0, 1] (s ≥ 0 is implied
+    *     by consistency, s ≤ 1 by the max normalization; both would
+    *     break on a NaN from a degenerate centroid). */
+  def qSimSilhouetteBounds(s: SparkSession, d: String): DataFrame = {
+    val f = silhouetteFrame(s, d)
+      .withColumn("s", round((col("b") - col("a")) /
+        greatest(col("a"), col("b")), 9))
+    val a = f.agg(count(lit(1)).as("n"),
+      count(when(col("a") > col("dmin"), 1)).as("n_misassigned"),
+      count(when(col("s") < 0.0 || col("s") > 1.0 ||
+        isnan(col("s")), 1)).as("n_out_of_range")).collect().head
+    import s.implicits._
+    Seq(("silhouette", a.getLong(0) > 0, a.getLong(1) == 0L,
+        a.getLong(2) == 0L))
+      .toDF("tier", "nonempty", "assignment_consistent", "range_ok")
+  }
+
+  val qSimSilhouetteBoundsSql: String =
+    """SELECT * FROM (VALUES ('silhouette', true, true, true))
+      |  t(tier, nonempty, assignment_consistent, range_ok)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_silhouette" -> (qSimSilhouette _),
+    "q_sim_silhouette_bounds" -> (qSimSilhouetteBounds _),
     "q_embedding_normalize" -> (qEmbeddingNormalize _),
     "q_sim_recall_bounds" -> (qSimRecallBounds _),
     "q_sim_ivf_inc_bounds" -> (qSimIvfIncBounds _),
@@ -717,6 +799,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_silhouette_bounds" -> qSimSilhouetteBoundsSql,
     "q_embedding_normalize" -> qEmbeddingNormalizeSql,
     "q_sim_recall_bounds" -> qSimRecallBoundsSql,
     "q_sim_ivf_inc_bounds" -> qSimIvfIncBoundsSql,

@@ -285,4 +285,31 @@ class SimilaritySpec extends SparkSpec {
     // is at least as good as the best single-leg score
     assert(rrfs.head >= 1.0 / 61.0 || out.forall(r => r.isNullAt(2) || r.isNullAt(3)))
   }
+
+  test("silhouette: per-point scores match a driver-side recomputation; assignment is the argmin") {
+    val out = SimilarityQueries.qSimSilhouette(spark, sf001).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+    val (path, cents) = SimilarityQueries.ivfIndexFor(spark, sf001)
+    val indexed = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell"), col("norm")).collect()
+    assert(indexed.nonEmpty && out.size == indexed.length)
+    indexed.foreach { r =>
+      val (id, cell) = (r.getLong(0), r.getInt(1))
+      val x = r.getSeq[Double](2)
+      def dist(c: Seq[Double]): Double = {
+        val cc = c.map(v => v * v).sum
+        val xc = x.zip(c).map { case (a, b) => a * b }.sum
+        math.sqrt(math.max(0.0, 1.0 + cc - 2.0 * xc))
+      }
+      val ds = cents.map { case (cl, c) => cl -> dist(c) }
+      val a = ds.find(_._1 == cell).get._2
+      val b = ds.filter(_._1 != cell).map(_._2).min
+      assert(a <= b + 1e-9, s"vec $id assigned to a non-nearest cell")
+      val s = (b - a) / math.max(a, b)
+      val (gotCell, gotS) = out(id)
+      assert(gotCell == cell)
+      assert(math.abs(gotS - s) <= 1e-6, s"vec $id: $gotS vs $s")
+      assert(gotS >= 0.0 && gotS <= 1.0)
+    }
+  }
 }
