@@ -1447,6 +1447,57 @@ object TextQueries {
       |WHERE pc.b IS NOT NULL AND pc.b <> '' AND pc.n >= 5
       |ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- Readability scoring
+  /** Flesch reading-ease per document — the classical readability
+    * axis of corpus quality scoring (too-low often flags legalese /
+    * machine-generated boilerplate, implausibly-high flags word-salad):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` with
+    * whitespace-token words, `[.!?]+` run sentence boundaries
+    * (floored at 1 — the harness corpus is unpunctuated, so every doc
+    * reads as one long sentence, which IS the honest degenerate), and
+    * the standard vowel-group syllable heuristic.
+    *
+    * Scale shape: three in-row regexp counters over one narrow
+    * projection — no explode, no shuffle beyond the terminal sort
+    * (q_char_entropy's in-row discipline).
+    *
+    * Floats (class-1): all three counts are exact integers on both
+    * engines (identical regex semantics on this ASCII corpus); the
+    * score is ONE fixed terminal IEEE tree (two exact-integer
+    * divisions, two constant multiplies, two subtractions) —
+    * deterministic cross-engine, no rounding. Empty docs emit NULL
+    * via the words > 0 guard. */
+  def qReadability(s: SparkSession, d: String): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val sents = greatest(lit(1),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+    val sylls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val qReadabilitySql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_words,
+      |  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+      |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+      |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+      |    206.835
+      |    - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |               / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+      |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |                   AS DOUBLE)
+      |              / len(regexp_extract_all(text, '\S+')))
+      |  END AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- TextRank keywords
   /** TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): corpus
     * keywords = PageRank over the word co-occurrence graph — content
@@ -1613,6 +1664,7 @@ object TextQueries {
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_collocations" -> (qCollocations _),
     "q_textrank_keywords" -> (qTextrankKeywords _),
+    "q_readability" -> (qReadability _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_url_normalize" -> (qUrlNormalize _),
@@ -1649,6 +1701,7 @@ object TextQueries {
     "q_rater_agreement" -> qRaterAgreementSql,
     "q_collocations" -> qCollocationsSql,
     "q_textrank_keywords" -> qTextrankKeywordsSql,
+    "q_readability" -> qReadabilitySql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_url_normalize" -> qUrlNormalizeSql,

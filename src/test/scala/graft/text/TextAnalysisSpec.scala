@@ -565,6 +565,29 @@ class TextAnalysisSpec extends SparkSpec {
       "raters must disagree somewhere or kappa is vacuous")
   }
 
+  test("readability: counts and flesch recompute exactly from the raw text") {
+    val out = TextQueries.qReadability(spark, sf001).collect()
+    val raw = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val t = raw(r.getLong(0))
+      val w = "\\S+".r.findAllIn(t).length
+      val se = math.max(1, "[.!?]+".r.findAllIn(t).length)
+      val sy = "[aeiouy]+".r.findAllIn(t.toLowerCase).length
+      assert(r.getInt(1) == w && r.getInt(2) == se && r.getInt(3) == sy,
+        s"doc ${r.getLong(0)} counts")
+      if (w > 0) {
+        val f = 206.835 - 1.015 * (w.toDouble / se) - 84.6 * (sy.toDouble / w)
+        assert(r.getDouble(4) == f, s"doc ${r.getLong(0)}: ${r.getDouble(4)} vs $f")
+      } else assert(r.isNullAt(4), "empty doc must emit NULL flesch")
+    }
+    // the harness corpus is unpunctuated: every doc is one sentence, so
+    // the words/sentence term dominates — scores must still be finite
+    assert(out.forall(r => r.isNullAt(4) || !r.getDouble(4).isNaN))
+  }
+
   test("textrank keywords: top-20 matches a driver-side power iteration; mass conserved") {
     val out = TextQueries.qTextrankKeywords(spark, sf001).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
