@@ -14,7 +14,8 @@ object GsodPipeline {
       imputeAccounting: Map[String, Impute.Accounting],
       regression: Train.RegMetrics,
       gbtRegression: Train.RegMetrics,
-      classification: Train.ClsMetrics)
+      classification: Train.ClsMetrics,
+      lrModel: org.apache.spark.ml.regression.LinearRegressionModel)
 
   /** Read a GSOD CSV with the explicit schema (no inferSchema double
     * scan — SURVEY §4.3.4). */
@@ -61,6 +62,6 @@ object GsodPipeline {
     val gbtC = Train.gbtClassifier(train, maxIter = gbtIter)
     val clsMetrics = Train.evaluateClassification(gbtC.transform(test))
 
-    Result(frame, accounting, lrMetrics, gbtMetrics, clsMetrics)
+    Result(frame, accounting, lrMetrics, gbtMetrics, clsMetrics, lr)
   }
 }

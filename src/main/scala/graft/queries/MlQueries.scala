@@ -161,12 +161,57 @@ object MlQueries {
   // ONE fixture pipeline run per process: the quality gate's fixture is
   // scale-dir-independent (seeded synthetic GSOD, 20 stations × 365
   // days — the same generator GsodBench times at 4M rows), so the fits
-  // are an index-build-shaped cost, reported under builds. Only the
-  // four SCALAR verdict inputs are cached — holding the pipeline
-  // Result would pin its DataFrame lineage (and SparkSession) for the
-  // JVM's life and hand a later session a dead-session artifact.
+  // are an index-build-shaped cost, reported under builds. Only SCALAR
+  // verdict inputs are cached — holding the pipeline Result would pin
+  // its DataFrame lineage (and SparkSession) for the JVM's life and
+  // hand a later session a dead-session artifact; the persisted frame
+  // is explicitly released before the scalars go in.
+  final private case class FixtureVerdicts(acc: Double, auc: Double,
+      gbtR2: Double, lrR2: Double, nCal: Long, nEval: Long,
+      qhat: Double, coverage: Double)
+
   private val qualityCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double, Double)]
+    new java.util.concurrent.ConcurrentHashMap[String, FixtureVerdicts]
+
+  /** ONE fixture pipeline pass serves BOTH gate rows
+    * ([[qMlQualityBounds]], [[qMlConformalBounds]]): the quality
+    * scalars come from the pipeline's metrics, the conformal scalars
+    * from its fitted LR re-applied to the SAME seeded test half —
+    * refitting the fixture per gate would be the duplicate-fit smell
+    * the r12 review banned. The persisted frame is released before the
+    * scalars are cached. */
+  private def fixtureVerdicts(s: SparkSession): FixtureVerdicts =
+    qualityCache.computeIfAbsent("fixture", _ =>
+      graft.BuildTimes.timed("ml_quality_fixture_fit") {
+        val r = graft.gsod.GsodPipeline.run(
+          graft.bench.GsodBench.generate(s, 20, 365), gbtIter = 5)
+        try {
+          val (_, test) = Train.split(r.frame)
+          val scored = r.lrModel.transform(test)
+            .select(abs(col(graft.gsod.Features.labelReg) - col("prediction"))
+                .as("resid"),
+              pmod(xxhash64(col("stn"), col("date")), lit(2)).as("grp"))
+            .persist()
+          try {
+            val cal = scored.filter(col("grp") === 0)
+            val ev = scored.filter(col("grp") === 1)
+            val n = cal.count()
+            val ne = ev.count()
+            val k = math.ceil((n + 1) * 0.9).toInt
+            val q =
+              if (n == 0) Double.NaN
+              else cal.select(col("resid")).orderBy(col("resid"))
+                .limit(math.min(k.toLong, n).toInt)
+                .agg(max(col("resid"))).head().getDouble(0)
+            val covd =
+              if (ne == 0) Double.NaN
+              else ev.filter(col("resid") <= q).count().toDouble / ne
+            FixtureVerdicts(r.classification.accuracy,
+              r.classification.areaUnderROC, r.gbtRegression.r2,
+              r.regression.r2, n, ne, q, covd)
+          } finally { scored.unpersist(); () }
+        } finally { r.frame.unpersist(); () }
+      })
 
   /** Fit-QUALITY bounds row — the band the evaluator-consistency gates
     * ([[qMlEvalBounds]]) deliberately don't cover: the harness tables
@@ -183,18 +228,12 @@ object MlQueries {
     * — the verdicts are deterministic, and the DuckDB twin is the
     * literal expected frame. */
   def qMlQualityBounds(s: SparkSession, d: String): DataFrame = {
-    val (acc, auc, gbtR2, lrR2) = qualityCache.computeIfAbsent("fixture", _ =>
-      graft.BuildTimes.timed("ml_quality_fixture_fit") {
-        val r = graft.gsod.GsodPipeline.run(
-          graft.bench.GsodBench.generate(s, 20, 365), gbtIter = 5)
-        (r.classification.accuracy, r.classification.areaUnderROC,
-          r.gbtRegression.r2, r.regression.r2)
-      })
+    val v = fixtureVerdicts(s)
     import s.implicits._
-    Seq(("gbt_acc_in_band", acc >= 0.7 && acc <= 1.0),
-        ("gbt_auc_beats_chance", auc >= 0.6),
-        ("gbt_r2_beats_constant", gbtR2 > 0.0),
-        ("lr_r2_in_band", lrR2 >= 0.8 && lrR2 <= 1.0))
+    Seq(("gbt_acc_in_band", v.acc >= 0.7 && v.acc <= 1.0),
+        ("gbt_auc_beats_chance", v.auc >= 0.6),
+        ("gbt_r2_beats_constant", v.gbtR2 > 0.0),
+        ("lr_r2_in_band", v.lrR2 >= 0.8 && v.lrR2 <= 1.0))
       .toDF("check", "within_bounds")
       .orderBy(col("check"))
   }
@@ -204,6 +243,43 @@ object MlQueries {
     """SELECT * FROM (VALUES ('gbt_acc_in_band', true),
       |  ('gbt_auc_beats_chance', true), ('gbt_r2_beats_constant', true),
       |  ('lr_r2_in_band', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
+  /** Split-conformal prediction-interval gate for the LR forecaster
+    * (Papadopoulos '02 / Vovk's inductive conformal, the
+    * distribution-free uncertainty wrapper every deployed regressor
+    * ships with today): the test half splits by a portable hash of
+    * (stn, date) into calibration and eval cohorts; q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration |residual| (α = 0.1, exact
+    * rank-pick — TakeOrdered k then max, never an interpolating
+    * percentile builtin), and the interval `ŷ ± q̂` must cover the
+    * eval cohort at ≈ 90%: the conformal guarantee is marginal, so
+    * the gate is the WIDE [0.85, 0.95] band (eval n ≈ 3.6k ⇒ ±3σ ≈
+    * ±1.5% around the guaranteed rate — the band is regeneration
+    * headroom, not tuning). Everything is seeded (generator, split,
+    * hash cohorts) ⇒ deterministic verdicts; DuckDB twin = literal
+    * expected frame.
+    *
+    * Scale shape: residuals are one model.transform + narrow
+    * projection; the rank-pick is TakeOrdered(k) (per-partition
+    * heaps), coverage is one count — at 10⁹ calibration rows q̂ would
+    * move to the KLL-sketch tier (q_sketch_quantile_bounds' path),
+    * documented, not silently approximated here. */
+  def qMlConformalBounds(s: SparkSession, d: String): DataFrame = {
+    val v = fixtureVerdicts(s)
+    import s.implicits._
+    Seq(("cohorts_nonempty", v.nCal > 0 && v.nEval > 0),
+        ("coverage_in_band", v.coverage >= 0.85 && v.coverage <= 0.95),
+        ("qhat_positive", v.qhat > 0.0 && !v.qhat.isNaN))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qMlConformalBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('cohorts_nonempty', true),
+      |  ('coverage_in_band', true), ('qhat_positive', true))
+      |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
   /** M15/M16 analogue (SURVEY §7.5: SHAP → featureImportances): GBT
@@ -500,6 +576,7 @@ object MlQueries {
     "q_ml_bucketize" -> (qMlBucketize _),
     "q_ml_eval_bounds" -> (qMlEvalBounds _),
     "q_ml_quality_bounds" -> (qMlQualityBounds _),
+    "q_ml_conformal_bounds" -> (qMlConformalBounds _),
     "q_ml_indexed_features" -> (qMlIndexedFeatures _),
     "q_ml_onehot" -> (qMlOnehot _),
     "q_ml_scaled_features" -> (qMlScaledFeatures _),
@@ -516,6 +593,7 @@ object MlQueries {
     "q_ml_bucketize" -> qMlBucketizeSql,
     "q_ml_eval_bounds" -> qMlEvalBoundsSql,
     "q_ml_quality_bounds" -> qMlQualityBoundsSql,
+    "q_ml_conformal_bounds" -> qMlConformalBoundsSql,
     "q_ml_indexed_features" -> qMlIndexedFeaturesSql,
     "q_ml_onehot" -> qMlOnehotSql,
     "q_ml_scaled_features" ->
