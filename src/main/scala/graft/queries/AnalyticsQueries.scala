@@ -958,9 +958,13 @@ object AnalyticsQueries {
     * on an exact-rational ratio — its output is irrational, so
     * rounding at 9 cannot sit on a decimal boundary the way r12's
     * rational frame-means did; the strict sweep covers it. */
-  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+  /** The (cohort, feature, bin) point stream of [[qPsiDrift]] — shared
+    * with the streaming face ([[graft.streaming.Streaming.psiCounts]])
+    * so batch and stream can never bin differently. Works on batch OR
+    * streaming frames (pure projections). */
+  private[graft] def psiPoints(events: DataFrame): DataFrame = {
     val cut = to_timestamp(lit("2024-01-16 00:00:00"))
-    val pts = Tables.events(s, d)
+    events
       .withColumn("cur", when(col("ts") < cut, 0).otherwise(1))
       .withColumn("c", round(col("value") * lit(100)).cast("long"))
       .select(col("cur"), explode(array(
@@ -969,11 +973,17 @@ object AnalyticsQueries {
         struct(lit("event_type").as("feature"),
           col("event_type").as("bin")))).as("f"))
       .select(col("cur"), col("f.feature").as("feature"), col("f.bin").as("bin"))
-    val o = pts.groupBy(col("feature"), col("bin"))
-      .agg(count(when(col("cur") === 0, 1)).as("n_ref"),
-        count(when(col("cur") === 1, 1)).as("n_cur"))
+  }
+
+  /** [[qPsiDrift]]'s finalize: margins + smoothed shares + terms over a
+    * `(feature, bin, n_ref, n_cur)` counts frame — bounded by bin
+    * cardinality, so it runs identically on the batch aggregate and on
+    * a streaming sink's accumulated counts (the replay-equivalence
+    * hinge: stream == batch iff the COUNTS agree, because everything
+    * after is this one deterministic function). */
+  private[graft] def psiFinalize(counts: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("feature"))
-    val m = o
+    val m = counts
       .withColumn("tot_ref", sum(col("n_ref")).over(wf))
       .withColumn("tot_cur", sum(col("n_cur")).over(wf))
       .withColumn("b", count(lit(1)).over(wf))
@@ -984,6 +994,12 @@ object AnalyticsQueries {
         round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
       .orderBy(col("feature"), col("bin"))
   }
+
+  def qPsiDrift(s: SparkSession, d: String): DataFrame =
+    psiFinalize(psiPoints(Tables.events(s, d))
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(when(col("cur") === 0, 1)).as("n_ref"),
+        count(when(col("cur") === 1, 1)).as("n_cur")))
 
   val qPsiDriftSql: String =
     """WITH pts AS (

@@ -210,6 +210,30 @@ object Streaming {
       .select(col("incident_id"), col("event_id"))
   }
 
+  /** Streaming face of the PSI drift readout
+    * ([[graft.queries.AnalyticsQueries.qPsiDrift]]) — the live half of
+    * model monitoring: per-(feature, bin, cohort) counts accumulate as
+    * native streaming-aggregation state across trigger batches (update
+    * mode; counts are the ONLY state — the margin/share/term math is
+    * [[graft.queries.AnalyticsQueries.psiFinalize]], a deterministic
+    * function of the counts frame, run on the sink whenever a reading
+    * is wanted). Binning is the batch twin's own `psiPoints`, so the
+    * two faces cannot bin differently, and StreamingSpec proves
+    * finalize(accumulated counts) == the batch PSI frame bit-for-bit
+    * once the stream drains.
+    *
+    * Scale/state: state is one long pair per (feature, bin) — bounded
+    * by bin cardinality (≤ 15 here), NOT by stream length; the
+    * aggregation partial-aggregates map-side per trigger like any
+    * batch groupBy. No watermark: drift monitoring wants lifetime
+    * cohort counts (late events still belong to their cohort), which
+    * is also why update-mode output re-emits revised bins. */
+  def psiCounts(events: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.psiPoints(events)
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(when(col("cur") === 0, 1)).as("n_ref"),
+        count(when(col("cur") === 1, 1)).as("n_cur"))
+
   /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
     * window composition — events more than `gapMinutes` after their
     * predecessor (per user) open a new session; the session id is the

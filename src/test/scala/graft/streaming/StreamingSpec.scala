@@ -689,6 +689,29 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.size} streamed pairs vs ${opPairs.size} IntervalJoin pairs")
   }
 
+  test("streaming PSI counts: finalize(accumulated state) == the batch PSI frame") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val dir = JFiles.createTempDirectory("graft-psi-stream")
+    // two trigger batches so the counts state actually folds
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 7L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.psiCounts(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("psi_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.queries.AnalyticsQueries
+      .psiFinalize(spark.table("psi_counts")).collect().map(_.toString)
+    val batch = graft.queries.AnalyticsQueries
+      .qPsiDrift(spark, sf001).collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+  }
+
   test("streaming dedup: re-delivered events dropped across trigger batches") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft-dedup-stream")
