@@ -1839,7 +1839,79 @@ object ExtraQueries {
       |                / CAST(digit AS BIGINT)), 9) AS dev
       |FROM m ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------------- Pseudonymization
+  /** Consistent keyed pseudonymization of the user identifier — the
+    * privacy op every shared/training dataset applies before leaving
+    * the trust boundary: `pseudonym = md5(pepper : user_id)` is stable
+    * across runs AND across tables (the same pepper links a user's
+    * rows everywhere without exposing the raw id), unlike row-level
+    * randomization which destroys joinability. Emitted at per-user
+    * aggregate grain to demonstrate exactly that: grouping by the
+    * pseudonym reproduces the per-user counts/totals bit-for-bit —
+    * the hash gate proves linkability survived the rename. Complements
+    * [[TextQueries.qPiiRedact]] (content-level) with identifier-level
+    * privacy; re-identification risk is [[qKAnonymity]]'s readout.
+    *
+    * Scale shape: the pseudonym is one in-row md5 (codegen'd builtin,
+    * identical bytes on both engines); one partial-aggregable groupBy.
+    * 128-bit digests make collisions (two users merging) negligible at
+    * any corpus size — the spec pins injectivity on the harness ids.
+    *
+    * Floats (class-1): counts and cent sums exact, ONE terminal /100
+    * division. */
+  def qPseudonymize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(md5(concat_ws(":", lit("graft-pepper"), col("user_id")))
+          .as("pseudonym"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+      .groupBy(col("pseudonym"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("total_value"))
+      .orderBy(col("pseudonym"))
+
+  val qPseudonymizeSql: String =
+    """SELECT md5('graft-pepper:' || CAST(user_id AS VARCHAR)) AS pseudonym,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- k-anonymity
+  /** k-anonymity / l-diversity audit of the customer quasi-identifiers
+    * (Sweeney '02; Machanavajjhala '07): for each (nation, market
+    * segment) QI group, the group size k (an individual in a group of
+    * size < K is re-identifiable by those two attributes alone) and
+    * the diversity l = distinct account-balance signs in the group (a
+    * group where every member shares the sensitive value leaks it even
+    * at large k). The release-gate readout run before publishing any
+    * row-level extract; threshold K = 6 (HIPAA-style small-cell
+    * suppression convention).
+    *
+    * Scale shape: ONE partial-aggregable groupBy over the QI columns
+    * (count + conditional distinct-sign counters as two max-flags —
+    * no countDistinct shuffle); the frame is QI-cardinality-bounded.
+    *
+    * Floats: none — every column is an exact integer/boolean. */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"),
+        (max(when(col("c_acctbal") < 0, 1).otherwise(0)) +
+          max(when(col("c_acctbal") >= 0, 1).otherwise(0))).as("l_diversity"))
+      .withColumn("below_k", col("k") < 6)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val qKAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment, count(*) AS k,
+      |  max(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+      |    + max(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS l_diversity,
+      |  count(*) < 6 AS below_k
+      |FROM customer
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> (qPseudonymize _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_gini_concentration" -> (qGiniConcentration _),
     "q_benford_digits" -> (qBenfordDigits _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
@@ -1888,6 +1960,8 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_pseudonymize" -> qPseudonymizeSql,
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_benford_digits" -> qBenfordDigitsSql,
     "q_unpivot" -> qUnpivotSql,

@@ -197,6 +197,47 @@ class RelationalExtSpec extends SparkSpec {
     assert(srx2 == srx, "rank identity must be tie-order invariant")
   }
 
+  test("pseudonymize: injective on the harness ids, stable, and aggregate-preserving") {
+    val out = ExtraQueries.qPseudonymize(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val raw = Tables.events(spark, sf001)
+      .select(col("user_id"), round(col("value") * lit(100)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = raw.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    // injectivity: one pseudonym per user, no merges
+    assert(out.length == perUser.size, "pseudonym collision merged two users")
+    // stability + linkability: each user's aggregate appears intact under
+    // the keyed digest recomputed driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    perUser.foreach { case (uid, (n, cents)) =>
+      val dig = md.digest(s"graft-pepper:$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val row = out.find(_._1 == dig)
+      assert(row.isDefined, s"user $uid pseudonym missing")
+      assert(row.get._2 == n && row.get._3 == cents.toDouble / 100.0, s"user $uid")
+    }
+  }
+
+  test("k-anonymity: group sizes and diversity recompute; below_k matches the threshold") {
+    val out = ExtraQueries.qKAnonymity(spark, sf001).collect()
+    val raw = Tables.customer(spark, sf001)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getDouble(2)))
+    val groups = raw.groupBy(_._1)
+    assert(out.length == groups.size)
+    out.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val vs = groups(key).map(_._2)
+      assert(r.getLong(2) == vs.length.toLong, s"k of $key")
+      val l = (if (vs.exists(_ < 0)) 1 else 0) + (if (vs.exists(_ >= 0)) 1 else 0)
+      assert(r.getInt(3) == l, s"l of $key")
+      assert(r.getBoolean(4) == (vs.length < 6), s"below_k of $key")
+    }
+    // the audit must actually surface small cells on the harness data
+    assert(out.exists(_.getBoolean(4)), "no below-k group — the gate is vacuous")
+  }
+
   test("benford: shares recompute exactly; benford masses telescope to 1") {
     val out = ExtraQueries.qBenfordDigits(spark, sf001).collect()
     val raw = Tables.orders(spark, sf001)
