@@ -1489,6 +1489,136 @@ object AnalyticsQueries {
       |ORDER BY n_orders DESC, part_a, part_b
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------- Association rules
+  /** Association rules over the top co-purchased pairs — the step
+    * after [[qBasketPairs]]' support counting (Agrawal & Srikant
+    * VLDB'94): for each of the 20 highest-support pairs, both
+    * directed confidences `P(j|i) = n_ij/n_i` and the symmetric lift
+    * `N·n_ij/(n_i·n_j)` (> 1 = bought together more than chance).
+    * The recommender/co-occurrence readout; pipeline-side the same
+    * statistic ranks co-occurring tags or co-cited documents.
+    *
+    * Scale shape: ONE capped kept frame (the [[basketPairs]] cap
+    * discipline — two-level rank, C(cap,2)-bounded self-join)
+    * materialized once and reused for item supports, pair supports,
+    * and the basket total (localCheckpoint: three plan branches).
+    * Supports broadcast back onto the 20-row pair frame.
+    *
+    * Floats (class-1): supports are exact longs, products < 2^53 at
+    * the capped-basket volume; confidence and lift are each ONE
+    * terminal division of exact integers — no rounding. */
+  def qBasketRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val kept = graft.ops.SaltedWindow
+      .groupedRank(li, "ok", "pk", "pk", ascending = true)
+      .filter(col("rank") <= BasketCap).select(col("ok"), col("pk"))
+      .localCheckpoint(true)
+    val itemSupport = kept.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val nBaskets = kept.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    pairs
+      .join(broadcast(itemSupport.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("n_item", "n_a")), "part_a")
+      .join(broadcast(itemSupport.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("n_item", "n_b")), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        (col("n_pair").cast("double") / col("n_a")).as("conf_a_to_b"),
+        (col("n_pair").cast("double") / col("n_b")).as("conf_b_to_a"),
+        ((col("n_baskets") * col("n_pair")).cast("double") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+  }
+
+  val qBasketRulesSql: String =
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), ranked AS (
+      |  SELECT ok, pk,
+      |    row_number() OVER (PARTITION BY ok ORDER BY pk) AS rnk
+      |  FROM li
+      |), kept AS (
+      |  SELECT ok, pk FROM ranked WHERE rnk <= $BasketCap
+      |), item AS (
+      |  SELECT pk, count(*) AS n_item FROM kept GROUP BY pk
+      |), nb AS (
+      |  SELECT count(DISTINCT ok) AS n_baskets FROM kept
+      |), pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+      |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY n_pair DESC, part_a, part_b
+      |  LIMIT 20
+      |)
+      |SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+      |  CAST(n_pair AS DOUBLE) / ia.n_item AS conf_a_to_b,
+      |  CAST(n_pair AS DOUBLE) / ib.n_item AS conf_b_to_a,
+      |  CAST(nb.n_baskets * n_pair AS DOUBLE)
+      |    / (ia.n_item * ib.n_item) AS lift
+      |FROM pairs
+      |JOIN item ia ON ia.pk = part_a
+      |JOIN item ib ON ib.pk = part_b
+      |CROSS JOIN nb
+      |ORDER BY n_pair DESC, part_a, part_b""".stripMargin
+
+  // -------------------------------------------- Rolling active users
+  /** 7-day rolling active users (WAU) per day — THE product-analytics
+    * engagement series, and pipeline-side the same shape tracks
+    * rolling distinct contributors/sources in a crawl. Exact distinct
+    * (the HLL sketch tier is the approximate face for wider windows).
+    *
+    * Scale shape: one corpus-proportional distinct to the (day, user)
+    * activity frame — materialized ONCE (localCheckpoint: it feeds
+    * both the span bounds and the fan-out; without the cut the two
+    * plan branches re-run the events scan + distinct, the r12
+    * shared-subframe lesson) — then an IN-ROW ≤ 7× date fan-out and
+    * one distinct-count groupBy per target day. A (day,user) pair
+    * contributes to exactly the 7 windows that contain it, so no
+    * window ever rescans history; the sliding-window-countDistinct
+    * that Spark windows can't express becomes a bounded explode +
+    * equi-shuffle (q_range_join's binning discipline applied to
+    * time-windowed distinct).
+    *
+    * Floats: none — dates and counts only. Days outside the observed
+    * [min, max] span are clipped (a trailing window must not invent
+    * future calendar days). */
+  def qRollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .localCheckpoint()
+    val bounds = du.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    du.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
+      .crossJoin(broadcast(bounds))
+      .where(col("day").between(col("dmin"), col("dmax")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val qRollingActiveUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      |), bounds AS (
+      |  SELECT min(d) AS dmin, max(d) AS dmax FROM du
+      |), ex AS (
+      |  SELECT du.d + CAST(i AS INTEGER) AS day, du.user_id
+      |  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS i)
+      |)
+      |SELECT day, count(DISTINCT user_id) AS wau
+      |FROM ex CROSS JOIN bounds
+      |WHERE day BETWEEN dmin AND dmax
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- RFM segmentation
   /** RFM customer segmentation — recency (days since last order),
     * frequency (order count), monetary (lifetime spend), each scored
@@ -2627,6 +2757,8 @@ object AnalyticsQueries {
     "q_lm_bigram" -> (qLmBigram _),
     "q_corpus_divergence" -> (qCorpusDivergence _),
     "q_basket_pairs" -> (qBasketPairs _),
+    "q_basket_rules" -> (qBasketRules _),
+    "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_rfm" -> (qRfm _),
     "q_session_funnel" -> (qSessionFunnel _),
     "q_tfidf" -> (qTfidf _),
@@ -2666,6 +2798,8 @@ object AnalyticsQueries {
     "q_lm_bigram" -> qLmBigramSql,
     "q_corpus_divergence" -> qCorpusDivergenceSql,
     "q_basket_pairs" -> qBasketPairsSql,
+    "q_basket_rules" -> qBasketRulesSql,
+    "q_rolling_active_users" -> qRollingActiveUsersSql,
     "q_rfm" -> qRfmSql,
     "q_session_funnel" -> qSessionFunnelSql,
     "q_tfidf" -> qTfidfSql,

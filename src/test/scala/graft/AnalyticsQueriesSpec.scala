@@ -697,6 +697,53 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("rolling active users: every day's WAU equals the exact trailing-7-day distinct count") {
+    val out = AnalyticsQueries.qRollingActiveUsers(spark, sf001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val raw = graft.Tables.events(spark, sf001)
+      .select(to_date(col("ts")).as("d"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val (dmin, dmax) = (raw.map(_._1).min, raw.map(_._1).max)
+    assert(out.head._1 == dmin && out.last._1 == dmax,
+      "output span must equal the observed span")
+    out.foreach { case (day, wau) =>
+      val expect = raw.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      assert(wau == expect, s"day $day: $wau vs $expect")
+    }
+  }
+
+  test("basket rules: confidence and lift recompute from raw supports; lift identity holds") {
+    val out = AnalyticsQueries.qBasketRules(spark, sf001).collect()
+    assert(out.length == 20)
+    val kept = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (ok, ps) =>
+        ps.map(_._2).distinct.sorted.take(AnalyticsQueries.BasketCap)
+          .map(ok -> _)
+      }
+    val item = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nB = kept.map(_._1).distinct.length.toLong
+    val pairSupport = kept.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val (a, b, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(np == pairSupport((a, b)), s"pair ($a,$b) support")
+      assert(r.getLong(3) == item(a) && r.getLong(4) == item(b))
+      assert(r.getDouble(5) == np.toDouble / item(a))
+      assert(r.getDouble(6) == np.toDouble / item(b))
+      val lift = (nB * np).toDouble / (item(a) * item(b))
+      assert(r.getDouble(7) == lift, s"pair ($a,$b) lift")
+      // identity: lift == conf(a→b) / P(b)
+      assert(math.abs(lift - r.getDouble(5) / (item(b).toDouble / nB)) <= 1e-12)
+    }
+  }
+
   test("lagged cross-correlation recomputes from the raw hourly series") {
     val out = AnalyticsQueries.qXcorrLagged(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1),
