@@ -1420,7 +1420,14 @@ object AnalyticsQueries {
     * AnalyticsQueriesSpec plants a mega-basket and pins the bounded
     * pair volume + agreement with the uncapped join on small
     * baskets. */
-  def basketPairs(baskets: DataFrame, cap: Int = BasketCap): DataFrame = {
+  /** The shared cap stage of [[basketPairs]] / [[qBasketRules]]: each
+    * basket cut to its `cap` smallest part keys via the skew-proof
+    * two-level ranking, plus the 1-row truncation counter. The kept
+    * frame is localCheckpointed (it feeds multiple plan branches in
+    * every consumer); keeping ONE derivation means the two consumers
+    * can never drift on cap semantics. */
+  private def cappedBaskets(baskets: DataFrame,
+      cap: Int): (DataFrame, DataFrame) = {
     // the two-level ranking introduces 'rank'/'group_n' working columns
     // — refuse inputs that would silently collide (SaltedJoin's guard)
     require(baskets.columns.toSet == Set("ok", "pk"),
@@ -1434,12 +1441,21 @@ object AnalyticsQueries {
     val nCapped = capped.filter(col("rank") === 1 && col("group_n") > cap)
       .select(count(lit(1)).as("n_capped_baskets"))
     val kept = capped.filter(col("rank") <= cap).select(col("ok"), col("pk"))
+    (kept, nCapped)
+  }
+
+  /** C(cap, 2)-bounded pair counting over a capped kept frame —
+    * [[cappedBaskets]]' other half, shared by both consumers. */
+  private def pairCounts(kept: DataFrame): DataFrame =
     kept.as("a").join(kept.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
-      .crossJoin(broadcast(nCapped))
+
+  def basketPairs(baskets: DataFrame, cap: Int = BasketCap): DataFrame = {
+    val (kept, nCapped) = cappedBaskets(baskets, cap)
+    pairCounts(kept).crossJoin(broadcast(nCapped))
   }
 
   /** Top-20 co-purchased part pairs (market-basket support counting —
@@ -1498,11 +1514,14 @@ object AnalyticsQueries {
     * The recommender/co-occurrence readout; pipeline-side the same
     * statistic ranks co-occurring tags or co-cited documents.
     *
-    * Scale shape: ONE capped kept frame (the [[basketPairs]] cap
-    * discipline — two-level rank, C(cap,2)-bounded self-join)
-    * materialized once and reused for item supports, pair supports,
-    * and the basket total (localCheckpoint: three plan branches).
-    * Supports broadcast back onto the 20-row pair frame.
+    * Scale shape: the cap stage and pair counting are
+    * [[cappedBaskets]]/[[pairCounts]] — the SAME derivation
+    * [[basketPairs]] uses, so the two consumers cannot drift, and the
+    * truncation counter stays surfaced here too (n_capped_baskets on
+    * every row — no silent mega-basket cut). The 20-row pair frame is
+    * the BROADCAST side of both support joins (the item-support
+    * aggregate is distinct-part-proportional — billions of rows at
+    * 100 TB — and streams); the 1-row totals broadcast.
     *
     * Floats (class-1): supports are exact longs, products < 2^53 at
     * the capped-basket volume; confidence and lift are each ONE
@@ -1511,32 +1530,30 @@ object AnalyticsQueries {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val kept = graft.ops.SaltedWindow
-      .groupedRank(li, "ok", "pk", "pk", ascending = true)
-      .filter(col("rank") <= BasketCap).select(col("ok"), col("pk"))
-      .localCheckpoint(true)
+    val (kept, nCapped) = cappedBaskets(li, BasketCap)
     val itemSupport = kept.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val nBaskets = kept.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_pair"))
+    val pairs = pairCounts(kept)
+      .withColumnRenamed("n_orders", "n_pair")
       .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
       .limit(20)
-    pairs
-      .join(broadcast(itemSupport.withColumnRenamed("pk", "part_a")
-        .withColumnRenamed("n_item", "n_a")), "part_a")
-      .join(broadcast(itemSupport.withColumnRenamed("pk", "part_b")
-        .withColumnRenamed("n_item", "n_b")), "part_b")
+    val withA = itemSupport
+      .withColumnRenamed("pk", "part_a").withColumnRenamed("n_item", "n_a")
+      .join(broadcast(pairs), "part_a")
+    val withB = itemSupport
+      .withColumnRenamed("pk", "part_b").withColumnRenamed("n_item", "n_b")
+      .join(broadcast(withA), "part_b")
+    withB
       .crossJoin(broadcast(nBaskets))
+      .crossJoin(broadcast(nCapped))
       .select(col("part_a"), col("part_b"), col("n_pair"),
         col("n_a"), col("n_b"),
         (col("n_pair").cast("double") / col("n_a")).as("conf_a_to_b"),
         (col("n_pair").cast("double") / col("n_b")).as("conf_b_to_a"),
         ((col("n_baskets") * col("n_pair")).cast("double") /
-          (col("n_a") * col("n_b"))).as("lift"))
+          (col("n_a") * col("n_b"))).as("lift"),
+        col("n_capped_baskets"))
       .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
   }
 
@@ -1553,6 +1570,10 @@ object AnalyticsQueries {
       |  SELECT pk, count(*) AS n_item FROM kept GROUP BY pk
       |), nb AS (
       |  SELECT count(DISTINCT ok) AS n_baskets FROM kept
+      |), nc AS (
+      |  SELECT count(DISTINCT ok) AS n_capped_baskets
+      |  FROM (SELECT ok, count(*) AS basket_n FROM li GROUP BY ok)
+      |  WHERE basket_n > $BasketCap
       |), pairs AS (
       |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
@@ -1564,11 +1585,12 @@ object AnalyticsQueries {
       |  CAST(n_pair AS DOUBLE) / ia.n_item AS conf_a_to_b,
       |  CAST(n_pair AS DOUBLE) / ib.n_item AS conf_b_to_a,
       |  CAST(nb.n_baskets * n_pair AS DOUBLE)
-      |    / (ia.n_item * ib.n_item) AS lift
+      |    / (ia.n_item * ib.n_item) AS lift,
+      |  nc.n_capped_baskets
       |FROM pairs
       |JOIN item ia ON ia.pk = part_a
       |JOIN item ib ON ib.pk = part_b
-      |CROSS JOIN nb
+      |CROSS JOIN nb CROSS JOIN nc
       |ORDER BY n_pair DESC, part_a, part_b""".stripMargin
 
   // -------------------------------------------- Rolling active users
@@ -1589,19 +1611,27 @@ object AnalyticsQueries {
     * equi-shuffle (q_range_join's binning discipline applied to
     * time-windowed distinct).
     *
-    * Floats: none — dates and counts only. Days outside the observed
-    * [min, max] span are clipped (a trailing window must not invent
-    * future calendar days). */
+    * Floats: none — dates and counts only. The output is the DENSE
+    * calendar series over the observed [min, max] span: days whose
+    * trailing window is empty emit wau = 0 via a left join onto the
+    * generated day grid (a per-day readout with silent holes would
+    * misrepresent an outage as no-row rather than zero — the
+    * q_resample_ffill dense-grid discipline), and days beyond the
+    * span are clipped (a trailing window must not invent future
+    * calendar days). */
   def qRollingActiveUsers(s: SparkSession, d: String): DataFrame = {
     val du = Tables.events(s, d)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
       .localCheckpoint()
     val bounds = du.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
-    du.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
-      .crossJoin(broadcast(bounds))
-      .where(col("day").between(col("dmin"), col("dmax")))
+    val grid = bounds
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val counts = du
+      .withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
+    grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("wau"), lit(0L)).as("wau"))
       .orderBy(col("day"))
   }
 
@@ -1610,14 +1640,19 @@ object AnalyticsQueries {
       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
       |), bounds AS (
       |  SELECT min(d) AS dmin, max(d) AS dmax FROM du
+      |), grid AS (
+      |  SELECT CAST(unnest(generate_series(dmin, dmax,
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds
       |), ex AS (
       |  SELECT du.d + CAST(i AS INTEGER) AS day, du.user_id
       |  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS i)
+      |), counts AS (
+      |  SELECT day, count(DISTINCT user_id) AS wau FROM ex GROUP BY 1
       |)
-      |SELECT day, count(DISTINCT user_id) AS wau
-      |FROM ex CROSS JOIN bounds
-      |WHERE day BETWEEN dmin AND dmax
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |SELECT g.day, coalesce(c.wau, 0) AS wau
+      |FROM grid g LEFT JOIN counts c ON g.day = c.day
+      |ORDER BY g.day""".stripMargin
 
   // ------------------------------------------------- RFM segmentation
   /** RFM customer segmentation — recency (days since last order),

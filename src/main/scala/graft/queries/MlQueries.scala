@@ -254,9 +254,9 @@ object MlQueries {
     * rank-pick — TakeOrdered k then max, never an interpolating
     * percentile builtin), and the interval `ŷ ± q̂` must cover the
     * eval cohort at ≈ 90%: the conformal guarantee is marginal, so
-    * the gate is the WIDE [0.85, 0.95] band (eval n ≈ 3.6k ⇒ ±3σ ≈
-    * ±1.5% around the guaranteed rate — the band is regeneration
-    * headroom, not tuning). Everything is seeded (generator, split,
+    * the gate is the WIDE [0.85, 0.95] band (eval n ≈ 730 after the
+    * test half splits in two ⇒ σ ≈ 1.1%, so the ±5% band is ≈ ±4.5σ
+    * of regeneration headroom, not tuning). Everything is seeded (generator, split,
     * hash cohorts) ⇒ deterministic verdicts; DuckDB twin = literal
     * expected frame.
     *

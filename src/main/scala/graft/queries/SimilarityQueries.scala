@@ -701,23 +701,28 @@ object SimilarityQueries {
     * shared distance frame of [[qSimSilhouette]] /
     * [[qSimSilhouetteBounds]]: for each corpus vector, `a` = Euclidean
     * distance to its OWN cell's centroid, `b` = distance to the
-    * nearest OTHER centroid, `dmin` = distance to the nearest centroid
-    * of all. Normalized vectors make the distance
+    * nearest OTHER centroid (the nearest of all is `least(a, b)` by
+    * construction — no third fold needed). Normalized vectors make the distance
     * `√(1 + |c|² − 2·x·c)` (clamped against −ulp cancellation). */
   private def silhouetteFrame(s: SparkSession, d: String): DataFrame = {
     val (path, localCentroids) = ivfIndexFor(s, d)
     val indexed = s.read.parquet(path)
     import s.implicits._
-    val centroids = localCentroids.toDF("ccell", "centroid")
+    // |c|² precomputed ONCE per centroid driver-side (same left-to-right
+    // fold order as the in-plan dot, so the doubles are identical) — in
+    // the expression it would re-run the d-dim self-product on every one
+    // of the N·√N joined rows
+    val centroids = localCentroids
+      .map { case (c, v) => (c, v, v.map(x => x * x).sum) }
+      .toDF("ccell", "centroid", "cnorm2")
     indexed.select(col("vec_id"), col("cell"), col("norm"))
       .join(broadcast(centroids), lit(true))
       .withColumn("dist", sqrt(greatest(lit(0.0),
-        lit(1.0) + Similarity.dot(col("centroid"), col("centroid"))
+        lit(1.0) + col("cnorm2")
           - lit(2.0) * Similarity.dot(col("norm"), col("centroid")))))
       .groupBy(col("vec_id"), col("cell"))
       .agg(min(when(col("ccell") === col("cell"), col("dist"))).as("a"),
-        min(when(col("ccell") =!= col("cell"), col("dist"))).as("b"),
-        min(col("dist")).as("dmin"))
+        min(when(col("ccell") =!= col("cell"), col("dist"))).as("b"))
   }
 
   /** Simplified (centroid-based) silhouette per corpus vector —
@@ -752,7 +757,7 @@ object SimilarityQueries {
     *
     *   - `nonempty`   — fail-closed: an empty corpus reads false;
     *   - `assignment_consistent` — NO point is strictly closer to a
-    *     foreign centroid than to its own (a == dmin everywhere; the
+    *     foreign centroid than to its own (a ≤ b everywhere; the
     *     k-means assignment and this operator's distance spelling
     *     agree) — the audit that catches a drifted/corrupted index;
     *   - `range_ok`   — every rounded s in [0, 1] (s ≥ 0 is implied
@@ -763,7 +768,7 @@ object SimilarityQueries {
       .withColumn("s", round((col("b") - col("a")) /
         greatest(col("a"), col("b")), 9))
     val a = f.agg(count(lit(1)).as("n"),
-      count(when(col("a") > col("dmin"), 1)).as("n_misassigned"),
+      count(when(col("a") > col("b"), 1)).as("n_misassigned"),
       count(when(col("s") < 0.0 || col("s") > 1.0 ||
         isnan(col("s")), 1)).as("n_out_of_range")).collect().head
     import s.implicits._

@@ -704,13 +704,17 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .select(to_date(col("ts")).as("d"), col("user_id")).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
     val (dmin, dmax) = (raw.map(_._1).min, raw.map(_._1).max)
-    assert(out.head._1 == dmin && out.last._1 == dmax,
-      "output span must equal the observed span")
-    out.foreach { case (day, wau) =>
+    // DENSE calendar series: one row per day of the span, no holes
+    val span = Iterator.iterate(dmin)(_.plusDays(1))
+      .takeWhile(!_.isAfter(dmax)).toSeq
+    assert(out.map(_._1).toSeq == span,
+      "output must be the dense observed span")
+    val byDay = out.toMap
+    span.foreach { day =>
       val expect = raw.filter { case (d, _) =>
         !d.isAfter(day) && !d.isBefore(day.minusDays(6))
       }.map(_._2).distinct.length.toLong
-      assert(wau == expect, s"day $day: $wau vs $expect")
+      assert(byDay(day) == expect, s"day $day: ${byDay(day)} vs $expect")
     }
   }
 
@@ -731,9 +735,16 @@ class AnalyticsQueriesSpec extends SparkSpec {
       val ps = b.map(_._2).sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the 20 returned pairs must be the TRUE top-20 by (support, a, b)
+    val top20 = pairSupport.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20).map(_._1)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == top20,
+      "returned pairs are not the top-20 by support")
     out.foreach { r =>
       val (a, b, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(np == pairSupport((a, b)), s"pair ($a,$b) support")
+      // truncation visibility: no harness basket exceeds the cap
+      assert(r.getLong(8) == 0L, "unexpected capped baskets on harness data")
       assert(r.getLong(3) == item(a) && r.getLong(4) == item(b))
       assert(r.getDouble(5) == np.toDouble / item(a))
       assert(r.getDouble(6) == np.toDouble / item(b))
