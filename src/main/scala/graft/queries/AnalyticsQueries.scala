@@ -1593,6 +1593,97 @@ object AnalyticsQueries {
       |CROSS JOIN nb CROSS JOIN nc
       |ORDER BY n_pair DESC, part_a, part_b""".stripMargin
 
+  // ------------------------------------------------- Survival hazard
+  /** Discrete-time survival/hazard table for signup→purchase
+    * conversion — the Kaplan–Meier ingredient frame (Kaplan & Meier
+    * JASA'58) at day grain: each signup enters at its first signup
+    * event, converts at its first LATER purchase, or is right-censored
+    * at the corpus horizon; each output row carries the at-risk count,
+    * events, censorings, and the discrete hazard `d_t/n_t` for that
+    * day. The time-to-event readout behind churn/conversion analysis
+    * (and, pipeline-side, time-to-first-duplicate or time-to-staleness
+    * curves over crawl snapshots). Cell grain — the survival PRODUCT
+    * `Π(1−h_t)` is deliberately not emitted (an ordered float product
+    * is the χ² no-global-Σ doctrine's multiplicative twin; consumers
+    * fold the bounded frame).
+    *
+    * Scale shape: two corpus-proportional partial-aggregable firsts
+    * (per-user min signup, min later purchase — an equi-join on
+    * user_id, no window over events); everything after runs on the
+    * day-grain frame, bounded by the calendar span, where the at-risk
+    * ladder is one running sum over an ordered ≤|days| window.
+    *
+    * Floats (class-1): day indices and counts are exact integers
+    * (datediff of date-truncated micros agrees across engines);
+    * hazard is ONE terminal division — no rounding. */
+  def qSurvivalHazard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val firstConv = signups.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("p_ts")).as("tp"))
+    val horizon = ev.agg(max(col("ts")).as("tmax"))
+    val obs = signups
+      .join(firstConv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("tmax"), col("t0"))).as("t_days"),
+        col("tp").isNotNull.as("converted"))
+    val grid = obs.groupBy(col("t_days"))
+      .agg(count(when(col("converted"), 1)).as("n_events"),
+        count(when(!col("converted"), 1)).as("n_censored"))
+    val w = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("n_total",
+        sum(col("n_events") + col("n_censored")).over(
+          Window.orderBy(col("t_days"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(w), lit(0L)))
+      .select(col("t_days"), col("n_risk"), col("n_events"), col("n_censored"),
+        (col("n_events").cast("double") / col("n_risk")).as("hazard"))
+      .orderBy(col("t_days"))
+  }
+
+  val qSurvivalHazardSql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), p AS (
+      |  SELECT s.user_id, min(e.ts) AS tp
+      |  FROM s JOIN events e ON e.user_id = s.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > s.t0
+      |  GROUP BY 1
+      |), horizon AS (SELECT max(ts) AS tmax FROM events),
+      |obs AS (
+      |  SELECT CASE WHEN p.tp IS NOT NULL
+      |              THEN datediff('day', CAST(s.t0 AS DATE), CAST(p.tp AS DATE))
+      |              ELSE datediff('day', CAST(s.t0 AS DATE), CAST(h.tmax AS DATE))
+      |         END AS t_days,
+      |         p.tp IS NOT NULL AS converted
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon h
+      |), grid AS (
+      |  SELECT t_days,
+      |    count(*) FILTER (converted) AS n_events,
+      |    count(*) FILTER (NOT converted) AS n_censored
+      |  FROM obs GROUP BY 1
+      |), risk AS (
+      |  SELECT t_days, n_events, n_censored,
+      |    CAST(sum(n_events + n_censored) OVER () - coalesce(
+      |      sum(n_events + n_censored) OVER (ORDER BY t_days
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM grid
+      |)
+      |SELECT t_days, n_risk, n_events, n_censored,
+      |  CAST(n_events AS DOUBLE) / n_risk AS hazard
+      |FROM risk ORDER BY t_days""".stripMargin
+
   // -------------------------------------------- Rolling active users
   /** 7-day rolling active users (WAU) per day — THE product-analytics
     * engagement series, and pipeline-side the same shape tracks
@@ -2794,6 +2885,7 @@ object AnalyticsQueries {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_basket_rules" -> (qBasketRules _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
+    "q_survival_hazard" -> (qSurvivalHazard _),
     "q_rfm" -> (qRfm _),
     "q_session_funnel" -> (qSessionFunnel _),
     "q_tfidf" -> (qTfidf _),
@@ -2835,6 +2927,7 @@ object AnalyticsQueries {
     "q_basket_pairs" -> qBasketPairsSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_rolling_active_users" -> qRollingActiveUsersSql,
+    "q_survival_hazard" -> qSurvivalHazardSql,
     "q_rfm" -> qRfmSql,
     "q_session_funnel" -> qSessionFunnelSql,
     "q_tfidf" -> qTfidfSql,

@@ -755,6 +755,45 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("survival hazard: at-risk ladder conserves the signup cohort; hazards recompute") {
+    val out = AnalyticsQueries.qSurvivalHazard(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos))))
+      .toMap
+    val tmax = ev.map(_._3).maxBy(_.getTime)
+    def day(t: java.sql.Timestamp) = t.toLocalDateTime.toLocalDate
+    // t0.toSeq first: mapping a Map with a pair-valued function would
+    // rebuild a Map keyed by day and silently collapse duplicate rows
+    val obs = t0.toSeq.map { case (u, s0) =>
+      // full timestamp precision (getTime truncates to millis — the
+      // microsecond-order lesson from the streaming replay specs)
+      val conv = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+        e._3.compareTo(s0) > 0).map(_._3)
+      if (conv.nonEmpty) {
+        val tp = conv.minBy(t => (t.getTime, t.getNanos))
+        (java.time.temporal.ChronoUnit.DAYS.between(day(s0), day(tp)), true)
+      } else
+        (java.time.temporal.ChronoUnit.DAYS.between(day(s0), day(tmax)), false)
+    }.toSeq
+    val grid = obs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      (t, rows.count(_._2).toLong, rows.count(!_._2).toLong)
+    }
+    assert(out.length == grid.length && out.nonEmpty)
+    var risk = obs.length.toLong
+    out.zip(grid).foreach { case ((t, nr, de, ce, hz), (et, ed, ec)) =>
+      assert(t.toLong == et && de == ed && ce == ec, s"day $t grid")
+      assert(nr == risk, s"day $t at-risk ladder")
+      assert(hz == de.toDouble / nr, s"day $t hazard")
+      risk -= de + ce
+    }
+    assert(risk == 0, "ladder must exhaust the cohort exactly")
+  }
+
   test("lagged cross-correlation recomputes from the raw hourly series") {
     val out = AnalyticsQueries.qXcorrLagged(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1),
