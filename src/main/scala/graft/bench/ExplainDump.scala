@@ -68,7 +68,8 @@ object ExplainDump {
     "q_psi_drift", "q_textrank_keywords", "q_xcorr_lagged",
     "q_gini_concentration", "q_benford_digits", "q_sim_silhouette",
     "q_readability", "q_pseudonymize", "q_k_anonymity",
-    "q_rolling_active_users", "q_basket_rules", "q_survival_hazard")
+    "q_rolling_active_users", "q_basket_rules", "q_survival_hazard",
+    "q_event_markov")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -1593,6 +1593,54 @@ object AnalyticsQueries {
       |CROSS JOIN nb CROSS JOIN nc
       |ORDER BY n_pair DESC, part_a, part_b""".stripMargin
 
+  // --------------------------------------------- Markov transitions
+  /** First-order Markov transition matrix of event types — for each
+    * (current, next) pair within a user's event-time-ordered stream,
+    * the transition count and conditional probability
+    * `P(next | current)`: the behavioral sequence model behind
+    * next-action prediction and anomalous-flow detection (a spike in
+    * an improbable transition is a bot/regression signal), and the
+    * aggregate face of [[qEventPaths]]' raw path counts. Pipeline-side
+    * the same shape estimates token/section transition priors.
+    *
+    * Scale shape: one shuffle on user_id for the lead window (per-user
+    * partitions, no hub hazard), one partial-aggregable groupBy to the
+    * |types|²-bounded matrix frame, margins via a window over that
+    * bounded frame.
+    *
+    * Floats (class-1): counts exact, each probability ONE terminal
+    * division — rows of the matrix sum to 1 exactly in rational terms
+    * (spec-pinned at 1e-12 after the float divisions). */
+  def qEventMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_tot",
+        sum(col("n")).over(Window.partitionBy(col("cur"))))
+      .select(col("cur"), col("nxt"), col("n"),
+        (col("n").cast("double") / col("row_tot")).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  val qEventMarkovSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS nxt
+      |  FROM events
+      |), c AS (
+      |  SELECT cur, nxt, count(*) AS n FROM pairs
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT cur, nxt, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p
+      |FROM c ORDER BY cur, nxt""".stripMargin
+
   // ------------------------------------------------- Survival hazard
   /** Discrete-time survival/hazard table for signup→purchase
     * conversion — the Kaplan–Meier ingredient frame (Kaplan & Meier
@@ -2886,6 +2934,7 @@ object AnalyticsQueries {
     "q_basket_rules" -> (qBasketRules _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_survival_hazard" -> (qSurvivalHazard _),
+    "q_event_markov" -> (qEventMarkov _),
     "q_rfm" -> (qRfm _),
     "q_session_funnel" -> (qSessionFunnel _),
     "q_tfidf" -> (qTfidf _),
@@ -2928,6 +2977,7 @@ object AnalyticsQueries {
     "q_basket_rules" -> qBasketRulesSql,
     "q_rolling_active_users" -> qRollingActiveUsersSql,
     "q_survival_hazard" -> qSurvivalHazardSql,
+    "q_event_markov" -> qEventMarkovSql,
     "q_rfm" -> qRfmSql,
     "q_session_funnel" -> qSessionFunnelSql,
     "q_tfidf" -> qTfidfSql,

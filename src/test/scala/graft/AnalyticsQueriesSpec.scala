@@ -755,6 +755,34 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("event markov: transitions recompute from ordered streams; rows sum to 1; counts conserve") {
+    val out = AnalyticsQueries.qEventMarkov(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().groupBy(_.getLong(0))
+    val expect = ev.values.flatMap { es =>
+      val sorted = es.sortBy(r =>
+        (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos, r.getLong(2)))
+        .map(_.getString(3))
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (k, (n, p)) =>
+      assert(n == expect(k), s"transition $k count")
+      val rowTot = expect.filter(_._1._1 == k._1).values.sum
+      assert(p == n.toDouble / rowTot, s"transition $k probability")
+    }
+    // each row of the matrix is a distribution; total transitions =
+    // total events minus one per user with >= 1 event
+    out.groupBy(_._1._1).foreach { case (cur, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-12, s"row $cur")
+    }
+    val nTrans = out.map(_._2._1).sum
+    val nEvents = ev.values.map(_.length).sum
+    assert(nTrans == nEvents - ev.size, "transition count must conserve the stream")
+  }
+
   test("survival hazard: at-risk ladder conserves the signup cohort; hazards recompute") {
     val out = AnalyticsQueries.qSurvivalHazard(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
