@@ -1666,8 +1666,12 @@ object AnalyticsQueries {
     * hazard is ONE terminal division — no rounding. */
   def qSurvivalHazard(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // shared by the firstConv join AND the obs left-join — without the
+    // cut the two plan branches each re-run the corpus filter+agg (the
+    // r12 shared-subframe lesson; cohort-sized frame, cheap to pin)
     val signups = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .localCheckpoint(true)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
     val firstConv = signups.join(purchases,
@@ -1684,15 +1688,13 @@ object AnalyticsQueries {
     val grid = obs.groupBy(col("t_days"))
       .agg(count(when(col("converted"), 1)).as("n_events"),
         count(when(!col("converted"), 1)).as("n_censored"))
+    // at-risk = everyone who exits on this day or later: ONE reverse
+    // running sum over the bounded day frame (total-minus-preceding
+    // spells the same number with two windows and a dead total)
     val w = Window.orderBy(col("t_days"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     grid
-      .withColumn("n_total",
-        sum(col("n_events") + col("n_censored")).over(
-          Window.orderBy(col("t_days"))
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("n_risk", col("n_total") -
-        coalesce(sum(col("n_events") + col("n_censored")).over(w), lit(0L)))
+      .withColumn("n_risk", sum(col("n_events") + col("n_censored")).over(w))
       .select(col("t_days"), col("n_risk"), col("n_events"), col("n_censored"),
         (col("n_events").cast("double") / col("n_risk")).as("hazard"))
       .orderBy(col("t_days"))
@@ -1722,9 +1724,8 @@ object AnalyticsQueries {
       |  FROM obs GROUP BY 1
       |), risk AS (
       |  SELECT t_days, n_events, n_censored,
-      |    CAST(sum(n_events + n_censored) OVER () - coalesce(
-      |      sum(n_events + n_censored) OVER (ORDER BY t_days
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    CAST(sum(n_events + n_censored) OVER (ORDER BY t_days
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |      AS BIGINT) AS n_risk
       |  FROM grid
       |)

@@ -794,7 +794,11 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .mapValues(_.map(_._3).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos))))
       .toMap
     val tmax = ev.map(_._3).maxBy(_.getTime)
-    def day(t: java.sql.Timestamp) = t.toLocalDateTime.toLocalDate
+    // derive the calendar day in UTC explicitly — toLocalDateTime would
+    // render in the host JVM's default zone, silently diverging from
+    // the query's UTC-session date cast on a non-UTC machine
+    def day(t: java.sql.Timestamp) =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
     // t0.toSeq first: mapping a Map with a pair-valued function would
     // rebuild a Map keyed by day and silently collapse duplicate rows
     val obs = t0.toSeq.map { case (u, s0) =>
