@@ -211,14 +211,25 @@ object Multimodal {
             if (cnt(j) > 0) { cell(j) /= cnt(j); mean += cell(j); nPop += 1 }
             j += 1
           }
-          mean /= nPop
-          val words = new Array[Long](gridBits / 64)
-          j = 0
-          while (j < gridBits) {
-            if (cnt(j) > 0 && cell(j) >= mean) words(j >> 6) |= 1L << (j & 63)
-            j += 1
+          if (nPop == 0) {
+            // A decodable zero-pixel payload has no populated cells:
+            // mean would be 0/0 = NaN, every comparison false, and all
+            // such rows would share the all-zero signature — one hot
+            // band key, the exact degeneracy the populated-cell mean
+            // guard closes for tiny payloads. Emit valid=false so the
+            // banded joins' `valid` filter drops the row instead.
+            MediaSigN(m.media_id, m.kind, Seq.fill(gridBits / 64)(0L),
+              valid = false)
+          } else {
+            mean /= nPop
+            val words = new Array[Long](gridBits / 64)
+            j = 0
+            while (j < gridBits) {
+              if (cnt(j) > 0 && cell(j) >= mean) words(j >> 6) |= 1L << (j & 63)
+              j += 1
+            }
+            MediaSigN(m.media_id, m.kind, words.toSeq, valid = true)
           }
-          MediaSigN(m.media_id, m.kind, words.toSeq, valid = true)
         case None =>
           MediaSigN(m.media_id, m.kind, Seq.fill(gridBits / 64)(0L), valid = false)
       }

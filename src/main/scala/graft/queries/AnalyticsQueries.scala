@@ -549,20 +549,26 @@ object AnalyticsQueries {
         struct(lit(24).as("lag_h"), col("c24").as("cl")))).as("e"))
       .select(col("e.lag_h").as("lag_h"), col("c"), col("e.cl").as("cl"))
       .where(col("cl").isNotNull)
-    pairs.groupBy(col("lag_h"))
+    val m = pairs.groupBy(col("lag_h"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("c").cast(dec)).as("sx"),
         sum(col("cl").cast(dec)).as("sy"),
         sum(col("c").cast(dec) * col("cl").cast(dec)).as("sxy"),
         sum(col("c").cast(dec) * col("c").cast(dec)).as("sxx"),
         sum(col("cl").cast(dec) * col("cl").cast(dec)).as("syy"))
-      .select(col("lag_h"), col("n_pairs"),
-        ((col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
-          .cast("double") /
-          (sqrt((col("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx"))
-            .cast("double")) *
-           sqrt((col("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy"))
-            .cast("double")))).as("acf"))
+    // Zero-variance guard (family doctrine, [[qXcorrLagged]]'s exact
+    // shape): a constant overlap window makes the denominator 0 —
+    // Spark's x/0.0 yields NULL while DuckDB's default IEEE division
+    // yields inf/NaN, so the degenerate case MUST be decided on the
+    // exact integer variance, not left to engine division semantics.
+    val vx = m("n_pairs").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val vy = m("n_pairs").cast(dec) * col("syy") - col("sy") * col("sy")
+    m.select(col("lag_h"), col("n_pairs"),
+        when(vx =!= 0 && vy =!= 0,
+          (col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("acf"))
       .orderBy(col("lag_h"))
   }
 
@@ -590,9 +596,12 @@ object AnalyticsQueries {
       |  FROM pairs GROUP BY lag_h
       |)
       |SELECT lag_h, n_pairs,
-      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
-      |   (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
-      |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+      |  CASE WHEN n_pairs * sxx - sx * sx <> 0
+      |        AND n_pairs * syy - sy * sy <> 0 THEN
+      |    CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |     (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+      |      sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+      |  END AS acf
       |FROM sums ORDER BY lag_h""".stripMargin
 
   // ---------------------------------------------- Lagged cross-correlation

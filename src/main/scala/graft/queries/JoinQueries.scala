@@ -72,7 +72,11 @@ object JoinQueries {
     * hundredths) with one terminal /10⁴ — bit-stable in any partial-agg
     * order (class-2 integer-exact spelling, r13; the raw double sum
     * was layout-lucky and flipped under DeterminismSpec's reordered
-    * copy). */
+    * copy). The accumulator is DECIMAL(38,0) (DuckDB sum(BIGINT) is
+    * already HUGEINT): per-row terms are ~10¹³, so a BIGINT carry
+    * would wrap 2⁶³ near 10⁶ rows PER GROUP × worst-case terms —
+    * reachable in a 100 TB nation-year group; 128-bit is exact to
+    * ~10²⁵ rows. */
   def qJoinRevenueByNation(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"),
@@ -88,7 +92,8 @@ object JoinQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0))
+        (sum((col("ec") * (lit(100L) - col("dc"))).cast("decimal(38,0)"))
+          .cast("double") / lit(10000.0))
           .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
@@ -686,9 +691,11 @@ object JoinQueries {
     * integer revenue sums (cents × retained-discount hundredths,
     * conditional numerator via an integer CASE) accumulated in ONE
     * pass — one terminal division per year, bit-exact cross-engine
-    * (class-2 integer-exact spelling); no descale needed since the
-    * 10⁴ factors cancel. A year with no focal-nation rows reads share
-    * 0, not NULL. */
+    * (class-2 integer-exact spelling; both moments carried in
+    * DECIMAL(38,0)/HUGEINT so a 100 TB year-group cannot wrap the
+    * 2⁶³ a BIGINT carry would hit near 10¹⁰ rows); no descale needed
+    * since the 10⁴ factors cancel. A year with no focal-nation rows
+    * reads share 0, not NULL. */
   def qMarketShare(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -717,10 +724,11 @@ object JoinQueries {
       .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_19", col("rev_i"))
-          .otherwise(lit(0L))).as("num_i"),
-        sum(col("rev_i")).as("den_i"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("num_i"),
+        sum(col("rev_i").cast("decimal(38,0)")).as("den_i"))
       .select(col("o_year"),
-        (col("num_i").cast("double") / col("den_i")).as("mkt_share"),
+        (col("num_i").cast("double") / col("den_i").cast("double"))
+          .as("mkt_share"),
         (col("den_i").cast("double") / lit(10000.0)).as("volume"))
       .orderBy(col("o_year"))
   }
@@ -752,7 +760,9 @@ object JoinQueries {
     * dimension; the groupBy on the 7-value year key is partial-
     * aggregable). promo_pct is 100·(exact integer num)/(exact integer
     * den) — one multiply + one divide over exact inputs, bit-exact
-    * cross-engine. */
+    * cross-engine; both moments are DECIMAL(38,0)/HUGEINT so a ship
+    * year holding >10¹⁰ fact rows (the 100 TB tier) cannot wrap a
+    * 64-bit carry. */
   def qPromoShare(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), year(col("l_shipdate")).as("l_year"),
@@ -763,12 +773,12 @@ object JoinQueries {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("l_year"))
       .agg(
-        sum(when(col("p_type") === "PROMO", col("rev_i")).otherwise(lit(0L)))
-          .as("num_i"),
-        sum(col("rev_i")).as("den_i"),
+        sum(when(col("p_type") === "PROMO", col("rev_i")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("num_i"),
+        sum(col("rev_i").cast("decimal(38,0)")).as("den_i"),
         count(lit(1)).as("n_items"))
       .select(col("l_year"),
-        (lit(100.0) * col("num_i").cast("double") / col("den_i"))
+        (lit(100.0) * col("num_i").cast("double") / col("den_i").cast("double"))
           .as("promo_pct"),
         col("n_items"))
       .orderBy(col("l_year"))
@@ -848,7 +858,9 @@ object JoinQueries {
     * Scale shape: part broadcasts (the only join); the predicate is
     * a pure row-local boolean over joined columns — no shuffle beyond
     * the single global aggregate. Revenue is the exact integer
-    * `Σ ec·(100−dc)` with one terminal /10⁴. */
+    * `Σ ec·(100−dc)` carried in DECIMAL(38,0)/HUGEINT (a single
+    * global group at 100 TB would wrap a BIGINT carry near 10¹⁰
+    * rows) with one terminal /10⁴. */
   def qBandedRevenue(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"),
@@ -865,7 +877,8 @@ object JoinQueries {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
-      .agg((sum(col("rev_i")).cast("double") / lit(10000.0)).as("revenue"),
+      .agg((sum(col("rev_i").cast("decimal(38,0)")).cast("double")
+          / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
