@@ -320,18 +320,30 @@ object CoreQueries {
   /** Tumbling 10-minute event-time aggregation over `events` — batch
     * shape of the Structured Streaming query (same `window()` function
     * drives the streaming variant in graft.streaming). Epoch-aligned
-    * buckets match DuckDB's time_bucket. */
+    * buckets match DuckDB's time_bucket.
+    *
+    * Floats (class-1 integer-exact, re-spelled r14): the raw double
+    * `sum(value)` was layout-lucky — bit-stable on the single-row-group
+    * harness files but flipped under the strict sweep's reordered
+    * multi-file copy at sf0.01 (one ulp on one bucket). events.value is
+    * 2-decimal quantized, so the sum is carried as exact integer cents
+    * in DECIMAL(38,0)/HUGEINT (order-exact in any partial-agg order,
+    * unwrappable at corpus-proportional bucket sizes) with ONE terminal
+    * /100 IEEE division per emitted double. */
   def qEventsTimeWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * lit(100)).cast("decimal(38,0)")).as("sv_c"))
       .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), (col("sv_c").cast("double") / lit(100.0)).as("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   val qEventsTimeWindowSql: String =
     """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
-      |  count(*) AS n, sum(value) AS sum_value
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin

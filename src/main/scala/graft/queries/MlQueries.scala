@@ -392,9 +392,15 @@ object MlQueries {
     * buckets per the ml contract; per-bucket count + mean.
     *
     * Scale shape: the transform is a narrow codegen'd projection; the
-    * report is one partial-aggregable groupBy over ≤ 5 buckets. Mean
-    * rounds at 9 (class-2 float policy: stored 2-decimal doubles,
-    * magnitude ~1e4, reorder error ≪ 5e-10 after the divide). */
+    * report is one partial-aggregable groupBy over ≤ 5 buckets.
+    *
+    * Floats (class-1 integer-exact, re-spelled r14): the round(avg, 9)
+    * spelling was layout-lucky — prices are cent-quantized so the mean
+    * CAN boundary-sit on a 9-decimal edge (the r12 lesson), and the
+    * strict sweep's reordered copy flipped it at sf0.01. The mean is
+    * now Σc/(100·n): exact integer cent sum in DECIMAL(38,0)/HUGEINT
+    * (corpus-proportional buckets can't wrap 128 bits), one terminal
+    * IEEE division — 100·n is float-exact to n ≈ 4.5e13 rows/bucket. */
   def qMlBucketize(s: SparkSession, d: String): DataFrame = {
     val splits = Array(Double.NegativeInfinity, 1000.0, 5000.0, 20000.0,
       50000.0, Double.PositiveInfinity)
@@ -404,18 +410,27 @@ object MlQueries {
       .transform(Tables.lineitem(s, d).select(col("l_extendedprice")))
     binned.groupBy(col("bucket_d").cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("l_extendedprice")), 9).as("avg_price"))
+        sum(round(col("l_extendedprice") * lit(100)).cast("decimal(38,0)"))
+          .as("sc"))
+      .select(col("bucket"), col("n"),
+        (col("sc").cast("double") / (col("n").cast("double") * lit(100.0)))
+          .as("avg_price"))
       .orderBy(col("bucket"))
   }
 
   val qMlBucketizeSql: String =
-    """SELECT CASE WHEN l_extendedprice < 1000 THEN 0
-      |            WHEN l_extendedprice < 5000 THEN 1
-      |            WHEN l_extendedprice < 20000 THEN 2
-      |            WHEN l_extendedprice < 50000 THEN 3
-      |            ELSE 4 END AS bucket,
-      |  count(*) AS n, round(avg(l_extendedprice), 9) AS avg_price
-      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    """SELECT bucket, n, CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+      |    AS avg_price
+      |FROM (
+      |  SELECT CASE WHEN l_extendedprice < 1000 THEN 0
+      |              WHEN l_extendedprice < 5000 THEN 1
+      |              WHEN l_extendedprice < 20000 THEN 2
+      |              WHEN l_extendedprice < 50000 THEN 3
+      |              ELSE 4 END AS bucket,
+      |    count(*) AS n,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sc
+      |  FROM lineitem GROUP BY 1)
+      |ORDER BY bucket""".stripMargin
 
   // ------------------------------------------- Smoothed target encoding
   /** m-estimate target encoding of the (event_type × hour-of-day)
