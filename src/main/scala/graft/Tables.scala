@@ -129,4 +129,44 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Derived `partsupp` fixture — the harness ships no partsupp
+    * parquet, so the table the four inventory TPC-H shapes (Q9/Q11/
+    * Q16/Q20) join against is DERIVED deterministically from `part` ×
+    * |supplier|, dbgen-inspired (TPC-H spec §4.2.3: 4 suppliers per
+    * part via a modular stride): for i ∈ 0..3,
+    *   ps_suppkey       = (p_partkey + i·⌊S/4⌋) mod S   (0-based keys)
+    *   ps_availqty      = 1 + (p_partkey·7 + i·13) mod 9999
+    *   ps_supplycost_c  = 100 + (p_partkey·31 + i·17) mod 99901 cents
+    * All-integer arithmetic on positive operands → bit-identical in
+    * Spark and in the DuckDB oracle CTE that mirrors this formula
+    * (PartsuppQueries.psCte), so oracled queries can hash-compare.
+    * The 4 suppkeys are distinct for any S ≥ 4 (stride·Δ < S for
+    * Δ ≤ 3), giving a true (ps_partkey, ps_suppkey) primary key;
+    * supplycost spans $1..$1000 like dbgen.
+    *
+    * Scale shape: |partsupp| = 4·|part| — dimension-tier (part is
+    * already broadcast house-wide). The |supplier| count enters as a
+    * broadcast 1-row aggregate, never a driver-side action. Callers
+    * that filter part (Q9's name filter, Q20's prefix) pass the
+    * FILTERED frame to [[partsuppFrom]] so the filter runs before the
+    * 4× explode — the pushdown a 100 TB plan wants. */
+  def partsuppFrom(p: DataFrame, sup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    p.select(col("p_partkey"))
+      .crossJoin(broadcast(sup.agg(count(lit(1)).as("s_n"))))
+      .select(col("p_partkey"), col("s_n"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        expr("CAST((p_partkey + i * (s_n div 4)) % s_n AS BIGINT)")
+          .as("ps_suppkey"),
+        expr("CAST(1 + (p_partkey * 7 + i * 13) % 9999 AS INT)")
+          .as("ps_availqty"),
+        expr("CAST(100 + (p_partkey * 31 + i * 17) % 99901 AS BIGINT)")
+          .as("ps_supplycost_c"))
+  }
+
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    partsuppFrom(part(s, d), supplier(s, d))
 }

@@ -69,7 +69,9 @@ object ExplainDump {
     "q_gini_concentration", "q_benford_digits", "q_sim_silhouette",
     "q_readability", "q_pseudonymize", "q_k_anonymity",
     "q_rolling_active_users", "q_basket_rules", "q_survival_hazard",
-    "q_event_markov")
+    "q_event_markov",
+    "q_profit_by_nation", "q_important_stock", "q_supplier_relationship",
+    "q_promo_candidates")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -228,6 +228,30 @@ class PlanSpec extends SparkSpec {
     assert(q17.contains("Window"), s"Q17: expected the one-scan window profile:\n$q17")
   }
 
+  test("partsupp shapes Q9/Q11/Q16/Q20: bounded fact scans, derived partsupp broadcasts, no cartesian") {
+    // Q9/Q20 touch lineitem exactly once; Q11/Q16 are dim-only (zero
+    // fact scans — partsupp derives from the part scan). The only
+    // nested-loop anywhere is the broadcast 1-row cross (the
+    // |supplier| count entering the stride formula, Q11's totals) —
+    // never a data-proportional cartesian.
+    import graft.queries.PartsuppQueries
+    Seq(("Q9", PartsuppQueries.qProfitByNation(spark, sf001), 1),
+        ("Q11", PartsuppQueries.qImportantStock(spark, sf001), 0),
+        ("Q16", PartsuppQueries.qSupplierRelationship(spark, sf001), 0),
+        ("Q20", PartsuppQueries.qPromoCandidates(spark, sf001), 1))
+      .foreach { case (n, df, want) =>
+        val p = plan(df)
+        val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+        assert(liScans == want,
+          s"$n: expected $want lineitem scan(s), got $liScans:\n$p")
+        assert(p.contains("BroadcastHashJoin"), s"$n: no broadcast join:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$n: cartesian:\n$p")
+        p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+          .foreach(l => assert(l.contains("Cross"),
+            s"$n: non-cross nested loop:\n$l"))
+      }
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and
