@@ -207,15 +207,69 @@ object QualityQueries {
     rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ------------------------------------------ Learned quality classifier
+  /** Corpus-wide scores from the fastText-style hashed-ngram logistic
+    * classifier ([[graft.text.QualityModel]]) — the learned tier
+    * between q_quality_gopher's hard rules and dedup. Rows-only by
+    * design: the scores are LR-coefficient-dependent floats (L-BFGS is
+    * data-deterministic only up to partial-agg float order), so the
+    * driver-verified guarantees live in the banded literal twin
+    * [[qQualityClassifierBounds]] — the gate-from-day-one convention.
+    *
+    * Scale shape: scoring is [[graft.text.QualityModel.scoreWith]]'s
+    * broadcast-weight join + per-doc partial-aggregable sum (no
+    * vectors, no UDFs); the fit is a per-scale-dir cached build. */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame =
+    graft.text.QualityModel.score(s, d)
+
+  /** Hash-green gate for [[qQualityClassifier]] (fail-closed: every
+    * verdict is false on an empty/degenerate corpus): the fit saw both
+    * splits, the weight table is full-width, holdout ROC-AUC clears a
+    * fat-margin floor vs the qRaterAgreement heuristic labels
+    * (measured ≳ 0.9 across SFs; floor 0.75 absorbs LR float-order
+    * jitter), the corpus scored completely through the broadcast-weight
+    * path, and the keep verdict is non-degenerate. */
+  def qQualityClassifierBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = graft.text.QualityModel.fit(s, d)
+    val scored = graft.text.QualityModel.score(s, d)
+    val a = scored.agg(count(lit(1)).as("n"),
+      count(when(col("score").isNull, 1)).as("n_null"),
+      count(when(col("keep"), 1)).as("n_keep")).head()
+    val (n, nNull, nKeep) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    val nDocs = Tables.documents(s, d).count()
+    val ok = f.nTrain > 0 && f.nHold > 0
+    Seq(
+      ("corpus_scored_complete", ok && n == nDocs && nNull == 0L && n > 0L),
+      ("fit_nonempty", ok),
+      ("holdout_auc_beats_floor", ok && f.auc >= 0.75),
+      ("holdout_auc_valid", ok && f.auc >= 0.0 && f.auc <= 1.0),
+      ("keep_rate_nontrivial", ok && nKeep > 0L && nKeep < n),
+      ("weights_full_width",
+        ok && f.weights.length == graft.text.QualityModel.Dim))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qQualityClassifierBoundsSql: String =
+    """SELECT * FROM (VALUES ('corpus_scored_complete', true),
+      |  ('fit_nonempty', true), ('holdout_auc_beats_floor', true),
+      |  ('holdout_auc_valid', true), ('keep_rate_nontrivial', true),
+      |  ('weights_full_width', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expectations" -> (qExpectations _),
     "q_token_budget" -> (qTokenBudget _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_table_profile" -> (qTableProfile _))
+    "q_table_profile" -> (qTableProfile _),
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_quality_classifier_bounds" -> (qQualityClassifierBounds _))
 
   val oracles: Map[String, String] = Map(
     "q_expectations" -> qExpectationsSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
-    "q_table_profile" -> qTableProfileSql)
+    "q_table_profile" -> qTableProfileSql,
+    "q_quality_classifier_bounds" -> qQualityClassifierBoundsSql)
 }
