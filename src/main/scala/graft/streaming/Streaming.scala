@@ -158,6 +158,54 @@ object Streaming {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Streaming face of the 7-day rolling-active-users readout
+    * ([[graft.queries.AnalyticsQueries.qRollingActiveUsers]]) — the
+    * rolling-DISTINCT member of the live-face family: one Datasketches
+    * HLL sketch per calendar DAY accumulates as native
+    * streaming-aggregation state across trigger batches (the
+    * mergeable-sketch tier's persist→merge discipline, here with the
+    * state store as the persistence). History is never re-scanned:
+    * each trigger folds only its own rows into the day sketches, and
+    * the 7-day readout is [[wauFinalize]] on the sink — per target day
+    * it UNIONS ≤ 7 small sketches (register-wise max, associative and
+    * order/trigger-boundary independent), never touching user ids
+    * again.
+    *
+    * Scale/state: state is one fixed register array (~KB) per
+    * observed day — bounded by the calendar, NOT by stream length or
+    * user cardinality, which is exactly why the exact batch twin's
+    * sliding countDistinct cannot run live (it would hold every
+    * (day, user) pair in state). No watermark: late events still
+    * belong to their activity day, and a day's sketch keeps absorbing
+    * them (update semantics), matching the batch twin's lifetime
+    * view. StreamingSpec replays two trigger batches and pins
+    * finalize(folded state) within the sketch error band of the
+    * exact q_rolling_active_users series. */
+  def wauDaySketches(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+
+  /** Deterministic readout over the accumulated per-day sketches:
+    * the batch twin's dense-grid discipline verbatim (days with an
+    * empty trailing window read 0; days beyond the observed span are
+    * clipped), with the in-row ≤ 7× day fan-out merging sketches
+    * instead of re-counting users. */
+  def wauFinalize(daySketches: DataFrame): DataFrame = {
+    val grid = daySketches
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val counts = daySketches
+      .withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    grid.join(counts, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("est"), lit(0L)).cast("long").as("wau_est"))
+      .orderBy(col("day"))
+  }
+
   /** Stream-stream interval-overlap match — the streaming face of
     * [[graft.ops.IntervalJoin]] / `q_interval_join`: every probe event
     * inside an incident's half-open `[ts, ts + windowMinutes)` window

@@ -712,6 +712,39 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
   }
 
+  test("streaming WAU sketches: finalize(folded day state) matches exact WAU within HLL error") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001).select(col("ts"), col("user_id"))
+    val dir = JFiles.createTempDirectory("graft-wau-stream")
+    // two trigger batches so per-day sketch state actually folds —
+    // a day split across batches must merge, not overwrite
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 11L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.wauDaySketches(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("wau_sketches")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val est = Streaming.wauFinalize(spark.table("wau_sketches"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = graft.queries.AnalyticsQueries
+      .qRollingActiveUsers(spark, sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && est.keySet == exact.keySet,
+      s"day grids differ: ${est.size} est days vs ${exact.size} exact")
+    // HLL default accuracy is ~1.6% rsd (lgK 12); gate at a 5% band
+    // with an absolute floor for small counts. Empty-window days must
+    // agree exactly at 0 (the dense-grid discipline on both faces).
+    exact.foreach { case (day, ex) =>
+      val e = est(day)
+      if (ex == 0L) assert(e == 0L, s"$day: est $e on an empty window")
+      else assert(math.abs(e - ex) <= math.max(3.0, 0.05 * ex),
+        s"$day: est $e vs exact $ex outside the sketch error band")
+    }
+  }
+
   test("streaming dedup: re-delivered events dropped across trigger batches") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft-dedup-stream")
