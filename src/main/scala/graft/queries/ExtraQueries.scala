@@ -1909,7 +1909,111 @@ object ExtraQueries {
       |FROM customer
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------- Differentially-private counts
+  /** Internal: the per-(event_type, day) count frame with its seeded
+    * Laplace noise — shared by the release row and the bounds gate so
+    * the two cannot drift. Noise is ε-DP Laplace(Δ/ε) with Δ = 1
+    * (count sensitivity) via inverse-CDF over a SEEDED uniform: the
+    * house portable multiplicative hash of the group's calendar key
+    * (epoch_day·131 + ascii of the type's first character — the five
+    * harness types differ in char 1) maps to u ∈ (0,1), and
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). Deterministic by
+    * construction (the q_corpus_shuffle seeded-randomness discipline),
+    * so the release is REPLAYABLE — reproducibility is what lets a DP
+    * release be audited without a second privacy spend. */
+  private def dpNoisyCounts(s: SparkSession, d: String,
+      eps: Double): DataFrame = {
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val k = datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+      .cast("long") * lit(131L) +
+      ascii(substring(col("event_type"), 1, 1)).cast("long")
+    val ctr = (graft.ops.DomainMix.portableBucket(k).cast("double") +
+      lit(0.5)) / lit(1000000.0) - lit(0.5)
+    g.withColumn("noise",
+      lit(-1.0 / eps) * signum(ctr) * log(lit(1.0) - lit(2.0) * abs(ctr)))
+  }
+
+  /** ε-differentially-private noisy-count release over the
+    * per-(event_type, day) event counts — the privacy tier's
+    * publication op (Dwork et al. TCC'06: Laplace mechanism,
+    * sensitivity 1 for disjoint counting queries). True counts are
+    * NOT emitted; ε rides along as a column (the release's privacy
+    * contract is part of the release). The noise draw is seeded from
+    * the group's CALENDAR key, not its data, so the mechanism is
+    * deterministic and hash-oracle-able while remaining
+    * content-independent.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to the calendar-bounded (type × day) frame; the noise is a
+    * per-row expression on that bounded frame.
+    *
+    * Floats (the PSI/benford libm discipline): the uniform is an
+    * exact rational of an exact integer hash — identical cross-engine
+    * through the sign/abs tree; the single libm `ln` of an exact
+    * rational is irrational, so round(9) cannot boundary-sit; ONE
+    * rounded emission per row. */
+  def qDpCounts(s: SparkSession, d: String): DataFrame =
+    dpNoisyCounts(s, d, eps = 1.0)
+      .select(col("event_type"), col("day"), lit(1.0).as("epsilon"),
+        round(col("n") + col("noise"), 9).as("noisy_count"))
+      .orderBy(col("event_type"), col("day"))
+
+  val qDpCountsSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), k AS (
+      |  SELECT *, (day - DATE '1970-01-01') * 131
+      |            + ascii(substr(event_type, 1, 1)) AS kk FROM g
+      |), h AS (
+      |  SELECT *, ((kk % 1000003) * 2654435761) % 1000000 AS hh FROM k
+      |), c AS (
+      |  SELECT *, (hh + 0.5) / 1000000.0 - 0.5 AS ctr FROM h
+      |)
+      |SELECT event_type, day, 1.0 AS epsilon,
+      |  round(n + -(1.0) * sign(ctr) * ln(1 - 2 * abs(ctr)), 9)
+      |    AS noisy_count
+      |FROM c ORDER BY event_type, day""".stripMargin
+
+  /** Utility + reproducibility gate for [[qDpCounts]] (fail-closed):
+    * the Laplace inverse-CDF puts a HARD cap on any draw from the
+    * quantized uniform (|noise| ≤ ln(10⁶)/ε ≈ 13.816), the empirical
+    * noise must look like Lap(1/ε) (mean |noise| near 1/ε, mean noise
+    * near 0 — the 150 calendar-keyed draws are FIXED across SFs, so
+    * the bands are generous constants, measured 1.047 / −0.053), and
+    * ε must ride every row. Utility: max absolute error of the
+    * release IS max |noise| — the ≤ 14/ε band is the readout a
+    * consumer sizes thresholds against. */
+  def qDpCountsBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = dpNoisyCounts(s, d, eps = 1.0)
+      .agg(count(lit(1)).as("n_groups"),
+        max(abs(col("noise"))).as("max_abs"),
+        avg(col("noise")).as("mean_noise"),
+        avg(abs(col("noise"))).as("mean_abs")).head()
+    val (ng, mx, mn, ma) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    val ok = ng > 0
+    Seq(
+      ("groups_nonempty", ok),
+      ("mean_abs_noise_near_scale", ok && ma >= 0.6 && ma <= 1.6),
+      ("mean_noise_centered", ok && math.abs(mn) <= 0.25),
+      ("noise_hard_capped", ok && mx <= math.log(1000000.0) + 1e-9))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qDpCountsBoundsSql: String =
+    """SELECT * FROM (VALUES ('groups_nonempty', true),
+      |  ('mean_abs_noise_near_scale', true), ('mean_noise_centered', true),
+      |  ('noise_hard_capped', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> (qDpCounts _),
+    "q_dp_counts_bounds" -> (qDpCountsBounds _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_gini_concentration" -> (qGiniConcentration _),
@@ -1960,6 +2064,8 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts" -> qDpCountsSql,
+    "q_dp_counts_bounds" -> qDpCountsBoundsSql,
     "q_pseudonymize" -> qPseudonymizeSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_gini_concentration" -> qGiniConcentrationSql,
