@@ -576,6 +576,92 @@ object DedupQueries {
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY span""".stripMargin
 
+  // ------------------------------------------------ Span provenance
+  /** Cross-document span provenance ([[Dedup.spanProvenance]]) — the
+    * attribution half of [[qSpanDedup]]: for every 8-token span
+    * repeated across documents of the REAL corpus (the harness's tiny
+    * vocabulary makes natural cross-doc spans plentiful — 1k–10k per
+    * SF), the first document that contained it (min doc id = ingestion
+    * order) and that document's source — the readout a dedup pipeline
+    * publishes so removals are attributable.
+    *
+    * Scale shape: one linear span explode + ONE grouped aggregation;
+    * the arg-min is a partial-aggregable `min(struct(id, source))`,
+    * never a window. No float anywhere. */
+  def qSpanProvenance(s: SparkSession, d: String): DataFrame =
+    Dedup.spanProvenance(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source")))
+      .orderBy(col("span"))
+
+  private val docSpansCte: String =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+      |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      |  WHERE len(toks) >= 8
+      |)""".stripMargin
+
+  val qSpanProvenanceSql: String =
+    s"""WITH $docSpansCte
+       |SELECT span, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences,
+       |  min(doc_id) AS first_doc,
+       |  arg_min(source, doc_id) AS first_source
+       |FROM spans
+       |GROUP BY span
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY span""".stripMargin
+
+  /** Per-source copied fraction — the source-grain rollup of
+    * [[qSpanProvenance]]: an occurrence is COPIED when its span is
+    * duplicated (≥ 2 docs) and this occurrence is not in the span's
+    * first-seen document; each source reports its copied share of
+    * total span occurrences — the "who copies whom" summary a crawl
+    * curation report leads with.
+    *
+    * Scale shape: the occurrence frame is localCheckpoint'ed ONCE
+    * (it feeds both the span aggregate and the join-back — the r12
+    * shared-subframe lesson); the join-back co-partitions on the span
+    * key, the same shuffle class the aggregate already paid; the
+    * readout frame is |sources|-bounded. copied_fraction is ONE
+    * terminal division of exact counts. */
+  def qSourceCopyFraction(s: SparkSession, d: String): DataFrame = {
+    val occ = Dedup.spanOccurrences(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source")),
+      carry = Seq("source")).localCheckpoint()
+    val spanAgg = occ.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+    occ.join(spanAgg, Seq("span"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_span_occurrences"),
+        count(when(col("n_docs") >= 2 && col("doc_id") =!= col("first_doc"),
+          lit(1))).as("n_copied"))
+      .select(col("source"), col("n_span_occurrences"), col("n_copied"),
+        (col("n_copied").cast("double") / col("n_span_occurrences"))
+          .as("copied_fraction"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceCopyFractionSql: String =
+    s"""WITH $docSpansCte, sp AS (
+       |  SELECT span, count(DISTINCT doc_id) AS n_docs,
+       |    min(doc_id) AS first_doc
+       |  FROM spans GROUP BY span
+       |)
+       |SELECT source, count(*) AS n_span_occurrences,
+       |  count(*) FILTER (n_docs >= 2 AND doc_id <> first_doc) AS n_copied,
+       |  CAST(count(*) FILTER (n_docs >= 2 AND doc_id <> first_doc)
+       |       AS DOUBLE) / count(*) AS copied_fraction
+       |FROM spans JOIN sp USING (span)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Quality-based cluster keeper selection — the keeper POLICY
     * production dedup actually wants: within each near-dup cluster,
     * keep the HIGHEST-QUALITY member (ties by min id), not the
@@ -689,6 +775,8 @@ object DedupQueries {
     "q_dedup_sketch_recall_bounds" -> (qDedupSketchRecallBounds _),
     "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_span_provenance" -> (qSpanProvenance _),
+    "q_source_copy_fraction" -> (qSourceCopyFraction _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -707,6 +795,8 @@ object DedupQueries {
     "q_dedup_sketch_recall_bounds" -> qDedupSketchRecallBoundsSql,
     "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,
+    "q_span_provenance" -> qSpanProvenanceSql,
+    "q_source_copy_fraction" -> qSourceCopyFractionSql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

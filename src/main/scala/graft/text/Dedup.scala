@@ -529,6 +529,45 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Every k-token window of every document, with carried doc
+    * metadata — the occurrence-grain frame under [[repeatedSpans]]
+    * and the provenance readouts. Same cost class as the shingle
+    * tiers: one linear explode, no join. */
+  def spanOccurrences(docs: DataFrame, k: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id", carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select((Seq(idCol) ++ carry).map(col) :+
+      filter(tokens(col(textCol)), t => t =!= "").as("toks"): _*)
+    toks.filter(size(col("toks")) >= k)
+      .select((Seq(idCol) ++ carry).map(col) :+ explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("span"): _*)
+  }
+
+  /** Cross-document span provenance — the attribution half of span
+    * dedup (Lee et al. ACL'22 report WHAT is duplicated;
+    * pipelines publishing a removal also report WHERE it came from):
+    * for every span repeated across ≥ `minDocs` distinct documents,
+    * the FIRST document that contained it (min doc id — the corpus's
+    * ingestion order; swap a timestamp into the struct where one
+    * exists) and that document's source.
+    *
+    * Scale shape: [[spanOccurrences]]'s linear explode, then ONE
+    * grouped aggregation — the arg-min is `min(struct(id, src))`
+    * (partial-aggregable, lexicographic on the unique id — never a
+    * window over the corpus). Group key is the span text for oracle
+    * parity; the 100 TB variant groups on sha2(span), as
+    * [[repeatedSpans]] documents. */
+  def spanProvenance(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      srcCol: String = "source"): DataFrame =
+    spanOccurrences(docs, k, carry = Seq(srcCol))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col(srcCol))).as("w"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_occurrences"),
+        col("w.doc_id").as("first_doc"), col(s"w.$srcCol").as("first_source"))
+
   /** EXACT bounded edit-distance pairs for SHORT strings (titles,
     * URLs, names — the string-metric dedup family; shingle tiers are
     * wrong for strings a few tokens long). Ed-Join-style candidate
