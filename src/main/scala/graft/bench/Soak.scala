@@ -42,7 +42,8 @@ object Soak {
   // measured by graft.bench.WedgeProfile instead (hub-graph wedge
   // volume, lexicographic vs degree-oriented).
   val DefaultQueries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_editdist", "q_dedup_simhash", "q_span_dedup")
+    "q_dedup_editdist", "q_dedup_simhash", "q_span_dedup",
+    "q_interval_join")
 
   /** GRAFT_SOAK_QUERIES=q_a,q_b soaks a subset (dev iteration on one
     * tier without paying the full matrix). */
@@ -85,6 +86,26 @@ object Soak {
     }.reduce(_ unionByName _)
   }
 
+  /** Scaled events for the interval-join soak — the TEMPORAL analog of
+    * the disjoint-vocabulary trick: variant j shifts its month of
+    * events 35·j days forward (≫ the 10-minute window), so incident
+    * windows NEVER catch another variant's probes. Incidents × probes
+    * both scale S× while per-window overlap density stays exactly the
+    * sf0.1 distribution — output pairs and bucket cardinality scale
+    * linearly, so the measured exponent reads the OPERATOR, not a
+    * densifying workload (a same-span S× corpus would put S× probes
+    * in every window: ground truth itself ~S², the q_graph_triangles
+    * exclusion argument — solved here instead of excluded). */
+  def scaledEvents(s: SparkSession, src: String, scale: Int): DataFrame = {
+    val ev = Tables.events(s, src)
+    (0 until scale).map { j =>
+      if (j == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(j * VariantStride))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${35 * j} DAYS"))
+    }.reduce(_.unionByName(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -99,13 +120,16 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // one dir per scale, documents.parquet only (the dedup queries
-    // read nothing else)
+    // one dir per scale: documents.parquet (dedup tiers) +
+    // events.parquet (interval join)
     val dirs: Map[Int, String] = scales.map { sc =>
       val dir = TempDirs.create(s"graft_soak_${sc}x_").toString
       scaledDocs(spark, src, sc)
         .repartition(math.max(4, sc * 4))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scaledEvents(spark, src, sc)
+        .repartition(math.max(4, sc * 4))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       sc -> dir
     }.toMap
 
