@@ -806,6 +806,107 @@ object AnalyticsQueries {
     * (casts, multiplies, divides, one sqrt — all exact-deterministic
     * cross-engine). Degenerate cohorts (n < 2) emit NULL z, and the
     * significance boolean derives from the deterministic z. */
+  // ------------------------------------------- Mann–Kendall trend test
+  /** Mann–Kendall monotonic-trend test (Mann '45, Kendall's S) of each
+    * event type's DAILY cent volume — the distribution-free "is this
+    * series drifting" answer next to [[qLevelShift]]'s changepoint and
+    * [[qAcf]]'s seasonality: S = Σ_{i<j} sign(c_j − c_i) over all day
+    * pairs, the tie-corrected variance
+    * `[n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18`, and the
+    * continuity-corrected z. No parametric assumption, no regression —
+    * the robust member of the trend family.
+    *
+    * Scale shape: ONE corpus-proportional partial-aggregable groupBy
+    * to the calendar-bounded daily frame, localCheckpoint'ed ONCE (it
+    * feeds the pair join, the day count, and the tie profile — three
+    * plan branches must not re-scan events); the O(n²) pair expansion
+    * runs on the BOUNDED frame (30 days → 435 pairs per type — at a
+    * 100 TB year it is 66 430 pairs, still nothing), equi-keyed on the
+    * type so pairs never cross series.
+    *
+    * Floats (class-1 integer-exact): daily volumes, sign sums, and
+    * both variance terms are exact integers (var_num < n³ — longs hold
+    * past a 2-million-day calendar); z is ONE terminal IEEE tree
+    * (divide, sqrt, divide) over identical integers, with the n < 3 /
+    * zero-variance degenerate emitting NULL (family doctrine) and the
+    * significance boolean derived from the deterministic z. */
+  def qTrendMannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+      .localCheckpoint()
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("c").as("c1"))
+    val b = daily.select(col("event_type").as("t2"), col("day").as("d2"),
+      col("c").as("c2"))
+    val sStat = a.join(b, a("event_type") === b("t2") && a("d1") < b("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    val m = nDays.join(sStat, Seq("event_type"))
+      .join(ties, Seq("event_type"), "left")
+      .withColumn("var_num",
+        col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - coalesce(col("tie_term"), lit(0L)))
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1) / sqrt(col("var_num") / lit(18.0)))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1) / sqrt(col("var_num") / lit(18.0)))
+      .otherwise(lit(0.0))
+    m.select(col("event_type"), col("n_days"), col("s_stat"),
+        col("var_num"),
+        when(col("n_days") >= 3 && col("var_num") > 0, z).as("z"),
+        when(col("n_days") >= 3 && col("var_num") > 0, abs(z) > 1.96)
+          .as("trend_significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val qTrendMannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), s AS (
+      |  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+      |  FROM pairs GROUP BY event_type
+      |), n AS (
+      |  SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type
+      |), ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  WHERE t > 1 GROUP BY event_type
+      |), m AS (
+      |  SELECT n.event_type, n_days, s_stat,
+      |    n_days * (n_days - 1) * (2 * n_days + 5)
+      |      - coalesce(tie_term, 0) AS var_num
+      |  FROM n JOIN s USING (event_type) LEFT JOIN ties USING (event_type)
+      |)
+      |SELECT event_type, n_days, s_stat, var_num,
+      |  CASE WHEN n_days >= 3 AND var_num > 0 THEN
+      |    CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_num / 18.0)
+      |         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_num / 18.0)
+      |         ELSE 0.0 END
+      |  END AS z,
+      |  CASE WHEN n_days >= 3 AND var_num > 0 THEN
+      |    abs(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_num / 18.0)
+      |             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_num / 18.0)
+      |             ELSE 0.0 END) > 1.96
+      |  END AS trend_significant
+      |FROM m ORDER BY event_type""".stripMargin
+
   def qAbTest(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
     val c = round(col("value") * lit(100)).cast("long")
@@ -2961,6 +3062,7 @@ object AnalyticsQueries {
     "q_xcorr_lagged" -> (qXcorrLagged _),
     "q_grouped_ols" -> (qGroupedOls _),
     "q_ab_test" -> (qAbTest _),
+    "q_trend_mannkendall" -> (qTrendMannKendall _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
@@ -3004,6 +3106,7 @@ object AnalyticsQueries {
     "q_xcorr_lagged" -> qXcorrLaggedSql,
     "q_grouped_ols" -> qGroupedOlsSql,
     "q_ab_test" -> qAbTestSql,
+    "q_trend_mannkendall" -> qTrendMannKendallSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,

@@ -662,6 +662,85 @@ object DedupQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------- Source similarity matrix
+  /** Exact pairwise source-overlap matrix — the "who mirrors whom"
+    * readout a crawl curation report leads with (and the corpus-level
+    * screen run BEFORE doc-level dedup: two sources with high
+    * containment are mirror candidates; dedup budgets go there first):
+    * per unordered source pair, the EXACT 3-token-shingle-set overlap,
+    * Jaccard, and containment (overlap / smaller set — the asymmetric
+    * mirror signal Jaccard dilutes when sizes differ).
+    *
+    * Scale shape: one linear shingle explode to the DISTINCT
+    * (source, shingle) frame, localCheckpoint'ed ONCE (it feeds the
+    * size aggregate and BOTH sides of the pair join); the self-join is
+    * equi-keyed on the shingle with per-key fan-out bounded by
+    * C(sources-holding-it, 2) ≤ C(|sources|, 2) — sources are a
+    * DIMENSION, so candidate volume is linear in distinct shingles
+    * with a dimension-bounded constant. The |sources|-row size frame
+    * broadcasts. Past ~10³ sources the constant bites and the
+    * per-source MinHash sketch tier (q_sketch_overlap's machinery)
+    * replaces the exact join, same output contract.
+    *
+    * Floats (class-1): set sizes and overlaps are exact integers;
+    * jaccard and containment are ONE terminal division each. */
+  def qSourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("source"),
+      filter(Dedup.tokens(col("text")), t => t =!= "").as("toks"))
+    val sh = toks.filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("source").as("source_a"), col("shingle"))
+      .join(sh.select(col("source").as("source_b"),
+          col("shingle").as("sh2")),
+        col("shingle") === col("sh2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("sz").as("sz_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("sz").as("sz_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        (col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared"))).as("jaccard"),
+        (col("n_shared").cast("double") / least(col("sz_a"), col("sz_b")))
+          .as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qSourceSimilaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source,
+      |    array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      |  FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      |  WHERE len(toks) >= 3
+      |), sizes AS (
+      |  SELECT source, count(*) AS sz FROM sh GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard,
+      |  CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.source = source_a
+      |JOIN sizes sb ON sb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Quality-based cluster keeper selection — the keeper POLICY
     * production dedup actually wants: within each near-dup cluster,
     * keep the HIGHEST-QUALITY member (ties by min id), not the
@@ -777,6 +856,7 @@ object DedupQueries {
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_provenance" -> (qSpanProvenance _),
     "q_source_copy_fraction" -> (qSourceCopyFraction _),
+    "q_source_similarity" -> (qSourceSimilarity _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -797,6 +877,7 @@ object DedupQueries {
     "q_span_dedup" -> qSpanDedupSql,
     "q_span_provenance" -> qSpanProvenanceSql,
     "q_source_copy_fraction" -> qSourceCopyFractionSql,
+    "q_source_similarity" -> qSourceSimilaritySql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

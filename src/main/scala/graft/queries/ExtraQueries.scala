@@ -1921,11 +1921,18 @@ object ExtraQueries {
     * construction (the q_corpus_shuffle seeded-randomness discipline),
     * so the release is REPLAYABLE — reproducibility is what lets a DP
     * release be audited without a second privacy spend. */
-  private def dpNoisyCounts(s: SparkSession, d: String,
-      eps: Double): DataFrame = {
-    val g = Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+  /** The per-(event_type, day) true-count frame — also the streaming
+    * face's aggregation state shape ([[graft.streaming.Streaming]]'s
+    * dpCounts face folds exactly this groupBy as native state). */
+  def dpCountFrame(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** Attach the seeded Laplace noise column to a (event_type, day, n)
+    * frame — shared by the batch release, the bounds gate, and the
+    * streaming finalize, so no face can drift. Public for the
+    * streaming module. */
+  def dpApplyNoise(g: DataFrame, eps: Double): DataFrame = {
     val k = datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
       .cast("long") * lit(131L) +
       ascii(substring(col("event_type"), 1, 1)).cast("long")
@@ -1934,6 +1941,18 @@ object ExtraQueries {
     g.withColumn("noise",
       lit(-1.0 / eps) * signum(ctr) * log(lit(1.0) - lit(2.0) * abs(ctr)))
   }
+
+  /** The release projection over a noised frame — the exact output
+    * shape of [[qDpCounts]], factored so the streaming finalize emits
+    * it bit-for-bit. */
+  def dpRelease(noised: DataFrame, eps: Double): DataFrame =
+    noised.select(col("event_type"), col("day"), lit(eps).as("epsilon"),
+        round(col("n") + col("noise"), 9).as("noisy_count"))
+      .orderBy(col("event_type"), col("day"))
+
+  private def dpNoisyCounts(s: SparkSession, d: String,
+      eps: Double): DataFrame =
+    dpApplyNoise(dpCountFrame(Tables.events(s, d)), eps)
 
   /** ε-differentially-private noisy-count release over the
     * per-(event_type, day) event counts — the privacy tier's
@@ -1955,10 +1974,7 @@ object ExtraQueries {
     * rational is irrational, so round(9) cannot boundary-sit; ONE
     * rounded emission per row. */
   def qDpCounts(s: SparkSession, d: String): DataFrame =
-    dpNoisyCounts(s, d, eps = 1.0)
-      .select(col("event_type"), col("day"), lit(1.0).as("epsilon"),
-        round(col("n") + col("noise"), 9).as("noisy_count"))
-      .orderBy(col("event_type"), col("day"))
+    dpRelease(dpNoisyCounts(s, d, eps = 1.0), eps = 1.0)
 
   val qDpCountsSql: String =
     """WITH g AS (

@@ -206,6 +206,26 @@ object Streaming {
       .orderBy(col("day"))
   }
 
+  /** Streaming face of the ε-DP noisy-count release
+    * ([[graft.queries.ExtraQueries.qDpCounts]]) — the privacy tier's
+    * live half, and the PSI pattern verbatim: per-(event_type, day)
+    * TRUE counts accumulate as native streaming-aggregation state
+    * (one long per calendar cell — bounded by the calendar × type
+    * dictionary, not stream length); the NOISE attaches only at
+    * [[dpCountsFinalize]] on the sink, because the Laplace draw is a
+    * deterministic function of the group's CALENDAR key — adding it
+    * per trigger would re-noise (and re-spend ε) on every update,
+    * while seeding from the key means any trigger's finalize emits
+    * the SAME release the batch query computes over the full history.
+    * StreamingSpec folds two trigger batches and pins
+    * finalize(accumulated counts) == q_dp_counts bit-for-bit. */
+  def dpCountsState(events: DataFrame): DataFrame =
+    graft.queries.ExtraQueries.dpCountFrame(events)
+
+  def dpCountsFinalize(state: DataFrame, eps: Double = 1.0): DataFrame =
+    graft.queries.ExtraQueries.dpRelease(
+      graft.queries.ExtraQueries.dpApplyNoise(state, eps), eps)
+
   /** Stream-stream interval-overlap match — the streaming face of
     * [[graft.ops.IntervalJoin]] / `q_interval_join`: every probe event
     * inside an incident's half-open `[ts, ts + windowMinutes)` window

@@ -712,6 +712,29 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
   }
 
+  test("streaming DP counts: finalize(accumulated state) == the batch release bit-for-bit") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001).select(col("ts"), col("event_type"))
+    val dir = JFiles.createTempDirectory("graft-dp-stream")
+    // two trigger batches: a (type, day) cell split across triggers
+    // must fold its counts; the noise must NOT depend on the split
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 13L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.dpCountsState(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("dp_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streaming.dpCountsFinalize(spark.table("dp_counts"))
+      .collect().map(_.toString)
+    val batch = graft.queries.ExtraQueries.qDpCounts(spark, sf001)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+  }
+
   test("streaming WAU sketches: finalize(folded day state) matches exact WAU within HLL error") {
     import java.nio.file.{Files => JFiles}
     val ev = Tables.events(spark, sf001).select(col("ts"), col("user_id"))
