@@ -781,7 +781,80 @@ object SimilarityQueries {
     """SELECT * FROM (VALUES ('silhouette', true, true, true))
       |  t(tier, nonempty, assignment_consistent, range_ok)""".stripMargin
 
+  // -------------------------------------------------- PCA projection
+  /** PCA-reduced embeddings ([[graft.sim.Pca]]): vec_id + the top-16
+    * principal-subspace coordinates. Rows-only by design — the
+    * Gramian/eigen pipeline is float partial-agg-order sensitive
+    * (components may flip sign across layouts), so the driver-facing
+    * guarantees live in [[qEmbeddingPcaBounds]], the gate-from-day-one
+    * convention. Scale shape: fit is an index-build cost (one
+    * treeAggregate Gramian pass to a d×d frame, driver eigen on 64×64,
+    * BuildTimes-cached); the projection is one narrow codegen'd pass
+    * of k native dot products with centering folded into constant
+    * offsets. */
+  def qEmbeddingPca(s: SparkSession, d: String): DataFrame =
+    graft.sim.Pca.project(s, d)
+      .orderBy(col("vec_id"))
+
+  /** Hash-green gate for [[qEmbeddingPca]] (fail-closed): the fitted
+    * basis is orthonormal (driver-side k×k check at 1e-8), per-dim
+    * variances of the projection follow the eigenvalue ORDER
+    * (non-increasing within 1e-9 — the defining PCA property: the
+    * variance along component j IS the j-th eigenvalue), the top-16
+    * subspace captures at least a floor of the total input variance
+    * (measured 0.31–0.38 across SFs on the harness embeddings —
+    * 16/64 = 0.25 is the isotropic baseline, PCA must beat it), and
+    * the projection covered the corpus. */
+  def qEmbeddingPcaBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = graft.sim.Pca.fit(s, d)
+    val k = f.components.length
+    val dDim = f.mean.length
+    val orthoDev = (for {
+      i <- 0 until k; j <- i until k
+    } yield {
+      val dot = (0 until dDim).map(t =>
+        f.components(i)(t) * f.components(j)(t)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    val proj = graft.sim.Pca.project(s, d)
+    val pv = proj.agg(count(lit(1)).as("n"),
+        count(when(col("proj").isNull || size(col("proj")) =!= k, 1))
+          .as("bad"),
+        array((0 until k).map(j =>
+          var_samp(element_at(col("proj"), j + 1))): _*).as("pvars"))
+      .head()
+    val (nProj, nBad) = (pv.getLong(0), pv.getLong(1))
+    val projVars = pv.getSeq[Double](2)
+    val tot = Tables.embeddings(s, d)
+      .select(Similarity.asDouble(col("embedding")).as("e"))
+      .agg(array((0 until dDim).map(j =>
+        var_samp(element_at(col("e"), j + 1))): _*).as("vars"))
+      .head().getSeq[Double](0).sum
+    val ok = f.n > 0 && nProj == f.n
+    val monotone = projVars.sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-9
+      case _         => true
+    }
+    val capture = projVars.sum / tot
+    Seq(
+      ("capture_beats_isotropic", ok && capture >= 0.26 && capture <= 1.0),
+      ("components_orthonormal", ok && orthoDev <= 1e-8),
+      ("projection_complete", ok && nBad == 0L),
+      ("variances_eigen_ordered", ok && monotone))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qEmbeddingPcaBoundsSql: String =
+    """SELECT * FROM (VALUES ('capture_beats_isotropic', true),
+      |  ('components_orthonormal', true), ('projection_complete', true),
+      |  ('variances_eigen_ordered', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_pca" -> (qEmbeddingPca _),
+    "q_embedding_pca_bounds" -> (qEmbeddingPcaBounds _),
     "q_sim_silhouette" -> (qSimSilhouette _),
     "q_sim_silhouette_bounds" -> (qSimSilhouetteBounds _),
     "q_embedding_normalize" -> (qEmbeddingNormalize _),
@@ -804,6 +877,7 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_embedding_pca_bounds" -> qEmbeddingPcaBoundsSql,
     "q_sim_silhouette_bounds" -> qSimSilhouetteBoundsSql,
     "q_embedding_normalize" -> qEmbeddingNormalizeSql,
     "q_sim_recall_bounds" -> qSimRecallBoundsSql,
