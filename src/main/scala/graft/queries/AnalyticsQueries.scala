@@ -907,6 +907,74 @@ object AnalyticsQueries {
       |  END AS trend_significant
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- Sen's slope
+  /** Theil–Sen slope per event type — the robust trend MAGNITUDE that
+    * accompanies [[qTrendMannKendall]]'s direction verdict (Sen '68):
+    * the exact MEDIAN of all pairwise slopes (c_j−c_i)/(day_j−day_i)
+    * over the daily cent-volume series, immune to the outlier days
+    * that wreck an OLS fit.
+    *
+    * Scale shape: the [[qTrendMannKendall]] derivation verbatim —
+    * daily frame localCheckpoint'ed, O(n²) pairs only on the
+    * calendar-bounded frame; the median runs as a row_number window
+    * PARTITIONED BY TYPE over the bounded pair frame (435 rows/type
+    * at the harness month), never a corpus sort.
+    *
+    * Floats: each pairwise slope is ONE IEEE division of exact
+    * integers (bit-identical cross-engine); the median is spelled
+    * EXPLICITLY as the mean of the rank-⌊(n+1)/2⌋ and rank-⌈(n+1)/2⌉
+    * values (avg of ≤ 2 doubles — addition is commutative, so the
+    * spelling is order-proof), never an engine median/quantile
+    * builtin whose even-count interpolation formula differs by an ulp
+    * between engines. */
+  def qSenSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+      .localCheckpoint()
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("c").as("c1"))
+    val b = daily.select(col("event_type").as("t2"), col("day").as("d2"),
+      col("c").as("c2"))
+    val pairs = a.join(b, a("event_type") === b("t2") && a("d1") < b("d2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")).cast("double") /
+          datediff(col("d2"), col("d1"))).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // integer div via `div`: `/` on longs is a DOUBLE division in
+    // Spark (an even n would make (n+1)/2 = x.5 and match no rank)
+    ranked
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_pairs"), avg(col("slope")).as("sen_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSenSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM pairs
+      |)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+      |  avg(slope) AS sen_slope
+      |FROM r WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def qAbTest(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
     val c = round(col("value") * lit(100)).cast("long")
@@ -3063,6 +3131,7 @@ object AnalyticsQueries {
     "q_grouped_ols" -> (qGroupedOls _),
     "q_ab_test" -> (qAbTest _),
     "q_trend_mannkendall" -> (qTrendMannKendall _),
+    "q_sen_slope" -> (qSenSlope _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_seasonal_outliers" -> (qSeasonalOutliers _),
@@ -3107,6 +3176,7 @@ object AnalyticsQueries {
     "q_grouped_ols" -> qGroupedOlsSql,
     "q_ab_test" -> qAbTestSql,
     "q_trend_mannkendall" -> qTrendMannKendallSql,
+    "q_sen_slope" -> qSenSlopeSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_seasonal_outliers" -> qSeasonalOutliersSql,

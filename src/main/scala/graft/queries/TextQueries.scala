@@ -1660,7 +1660,76 @@ object TextQueries {
       |  END AS kappa
       |FROM k ORDER BY source""".stripMargin
 
+  // ----------------------------------------------- Zipf head-heaviness
+  /** Per-source Zipf head-heaviness — the corpus-health readout next
+    * to [[qVocabGrowth]]: the two-point rank-frequency slope
+    * `ln(f₁/f₁₀)/ln(10)` (Zipf's-law exponent estimated from the top
+    * and 10th-ranked term — the quick estimator; a full log-log OLS
+    * would sum libm outputs in partial-agg order, the exact float
+    * class the house avoids, while the two-point form uses only PICKS
+    * of exact integer counts). A natural-language source reads ≈ 1;
+    * the harness's near-uniform synthetic vocabulary honestly reads
+    * ≈ 0.08–0.11 — a flat head, exactly what the readout should say.
+    *
+    * Scale shape: one corpus-proportional (source, term) count
+    * groupBy; ranking runs per source over the VOCAB-bounded term
+    * frame (row_number with a term tie-break so equal counts rank
+    * deterministically); sources under 10 distinct terms emit NULL.
+    *
+    * Floats: f₁/f₁₀ is ONE IEEE division of exact integers; each ln
+    * is libm on an exact rational → irrational → round(9) cannot
+    * boundary-sit (the PSI/benford/DP discipline). */
+  def qZipfSlope(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("f").desc, col("term"))
+    val ranked = tf.withColumn("r", row_number().over(w))
+      .withColumn("n_terms", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    ranked.groupBy(col("source"))
+      .agg(max(col("n_terms")).as("n_terms"),
+        max(when(col("r") === 1, col("f"))).as("f1"),
+        max(when(col("r") === 10, col("f"))).as("f10"))
+      .select(col("source"), col("n_terms"), col("f1"), col("f10"),
+        when(col("f10").isNotNull && col("f10") > 0,
+          round(log(col("f1").cast("double") / col("f10")) / log(lit(10.0)),
+            9)).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  val qZipfSlopeSql: String =
+    """WITH tf AS (
+      |  SELECT source, t AS term, count(*) AS f
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split_regex(lower(trim(text)),
+      |            '\s+'), x -> x <> '')) AS t
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT source, term, f,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY f DESC, term) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_terms
+      |  FROM tf
+      |), g AS (
+      |  SELECT source, CAST(max(n_terms) AS BIGINT) AS n_terms,
+      |    max(CASE WHEN r = 1 THEN f END) AS f1,
+      |    max(CASE WHEN r = 10 THEN f END) AS f10
+      |  FROM rk GROUP BY source
+      |)
+      |SELECT source, n_terms, f1, f10,
+      |  CASE WHEN f10 IS NOT NULL AND f10 > 0 THEN
+      |    round(ln(CAST(f1 AS DOUBLE) / f10) / ln(10.0), 9)
+      |  END AS zipf_slope
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_collocations" -> (qCollocations _),
     "q_textrank_keywords" -> (qTextrankKeywords _),
@@ -1699,6 +1768,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_rater_agreement" -> qRaterAgreementSql,
+    "q_zipf_slope" -> qZipfSlopeSql,
     "q_collocations" -> qCollocationsSql,
     "q_textrank_keywords" -> qTextrankKeywordsSql,
     "q_readability" -> qReadabilitySql,
