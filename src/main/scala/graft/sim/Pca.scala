@@ -61,6 +61,30 @@ object Pca {
         } finally { rows.unpersist(); () }
       })
 
+  /** PCA-shortlist ANN (the PQ tier's shortlist-then-rerank contract
+    * with a LINEAR map instead of quantization): shortlist by cosine
+    * in the 16-d projected space — k/d of the full dot-product cost
+    * per candidate — then exact re-rank of the shortlist in the full
+    * space, so returned scores are bit-equal to brute force on hits.
+    * Same shuffle shape as [[Similarity.pqTopK]]: broadcast projected
+    * queries, bounded-heap shortlist, re-rank join touching only
+    * shortlist×queries rows. */
+  def shortlistTopK(s: SparkSession, d: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int,
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val proj = project(s, d)
+    val qp = proj.join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id"))
+    val short = Similarity
+      .bruteForceTopK(proj, qp, shortlist, idCol = "vec_id",
+        embCol = "proj")
+      .select(col("query_id"), col("neighbor_id"))
+    val qn = Similarity.withNormalized(queries, "embedding")
+      .select(col("vec_id").as("query_id"), col("norm").as("q_norm"))
+    Similarity.exactRerank(short, corpus, qn, k, "vec_id", "embedding",
+      roundScoreTo)
+  }
+
   /** Corpus-wide projection: vec_id, proj (k doubles). Centering is
     * folded into per-component constant offsets, so the plan is one
     * narrow codegen'd projection over the embedding scan. */

@@ -237,7 +237,7 @@ object Similarity {
 
   /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist —
     * the only place full vectors are read. */
-  private def exactRerank(short: DataFrame, corpus: DataFrame, q: DataFrame,
+  private[graft] def exactRerank(short: DataFrame, corpus: DataFrame, q: DataFrame,
       k: Int, idCol: String, embCol: String,
       roundScoreTo: Option[Int]): DataFrame = {
     val c = withNormalized(corpus, embCol)
