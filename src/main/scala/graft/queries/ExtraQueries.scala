@@ -1909,6 +1909,99 @@ object ExtraQueries {
       |FROM customer
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ Curriculum ordering
+  /** Difficulty-curriculum training order (Bengio et al. ICML'09) —
+    * the layout op downstream of scoring: documents are banded
+    * easy→hard by the unigram-LM difficulty score
+    * ([[AnalyticsQueries.qLmScore]]'s avg_nll — lower = more typical
+    * = easier) into 4 quartile bands, then SHUFFLED WITHIN each band
+    * by the portable deterministic hash (q_corpus_shuffle's
+    * discipline — reproducible, layout-independent), yielding a total
+    * curriculum position: easy bands first, random order inside a
+    * band. The composition every curriculum pipeline runs: score →
+    * band → intra-band shuffle.
+    *
+    * Scale shape: the band assignment is the exact/oracle-tier global
+    * ntile (the q_rfm caveat verbatim — at 100 TB the approx-
+    * percentile cut-point path replaces this one window); the
+    * CORPUS-PROPORTIONAL work — the intra-band shuffle rank — runs
+    * through SaltedWindow's two-level bucketed ranking, never a
+    * single-task sort; band offsets are a 4-row broadcast.
+    *
+    * Floats: ranking keys are the rounded-9 avg_nll (hash-stable per
+    * q_lm_score's own gate) with doc_id tie-break, the portable
+    * integer hash, and integer ranks — no new float emission. */
+  def qCurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val scored = AnalyticsQueries.qLmScore(s, d)
+      .select(col("doc_id"), col("avg_nll"))
+    val banded = scored.withColumn("band",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_nll"), col("doc_id"))))
+    val hashed = banded.withColumn("h",
+      graft.ops.DomainMix.portableBucket(col("doc_id") * lit(17L) + lit(3L)))
+    val ranked = graft.ops.SaltedWindow.groupedRankWithTotal(
+      hashed, "band", "h", "doc_id", ascending = true)
+    val offs = ranked.select(col("band"), col("group_n")).distinct()
+      .withColumn("off", coalesce(
+        sum(col("group_n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("band"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("off"))
+    ranked.join(broadcast(offs), Seq("band"))
+      .select(col("doc_id"), col("avg_nll"), col("band"),
+        col("rank").as("pos_in_band"),
+        (col("off") + col("rank")).as("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
+  }
+
+  /** DuckDB twin — the lm CTEs mirror qLmScoreSql, then ntile + the
+    * portable hash + a per-band row_number replay the naive spelling
+    * of the two-level rank (the hash gate doubles as the
+    * SaltedWindow ≡ window plan-equivalence proof, the
+    * q_corpus_shuffle pattern). */
+  val qCurriculumOrderSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY doc_id, term
+      |), vocab AS (
+      |  SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+      |), tot AS (
+      |  SELECT sum(cnt) AS t_tokens, count(*) AS v_size FROM vocab
+      |), sc AS (
+      |  SELECT f.doc_id, f.tf,
+      |    f.tf * ln(CAST(v.cnt + 1 AS DOUBLE) / (t.t_tokens + t.v_size))
+      |      AS lp
+      |  FROM tf f JOIN vocab v USING (term) CROSS JOIN tot t
+      |), nll AS (
+      |  SELECT doc_id, round(-sum(lp) / sum(tf), 9) AS avg_nll
+      |  FROM sc GROUP BY doc_id
+      |), b AS (
+      |  SELECT doc_id, avg_nll,
+      |    ntile(4) OVER (ORDER BY avg_nll, doc_id) AS band FROM nll
+      |), h AS (
+      |  SELECT *,
+      |    ((doc_id * 17 + 3) % 1000003) * 2654435761 % 1000000 AS hh
+      |  FROM b
+      |), r AS (
+      |  SELECT doc_id, avg_nll, band,
+      |    row_number() OVER (PARTITION BY band
+      |                       ORDER BY hh, doc_id) AS pos_in_band
+      |  FROM h
+      |), o AS (SELECT band, count(*) AS n FROM r GROUP BY band),
+      |o2 AS (
+      |  SELECT band, coalesce(sum(n) OVER (ORDER BY band
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM o
+      |)
+      |SELECT doc_id, avg_nll, band, pos_in_band,
+      |  CAST(o2.off + pos_in_band AS BIGINT) AS curriculum_pos
+      |FROM r JOIN o2 USING (band) ORDER BY curriculum_pos""".stripMargin
+
   // ----------------------------------- Differentially-private counts
   /** Internal: the per-(event_type, day) count frame with its seeded
     * Laplace noise — shared by the release row and the bounds gate so
@@ -2029,6 +2122,7 @@ object ExtraQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_counts" -> (qDpCounts _),
+    "q_curriculum_order" -> (qCurriculumOrder _),
     "q_dp_counts_bounds" -> (qDpCountsBounds _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -2081,6 +2175,7 @@ object ExtraQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dp_counts" -> qDpCountsSql,
+    "q_curriculum_order" -> qCurriculumOrderSql,
     "q_dp_counts_bounds" -> qDpCountsBoundsSql,
     "q_pseudonymize" -> qPseudonymizeSql,
     "q_k_anonymity" -> qKAnonymitySql,
