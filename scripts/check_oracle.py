@@ -171,8 +171,13 @@ def sweep(out_json):
 
 
 def spot(argv):
+    if "--out" in argv:
+        sys.exit("--out is only valid with --all (sweep mode)")
     args = [a for a in argv if a != "--strict"]
     strict = "--strict" in argv
+    if len(args) < 2 or args[0].startswith("--"):
+        sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> "
+                 "[--strict] [query ...]  |  --strict --all [--out F.json]")
     sf, out = args[0], args[1]
     only = set(args[2:])
     con = connect(sf)
@@ -199,6 +204,9 @@ if __name__ == "__main__":
     if "--all" in sys.argv[1:]:
         out = "STRICT_r14.json"
         if "--out" in sys.argv:
-            out = sys.argv[sys.argv.index("--out") + 1]
+            i = sys.argv.index("--out")
+            if i + 1 >= len(sys.argv):
+                sys.exit("--out requires a filename")
+            out = sys.argv[i + 1]
         sys.exit(sweep(out))
     sys.exit(spot(sys.argv[1:]))

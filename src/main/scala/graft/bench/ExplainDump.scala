@@ -71,7 +71,11 @@ object ExplainDump {
     "q_rolling_active_users", "q_basket_rules", "q_survival_hazard",
     "q_event_markov",
     "q_profit_by_nation", "q_important_stock", "q_supplier_relationship",
-    "q_promo_candidates")
+    "q_promo_candidates",
+    "q_trend_mannkendall", "q_sen_slope", "q_zipf_slope",
+    "q_span_provenance", "q_source_copy_fraction", "q_source_similarity",
+    "q_dp_counts", "q_curriculum_order", "q_sim_pca_topk",
+    "q_embedding_pca", "q_quality_classifier")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

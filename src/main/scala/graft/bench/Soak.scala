@@ -121,15 +121,19 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
 
     // one dir per scale: documents.parquet (dedup tiers) +
-    // events.parquet (interval join)
+    // events.parquet (interval join — written only when a soaked
+    // query reads it, so GRAFT_SOAK_QUERIES=dedup-only runs don't pay
+    // the 30× events build)
+    val needsEvents = Queries.contains("q_interval_join")
     val dirs: Map[Int, String] = scales.map { sc =>
       val dir = TempDirs.create(s"graft_soak_${sc}x_").toString
       scaledDocs(spark, src, sc)
         .repartition(math.max(4, sc * 4))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      scaledEvents(spark, src, sc)
-        .repartition(math.max(4, sc * 4))
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      if (needsEvents)
+        scaledEvents(spark, src, sc)
+          .repartition(math.max(4, sc * 4))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
       sc -> dir
     }.toMap
 

@@ -850,7 +850,11 @@ object AnalyticsQueries {
       .groupBy(col("event_type"))
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
         .as("tie_term"))
-    val m = nDays.join(sStat, Seq("event_type"))
+    // left joins from the type universe: a type observed on exactly
+    // one day has NO pairs — it must still appear with NULL z (the
+    // n < 3 degenerate), not silently vanish through an inner join
+    val m = nDays.join(sStat, Seq("event_type"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
       .join(ties, Seq("event_type"), "left")
       .withColumn("var_num",
         col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
@@ -889,10 +893,11 @@ object AnalyticsQueries {
       |  FROM (SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2)
       |  WHERE t > 1 GROUP BY event_type
       |), m AS (
-      |  SELECT n.event_type, n_days, s_stat,
+      |  SELECT n.event_type, n_days, coalesce(s_stat, 0) AS s_stat,
       |    n_days * (n_days - 1) * (2 * n_days + 5)
       |      - coalesce(tie_term, 0) AS var_num
-      |  FROM n JOIN s USING (event_type) LEFT JOIN ties USING (event_type)
+      |  FROM n LEFT JOIN s USING (event_type)
+      |  LEFT JOIN ties USING (event_type)
       |)
       |SELECT event_type, n_days, s_stat, var_num,
       |  CASE WHEN n_days >= 3 AND var_num > 0 THEN
@@ -946,11 +951,18 @@ object AnalyticsQueries {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
     // integer div via `div`: `/` on longs is a DOUBLE division in
     // Spark (an even n would make (n+1)/2 = x.5 and match no rank)
-    ranked
+    val med = ranked
       .filter(col("rk") === expr("(n + 1) div 2") ||
         col("rk") === expr("(n + 2) div 2"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n_pairs"), avg(col("slope")).as("sen_slope"))
+    // left join from the type universe: a single-day type has no
+    // pairs and must surface with NULL slope, not vanish (the MK
+    // degenerate contract)
+    daily.select(col("event_type")).distinct()
+      .join(med, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("sen_slope"))
       .orderBy(col("event_type"))
   }
 
@@ -970,10 +982,16 @@ object AnalyticsQueries {
       |    count(*) OVER (PARTITION BY event_type) AS n
       |  FROM pairs
       |)
-      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
-      |  avg(slope) AS sen_slope
-      |FROM r WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |, med AS (
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+      |    avg(slope) AS sen_slope
+      |  FROM r WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      |  GROUP BY event_type
+      |)
+      |SELECT t.event_type, coalesce(n_pairs, 0) AS n_pairs, sen_slope
+      |FROM (SELECT DISTINCT event_type FROM daily) t
+      |LEFT JOIN med USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   def qAbTest(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -516,18 +516,12 @@ object Dedup {
     * and re-derives the text from any single member, changing no
     * semantics. All expression-level, no UDF. */
   def repeatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      filter(tokens(col(textCol)), t => t =!= "").as("toks"))
-    toks.filter(size(col("toks")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("span"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spanOccurrences(docs, k, textCol, idCol)
       .groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
-  }
 
   /** Every k-token window of every document, with carried doc
     * metadata — the occurrence-grain frame under [[repeatedSpans]]
