@@ -801,19 +801,26 @@ object SimilarityQueries {
       |  t(tier, nonempty, assignment_consistent, range_ok)""".stripMargin
 
   // -------------------------------------------------- PCA projection
-  /** PCA-reduced embeddings ([[graft.sim.Pca]]): vec_id + the top-16
-    * principal-subspace coordinates. Rows-only by design — the
-    * Gramian/eigen pipeline is float partial-agg-order sensitive
-    * (components may flip sign across layouts), so the driver-facing
-    * guarantees live in [[qEmbeddingPcaBounds]], the gate-from-day-one
-    * convention. Scale shape: fit is an index-build cost (one
-    * treeAggregate Gramian pass to a d×d frame, driver eigen on 64×64,
-    * BuildTimes-cached); the projection is one narrow codegen'd pass
-    * of k native dot products with centering folded into constant
-    * offsets. */
+  /** PCA-reduced embeddings ([[graft.sim.Pca]]) in exploded long form:
+    * (vec_id, dim, value) — one posexplode of the 16-d projection, so
+    * every released column is a scalar the driver's checker can hash
+    * AND the natural shape a consumer equi-joins on (the r14 verdict's
+    * array<double> row crashed the checker's pandas sort). Rows-only
+    * by design — the Gramian/eigen pipeline is float
+    * partial-agg-order sensitive (components may flip sign across
+    * layouts), so the driver-facing guarantees live in
+    * [[qEmbeddingPcaBounds]], the gate-from-day-one convention. Scale
+    * shape: fit is an index-build cost (one treeAggregate Gramian
+    * pass to a d×d frame, driver eigen on 64×64, BuildTimes-cached);
+    * the projection is one narrow codegen'd pass of k native dot
+    * products with centering folded into constant offsets; the
+    * posexplode is a k× row fan-out of an already-narrow 2-column
+    * frame — no shuffle, stays inside the same codegen stage. */
   def qEmbeddingPca(s: SparkSession, d: String): DataFrame =
     graft.sim.Pca.project(s, d)
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(col("proj")).as(Seq("dim", "value")))
+      .orderBy(col("vec_id"), col("dim"))
 
   /** Hash-green gate for [[qEmbeddingPca]] (fail-closed): the fitted
     * basis is orthonormal (driver-side k×k check at 1e-8), per-dim

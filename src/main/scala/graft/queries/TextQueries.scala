@@ -1605,10 +1605,8 @@ object TextQueries {
     * the twin. */
   def qRaterAgreement(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val toks = TextAnalysis.tokens(col("text"))
-    val ra = when(col("n_chars") >= 250, 1).otherwise(0)
-    val rb = when(length(trim(col("text"))) > 0 &&
-      size(array_distinct(toks)) >= 25, 1).otherwise(0)
+    val ra = when(TextAnalysis.raterChars(col("n_chars")), 1).otherwise(0)
+    val rb = when(TextAnalysis.raterTokens(col("text")), 1).otherwise(0)
     val g = Tables.documents(s, d)
       .select(col("source"), ra.as("ra"), rb.as("rb"))
       .groupBy(col("source"))

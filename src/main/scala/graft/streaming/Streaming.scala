@@ -202,7 +202,10 @@ object Streaming {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
     grid.join(counts, Seq("day"), "left")
       .select(col("day"),
-        coalesce(col("est"), lit(0L)).cast("long").as("wau_est"))
+        // nearest-integer readout: a bare long cast truncates toward
+        // zero (99.9999 → 99), a systematic downward bias vs the
+        // estimator's intent (r14 ADVICE)
+        coalesce(round(col("est")), lit(0L)).cast("long").as("wau_est"))
       .orderBy(col("day"))
   }
 

@@ -47,12 +47,12 @@ object QualityModel {
     * it shuffles only (bucket, w) pairs). */
   val Dim = 256
 
-  /** The heuristic rater the classifier distills — EXACTLY
-    * qRaterAgreement's keep conjunction so the two surfaces can't
-    * drift. */
+  /** The heuristic rater the classifier distills — qRaterAgreement's
+    * keep conjunction via the ONE shared definition
+    * ([[TextAnalysis.keepConjunction]]), so the two surfaces can't
+    * drift (r14 ADVICE: this was a second spelled-out copy). */
   def heuristicLabel(text: Column, nChars: Column): Column =
-    (nChars >= 250 && length(trim(text)) > 0 &&
-      size(array_distinct(TextAnalysis.tokens(text))) >= 25).cast("int")
+    TextAnalysis.keepConjunction(text, nChars).cast("int")
 
   /** Per-doc hashed n-gram counts: doc_id, bucket ∈ [0, Dim), tf.
     * Unigrams + adjacent bigrams (zip_with over two slices — pure
@@ -102,11 +102,16 @@ object QualityModel {
         val lab = labeled(s, d)
         val train = lab.filter(!col("is_holdout"))
         val cols = (0 until Dim).map(_.toString)
-        val wide = termBuckets(train)
-          .groupBy(col("doc_id")).pivot("bucket", 0 until Dim)
-          .agg(sum(col("tf")))
+        // labels LEFT-join the pivot (zero-filling features), not the
+        // reverse: a zero-term doc has no termBuckets row, and an
+        // inner join would silently drop it from training while
+        // scoring still assigns it the bias — a train/serve skew on
+        // exactly the always-label-0 negatives (r14 ADVICE)
+        val wide = train.select(col("doc_id"), col("label"))
+          .join(termBuckets(train)
+            .groupBy(col("doc_id")).pivot("bucket", 0 until Dim)
+            .agg(sum(col("tf"))), Seq("doc_id"), "left")
           .na.fill(0.0)
-          .join(train.select(col("doc_id"), col("label")), Seq("doc_id"))
         val assembled = new VectorAssembler()
           .setInputCols(cols.toArray).setOutputCol("features")
           .transform(wide)

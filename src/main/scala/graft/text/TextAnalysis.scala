@@ -24,6 +24,18 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** The two heuristic raters qRaterAgreement compares and the keep
+    * conjunction [[QualityModel.heuristicLabel]] distills — ONE
+    * definition so the agreement readout and the classifier's label
+    * can't drift (r14 ADVICE: the conjunction was spelled twice). */
+  def raterChars(nChars: Column): Column = nChars >= 250
+
+  def raterTokens(text: Column): Column =
+    length(trim(text)) > 0 && size(array_distinct(tokens(text))) >= 25
+
+  def keepConjunction(text: Column, nChars: Column): Column =
+    raterChars(nChars) && raterTokens(text)
+
   /** Per-language stopword-hit score: |distinct tokens ∩ profile|. */
   def langScore(text: Column, profile: Seq[String]): Column =
     size(array_intersect(array_distinct(tokens(text)),
