@@ -878,7 +878,243 @@ object SimilarityQueries {
       |  ('variances_eigen_ordered', true)) t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------ Embedding drift
+  /** Internal: per-vector cosine-to-global-centroid frame — vec_id,
+    * source (via the co-keyed documents join), norm, cos, bin.
+    *
+    * The centroid is made CROSS-ENGINE AND CROSS-LAYOUT EXACT by
+    * deliberate quantization: each float32 component maps to
+    * `round(v·10⁶)` as a long, so the per-dim corpus sums are exact
+    * integer partial aggregations (order-exact — no float centroid
+    * wobble for the strict sweep to catch), and drift metrics over the
+    * 10⁻⁶-quantized view are statistically identical to raw. Cosine
+    * then runs in-row on the double-cast quantized arrays (the
+    * q_sim_bruteforce round(9) precedent: in-row dots differ across
+    * engines only in the last bits, washed by rounding at emission;
+    * bin boundaries are 0.2-grid points an irrational sqrt-quotient
+    * cannot sit on).
+    *
+    * Scale shape: centroid = one posexplode + 64-row integer groupBy
+    * (mergeable, partial-aggregable) collapsed to a 1-row broadcast;
+    * the per-vector pass is one narrow codegen'd projection; the
+    * documents join is co-keyed on the id. Nothing here is
+    * corpus-quadratic and no window touches the row stream. */
+  private def driftCosFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ArrayMath.register(s)
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), q.as("q"))
+    val cent = emb
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(sum(col("v")).as("c"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(transform(col("dc"), x => x.getField("c").cast("double"))
+        .as("cvec"))
+    val qd = Similarity.asDouble(col("q"))
+    val dot = Similarity.dot(qd, col("cvec"))
+    val nq = sqrt(Similarity.dot(qd, qd))
+    val nc = sqrt(Similarity.dot(col("cvec"), col("cvec")))
+    val cos = dot / (nq * nc)
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), (nq / lit(1000000.0)).as("norm"), cos.as("cos"))
+      .withColumn("bin",
+        least(floor((col("cos") + lit(1.0)) * lit(5.0)), lit(9L)).cast("int"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+  }
+
+  /** Embedding-space drift monitor, per-source summary — the
+    * embedding twin of q_psi_drift (which watches tabular features)
+    * and q_corpus_divergence (vocab): per slice, the mean vector norm
+    * and mean cosine to the global centroid — the two first-moment
+    * readouts that catch an embedding batch whose scale or direction
+    * distribution shifted (a re-trained encoder, a corrupt ingest)
+    * before an ANN index serves it. Slices are the document sources
+    * (the harness's natural cohorts; a deployment slices by ingest
+    * window the same way).
+    *
+    * Floats: means of IRRATIONAL per-row values (sqrt quotients), so
+    * the cross-layout partial-agg reorder (~1e-14) cannot straddle a
+    * round(6) boundary — the no-boundary-sit doctrine; the r12 trap
+    * (means of QUANTIZED values) does not apply because the summands
+    * are not grid points. */
+  def qEmbeddingDrift(s: SparkSession, d: String): DataFrame =
+    driftCosFrame(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("norm")), 6).as("mean_norm"),
+        round(avg(col("cos")), 6).as("mean_cos_centroid"))
+      .orderBy(col("source"))
+
+  val qEmbeddingDriftSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT list(CAST(c AS DOUBLE) ORDER BY dim) AS cvec FROM (
+      |    SELECT dim, sum(v) AS c FROM (
+      |      SELECT generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM q)
+      |    GROUP BY dim)
+      |), f AS (
+      |  SELECT q.vec_id,
+      |    sqrt(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(q.q AS DOUBLE[])))
+      |      / 1000000.0 AS norm,
+      |    list_cosine_similarity(CAST(q.q AS DOUBLE[]), cent.cvec) AS cos
+      |  FROM q, cent
+      |)
+      |SELECT d.source, count(*) AS n,
+      |  round(avg(f.norm), 6) AS mean_norm,
+      |  round(avg(f.cos), 6) AS mean_cos_centroid
+      |FROM f JOIN documents d ON d.doc_id = f.vec_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Embedding-drift PSI terms, per (source, bin) — the
+    * distributional half of the monitor: each source's
+    * cosine-to-centroid distribution over 10 fixed 0.2-wide bins
+    * against the WHOLE CORPUS as reference, in exactly
+    * q_psi_drift's smoothed-share shape (+1 Laplace smoothing over
+    * the observed-bin grid, per-bin psi_term emitted — never a
+    * cross-row sum of libm outputs). Every source × observed-bin
+    * cell is present (zero-filled), so shares sum to exactly 1 per
+    * source — the bounds row pins it.
+    *
+    * Scale shape: two partial-aggregable count groupBys to a
+    * (|sources| × ≤10)-bounded grid, a broadcast bins×sources cross
+    * (bounded by the slice dictionary, not the corpus), and per-row
+    * expressions on that grid. */
+  def qEmbeddingDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val f = driftCosFrame(s, d).localCheckpoint(true)
+    val ref = f.groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    val cur = f.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val grid = f.select(col("source")).distinct()
+      .crossJoin(broadcast(ref))
+      .join(cur, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val m = grid
+      .withColumn("tot_ref", sum(col("n_ref")).over(wf))
+      .withColumn("tot_cur", sum(col("n_cur")).over(wf))
+      .withColumn("b", count(lit(1)).over(wf))
+    val pRef = (col("n_ref") + lit(1L)).cast("double") / (col("tot_ref") + col("b"))
+    val pCur = (col("n_cur") + lit(1L)).cast("double") / (col("tot_cur") + col("b"))
+    m.select(col("source"), col("bin"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val qEmbeddingDriftPsiSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT list(CAST(c AS DOUBLE) ORDER BY dim) AS cvec FROM (
+      |    SELECT dim, sum(v) AS c FROM (
+      |      SELECT generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM q)
+      |    GROUP BY dim)
+      |), f AS (
+      |  SELECT d.source,
+      |    CAST(least(floor((list_cosine_similarity(CAST(q.q AS DOUBLE[]),
+      |      cent.cvec) + 1.0) * 5.0), 9) AS INT) AS bin
+      |  FROM q, cent
+      |  JOIN documents d ON d.doc_id = q.vec_id
+      |), ref AS (
+      |  SELECT bin, count(*) AS n_ref FROM f GROUP BY bin
+      |), cur AS (
+      |  SELECT source, bin, count(*) AS n_cur FROM f GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT s.source, r.bin, r.n_ref, coalesce(c.n_cur, 0) AS n_cur
+      |  FROM (SELECT DISTINCT source FROM f) s
+      |  CROSS JOIN ref r
+      |  LEFT JOIN cur c ON c.source = s.source AND c.bin = r.bin
+      |), m AS (
+      |  SELECT *, sum(n_ref) OVER (PARTITION BY source) AS tot_ref,
+      |    sum(n_cur) OVER (PARTITION BY source) AS tot_cur,
+      |    count(*) OVER (PARTITION BY source) AS b
+      |  FROM grid
+      |)
+      |SELECT source, bin, n_ref, n_cur,
+      |  CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b) AS p_ref,
+      |  CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b) AS p_cur,
+      |  round((CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b)
+      |       - CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b))
+      |      * ln((CAST(n_cur + 1 AS DOUBLE) / (tot_cur + b))
+      |         / (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + b))), 9) AS psi_term
+      |FROM m ORDER BY source, bin""".stripMargin
+
+  /** Fail-closed gate for the drift monitor: smoothed shares sum to
+    * exactly 1 per source on BOTH sides of every comparison (the
+    * verdict-named pin — Σ(n+1)/(tot+b) telescopes to 1, so any
+    * deviation means a dropped grid cell), every psi_term is ≥ 0 (each
+    * (p−q)·ln(p/q) term is individually non-negative — a negative one
+    * means the share pairing broke), the slices cover the corpus
+    * exactly, and the monitor has POWER: a deliberately mirrored
+    * distribution (bins reversed — a gross direction flip) must read
+    * a larger PSI than every natural source slice, else the readout
+    * couldn't distinguish real drift from slice noise. */
+  def qEmbeddingDriftBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the whole grid is (|sources| × ≤10) rows — a documented bounded
+    // collect, the Markov/eigen driver-solve budget pattern
+    val grid = qEmbeddingDriftPsi(s, d)
+      .select(col("source"), col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"))
+      .collect()
+    val corpusN = Tables.embeddings(s, d).count()
+    val bySource = grid.groupBy(_.getString(0))
+    val sharesOk = bySource.values.forall { rows =>
+      math.abs(rows.map(_.getDouble(5)).sorted.sum - 1.0) <= 1e-9 &&
+        math.abs(rows.map(_.getDouble(4)).sorted.sum - 1.0) <= 1e-9
+    }
+    val negTerms = grid.count(_.getDouble(6) < -1e-12)
+    val covered = grid.map(_.getLong(3)).sum
+    val maxSlicePsi =
+      if (bySource.isEmpty) 0.0
+      else bySource.values.map(_.map(_.getDouble(6)).sorted.sum).max
+    // power probe: a slice whose cosine distribution is the corpus's
+    // SHIFTED three bins right (a gross mean-direction drift) must
+    // read a louder PSI than every natural slice
+    val refBins = grid.map(r => (r.getInt(1), r.getLong(2))).distinct.sortBy(_._1)
+    val b = refBins.length
+    val maxBin = refBins.map(_._1).max
+    // shifted count for bin = Σ ref counts whose min(src+3, maxBin)
+    // lands on bin (mass clamps at the top of the observed grid)
+    val shiftCounts = refBins.map { case (bin, _) =>
+      refBins.filter { case (b2, _) =>
+        math.min(b2 + 3, maxBin) == bin }.map(_._2).sum
+    }
+    val tr = refBins.map(_._2).sum
+    val tm = shiftCounts.sum
+    val shiftPsi = refBins.zip(shiftCounts).map { case ((_, nr), nm) =>
+      val pr = (nr + 1).toDouble / (tr + b)
+      val pc = (nm + 1).toDouble / (tm + b)
+      (pc - pr) * math.log(pc / pr)
+    }.sum
+    val ok = grid.nonEmpty && corpusN > 0
+    Seq(
+      ("psi_terms_nonnegative", ok && negTerms == 0),
+      ("shares_sum_to_1", ok && sharesOk),
+      ("shifted_slice_flags_louder", ok && shiftPsi > maxSlicePsi),
+      ("slices_cover_corpus", ok && covered == corpusN))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qEmbeddingDriftBoundsSql: String =
+    """SELECT * FROM (VALUES ('psi_terms_nonnegative', true),
+      |  ('shares_sum_to_1', true), ('shifted_slice_flags_louder', true),
+      |  ('slices_cover_corpus', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_embedding_drift_psi" -> (qEmbeddingDriftPsi _),
+    "q_embedding_drift_bounds" -> (qEmbeddingDriftBounds _),
     "q_embedding_pca" -> (qEmbeddingPca _),
     "q_embedding_pca_bounds" -> (qEmbeddingPcaBounds _),
     "q_sim_pca_topk" -> (qSimPcaTopK _),
@@ -904,6 +1140,9 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_embedding_drift" -> qEmbeddingDriftSql,
+    "q_embedding_drift_psi" -> qEmbeddingDriftPsiSql,
+    "q_embedding_drift_bounds" -> qEmbeddingDriftBoundsSql,
     "q_embedding_pca_bounds" -> qEmbeddingPcaBoundsSql,
     "q_sim_silhouette_bounds" -> qSimSilhouetteBoundsSql,
     "q_embedding_normalize" -> qEmbeddingNormalizeSql,
