@@ -45,11 +45,17 @@ object Sampling {
     * TakeOrderedAndProject (per-partition heaps, no global sort) —
     * PlanSpec-checkable. Rows with non-positive weight are excluded
     * (they'd never be sampled: w→0 ⇒ key→−∞). */
+  /** The A-ES exponential key — ONE definition shared by
+    * [[weightedTopK]] and the composition gate
+    * (qSampleWeightedBounds), so the certified path IS the serve
+    * path. */
+  def aesKey(rowKey: Column, weight: Column): Column = round(
+    log((DomainMix.portableBucket(rowKey) + 1L) / lit(1000001.0)) / weight, 9)
+
   def weightedTopK(df: DataFrame, rowKey: Column, weight: Column, k: Int,
       tieBreak: Seq[Column]): DataFrame =
     df.filter(weight > 0)
-      .withColumn("wkey", round(
-        log((DomainMix.portableBucket(rowKey) + 1L) / lit(1000001.0)) / weight, 9))
+      .withColumn("wkey", aesKey(rowKey, weight))
       .orderBy(col("wkey").desc +: tieBreak: _*)
       .limit(k)
 

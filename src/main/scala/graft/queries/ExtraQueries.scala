@@ -397,6 +397,85 @@ object ExtraQueries {
       |ORDER BY wkey DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** Composition gate for [[qSampleWeighted]] (fail-closed) — the
+    * statistical half the hash oracle can't see: the hash gate proves
+    * the SELECTION replays exactly, this row proves the selection
+    * actually behaves like weight-proportional sampling. 32
+    * independent A-ES draws (epoch-salted row keys through the SAME
+    * [[graft.ops.Sampling.aesKey]] the serve path uses) are pooled,
+    * and three properties are pinned with fat margins (measured
+    * sf0.001: rates .081/.170/.245/.305, enrichment 3.8×, per-epoch
+    * weight-share lift 1.11–1.28; sf0.1 within the same bands):
+    *  - every epoch draws exactly min(k, n⁺) rows (structural),
+    *  - inclusion counts are monotone non-decreasing across
+    *    weight quartiles (THE defining A-ES property: heavier rows
+    *    likelier, at every weight level),
+    *  - the top weight quartile is ≥ 2× as likely as the bottom,
+    *  - EVERY epoch's sampled weight share beats the uniform share
+    *    k/n by ≥ 5% (a per-draw, not just pooled, bias certificate).
+    *
+    * Scale/budget: this is a GATE query — the epoch fan-out is 32×
+    * the corpus and the per-epoch top-k runs as a 32-partition
+    * window; both are bounded by the verify SFs (≤ 160k rows), and
+    * the quartile split is the exact-tier global ntile over the
+    * bounded documents frame (the q_rfm caveat). The serve-path
+    * operator itself stays the TakeOrdered single-k plan. */
+  def qSampleWeightedBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val epochs = 32
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+      .localCheckpoint(true)
+    val n = docs.count()
+    val kEff = math.min(k.toLong, n)
+    val quart = docs.withColumn("qt",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))))
+    val drawn = docs
+      .withColumn("ep", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("wkey", graft.ops.Sampling.aesKey(
+        col("doc_id") * lit(1009L) + col("ep"), col("n_chars")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ep"))
+          .orderBy(col("wkey").desc, col("doc_id"))))
+      .filter(col("rk") <= kEff)
+      .localCheckpoint(true)
+    val epochRows = drawn.groupBy(col("ep"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("w"))
+      .collect()
+    val totW = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    val exactK = epochRows.length == epochs &&
+      epochRows.forall(_.getLong(1) == kEff)
+    val uniformShare = kEff.toDouble / math.max(1L, n)
+    val everyEpochEnriched = epochRows.nonEmpty && epochRows.forall { r =>
+      r.getLong(2).toDouble / totW >= 1.05 * uniformShare
+    }
+    val qCounts = drawn.join(quart.select(col("doc_id"), col("qt")), Seq("doc_id"))
+      .groupBy(col("qt")).agg(count(lit(1)).as("inc"))
+      .orderBy(col("qt")).collect()
+    val incs = qCounts.map(_.getLong(1))
+    val monotone = qCounts.length == 4 &&
+      incs.sliding(2).forall { case Array(a, b) => b >= a; case _ => true }
+    val enriched = qCounts.length == 4 && incs(3) >= 2L * incs(0)
+    val ok = n > 0 && kEff > 0
+    Seq(
+      ("every_epoch_exact_k", ok && exactK),
+      ("every_epoch_weight_enriched", ok && everyEpochEnriched),
+      ("inclusion_monotone_in_weight", ok && monotone),
+      ("top_quartile_2x_bottom", ok && enriched))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qSampleWeightedBoundsSql: String =
+    """SELECT * FROM (VALUES ('every_epoch_exact_k', true),
+      |  ('every_epoch_weight_enriched', true),
+      |  ('inclusion_monotone_in_weight', true),
+      |  ('top_quartile_2x_bottom', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   /** Approximate distinct counts (HLL) — the 100 TB replacement for
     * exact countDistinct. Sketch layouts differ per engine → rows-only;
     * the spec bounds relative error against the exact count. */
@@ -2300,6 +2379,7 @@ object ExtraQueries {
     "q_sample_reservoir_counts" -> (qSampleReservoirCounts _),
     "q_sample_hash_stratified" -> (qSampleHashStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_sample_weighted_bounds" -> (qSampleWeightedBounds _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_distinct_bounds" -> (qApproxDistinctBounds _),
     "q_sketch_quantile_bounds" -> (qSketchQuantileBounds _),
@@ -2353,6 +2433,7 @@ object ExtraQueries {
     "q_corpus_shuffle" -> qCorpusShuffleSql,
     "q_sample_hash_stratified" -> qSampleHashStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "q_sample_weighted_bounds" -> qSampleWeightedBoundsSql,
     "q_quantile_normalize" -> qQuantileNormalizeSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_cdc_apply" -> qCdcApplySql,
