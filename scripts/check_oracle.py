@@ -116,9 +116,28 @@ def sweep(out_json):
     sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
+    # the artifact must describe the tree it actually swept: a dirty
+    # src/main means the compiled classes may not match git_rev, so a
+    # committed STRICT_rN.json could silently certify a stale tree
+    # (r14 verdict directive #7). Refuse rather than mislabel.
+    dirty = subprocess.run(["git", "status", "--porcelain", "src/main",
+                            "build.sbt"], cwd=REPO,
+                           capture_output=True, text=True).stdout.strip()
+    if dirty:
+        sys.exit("[sweep] REFUSING: src/main is dirty — commit (or stash) "
+                 "before sweeping so git_rev matches the swept classes:\n"
+                 + dirty)
     report = {
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "git_rev": rev,
+        "git_tree_clean": True,
+        "sf_scope": {
+            "swept": [os.path.basename(s) for s in sfs],
+            "excluded": "sf0.1 (bench SF) — cost-bounded per the r14 "
+                        "verdict's process note; layout/engine float "
+                        "classes are scale-independent, and every new "
+                        "bounds row is separately spot-checked at sf0.1",
+        },
         "perturbation": {
             "input": "row-reordered multi-file copy (4 files, small row "
                      "groups, content-independent permutation)",

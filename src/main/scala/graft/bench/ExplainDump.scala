@@ -75,7 +75,9 @@ object ExplainDump {
     "q_trend_mannkendall", "q_sen_slope", "q_zipf_slope",
     "q_span_provenance", "q_source_copy_fraction", "q_source_similarity",
     "q_dp_counts", "q_curriculum_order", "q_sim_pca_topk",
-    "q_embedding_pca", "q_quality_classifier")
+    "q_embedding_pca", "q_quality_classifier",
+    "q_curriculum_order_approx", "q_embedding_drift",
+    "q_embedding_drift_psi")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

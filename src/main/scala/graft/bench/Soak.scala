@@ -43,7 +43,19 @@ object Soak {
   // volume, lexicographic vs degree-oriented).
   val DefaultQueries = Seq("q_curation", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_editdist", "q_dedup_simhash", "q_span_dedup",
-    "q_interval_join")
+    "q_interval_join", "q_span_provenance", "q_source_similarity")
+
+  /** GRAFT_SOAK_AXIS=sources scales the SOURCE dimension along with
+    * the corpus (variant j suffixes the source value as well as the
+    * vocabulary) — the second axis the r14 verdict asked for on
+    * q_source_similarity: under corpus-axis scaling the source
+    * dictionary is constant and candidate volume must be linear in
+    * distinct shingles; under source-axis scaling the C(|sources|,2)
+    * dimension constant itself grows, which is exactly the regime
+    * where the documented MinHash sketch tier takes over — the soak
+    * measures how fast the exact tier degrades, not to prove it
+    * doesn't. */
+  def Axis: String = sys.env.getOrElse("GRAFT_SOAK_AXIS", "corpus")
 
   /** GRAFT_SOAK_QUERIES=q_a,q_b soaks a subset (dev iteration on one
     * tier without paying the full matrix). */
@@ -77,11 +89,14 @@ object Soak {
       if (j == 0) docs
       else {
         val suffix = ('a' + j).toChar.toString
-        docs.withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
+        val v = docs.withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
           .withColumn("text",
             concat_ws(" ", transform(split(col("text"), "\\s+"),
               t => when(array_contains(stopArr, lower(t)), t)
                 .otherwise(concat(t, lit(suffix))))))
+        if (Axis == "sources")
+          v.withColumn("source", concat(col("source"), lit("_"), lit(j)))
+        else v
       }
     }.reduce(_ unionByName _)
   }
