@@ -878,6 +878,145 @@ object SimilarityQueries {
       |  ('variances_eigen_ordered', true)) t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // -------------------------------------------- Retrieval evaluation
+  /** Exact gold top-5 for the eval harness — the brute-force ranking
+    * on rounded scores (hash-stable ranks, the q_sim_bruteforce
+    * contract). */
+  private def retrievalGold(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK,
+      roundScoreTo = Some(9))
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+
+  /** The deterministic degraded system under evaluation: rank by
+    * cosine over the FIRST 16 of 64 dimensions — a cheap prefix proxy
+    * BOTH engines can replay exactly (unlike the KMeans-fitted IVF/PQ
+    * tiers, whose cell assignments are engine-specific), so the whole
+    * eval pipeline is hash-oracled end-to-end; the fitted ANN tiers
+    * then run through the SAME evaluate() path in the bounds gate. */
+  private def retrievalSystem16(s: SparkSession, d: String): DataFrame = {
+    val cut = (df: DataFrame) => df.withColumn("embedding",
+      slice(col("embedding"), 1, 16))
+    Similarity.bruteForceTopK(cut(corpus(s, d)), cut(queriesDf(s, d)), TopK,
+      roundScoreTo = Some(9))
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Ranked-retrieval metrics ([[graft.sim.RetrievalEval]]): per-query
+    * recall@5, MRR, DCG@5, nDCG@5 of the 16-dim-prefix ranker against
+    * the exact gold — the eval op every retrieval pipeline runs, with
+    * a deterministic system so the driver's hash gate covers the
+    * metric arithmetic itself. The prefix proxy honestly scores LOW on
+    * the harness's uniform-random embeddings (recall@5 0–0.4 — 16 of
+    * 64 i.i.d. dims carry little of the cosine), which is the point:
+    * the hash row certifies the METRICS, the ANN tiers' quality is
+    * gated in [[qRetrievalEvalAnnBounds]] through the same path.
+    * Per-query rows (exact rationals + the round(6) in-row DCG sums);
+    * a mean over queries would be the r12 quantized-mean boundary-sit
+    * class, so consumers average downstream. Scale: both inputs are
+    * (queries × k)-bounded; the eval is one equi-join + one
+    * partial-aggregable groupBy. */
+  def qRetrievalEval(s: SparkSession, d: String): DataFrame =
+    graft.sim.RetrievalEval.evaluate(
+      retrievalSystem16(s, d), retrievalGold(s, d), TopK)
+
+  val qRetrievalEvalSql: String = {
+    val idcg = graft.sim.RetrievalEval.idealDcg(TopK)
+    s"""WITH qf AS (
+       |  SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), gsc AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 9) AS cos
+       |  FROM qf q, embeddings e WHERE e.vec_id <> q.query_id
+       |), gold AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM gsc) WHERE rank <= $TopK
+       |), q16 AS (
+       |  SELECT vec_id AS query_id, embedding[1:16] AS qe
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), ssc AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |      CAST(e.embedding[1:16] AS DOUBLE[])), 9) AS cos
+       |  FROM q16 q, embeddings e WHERE e.vec_id <> q.query_id
+       |), sys AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ssc) WHERE rank <= $TopK
+       |), j AS (
+       |  SELECT s.query_id, s.rank AS sys_rank, s.neighbor_id,
+       |    g.rank AS gold_rank
+       |  FROM sys s LEFT JOIN gold g USING (query_id, neighbor_id)
+       |), ng AS (
+       |  SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id
+       |), m AS (
+       |  SELECT query_id,
+       |    count(*) FILTER (gold_rank IS NOT NULL) AS hits,
+       |    min(sys_rank) FILTER (gold_rank IS NOT NULL) AS fr,
+       |    sum(CASE WHEN gold_rank IS NOT NULL
+       |      THEN CAST(${TopK + 1} - gold_rank AS DOUBLE) /
+       |        (CASE sys_rank WHEN 1 THEN 1.0
+       |          WHEN 2 THEN 1.5849625007211562 WHEN 3 THEN 2.0
+       |          WHEN 4 THEN 2.321928094887362
+       |          WHEN 5 THEN 2.584962500721156 END)
+       |      ELSE 0.0 END) AS dcg_raw
+       |  FROM j GROUP BY query_id
+       |)
+       |SELECT m.query_id, ng.n_gold, m.hits,
+       |  CAST(m.hits AS DOUBLE) / ng.n_gold AS recall_at_k,
+       |  coalesce(1.0 / m.fr, 0.0) AS mrr,
+       |  round(m.dcg_raw, 6) AS dcg,
+       |  round(m.dcg_raw / $idcg, 6) AS ndcg
+       |FROM m JOIN ng USING (query_id)
+       |ORDER BY m.query_id""".stripMargin
+  }
+
+  /** Gate running the FITTED ANN tiers (IVF, PCA-shortlist) through
+    * the same [[graft.sim.RetrievalEval.evaluate]] path (fail-closed):
+    * every query scored, per-tier MIN recall/MRR/nDCG over queries
+    * above fat floors — measured minima across sf0.001/0.01/0.1:
+    * recall 0.6–0.8, MRR exactly 1.0 (both tiers always rank a true
+    * top-5 hit first), nDCG 0.66–0.88; floors 0.4/0.5/0.4 leave ≥1.3×
+    * margin. The metric semantics are certified by the
+    * q_retrieval_eval hash row; the fitted tiers are certified by
+    * this gate through the identical code path. */
+  def qRetrievalEvalAnnBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gold = retrievalGold(s, d).localCheckpoint(true)
+    def mins(system: DataFrame): (Long, Double, Double, Double) = {
+      val m = graft.sim.RetrievalEval
+        .evaluate(system.select(col("query_id"), col("rank"),
+          col("neighbor_id")), gold, TopK)
+        .agg(count(lit(1)).as("n"), min(col("recall_at_k")).as("r"),
+          min(col("mrr")).as("m"), min(col("ndcg")).as("d"))
+        .head()
+      (m.getLong(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    }
+    val tiers = Seq(
+      "ivf" -> qSimIvf(s, d),
+      "pca" -> qSimPcaTopK(s, d))
+    tiers.map { case (name, sys) =>
+      val (n, r, m, dg) = mins(sys)
+      val complete = n == NumQueries.toLong
+      (name, complete, complete && r >= 0.4,
+        complete && m >= 0.5, complete && dg >= 0.4)
+    }.toDF("tier", "all_queries_scored", "min_recall_ok", "min_mrr_ok",
+        "min_ndcg_ok")
+      .orderBy(col("tier"))
+  }
+
+  val qRetrievalEvalAnnBoundsSql: String =
+    """SELECT * FROM (VALUES ('ivf', true, true, true, true),
+      |  ('pca', true, true, true, true))
+      |  t(tier, all_queries_scored, min_recall_ok, min_mrr_ok, min_ndcg_ok)
+      |ORDER BY tier""".stripMargin
+
   // ------------------------------------------------ Embedding drift
   /** Internal: per-vector cosine-to-global-centroid frame — vec_id,
     * source (via the co-keyed documents join), norm, cos, bin.
@@ -1112,6 +1251,8 @@ object SimilarityQueries {
       |ORDER BY "check"""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_eval" -> (qRetrievalEval _),
+    "q_retrieval_eval_ann_bounds" -> (qRetrievalEvalAnnBounds _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_embedding_drift_psi" -> (qEmbeddingDriftPsi _),
     "q_embedding_drift_bounds" -> (qEmbeddingDriftBounds _),
@@ -1140,6 +1281,8 @@ object SimilarityQueries {
     "q_embedding_stats" -> (qEmbeddingStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_retrieval_eval" -> qRetrievalEvalSql,
+    "q_retrieval_eval_ann_bounds" -> qRetrievalEvalAnnBoundsSql,
     "q_embedding_drift" -> qEmbeddingDriftSql,
     "q_embedding_drift_psi" -> qEmbeddingDriftPsiSql,
     "q_embedding_drift_bounds" -> qEmbeddingDriftBoundsSql,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sim.RetrievalEval
+
+/** Hand-computed fixtures for the ranked-retrieval metrics. */
+class RetrievalEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, Int, Long)]) =
+    rows.toDF("query_id", "rank", "neighbor_id")
+
+  test("a perfect system scores recall 1, MRR 1, nDCG exactly 1") {
+    val gold = frame(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    val m = RetrievalEval.evaluate(gold, gold, 3).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getAs[Double]("recall_at_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("partial overlap matches the hand computation") {
+    // gold: a@1 b@2 c@3; system: b@1 x@2 a@3 (k=3)
+    // rel(b)=k+1-2=2 at discount log2(2)=1 -> 2.0
+    // rel(a)=k+1-1=3 at discount log2(4)=2 -> 1.5; dcg=3.5
+    val gold = frame(Seq((1L, 1, 100L), (1L, 2, 101L), (1L, 3, 102L)))
+    val sys = frame(Seq((1L, 1, 101L), (1L, 2, 999L), (1L, 3, 100L)))
+    val r = RetrievalEval.evaluate(sys, gold, 3).collect().head
+    assert(r.getAs[Long]("hits") == 2L)
+    assert(r.getAs[Double]("recall_at_k") == 2.0 / 3.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("dcg") == 3.5)
+    val expNdcg = BigDecimal(3.5 / RetrievalEval.idealDcg(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg") == expNdcg)
+  }
+
+  test("zero overlap scores zero everywhere, never null") {
+    val gold = frame(Seq((1L, 1, 100L), (1L, 2, 101L)))
+    val sys = frame(Seq((1L, 1, 200L), (1L, 2, 201L)))
+    val r = RetrievalEval.evaluate(sys, gold, 2).collect().head
+    assert(r.getAs[Long]("hits") == 0L)
+    assert(r.getAs[Double]("recall_at_k") == 0.0)
+    assert(r.getAs[Double]("mrr") == 0.0)
+    assert(r.getAs[Double]("dcg") == 0.0)
+    assert(r.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("idealDcg matches the literal-constant discounts") {
+    // k=3: 3/1 + 2/log2(3) + 1/2
+    val exp = 3.0 / 1.0 + 2.0 / 1.5849625007211562 + 1.0 / 2.0
+    assert(RetrievalEval.idealDcg(3) == exp)
+  }
+}
