@@ -684,15 +684,21 @@ object DedupQueries {
     *
     * Floats (class-1): set sizes and overlaps are exact integers;
     * jaccard and containment are ONE terminal division each. */
-  def qSourceSimilarity(s: SparkSession, d: String): DataFrame = {
+  /** The distinct (source, shingle) frame both source-similarity
+    * tiers derive from — ONE definition so the exact join and the
+    * sketch tier cannot drift (checkpointed by each caller). */
+  private def sourceShingles(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d).select(col("source"),
       filter(Dedup.tokens(col("text")), t => t =!= "").as("toks"))
-    val sh = toks.filter(size(col("toks")) >= 3)
+    toks.filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +
           "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  def qSourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    val sh = sourceShingles(s, d).localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("source").as("source_a"), col("shingle"))
       .join(sh.select(col("source").as("source_b"),
@@ -740,6 +746,94 @@ object DedupQueries {
       |JOIN sizes sa ON sa.source = source_a
       |JOIN sizes sb ON sb.source = source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  /** MinHash components per source-similarity signature. 64 keeps the
+    * one-permutation estimator's std error ≤ √(J(1−J)/64) ≤ 0.0625
+    * while the signature table stays |sources| × 64 longs. */
+  val SourceSigK = 64
+
+  /** The sketch tier of [[qSourceSimilarity]] — the r14 scaladoc's
+    * "past ~10³ sources the per-source MinHash sketch replaces the
+    * exact join" wired as a real query (the curriculum-approx
+    * discipline: scale paths are queries, not doc sentences). Each
+    * source gets a 64-component MinHash signature computed in ONE
+    * partial-aggregable groupBy over the shared [[sourceShingles]]
+    * frame (64 `min(xxhash64(shingle, i))` aggregates — no row
+    * fan-out, no second shingle derivation), and estimated Jaccard =
+    * matching components / 64 over the |sources|-row signature
+    * cross-compare. The corpus-proportional cost is ONE pass
+    * regardless of |sources|; the pair stage touches only the
+    * dimension-bounded signature table (at 10⁴ sources: 5·10⁷ in-row
+    * comparisons of 64 longs — no shingle join at all), which is
+    * exactly what replaces the exact tier's C(sources-per-shingle, 2)
+    * join when the dimension stops being small.
+    *
+    * Rows-only by the fingerprint precedent (xxhash64 has no DuckDB
+    * twin); gated by [[qSourceSimilaritySketchBounds]] against the
+    * exact matrix. */
+  def qSourceSimilaritySketch(s: SparkSession, d: String): DataFrame = {
+    val sh = sourceShingles(s, d)
+    val sig = sh.groupBy(col("source"))
+      .agg(min(xxhash64(col("shingle"), lit(1))).as("h1"),
+        (2 to SourceSigK).map(i =>
+          min(xxhash64(col("shingle"), lit(i))).as(s"h$i")): _*)
+      .localCheckpoint(true)
+    val a = sig.select(col("source").as("source_a") +:
+      (1 to SourceSigK).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = sig.select(col("source").as("source_b") +:
+      (1 to SourceSigK).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (1 to SourceSigK).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        matches.cast("long").as("n_matching"),
+        (matches.cast("double") / lit(SourceSigK)).as("jaccard_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Fail-closed gate for the sketch tier vs the exact matrix: the
+    * estimate grid is the COMPLETE C(|sources|,2) pair set (the
+    * signature compare sees every pair, unlike the exact join which
+    * only emits overlapping ones — absent exact rows read J = 0),
+    * every estimate is a valid k/64 rational in [0,1], and the
+    * one-permutation MinHash error contract holds end-to-end:
+    * max |est − exact| over all pairs ≤ 0.2 (3.2σ at K = 64; measured
+    * max 0.084 at sf0.001 and 0.172 at sf0.1 — and the estimator is a
+    * DETERMINISTIC function of the fixed hash family, so the measured
+    * worst case is exact and reproducible, not a draw). */
+  def qSourceSimilaritySketchBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val est = qSourceSimilaritySketch(s, d)
+      .select(col("source_a"), col("source_b"), col("jaccard_est"))
+    val exact = qSourceSimilarity(s, d)
+      .select(col("source_a"), col("source_b"), col("jaccard"))
+    val nSources = Tables.documents(s, d).select(col("source")).distinct().count()
+    val expectedPairs = nSources * (nSources - 1) / 2
+    val joined = est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("jaccard_est"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("jaccard_est") - col("jaccard"))).as("max_err"),
+        count(when(col("jaccard_est") < 0 || col("jaccard_est") > 1, 1))
+          .as("oor"))
+      .head()
+    val (n, maxErr, oor) = (joined.getLong(0), joined.getDouble(1),
+      joined.getLong(2))
+    val ok = n > 0 && nSources > 1
+    Seq(
+      ("estimates_in_range", ok && oor == 0L),
+      ("max_error_within_3sigma", ok && maxErr <= 0.2),
+      ("pair_grid_complete", ok && n == expectedPairs))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qSourceSimilaritySketchBoundsSql: String =
+    """SELECT * FROM (VALUES ('estimates_in_range', true),
+      |  ('max_error_within_3sigma', true), ('pair_grid_complete', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
 
   /** Quality-based cluster keeper selection — the keeper POLICY
     * production dedup actually wants: within each near-dup cluster,
@@ -857,6 +951,8 @@ object DedupQueries {
     "q_span_provenance" -> (qSpanProvenance _),
     "q_source_copy_fraction" -> (qSourceCopyFraction _),
     "q_source_similarity" -> (qSourceSimilarity _),
+    "q_source_similarity_sketch" -> (qSourceSimilaritySketch _),
+    "q_source_similarity_sketch_bounds" -> (qSourceSimilaritySketchBounds _),
     "q_leakage_safe_split" -> (qLeakageSafeSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -878,6 +974,7 @@ object DedupQueries {
     "q_span_provenance" -> qSpanProvenanceSql,
     "q_source_copy_fraction" -> qSourceCopyFractionSql,
     "q_source_similarity" -> qSourceSimilaritySql,
+    "q_source_similarity_sketch_bounds" -> qSourceSimilaritySketchBoundsSql,
     "q_leakage_safe_split" -> qLeakageSafeSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
