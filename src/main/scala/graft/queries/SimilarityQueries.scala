@@ -977,12 +977,13 @@ object SimilarityQueries {
        |ORDER BY m.query_id""".stripMargin
   }
 
-  /** Gate running the FITTED ANN tiers (IVF, PCA-shortlist) through
-    * the same [[graft.sim.RetrievalEval.evaluate]] path (fail-closed):
-    * every query scored, per-tier MIN recall/MRR/nDCG over queries
-    * above fat floors — measured minima across sf0.001/0.01/0.1:
-    * recall 0.6–0.8, MRR exactly 1.0 (both tiers always rank a true
-    * top-5 hit first), nDCG 0.66–0.88; floors 0.4/0.5/0.4 leave ≥1.3×
+  /** Gate running ALL FOUR fitted ANN tiers (IVF, PQ, IVFPQ,
+    * PCA-shortlist) through the same
+    * [[graft.sim.RetrievalEval.evaluate]] path (fail-closed): every
+    * query scored, per-tier MIN recall/MRR/nDCG over queries above
+    * fat floors — measured minima across sf0.001/0.01/0.1: recall
+    * 0.6–1.0, MRR exactly 1.0 (every tier always ranks a true top-5
+    * hit first), nDCG 0.66–1.0; floors 0.4/0.5/0.4 leave ≥1.3×
     * margin. The metric semantics are certified by the
     * q_retrieval_eval hash row; the fitted tiers are certified by
     * this gate through the identical code path. */
@@ -1000,7 +1001,9 @@ object SimilarityQueries {
     }
     val tiers = Seq(
       "ivf" -> qSimIvf(s, d),
-      "pca" -> qSimPcaTopK(s, d))
+      "ivfpq" -> qSimIvfPqTopK(s, d),
+      "pca" -> qSimPcaTopK(s, d),
+      "pq" -> qSimPqTopK(s, d))
     tiers.map { case (name, sys) =>
       val (n, r, m, dg) = mins(sys)
       val complete = n == NumQueries.toLong
@@ -1013,7 +1016,8 @@ object SimilarityQueries {
 
   val qRetrievalEvalAnnBoundsSql: String =
     """SELECT * FROM (VALUES ('ivf', true, true, true, true),
-      |  ('pca', true, true, true, true))
+      |  ('ivfpq', true, true, true, true), ('pca', true, true, true, true),
+      |  ('pq', true, true, true, true))
       |  t(tier, all_queries_scored, min_recall_ok, min_mrr_ok, min_ndcg_ok)
       |ORDER BY tier""".stripMargin
 
