@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1042,28 +1042,90 @@ object SimilarityQueries {
     * the per-vector pass is one narrow codegen'd projection; the
     * documents join is co-keyed on the id. Nothing here is
     * corpus-quadratic and no window touches the row stream. */
+  /** The 10⁻⁶ quantization of a float embedding column — ONE
+    * definition shared by the batch frame and the streaming face. */
+  private[graft] def driftQuantized(embCol: Column): Column =
+    transform(embCol, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Cosine of a quantized vector to the (double-cast) centroid
+    * column — the shared per-row expression. */
+  private[graft] def driftCos(qCol: Column, cvec: Column): Column = {
+    val qd = Similarity.asDouble(qCol)
+    Similarity.dot(qd, cvec) /
+      (sqrt(Similarity.dot(qd, qd)) * sqrt(Similarity.dot(cvec, cvec)))
+  }
+
+  /** 0.2-wide cosine bin over [-1, 1] — shared binning. */
+  private[graft] def driftBin(cos: Column): Column =
+    least(floor((cos + lit(1.0)) * lit(5.0)), lit(9L)).cast("int")
+
   private def driftCosFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.ArrayMath.register(s)
-    val q = transform(col("embedding"),
-      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), q.as("q"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), driftQuantized(col("embedding")).as("q"))
     val cent = emb
       .select(posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("dim")).agg(sum(col("v")).as("c"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(transform(col("dc"), x => x.getField("c").cast("double"))
         .as("cvec"))
-    val qd = Similarity.asDouble(col("q"))
-    val dot = Similarity.dot(qd, col("cvec"))
-    val nq = sqrt(Similarity.dot(qd, qd))
-    val nc = sqrt(Similarity.dot(col("cvec"), col("cvec")))
-    val cos = dot / (nq * nc)
+    val nq = sqrt(Similarity.dot(Similarity.asDouble(col("q")),
+      Similarity.asDouble(col("q"))))
     emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), (nq / lit(1000000.0)).as("norm"), cos.as("cos"))
-      .withColumn("bin",
-        least(floor((col("cos") + lit(1.0)) * lit(5.0)), lit(9L)).cast("int"))
+      .select(col("vec_id"), (nq / lit(1000000.0)).as("norm"),
+        driftCos(col("q"), col("cvec")).as("cos"))
+      .withColumn("bin", driftBin(col("cos")))
       .join(Tables.documents(s, d)
         .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+  }
+
+  /** The frozen drift-reference artifact the STREAMING face serves
+    * from (an index-build cost, BuildTimes-cached per scale dir): the
+    * exact integer centroid as doubles, plus the corpus per-bin
+    * reference counts. Values are BIT-IDENTICAL to the in-plan batch
+    * derivation — the centroid components are exact integer sums, so
+    * collecting them to literals changes the plan, never the value. */
+  def driftReference(s: SparkSession, d: String): (Seq[Double], Seq[(Int, Long)]) =
+    driftRefCache.computeIfAbsent(d, _ =>
+      graft.BuildTimes.timed("drift_reference_build") {
+        val f = driftCosFrame(s, d).localCheckpoint(true)
+        val cvec = Tables.embeddings(s, d)
+          .select(posexplode(driftQuantized(col("embedding")))
+            .as(Seq("dim", "v")))
+          .groupBy(col("dim")).agg(sum(col("v")).as("c"))
+          .orderBy(col("dim")).collect()
+          .map(_.getLong(1).toDouble).toSeq
+        val ref = f.groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+          .orderBy(col("bin")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq
+        (cvec, ref)
+      })
+
+  private val driftRefCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[Double], Seq[(Int, Long)])]
+
+  /** The smoothed-share PSI grid over (ref bins × sources) — the ONE
+    * finalize both the batch query and the streaming face run, so the
+    * two cannot drift: grid = sources × reference bins LEFT JOIN the
+    * current counts (zero-filled), +1 Laplace smoothing over the
+    * observed-bin grid, per-bin psi_term round(9). */
+  private[graft] def driftPsiFinalize(sources: DataFrame, ref: DataFrame,
+      cur: DataFrame): DataFrame = {
+    val grid = sources.crossJoin(broadcast(ref))
+      .join(cur, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val m = grid
+      .withColumn("tot_ref", sum(col("n_ref")).over(wf))
+      .withColumn("tot_cur", sum(col("n_cur")).over(wf))
+      .withColumn("b", count(lit(1)).over(wf))
+    val pRef = (col("n_ref") + lit(1L)).cast("double") / (col("tot_ref") + col("b"))
+    val pCur = (col("n_cur") + lit(1L)).cast("double") / (col("tot_cur") + col("b"))
+    m.select(col("source"), col("bin"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+      .orderBy(col("source"), col("bin"))
   }
 
   /** Embedding-space drift monitor, per-source summary — the
@@ -1132,21 +1194,7 @@ object SimilarityQueries {
     val ref = f.groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
     val cur = f.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_cur"))
-    val grid = f.select(col("source")).distinct()
-      .crossJoin(broadcast(ref))
-      .join(cur, Seq("source", "bin"), "left")
-      .na.fill(0L, Seq("n_cur"))
-    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    val m = grid
-      .withColumn("tot_ref", sum(col("n_ref")).over(wf))
-      .withColumn("tot_cur", sum(col("n_cur")).over(wf))
-      .withColumn("b", count(lit(1)).over(wf))
-    val pRef = (col("n_ref") + lit(1L)).cast("double") / (col("tot_ref") + col("b"))
-    val pCur = (col("n_cur") + lit(1L)).cast("double") / (col("tot_cur") + col("b"))
-    m.select(col("source"), col("bin"), col("n_ref"), col("n_cur"),
-        pRef.as("p_ref"), pCur.as("p_cur"),
-        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
-      .orderBy(col("source"), col("bin"))
+    driftPsiFinalize(f.select(col("source")).distinct(), ref, cur)
   }
 
   val qEmbeddingDriftPsiSql: String =

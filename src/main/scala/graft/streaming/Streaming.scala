@@ -305,6 +305,55 @@ object Streaming {
       .agg(count(when(col("cur") === 0, 1)).as("n_ref"),
         count(when(col("cur") === 1, 1)).as("n_cur"))
 
+  /** Streaming face of the embedding-space drift monitor
+    * ([[graft.queries.SimilarityQueries.qEmbeddingDriftPsi]]) — the
+    * live half its tabular twin (the PSI face above) already has: the
+    * reference centroid and per-bin corpus counts are a FROZEN
+    * index-build artifact
+    * ([[graft.queries.SimilarityQueries.driftReference]] — values
+    * bit-identical to the batch twin's in-plan derivation because the
+    * centroid components are exact integer sums), each incoming
+    * embedding bins via the SHARED quantize/cosine/bin expressions
+    * against the broadcast literal centroid, and per-(source, bin)
+    * counts accumulate as native streaming-aggregation state. The
+    * share/term math runs only at [[embDriftFinalize]] on the sink —
+    * the dpCounts discipline: state is counts, everything downstream
+    * is a deterministic function of them, so StreamingSpec proves
+    * finalize(folded state) == the batch PSI frame bit-for-bit once
+    * the stream replays the corpus.
+    *
+    * Scale/state: one long per (source, bin) — bounded by the slice
+    * dictionary × 10 bins, never by stream length; the centroid rides
+    * along as a 64-double literal inside whole-stage codegen, no join
+    * for the binning. */
+  def embDriftCounts(emb: DataFrame, cvec: Seq[Double]): DataFrame = {
+    import graft.queries.SimilarityQueries._
+    graft.functions.ArrayMath.register(emb.sparkSession)
+    emb
+      .select(col("source"),
+        driftBin(driftCos(driftQuantized(col("embedding")),
+          typedLit(cvec))).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+  }
+
+  /** Deterministic readout over the accumulated per-(source, bin)
+    * state: the batch twin's own grid/smoothing/term arithmetic
+    * ([[graft.queries.SimilarityQueries.driftPsiFinalize]]) against
+    * the frozen reference counts. */
+  def embDriftFinalize(state: DataFrame, ref: Seq[(Int, Long)]): DataFrame = {
+    import state.sparkSession.implicits._
+    // snapshot once: the grid consumes the state twice (source list +
+    // counts), and a memory-sink table reused on both sides of the
+    // join trips Catalyst's conflicting-reference resolution
+    val snap = state.select(col("source"), col("bin"), col("n_cur"))
+      .localCheckpoint(true)
+    graft.queries.SimilarityQueries.driftPsiFinalize(
+      snap.select(col("source")).distinct(),
+      ref.toDF("bin", "n_ref"),
+      snap)
+  }
+
   /** Batch twin of [[sessionize]]: gap-based sessionization as a pure
     * window composition — events more than `gapMinutes` after their
     * predecessor (per user) open a new session; the session id is the

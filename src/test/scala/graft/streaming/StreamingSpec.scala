@@ -735,6 +735,39 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
   }
 
+  test("streaming embedding drift: finalize(folded state) == the batch PSI frame bit-for-bit") {
+    import java.nio.file.{Files => JFiles}
+    // the embedding "stream": corpus vectors tagged with their source
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, sf001)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .select(col("source"), col("embedding"))
+    val dir = JFiles.createTempDirectory("graft-drift-stream")
+    // two trigger batches: a (source, bin) cell split across triggers
+    // must fold its counts; the frozen centroid must NOT depend on
+    // trigger boundaries
+    val Array(b1, b2) = emb.randomSplit(Array(0.5, 0.5), seed = 17L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val (cvec, ref) = graft.queries.SimilarityQueries
+      .driftReference(spark, sf001)
+    val q = Streaming.embDriftCounts(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"),
+        cvec)
+      .writeStream.format("memory").queryName("emb_drift")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streaming
+      .embDriftFinalize(spark.table("emb_drift"), ref)
+      .collect().map(_.toString)
+    val batch = graft.queries.SimilarityQueries
+      .qEmbeddingDriftPsi(spark, sf001).collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+  }
+
   test("streaming WAU sketches: finalize(folded day state) matches exact WAU within HLL error") {
     import java.nio.file.{Files => JFiles}
     val ev = Tables.events(spark, sf001).select(col("ts"), col("user_id"))
