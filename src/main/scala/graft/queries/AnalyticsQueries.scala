@@ -2211,12 +2211,18 @@ object AnalyticsQueries {
     * The final four counts reduce to one row. */
   def qSessionFunnel(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // the sessionized frame feeds FIVE plan branches (views, clicks,
+    // purchases, total, and the click/purchase joins back onto it) —
+    // localCheckpoint once so the corpus scan + session window run
+    // once, not per branch (the r12 shared-subframe discipline;
+    // pre-fix this plan held 7 events scans)
     val sessions = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("session_id", count(
         when(col("prev_ts").isNull ||
           col("ts").cast("long") - col("prev_ts").cast("long") > 30L * 60L, 1)).over(w))
+      .localCheckpoint(true)
     val views = sessions.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("session_id")).agg(min(col("ts")).as("v_ts"))
     val clicks = sessions.filter(col("event_type") === "click")

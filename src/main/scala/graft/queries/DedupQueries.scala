@@ -59,7 +59,11 @@ object DedupQueries {
     * equality, so the digest representation is itself under test
     * (a sha collision or truncation would flip a row). */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    // docs feeds the seen-set digests AND three delta branches (two of
+    // them through the perturbed derivation) — 12 documents scans
+    // pre-fix; checkpoint once (the r12 shared-subframe discipline)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val keeperShas = docs.select(sha2(col("text"), 256).as("content_sha"))
     val perturbed = docs.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
       concat_ws(" ", slice(Dedup.tokens(col("text")), 2, 100000)).as("text"))

@@ -270,8 +270,14 @@ object ExtraQueries {
     * edition). At 100 TB the positions feed a range-partitioned write
     * — the shuffle happens once per epoch, at rest. */
   def qCorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    // the id list feeds both epochs' rankings and each ranking's
+    // SaltedWindow branches (bounds/rows/offsets) — checkpoint the
+    // 1-column frame once so the corpus scan runs once, not 8×
+    // (ids only: 8 bytes/row even at 100 TB)
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .localCheckpoint(true)
     def ranked(epoch: Int) = graft.ops.SaltedWindow.groupedRank(
-        Tables.documents(s, d).select(col("doc_id"))
+        ids
           .withColumn("_g", lit(1))
           .withColumn("_h",
             graft.ops.DomainMix.portableBucket(col("doc_id") * 31L + epoch)),
@@ -673,7 +679,12 @@ object ExtraQueries {
     * (insert path). Hash-oracled end to end — every row class (kept,
     * closed, opened, inserted) is exercised. */
   def qScd2Merge(s: SparkSession, d: String): DataFrame = {
+    // the dimension feeds base + three batch branches + the merge's
+    // own branches (8 scans pre-fix) — checkpoint the 3-column
+    // projection once
     val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .localCheckpoint(true)
     val base = cust.select(col("c_custkey").as("key"),
       col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
       to_date(lit("2020-01-01")).as("effective_from"),

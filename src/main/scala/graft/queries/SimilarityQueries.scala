@@ -879,12 +879,12 @@ object SimilarityQueries {
       |ORDER BY "check"""".stripMargin
 
   // -------------------------------------------- Retrieval evaluation
-  /** Exact gold top-5 for the eval harness — the brute-force ranking
-    * on rounded scores (hash-stable ranks, the q_sim_bruteforce
-    * contract). */
-  private def retrievalGold(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), TopK,
-      roundScoreTo = Some(9))
+  /** Exact gold top-5 for the eval harness over a caller-supplied
+    * corpus frame — the brute-force ranking on rounded scores
+    * (hash-stable ranks, the q_sim_bruteforce contract). */
+  private def retrievalGold(base: DataFrame): DataFrame =
+    Similarity.bruteForceTopK(base, base.filter(col("vec_id") < NumQueries),
+      TopK, roundScoreTo = Some(9))
       .select(col("query_id"), col("rank"), col("neighbor_id"))
 
   /** The deterministic degraded system under evaluation: rank by
@@ -893,13 +893,18 @@ object SimilarityQueries {
     * tiers, whose cell assignments are engine-specific), so the whole
     * eval pipeline is hash-oracled end-to-end; the fitted ANN tiers
     * then run through the SAME evaluate() path in the bounds gate. */
-  private def retrievalSystem16(s: SparkSession, d: String): DataFrame = {
-    val cut = (df: DataFrame) => df.withColumn("embedding",
-      slice(col("embedding"), 1, 16))
-    Similarity.bruteForceTopK(cut(corpus(s, d)), cut(queriesDf(s, d)), TopK,
-      roundScoreTo = Some(9))
+  private def retrievalSystem16(base: DataFrame): DataFrame = {
+    val cut = base.withColumn("embedding", slice(col("embedding"), 1, 16))
+    Similarity.bruteForceTopK(cut, cut.filter(col("vec_id") < NumQueries),
+      TopK, roundScoreTo = Some(9))
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** The one embeddings derivation all four eval frames (gold/system ×
+    * corpus/queries) read — checkpointed once (the ScanCountSpec gate
+    * caught this query's own 6-scan first draft; the gate works). */
+  private def retrievalBase(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).localCheckpoint(true)
 
   /** Ranked-retrieval metrics ([[graft.sim.RetrievalEval]]): per-query
     * recall@5, MRR, DCG@5, nDCG@5 of the 16-dim-prefix ranker against
@@ -915,9 +920,11 @@ object SimilarityQueries {
     * class, so consumers average downstream. Scale: both inputs are
     * (queries × k)-bounded; the eval is one equi-join + one
     * partial-aggregable groupBy. */
-  def qRetrievalEval(s: SparkSession, d: String): DataFrame =
+  def qRetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val base = retrievalBase(s, d)
     graft.sim.RetrievalEval.evaluate(
-      retrievalSystem16(s, d), retrievalGold(s, d), TopK)
+      retrievalSystem16(base), retrievalGold(base), TopK)
+  }
 
   val qRetrievalEvalSql: String = {
     val idcg = graft.sim.RetrievalEval.idealDcg(TopK)
@@ -989,7 +996,7 @@ object SimilarityQueries {
     * this gate through the identical code path. */
   def qRetrievalEvalAnnBounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val gold = retrievalGold(s, d).localCheckpoint(true)
+    val gold = retrievalGold(retrievalBase(s, d)).localCheckpoint(true)
     def mins(system: DataFrame): (Long, Double, Double, Double) = {
       val m = graft.sim.RetrievalEval
         .evaluate(system.select(col("query_id"), col("rank"),

@@ -56,14 +56,13 @@ object ScanCountSpec {
     * union shapes. Tightening any of these is an improvement; blowing
     * past one is a regression. */
   val Pins: Map[String, Int] = Map(
-    "q_dedup_incremental" -> 12,
-    "q_scd2_merge" -> 8,
+    // q_dedup_incremental (12), q_scd2_merge (8), q_corpus_shuffle (8)
+    // and q_session_funnel (7) were collapsed to one checkpointed
+    // derivation in r15 and now ride the default pin
     "q_dedup_ngram" -> 8,
     "q_dedup_minhash" -> 8,
     "q_dedup_embedding" -> 8,
     "q_dedup_editdist" -> 8,
-    "q_corpus_shuffle" -> 8,
-    "q_session_funnel" -> 7,
     "q_multimodal_dedup" -> 6,
     "q_multimodal_dedup_wide" -> 6,
     "q_sim_pca_topk" -> 5,
