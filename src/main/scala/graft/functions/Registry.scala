@@ -25,5 +25,6 @@ object Registry {
     CmsSketch.register(spark)
     TopKBy.register(spark)
     ArrayMath.register(spark)
+    StringSimilarity.register(spark)
   }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StringSimilarity
+
+/** Blocked fuzzy entity resolution — match each dirty name to its
+  * best clean-dictionary entry by Jaro–Winkler similarity, the
+  * record-linkage join every ingest pipeline runs against a reference
+  * dictionary (suppliers, products, venues) when keys don't exist.
+  *
+  * Scale shape (the reason this is an operator and not a crossJoin):
+  * candidates come from an EQUI-join on a blocking key (the lowercased
+  * name prefix — Jaro–Winkler's own prefix weighting means a
+  * candidate pair worth matching almost always shares one; a
+  * production deployment unions several keys — prefix, suffix,
+  * phonetic — through the same join), so comparison volume is
+  * Σ_block |dirty_b|·|clean_b| instead of |dirty|·|clean|. The verify
+  * is the native codegen'd [[graft.functions.JaroWinkler]] expression
+  * — no UDF in the hot loop — and the best-match pick is a
+  * partial-aggregable `max(struct(sim, −id))` arg-max, never a
+  * per-key window. The clean dictionary is DIMENSION-shaped (distinct
+  * entity names); when it is small it broadcasts and the whole
+  * resolve is one map-side pass over the dirty stream.
+  *
+  * Determinism: JW is a pure per-pair function; ties on sim break to
+  * the smallest clean id, so the match set is layout-independent. */
+object FuzzyJoin {
+
+  /** `dirty(id, name)` ⨝ `clean(id, name)` → one best match per dirty
+    * id with `sim ≥ threshold`. Dirty rows whose block has no
+    * qualifying candidate are absent (inner semantics — the caller
+    * left-joins back if unmatched rows must surface). */
+  def resolve(dirty: DataFrame, clean: DataFrame, blockPrefix: Int,
+      threshold: Double): DataFrame = {
+    val block = (c: org.apache.spark.sql.Column) =>
+      lower(substring(c, 1, blockPrefix))
+    val d = dirty.select(col("id").as("dirty_id"),
+      col("name").as("dirty_name"), block(col("name")).as("blk"))
+    val c = clean.select(col("id").as("clean_id"),
+      col("name").as("clean_name"), block(col("name")).as("blk"))
+    val sim = StringSimilarity.jaroWinkler(
+      col("dirty_name"), col("clean_name"))
+    d.join(broadcast(c), Seq("blk"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= threshold)
+      .groupBy(col("dirty_id"), col("dirty_name"))
+      .agg(max(struct(col("sim"), (-col("clean_id")).as("neg_id"),
+        col("clean_name"))).as("best"))
+      .select(col("dirty_id"), col("dirty_name"),
+        (-col("best.neg_id")).as("matched_id"),
+        col("best.clean_name").as("matched_name"),
+        round(col("best.sim"), 6).as("sim"))
+  }
+}

@@ -2203,6 +2203,91 @@ object ExtraQueries {
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------ Entity resolution
+  /** The clean entity dictionary for the fuzzy-match fixture: DISTINCT
+    * `p_name ⧺ ' ' ⧺ p_type` strings keyed by the smallest part key
+    * holding them (entity resolution runs over a deduped reference
+    * dictionary by definition — matching against raw rows would make
+    * every duplicated string its own best-match ambiguity). */
+  private def entityDict(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit(" "), col("p_type")).as("name"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("name"))
+
+  /** Deterministic "dirty ingest" twin of the dictionary: each entity
+    * string with characters 6 and 7 swapped and character 12 dropped —
+    * a keyboard-transposition + elision typo that leaves the first
+    * five characters (the blocking prefix) intact, as real-world typos
+    * usually do (Damerau '64: ~80% of misspellings are single
+    * transposition/deletion/insertion/substitution). */
+  private def entityDirty(s: SparkSession, d: String): DataFrame =
+    entityDict(s, d).select(
+      (col("id") + lit(1000000L)).as("id"),
+      concat(substring(col("name"), 1, 5),
+        substring(col("name"), 7, 1), substring(col("name"), 6, 1),
+        substring(col("name"), 8, 4),
+        substring(col("name"), 13, 1000000)).as("name"))
+
+  /** Fuzzy entity resolution ([[graft.ops.FuzzyJoin]]): each dirty
+    * (typo'd) entity matched to its best clean-dictionary entry by
+    * the native codegen'd Jaro–Winkler expression
+    * ([[graft.functions.JaroWinkler]] — Spark has levenshtein but no
+    * JW, and ER wants JW's prefix-weighted, length-normalized
+    * comparator), candidates blocked on the 4-char lowercase prefix
+    * so comparison volume is per-block, never |dirty|·|clean|.
+    *
+    * Rows-only: JW doubles are this engine's own fixed IEEE tree —
+    * bit-parity with another engine's implementation is not claimed
+    * (the fingerprint/xxhash64 precedent); the driver-facing
+    * guarantees are [[qEntityResolutionBounds]]'s planted-typo
+    * checks. */
+  def qEntityResolution(s: SparkSession, d: String): DataFrame =
+    graft.ops.FuzzyJoin.resolve(entityDirty(s, d), entityDict(s, d),
+      blockPrefix = 4, threshold = 0.9)
+      .orderBy(col("dirty_id"))
+
+  /** Fail-closed gate for the fuzzy join: every planted dirty entity
+    * is matched (recall 1.0 at θ = 0.9 — measured min self-similarity
+    * ≈ 0.95), every best match is the dirty row's OWN original
+    * (id − 10⁶ — precision of the arg-max against the whole
+    * dictionary), similarities sit in the [0.9, 1) band a
+    * transposition+deletion typo produces (exact 1.0 would mean the
+    * perturbation silently no-opped), and the blocking fan-out stays
+    * dictionary-bounded (max block ≤ 64 candidates — the equi-join's
+    * per-row cost bound). */
+  def qEntityResolutionBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = entityDict(s, d).localCheckpoint(true)
+    val nDict = dict.count()
+    val m = qEntityResolution(s, d).localCheckpoint(true)
+    val a = m.agg(count(lit(1)).as("n"),
+      count(when(col("matched_id") === col("dirty_id") - 1000000L, 1))
+        .as("self_hits"),
+      min(col("sim")).as("min_sim"),
+      max(col("sim")).as("max_sim")).head()
+    val maxBlock = dict
+      .groupBy(lower(substring(col("name"), 1, 4))).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    val ok = nDict > 0 && a.getLong(0) > 0
+    Seq(
+      ("all_planted_typos_matched", ok && a.getLong(0) == nDict),
+      ("best_match_is_own_original", ok && a.getLong(1) == a.getLong(0)),
+      ("blocking_fanout_bounded", ok && maxBlock <= 64L),
+      ("sims_in_typo_band",
+        ok && a.getDouble(2) >= 0.9 && a.getDouble(3) < 1.0))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qEntityResolutionBoundsSql: String =
+    """SELECT * FROM (VALUES ('all_planted_typos_matched', true),
+      |  ('best_match_is_own_original', true),
+      |  ('blocking_fanout_bounded', true), ('sims_in_typo_band', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   // ----------------------------------- Differentially-private counts
   /** Internal: the per-(event_type, day) count frame with its seeded
     * Laplace noise — shared by the release row and the bounds gate so
@@ -2356,6 +2441,8 @@ object ExtraQueries {
       |ORDER BY "check"""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> (qEntityResolution _),
+    "q_entity_resolution_bounds" -> (qEntityResolutionBounds _),
     "q_dp_counts" -> (qDpCounts _),
     "q_curriculum_order" -> (qCurriculumOrder _),
     "q_curriculum_order_approx" -> (qCurriculumOrderApprox _),
@@ -2412,6 +2499,7 @@ object ExtraQueries {
     "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
+    "q_entity_resolution_bounds" -> qEntityResolutionBoundsSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_curriculum_order" -> qCurriculumOrderSql,
     "q_curriculum_order_approx_bounds" -> qCurriculumOrderApproxBoundsSql,

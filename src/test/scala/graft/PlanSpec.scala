@@ -252,6 +252,15 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("fuzzy entity resolution: blocked equi-join broadcasts the dictionary, no cartesian, arg-max is an aggregate") {
+    val p = plan(graft.queries.ExtraQueries.qEntityResolution(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"dictionary not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join planned all-pairs:\n$p")
+    assert(!p.contains("Window"), s"best-match pick must be an aggregate:\n$p")
+    assert(p.contains("jaro_winkler"), s"native JW verify missing:\n$p")
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and
