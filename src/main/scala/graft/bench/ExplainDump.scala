@@ -78,7 +78,8 @@ object ExplainDump {
     "q_embedding_pca", "q_quality_classifier",
     "q_curriculum_order_approx", "q_embedding_drift",
     "q_embedding_drift_psi", "q_retrieval_eval",
-    "q_source_similarity_sketch", "q_entity_resolution")
+    "q_source_similarity_sketch", "q_entity_resolution",
+    "q_forecast_backtest", "q_attribution_position")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

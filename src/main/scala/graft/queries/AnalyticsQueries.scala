@@ -439,6 +439,91 @@ object AnalyticsQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ------------------------------------------------- Forecast backtest
+  /** Rolling forecast backtest — the EVAL harness of the time-series
+    * family (what q_retrieval_eval is to the ANN tiers): per weekly
+    * fold, the error of the two no-parameter reference forecasters
+    * every real model must beat — seasonal-naive ŷ(d) = y(d−7) and
+    * naive ŷ(d) = y(d−1) — over the dense daily revenue series
+    * (Hyndman & Athanasopoulos, "Forecasting" §5.2: the benchmark
+    * backtest). Emitted per fold: day count, actual total, both
+    * absolute-error totals, WAPE for each, and the
+    * seasonal-beats-naive verdict.
+    *
+    * Floats (class-2 integer-exact doctrine): the daily series is
+    * exact integer cents (events.value is 2-decimal quantized), both
+    * error totals are integer sums — partial-agg order-exact — and
+    * each WAPE is ONE terminal division of exact longs (this is why
+    * the metric is WAPE = Σ|err|/Σy and not MAPE: a mean of per-day
+    * rational ratios would be the r12 quantized-mean boundary-sit
+    * class). Eval days are those with BOTH lags defined (day ≥
+    * min+7), so the two WAPEs share one denominator frame.
+    *
+    * Scale shape: one corpus-proportional partial-aggregable groupBy
+    * to the calendar-bounded daily frame; the dense grid, lags, and
+    * fold math run on that bounded frame (the wau/decompose
+    * discipline — the only window is over ≤ |calendar| rows). */
+  def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val dense = grid.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("y7", lag(col("c"), 7).over(w))
+      .withColumn("y1", lag(col("c"), 1).over(w))
+      .filter(col("y7").isNotNull)
+    dense
+      .withColumn("fold",
+        (datediff(col("day"), min(col("day")).over(
+          Window.partitionBy())) / lit(7)).cast("int"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("actual_cents"),
+        sum(abs(col("c") - col("y7"))).as("abs_err_seasonal_cents"),
+        sum(abs(col("c") - col("y1"))).as("abs_err_naive_cents"))
+      .select(col("fold"), col("n_days"), col("actual_cents"),
+        col("abs_err_seasonal_cents"), col("abs_err_naive_cents"),
+        (col("abs_err_seasonal_cents").cast("double") / col("actual_cents"))
+          .as("wape_seasonal"),
+        (col("abs_err_naive_cents").cast("double") / col("actual_cents"))
+          .as("wape_naive"),
+        (col("abs_err_seasonal_cents") < col("abs_err_naive_cents"))
+          .as("seasonal_beats_naive"))
+      .orderBy(col("fold"))
+  }
+
+  val qForecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1
+      |), grid AS (
+      |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+      |                                (SELECT max(day) FROM daily),
+      |                                INTERVAL 1 DAY))::DATE AS day
+      |), dense AS (
+      |  SELECT g.day, coalesce(d.c, 0) AS c,
+      |    lag(coalesce(d.c, 0), 7) OVER (ORDER BY g.day) AS y7,
+      |    lag(coalesce(d.c, 0), 1) OVER (ORDER BY g.day) AS y1
+      |  FROM grid g LEFT JOIN daily d USING (day)
+      |), ev AS (
+      |  SELECT *, CAST((day - (SELECT min(day) FROM dense WHERE y7 IS NOT NULL))
+      |                 // 7 AS INT) AS fold
+      |  FROM dense WHERE y7 IS NOT NULL
+      |)
+      |SELECT fold, count(*) AS n_days,
+      |  CAST(sum(c) AS BIGINT) AS actual_cents,
+      |  CAST(sum(abs(c - y7)) AS BIGINT) AS abs_err_seasonal_cents,
+      |  CAST(sum(abs(c - y1)) AS BIGINT) AS abs_err_naive_cents,
+      |  CAST(sum(abs(c - y7)) AS DOUBLE) / sum(c) AS wape_seasonal,
+      |  CAST(sum(abs(c - y1)) AS DOUBLE) / sum(c) AS wape_naive,
+      |  sum(abs(c - y7)) < sum(abs(c - y1)) AS seasonal_beats_naive
+      |FROM ev GROUP BY fold
+      |ORDER BY fold""".stripMargin
+
   // ------------------------------------------------------- Level-shift scan
   /** Level-shift (change-point) scoring — the drift complement of
     * [[qRollingAnomaly]]'s point-outlier z: at every event, the mean
@@ -1497,6 +1582,104 @@ object AnalyticsQueries {
       |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------ Position-based (U) attribution
+  /** Position-based ("U-shaped") multi-touch attribution — the third
+    * standard model next to last-touch ([[qAttribution]]) and
+    * data-driven removal effect (q_attribution_removal): per
+    * purchase, the ordered touches in the 30-minute lookback split
+    * 100 credit points 40/20/40 — first touch 40, last 40, middles
+    * sharing 20 — rolled up to credit per touch type.
+    *
+    * Exactness spelling: credit is quantized to INTEGER basis points
+    * with largest-remainder apportionment among the middles (base =
+    * 20 div (n−2), the first 20 mod (n−2) middles in touch order get
+    * +1; n = 1 → 100, n = 2 → 50/50), so every purchase distributes
+    * EXACTLY 100 points, corpus rollups are exact integer sums
+    * (partial-agg order-exact — a float 0.2/(n−2) weight would be the
+    * r12 rational-mean class), and the released share is ONE terminal
+    * division by the exact total. The apportionment tie rule is part
+    * of the operator's definition, replayed verbatim by the twin.
+    *
+    * Scale shape: touches meet purchases in the per-user equi-join
+    * with the time bound as a residual predicate (the q_attribution
+    * shape); the position window partitions by PURCHASE — frames
+    * bounded by one user's 30-minute activity, never a hub hazard;
+    * the rollup is a partial-aggregable groupBy over ≤ |types| rows
+    * plus a 1-row broadcast total. */
+  def qAttributionPosition(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("p_us"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("touch_id"), col("us").as("t_us"))
+    val pairs = touches.join(purchases, Seq("user_id"))
+      .filter(col("t_us") >= col("p_us") - lit(1800000000L) &&
+        col("t_us") <= col("p_us"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("t_us"), col("touch_id"))
+    val credited = pairs
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("purchase_id"))))
+      .withColumn("credit",
+        when(col("n") === 1, lit(100))
+          .when(col("n") === 2, lit(50))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(40))
+          .otherwise(expr("20 div (n - 2)") +
+            when(col("pos") - 1 <= pmod(lit(20), col("n") - 2), 1)
+              .otherwise(0)))
+    val total = credited.agg(
+      (countDistinct(col("purchase_id")) * lit(100L)).as("total_points"))
+    credited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("long").as("credit_points"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_touches"), col("credit_points"),
+        (col("credit_points").cast("double") / col("total_points"))
+          .as("credit_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val qAttributionPositionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, event_type, event_id AS touch_id,
+      |    epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+      |), pairs AS (
+      |  SELECT t.*, p.purchase_id FROM t JOIN p USING (user_id)
+      |  WHERE t.t_us >= p.p_us - 1800000000 AND t.t_us <= p.p_us
+      |), pos AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |                       ORDER BY t_us, touch_id) AS pos,
+      |    count(*) OVER (PARTITION BY purchase_id) AS n
+      |  FROM pairs
+      |), credited AS (
+      |  SELECT event_type, purchase_id,
+      |    CASE WHEN n = 1 THEN 100 WHEN n = 2 THEN 50
+      |         WHEN pos = 1 OR pos = n THEN 40
+      |         ELSE 20 // (n - 2) +
+      |           CASE WHEN pos - 1 <= 20 % (n - 2) THEN 1 ELSE 0 END
+      |    END AS credit
+      |  FROM pos
+      |), tot AS (
+      |  SELECT count(DISTINCT purchase_id) * 100 AS total_points
+      |  FROM credited
+      |)
+      |SELECT event_type, count(*) AS n_touches,
+      |  CAST(sum(credit) AS BIGINT) AS credit_points,
+      |  CAST(sum(credit) AS DOUBLE) / (SELECT total_points FROM tot)
+      |    AS credit_share
+      |FROM credited GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------ Retention
   /** Weekly cohort retention: users grouped by the ISO week of their
@@ -3294,6 +3477,8 @@ object AnalyticsQueries {
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_ewma_smooth" -> (qEwmaSmooth _),
+    "q_forecast_backtest" -> (qForecastBacktest _),
+    "q_attribution_position" -> (qAttributionPosition _),
     "q_level_shift" -> (qLevelShift _),
     "q_acf" -> (qAcf _),
     "q_xcorr_lagged" -> (qXcorrLagged _),
@@ -3341,6 +3526,8 @@ object AnalyticsQueries {
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_ewma_smooth" -> qEwmaSmoothSql,
+    "q_forecast_backtest" -> qForecastBacktestSql,
+    "q_attribution_position" -> qAttributionPositionSql,
     "q_level_shift" -> qLevelShiftSql,
     "q_acf" -> qAcfSql,
     "q_xcorr_lagged" -> qXcorrLaggedSql,
