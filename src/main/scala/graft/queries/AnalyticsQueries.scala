@@ -1622,6 +1622,9 @@ object AnalyticsQueries {
         col("t_us") <= col("p_us"))
     val w = Window.partitionBy(col("purchase_id"))
       .orderBy(col("t_us"), col("touch_id"))
+    // credited feeds BOTH the total and the per-type rollup — cut once
+    // (the scan gate caught the un-checkpointed draft at 4 events
+    // scans); the frame is pairs-sized, bounded by touches × lookback
     val credited = pairs
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
@@ -1633,6 +1636,7 @@ object AnalyticsQueries {
           .otherwise(expr("20 div (n - 2)") +
             when(col("pos") - 1 <= pmod(lit(20), col("n") - 2), 1)
               .otherwise(0)))
+      .localCheckpoint(true)
     val total = credited.agg(
       (countDistinct(col("purchase_id")) * lit(100L)).as("total_points"))
     credited.groupBy(col("event_type"))

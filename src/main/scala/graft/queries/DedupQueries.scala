@@ -812,7 +812,12 @@ object DedupQueries {
       .select(col("source_a"), col("source_b"), col("jaccard_est"))
     val exact = qSourceSimilarity(s, d)
       .select(col("source_a"), col("source_b"), col("jaccard"))
-    val nSources = Tables.documents(s, d).select(col("source")).distinct().count()
+    // the grid is complete over sources that OWN a signature (≥ one
+    // 3-token document) — counting raw document sources would
+    // false-fail the gate whenever a source has only sub-3-token
+    // docs, which both tiers consistently exclude (r15 review)
+    val nSources = sourceShingles(s, d)
+      .select(col("source")).distinct().count()
     val expectedPairs = nSources * (nSources - 1) / 2
     val joined = est.join(exact, Seq("source_a", "source_b"), "left")
       .select(col("jaccard_est"),
@@ -822,7 +827,10 @@ object DedupQueries {
         count(when(col("jaccard_est") < 0 || col("jaccard_est") > 1, 1))
           .as("oor"))
       .head()
-    val (n, maxErr, oor) = (joined.getLong(0), joined.getDouble(1),
+    // empty estimate frame → NULL max_err: read 1.0 (fails the band)
+    // rather than NPE before the fail-closed rows build
+    val (n, maxErr, oor) = (joined.getLong(0),
+      if (joined.isNullAt(1)) 1.0 else joined.getDouble(1),
       joined.getLong(2))
     val ok = n > 0 && nSources > 1
     Seq(

@@ -451,7 +451,10 @@ object ExtraQueries {
     val epochRows = drawn.groupBy(col("ep"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("w"))
       .collect()
-    val totW = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    // no positive-weight docs → NULL sum: read 1 so the shares fail
+    // the lift floor instead of NPE-ing before the fail-closed rows
+    val totWRow = docs.agg(sum(col("n_chars"))).head()
+    val totW = if (totWRow.isNullAt(0)) 1L else totWRow.getLong(0)
     val exactK = epochRows.length == epochs &&
       epochRows.forall(_.getLong(1) == kEff)
     val uniformShare = kEff.toDouble / math.max(1L, n)
@@ -2216,14 +2219,16 @@ object ExtraQueries {
       .groupBy(col("name")).agg(min(col("p_partkey")).as("id"))
       .select(col("id"), col("name"))
 
-  /** Deterministic "dirty ingest" twin of the dictionary: each entity
-    * string with characters 6 and 7 swapped and character 12 dropped —
-    * a keyboard-transposition + elision typo that leaves the first
-    * five characters (the blocking prefix) intact, as real-world typos
-    * usually do (Damerau '64: ~80% of misspellings are single
-    * transposition/deletion/insertion/substitution). */
-  private def entityDirty(s: SparkSession, d: String): DataFrame =
-    entityDict(s, d).select(
+  /** Deterministic "dirty ingest" twin of a dictionary frame: each
+    * entity string with characters 6 and 7 swapped and character 12
+    * dropped — a keyboard-transposition + elision typo that leaves the
+    * first five characters (the blocking prefix) intact, as real-world
+    * typos usually do (Damerau '64: ~80% of misspellings are single
+    * transposition/deletion/insertion/substitution). Takes the dict
+    * FRAME so callers derive the part groupBy once (r15 review: the
+    * draft rebuilt it three times per gate run). */
+  private def entityDirtyFrom(dict: DataFrame): DataFrame =
+    dict.select(
       (col("id") + lit(1000000L)).as("id"),
       concat(substring(col("name"), 1, 5),
         substring(col("name"), 7, 1), substring(col("name"), 6, 1),
@@ -2243,10 +2248,14 @@ object ExtraQueries {
     * (the fingerprint/xxhash64 precedent); the driver-facing
     * guarantees are [[qEntityResolutionBounds]]'s planted-typo
     * checks. */
-  def qEntityResolution(s: SparkSession, d: String): DataFrame =
-    graft.ops.FuzzyJoin.resolve(entityDirty(s, d), entityDict(s, d),
+  def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    // one dictionary derivation feeds both join sides (clean + the
+    // perturbed dirty twin)
+    val dict = entityDict(s, d).localCheckpoint(true)
+    graft.ops.FuzzyJoin.resolve(entityDirtyFrom(dict), dict,
       blockPrefix = 4, threshold = 0.9)
       .orderBy(col("dirty_id"))
+  }
 
   /** Fail-closed gate for the fuzzy join: every planted dirty entity
     * is matched (recall 1.0 at θ = 0.9 — measured min self-similarity

@@ -928,6 +928,12 @@ object SimilarityQueries {
 
   val qRetrievalEvalSql: String = {
     val idcg = graft.sim.RetrievalEval.idealDcg(TopK)
+    // CASE arms generated from the same literal table idealDcg uses —
+    // a hardcoded 1..5 list would silently emit NULL dcg for ranks
+    // beyond 5 if TopK ever grew (r15 review finding)
+    val discountCase = (1 to TopK).map(i =>
+      s"WHEN $i THEN ${graft.sim.RetrievalEval.Log2Discount(i - 1)}")
+      .mkString(" ")
     s"""WITH qf AS (
        |  SELECT vec_id AS query_id, embedding AS qe
        |  FROM embeddings WHERE vec_id < $NumQueries
@@ -968,10 +974,7 @@ object SimilarityQueries {
        |    min(sys_rank) FILTER (gold_rank IS NOT NULL) AS fr,
        |    sum(CASE WHEN gold_rank IS NOT NULL
        |      THEN CAST(${TopK + 1} - gold_rank AS DOUBLE) /
-       |        (CASE sys_rank WHEN 1 THEN 1.0
-       |          WHEN 2 THEN 1.5849625007211562 WHEN 3 THEN 2.0
-       |          WHEN 4 THEN 2.321928094887362
-       |          WHEN 5 THEN 2.584962500721156 END)
+       |        (CASE sys_rank $discountCase END)
        |      ELSE 0.0 END) AS dcg_raw
        |  FROM j GROUP BY query_id
        |)
@@ -1004,7 +1007,10 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"), min(col("recall_at_k")).as("r"),
           min(col("mrr")).as("m"), min(col("ndcg")).as("d"))
         .head()
-      (m.getLong(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+      // an empty tier makes the mins NULL — read −1 (fails every
+      // floor) instead of throwing before the fail-closed rows build
+      def d(i: Int) = if (m.isNullAt(i)) -1.0 else m.getDouble(i)
+      (m.getLong(0), d(1), d(2), d(3))
     }
     val tiers = Seq(
       "ivf" -> qSimIvf(s, d),
@@ -1119,7 +1125,18 @@ object SimilarityQueries {
     * observed-bin grid, per-bin psi_term round(9). */
   private[graft] def driftPsiFinalize(sources: DataFrame, ref: DataFrame,
       cur: DataFrame): DataFrame = {
-    val grid = sources.crossJoin(broadcast(ref))
+    // bin domain = ref ∪ cur bins: live mass landing in a bin the
+    // frozen reference never saw must ENTER the grid with n_ref = 0
+    // (+1 smoothing keeps the term defined), not silently drop — a
+    // drifted batch concentrated in unseen bins is exactly the
+    // loudest signal the monitor exists for (r15 review finding; on
+    // the batch twin cur bins ⊆ ref bins so this is value-neutral
+    // there, and the hash oracle pins that)
+    val bins = ref.select(col("bin"))
+      .union(cur.select(col("bin"))).distinct()
+      .join(ref, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref"))
+    val grid = sources.crossJoin(broadcast(bins))
       .join(cur, Seq("source", "bin"), "left")
       .na.fill(0L, Seq("n_cur"))
     val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
@@ -1279,20 +1296,25 @@ object SimilarityQueries {
     // read a louder PSI than every natural slice
     val refBins = grid.map(r => (r.getInt(1), r.getLong(2))).distinct.sortBy(_._1)
     val b = refBins.length
-    val maxBin = refBins.map(_._1).max
     // shifted count for bin = Σ ref counts whose min(src+3, maxBin)
-    // lands on bin (mass clamps at the top of the observed grid)
-    val shiftCounts = refBins.map { case (bin, _) =>
-      refBins.filter { case (b2, _) =>
-        math.min(b2 + 3, maxBin) == bin }.map(_._2).sum
+    // lands on bin (mass clamps at the top of the observed grid);
+    // an empty grid skips the probe — `ok` already reads false then
+    // (empty.max would otherwise throw before the fail-closed rows
+    // are built — r15 review finding)
+    val shiftPsi = if (refBins.isEmpty) 0.0 else {
+      val maxBin = refBins.map(_._1).max
+      val shiftCounts = refBins.map { case (bin, _) =>
+        refBins.filter { case (b2, _) =>
+          math.min(b2 + 3, maxBin) == bin }.map(_._2).sum
+      }
+      val tr = refBins.map(_._2).sum
+      val tm = shiftCounts.sum
+      refBins.zip(shiftCounts).map { case ((_, nr), nm) =>
+        val pr = (nr + 1).toDouble / (tr + b)
+        val pc = (nm + 1).toDouble / (tm + b)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
     }
-    val tr = refBins.map(_._2).sum
-    val tm = shiftCounts.sum
-    val shiftPsi = refBins.zip(shiftCounts).map { case ((_, nr), nm) =>
-      val pr = (nr + 1).toDouble / (tr + b)
-      val pc = (nm + 1).toDouble / (tm + b)
-      (pc - pr) * math.log(pc / pr)
-    }.sum
     val ok = grid.nonEmpty && corpusN > 0
     Seq(
       ("psi_terms_nonnegative", ok && negTerms == 0),

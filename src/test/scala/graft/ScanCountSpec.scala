@@ -25,6 +25,13 @@ class ScanCountSpec extends SparkSpec {
   import ScanCountSpec._
 
   test("Showcase plans: per-fact-table parquet scan counts stay within pins") {
+    // measure from a DEFINED cache state: Spark's CacheManager
+    // substitutes any logically-equal cached subplan into new plans,
+    // so frames persisted by earlier suites change scan counts either
+    // direction (observed: q_dedup_ngram read 8 standalone, 16 after
+    // the full suite's cache history) — clear once so the pins mean
+    // the same thing in every run order
+    spark.catalog.clearCache()
     val violations = ExplainDump.Showcase.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

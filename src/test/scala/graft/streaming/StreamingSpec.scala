@@ -738,11 +738,18 @@ class StreamingSpec extends SparkSpec {
   test("streaming embedding drift: finalize(folded state) == the batch PSI frame bit-for-bit") {
     import java.nio.file.{Files => JFiles}
     // the embedding "stream": corpus vectors tagged with their source
+    // materialize BEFORE randomSplit: the join's row order is not
+    // deterministic across re-executions, and randomSplit re-runs its
+    // parent per split — an un-pinned order can land a row in both
+    // splits or neither (observed as an intermittent full-suite
+    // failure; the sibling specs split raw table scans, which are
+    // order-stable)
     val emb = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding"))
       .join(Tables.documents(spark, sf001)
         .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
       .select(col("source"), col("embedding"))
+      .localCheckpoint(true)
     val dir = JFiles.createTempDirectory("graft-drift-stream")
     // two trigger batches: a (source, bin) cell split across triggers
     // must fold its counts; the frozen centroid must NOT depend on
@@ -766,6 +773,23 @@ class StreamingSpec extends SparkSpec {
       .qEmbeddingDriftPsi(spark, sf001).collect().map(_.toString)
     assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+  }
+
+  test("streaming drift finalize: mass in a bin the frozen reference never saw enters the grid loudly") {
+    import spark.implicits._
+    // frozen reference saw only bin 5; the live batch puts half its
+    // mass in bin 0 — the unseen bin must appear with n_ref = 0 and a
+    // strongly positive psi term, not silently drop (a drifted batch
+    // concentrated in unseen bins is the loudest possible signal)
+    val state = Seq(("s1", 0, 50L), ("s1", 5, 50L))
+      .toDF("source", "bin", "n_cur")
+    val out = Streaming.embDriftFinalize(state, Seq((5, 100L)))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0, 5), s"grid bins: ${out.toSeq}")
+    val bin0 = out.head
+    assert(bin0._2 == 0L && bin0._3 == 50L, s"unseen bin row: $bin0")
+    assert(bin0._4 > 1.0, s"unseen-bin psi term should be loud: $bin0")
   }
 
   test("streaming WAU sketches: finalize(folded day state) matches exact WAU within HLL error") {
