@@ -463,10 +463,28 @@ object AnalyticsQueries {
     * to the calendar-bounded daily frame; the dense grid, lags, and
     * fold math run on that bounded frame (the wau/decompose
     * discipline — the only window is over ≤ |calendar| rows). */
-  def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def qForecastBacktest(s: SparkSession, d: String): DataFrame =
+    forecastBacktestFinalize(forecastDailyCents(Tables.events(s, d)))
+
+  /** The corpus-proportional half: per-day exact integer cent sums —
+    * also the streaming face's aggregation state shape (one long per
+    * calendar day, bounded by the calendar, not stream length). */
+  def forecastDailyCents(events: DataFrame): DataFrame =
+    events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * lit(100)).cast("long")).as("c"))
+
+  /** The deterministic readout over a (day, c) counts frame — ONE
+    * finalize shared by the batch query and the streaming face
+    * (the psiFinalize hinge: stream == batch iff the counts agree,
+    * because everything downstream is this function). All integer
+    * arithmetic until the two terminal WAPE divisions, so
+    * finalize(folded state) replays the batch frame bit-for-bit. */
+  def forecastBacktestFinalize(daily0: DataFrame): DataFrame = {
+    // snapshot: the grid consumes the counts frame twice (bounds +
+    // join), and a streaming memory-sink table on both sides of a
+    // join trips conflicting-reference resolution
+    val daily = daily0.select(col("day"), col("c")).localCheckpoint(true)
     val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val w = Window.orderBy(col("day"))

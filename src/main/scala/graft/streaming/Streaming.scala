@@ -337,6 +337,26 @@ object Streaming {
       .agg(count(lit(1)).as("n_cur"))
   }
 
+  /** Streaming face of the forecast backtest
+    * ([[graft.queries.AnalyticsQueries.qForecastBacktest]]) — the live
+    * half of the time-series eval harness: per-day exact integer cent
+    * sums accumulate as native streaming-aggregation state (the
+    * batch twin's own [[graft.queries.AnalyticsQueries
+    * .forecastDailyCents]] binning, so the faces cannot bin
+    * differently; one long per calendar day — bounded by the
+    * calendar, not stream length), and the dense-grid / lag / fold /
+    * WAPE arithmetic runs only at finalize on the sink through the
+    * ONE shared [[graft.queries.AnalyticsQueries
+    * .forecastBacktestFinalize]]. Everything before the two terminal
+    * divisions is integer-exact, so StreamingSpec pins
+    * finalize(folded state) == the batch frame BIT-FOR-BIT once the
+    * stream drains — the dpCounts contract, not a tolerance band. */
+  def forecastDailyState(events: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.forecastDailyCents(events)
+
+  def forecastFinalize(state: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.forecastBacktestFinalize(state)
+
   /** Deterministic readout over the accumulated per-(source, bin)
     * state: the batch twin's own grid/smoothing/term arithmetic
     * ([[graft.queries.SimilarityQueries.driftPsiFinalize]]) against

@@ -775,6 +775,29 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
   }
 
+  test("streaming forecast backtest: finalize(folded day state) == the batch frame bit-for-bit") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001).select(col("ts"), col("value"))
+    val dir = JFiles.createTempDirectory("graft-forecast-stream")
+    // two trigger batches: a day's cents split across triggers must
+    // fold into one exact sum before the finalize sees it
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 19L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.forecastDailyState(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("forecast_daily")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streaming.forecastFinalize(spark.table("forecast_daily"))
+      .collect().map(_.toString)
+    val batch = graft.queries.AnalyticsQueries
+      .qForecastBacktest(spark, sf001).collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+  }
+
   test("streaming drift finalize: mass in a bin the frozen reference never saw enters the grid loudly") {
     import spark.implicits._
     // frozen reference saw only bin 5; the live batch puts half its
