@@ -79,7 +79,8 @@ object ExplainDump {
     "q_curriculum_order_approx", "q_embedding_drift",
     "q_embedding_drift_psi", "q_retrieval_eval",
     "q_source_similarity_sketch", "q_entity_resolution",
-    "q_forecast_backtest", "q_attribution_position")
+    "q_forecast_backtest", "q_attribution_position",
+    "q_expectations_events")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -258,8 +258,52 @@ object QualityQueries {
       |  ('weights_full_width', true)) t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  /** The events-stream expectations report — the BATCH twin of the
+    * live validation gate ([[graft.streaming.Streaming]]'s
+    * expectationCounts/expectationsFinalize faces; this query runs the
+    * identical counts + finalize composition over the static table, so
+    * the replay spec's bit-for-bit claim has a driver-visible
+    * hash-green anchor). Count-mergeable checks only (Complete /
+    * InRange / InSet — Unique needs a distinct and stays in
+    * q_expectations' batch algebra); the known-type check appears at
+    * two budgets so both verdict paths are exercised. ONE
+    * conditional-aggregation pass, one state row, fractions =
+    * round(Σ indicator / n, 9) — the q_expectations float precedent. */
+  def qExpectationsEvents(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.expectationsFinalize(
+      graft.streaming.Streaming.expectationCounts(Tables.events(s, d)))
+
+  val qExpectationsEventsSql: String =
+    """WITH c AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_complete_user,
+      |    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
+      |        THEN 1 ELSE 0 END) AS v_value_range,
+      |    sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+      |        ('view','click','purchase','signup') THEN 1 ELSE 0 END)
+      |      AS v_known_type,
+      |    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts_present
+      |  FROM events
+      |), r AS (
+      |  SELECT 'complete(user_id)' AS "check",
+      |    round(CAST(v_complete_user AS DOUBLE) / n, 9) AS violation_fraction,
+      |    0.0 AS tolerance FROM c
+      |  UNION ALL SELECT 'in_range(value,0,400)',
+      |    round(CAST(v_value_range AS DOUBLE) / n, 9), 0.01 FROM c
+      |  UNION ALL SELECT 'known_type_budget25',
+      |    round(CAST(v_known_type AS DOUBLE) / n, 9), 0.25 FROM c
+      |  UNION ALL SELECT 'known_type_budget10',
+      |    round(CAST(v_known_type AS DOUBLE) / n, 9), 0.10 FROM c
+      |  UNION ALL SELECT 'complete(ts)',
+      |    round(CAST(v_ts_present AS DOUBLE) / n, 9), 0.0 FROM c
+      |)
+      |SELECT "check", violation_fraction, tolerance,
+      |  violation_fraction <= tolerance AS passed
+      |FROM r ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expectations" -> (qExpectations _),
+    "q_expectations_events" -> (qExpectationsEvents _),
     "q_token_budget" -> (qTokenBudget _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_table_profile" -> (qTableProfile _),
@@ -268,6 +312,7 @@ object QualityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_expectations" -> qExpectationsSql,
+    "q_expectations_events" -> qExpectationsEventsSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_table_profile" -> qTableProfileSql,

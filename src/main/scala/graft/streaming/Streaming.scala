@@ -337,6 +337,59 @@ object Streaming {
       .agg(count(lit(1)).as("n_cur"))
   }
 
+  /** Streaming face of the data-quality expectations gate
+    * ([[graft.ops.Expectations]] / q_expectations_events) — the live
+    * half of the validation gate an ingest pipeline runs before a
+    * batch lands: per-check VIOLATION COUNTS plus the row count
+    * accumulate as one global streaming-aggregation state row (the
+    * count-mergeable subset of the expectations algebra — Complete /
+    * InRange / InSet / Satisfies; Unique needs a distinct and stays a
+    * batch/HLL-tier check, the documented split), and the fraction /
+    * verdict arithmetic runs only at [[expectationsFinalize]] on the
+    * sink. `avg(indicator)` on the batch side equals
+    * `Σ indicator / n` here EXACTLY (sums of 1.0 are integer-valued
+    * doubles), so StreamingSpec pins finalize(folded state) == the
+    * batch report bit-for-bit — the dpCounts contract.
+    *
+    * Scale/state: ONE row of longs regardless of stream length; the
+    * aggregation partial-aggregates map-side per trigger. */
+  def expectationCounts(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L))
+        .as("v_complete_user"),
+      sum(when(col("value").isNotNull &&
+        (col("value") < 0.0 || col("value") > 400.0), 1L).otherwise(0L))
+        .as("v_value_range"),
+      sum(when(col("event_type").isNotNull &&
+        !col("event_type").isin("view", "click", "purchase", "signup"),
+        1L).otherwise(0L)).as("v_known_type"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts_present"))
+
+  /** The (check, violation_fraction, tolerance, passed) report over an
+    * accumulated counts row — shared verbatim by the batch query and
+    * the streaming sink. The known-type check appears TWICE, once with
+    * a 25% violation budget (tolerated — the harness 'error' type is
+    * ~20% of the stream) and once with 10% (failing), so the report's
+    * pass AND fail paths are both exercised, the q_expectations
+    * fixture discipline. */
+  def expectationsFinalize(state: DataFrame): DataFrame = {
+    val checks = Seq(
+      ("complete(user_id)", "v_complete_user", 0.0),
+      ("in_range(value,0,400)", "v_value_range", 0.01),
+      ("known_type_budget25", "v_known_type", 0.25),
+      ("known_type_budget10", "v_known_type", 0.10),
+      ("complete(ts)", "v_ts_present", 0.0))
+    val stackArgs = checks.map { case (nm, c, tol) =>
+      s"'$nm', round(CAST($c AS DOUBLE) / n, 9), CAST($tol AS DOUBLE)"
+    }.mkString(", ")
+    state
+      .selectExpr(
+        s"stack(${checks.size}, $stackArgs) AS (check, violation_fraction, tolerance)")
+      .withColumn("passed", col("violation_fraction") <= col("tolerance"))
+      .orderBy(col("check"))
+  }
+
   /** Streaming face of the forecast backtest
     * ([[graft.queries.AnalyticsQueries.qForecastBacktest]]) — the live
     * half of the time-series eval harness: per-day exact integer cent

@@ -775,6 +775,34 @@ class StreamingSpec extends SparkSpec {
       s"${streamed.length} streamed rows vs ${batch.length} batch rows")
   }
 
+  test("streaming expectations: finalize(folded counts) == the batch report bit-for-bit") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val dir = JFiles.createTempDirectory("graft-expect-stream")
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 23L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.expectationCounts(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("expect_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streaming.expectationsFinalize(spark.table("expect_counts"))
+      .collect().map(_.toString)
+    val batch = graft.queries.QualityQueries
+      .qExpectationsEvents(spark, sf001).collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"${streamed.length} streamed rows vs ${batch.length} batch rows")
+    // both verdict paths exercised: the 25%-budget row passes on the
+    // ~20% unknown-type stream, the 10%-budget twin fails
+    val verdicts = graft.queries.QualityQueries
+      .qExpectationsEvents(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(verdicts("known_type_budget25") && !verdicts("known_type_budget10"))
+  }
+
   test("streaming forecast backtest: finalize(folded day state) == the batch frame bit-for-bit") {
     import java.nio.file.{Files => JFiles}
     val ev = Tables.events(spark, sf001).select(col("ts"), col("value"))
