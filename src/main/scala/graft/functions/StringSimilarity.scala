@@ -61,19 +61,86 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 /** The loop kernel, shared by interpreted eval and generated code
   * (Scala object members compile with static forwarders, so the
-  * codegen call site is a plain static invocation). */
+  * codegen call site is a plain static invocation).
+  *
+  * Two paths, identical results: ASCII inputs (`numBytes == numChars`
+  * — one UTF-8 byte per char, the overwhelmingly common case for the
+  * entity names this kernel verifies) run directly on the unsafe
+  * UTF8String bytes via `getByte`, allocating nothing but the two
+  * match-flag arrays; non-ASCII inputs fall back to a `toString`
+  * UTF-16 char loop (correct for any content — per-code-unit
+  * comparison, the same unit the ASCII path's bytes map to 1:1).
+  * The r15 version ran toString on EVERY pair, boxing two Strings in
+  * the verify hot loop; the ADVICE fix makes the scaladoc's
+  * "on the unsafe bytes" claim true where it matters. */
 object JaroWinklerAlgo {
 
   /** Standard Jaro–Winkler: match window ⌊max(la,lb)/2⌋−1,
     * transpositions = mismatched matched-char pairs / 2, prefix boost
     * ℓ·0.1·(1−jaro) with ℓ ≤ 4. */
   def similarity(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
-    val la = s.length
-    val lb = t.length
+    val la = a.numBytes()
+    val lb = b.numBytes()
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
+    if (la == a.numChars() && lb == b.numChars()) asciiSimilarity(a, b, la, lb)
+    else {
+      val s = a.toString
+      val t = b.toString
+      charSimilarity(s, t, s.length, t.length)
+    }
+  }
+
+  /** Byte-loop path: valid when both sides are pure ASCII (byte i IS
+    * char i). No String materialization. */
+  private def asciiSimilarity(a: UTF8String, b: UTF8String,
+      la: Int, lb: Int): Double = {
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val sMatch = new Array[Boolean](la)
+    val tMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && a.getByte(i) == b.getByte(j)) {
+          sMatch(i) = true
+          tMatch(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var halfTrans = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (a.getByte(i) != b.getByte(k)) halfTrans += 1
+        k += 1
+      }
+      i += 1
+    }
+    finish(m, halfTrans, la, lb, prefixLenAscii(a, b, la, lb))
+  }
+
+  private def prefixLenAscii(a: UTF8String, b: UTF8String,
+      la: Int, lb: Int): Int = {
+    var prefix = 0
+    while (prefix < math.min(4, math.min(la, lb)) &&
+      a.getByte(prefix) == b.getByte(prefix)) prefix += 1
+    prefix
+  }
+
+  /** UTF-16 char-loop fallback for non-ASCII inputs. */
+  private def charSimilarity(s: String, t: String, la: Int, lb: Int): Double = {
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val sMatch = new Array[Boolean](la)
     val tMatch = new Array[Boolean](lb)
@@ -107,11 +174,18 @@ object JaroWinklerAlgo {
       }
       i += 1
     }
-    val trans = halfTrans / 2.0
-    val jaro = (m.toDouble / la + m.toDouble / lb + (m - trans) / m) / 3.0
     var prefix = 0
     while (prefix < math.min(4, math.min(la, lb)) &&
       s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    finish(m, halfTrans, la, lb, prefix)
+  }
+
+  /** The shared terminal IEEE tree — ONE spelling for both paths so
+    * they cannot drift by association order. */
+  private def finish(m: Int, halfTrans: Int, la: Int, lb: Int,
+      prefix: Int): Double = {
+    val trans = halfTrans / 2.0
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - trans) / m) / 3.0
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

@@ -1268,10 +1268,11 @@ object SimilarityQueries {
     * deviation means a dropped grid cell), every psi_term is ≥ 0 (each
     * (p−q)·ln(p/q) term is individually non-negative — a negative one
     * means the share pairing broke), the slices cover the corpus
-    * exactly, and the monitor has POWER: a deliberately mirrored
-    * distribution (bins reversed — a gross direction flip) must read
-    * a larger PSI than every natural source slice, else the readout
-    * couldn't distinguish real drift from slice noise. */
+    * exactly, and the monitor has POWER: a deliberately shifted
+    * distribution (every bin's mass moved 3 bins right, clamped at
+    * the top of the observed grid — a gross mean-direction drift)
+    * must read a larger PSI than every natural source slice, else the
+    * readout couldn't distinguish real drift from slice noise. */
   def qEmbeddingDriftBounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the whole grid is (|sources| × ≤10) rows — a documented bounded

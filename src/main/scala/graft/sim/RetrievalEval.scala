@@ -46,12 +46,22 @@ object RetrievalEval {
     }
 
   /** Per-query metrics frame: query_id, n_gold, hits, recall_at_k,
-    * mrr, dcg, ndcg — sorted by query_id. */
+    * mrr, dcg, ndcg — sorted by query_id.
+    *
+    * Input contract ENFORCED, not just documented (r15 ADVICE): system
+    * rows are filtered to rank ∈ [1, k] before anything else — a
+    * caller handing a deeper ranking than it evaluates at (rank > k)
+    * would otherwise feed [[discount]]'s NaN fallback and silently
+    * corrupt dcg/ndcg (and the SQL twin's CASE would return NULL,
+    * dropping terms). Truncating to the top-k prefix IS the @k
+    * semantics, so over-deep input now evaluates correctly instead of
+    * poisoning the metrics. */
   def evaluate(system: DataFrame, gold: DataFrame, k: Int): DataFrame = {
     val g = gold.select(col("query_id"), col("neighbor_id"),
       col("rank").as("gold_rank"))
     val joined = system
       .select(col("query_id"), col("rank").as("sys_rank"), col("neighbor_id"))
+      .filter(col("sys_rank") >= 1 && col("sys_rank") <= k)
       .join(g, Seq("query_id", "neighbor_id"), "left")
     val rel = when(col("gold_rank").isNotNull,
       (lit(k + 1) - col("gold_rank")).cast("double")).otherwise(lit(0.0))

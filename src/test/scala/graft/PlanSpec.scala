@@ -261,6 +261,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("jaro_winkler"), s"native JW verify missing:\n$p")
   }
 
+  test("fuzzy join size guard: an over-threshold dictionary is NEVER forced through a broadcast (r15 weak)") {
+    import org.apache.spark.sql.functions._
+    // same fixture as qEntityResolution, but with the broadcast cap
+    // below the dictionary size: the hint must vanish and the plan
+    // fall back to a shuffled equi-join on blk (AQE may still promote
+    // a byte-small side at RUNTIME — assert on the pre-AQE initial
+    // plan, where only the explicit hint can produce a broadcast).
+    val dict = Tables.part(spark, sf001)
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit(" "), col("p_type")).as("name"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("name"))
+      .localCheckpoint(true)
+    val dirty = dict.select((col("id") + 1000000L).as("id"), col("name"))
+    // isolate the HINT from Catalyst's own size-based promotion: with
+    // auto-broadcast off, only an explicit hint can produce a
+    // BroadcastHashJoin — at real scale the same separation happens
+    // via stats (a 50M-row dictionary is far above the threshold)
+    val guarded = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val g = graft.ops.FuzzyJoin.resolve(dirty, dict,
+        blockPrefix = 4, threshold = 0.9, broadcastMaxRows = 1L)
+      val init = g.queryExecution.sparkPlan.toString
+      assert(!init.contains("BroadcastHashJoin") && !init.contains("BroadcastExchange"),
+        s"over-cap dictionary still broadcast in the initial plan:\n$init")
+      assert(init.contains("SortMergeJoin") || init.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join fallback:\n$init")
+      // under-cap keeps the map-side plan even with auto-broadcast off
+      val h = graft.ops.FuzzyJoin.resolve(dirty, dict,
+        blockPrefix = 4, threshold = 0.9)
+      assert(h.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "under-cap dictionary lost its broadcast hint")
+      g.collect().toSet
+    }
+    // and the guarded path returns the same matches as the hinted one
+    val hinted = graft.ops.FuzzyJoin.resolve(dirty, dict,
+      blockPrefix = 4, threshold = 0.9)
+    assert(hinted.collect().toSet == guarded,
+      "guarded and broadcast plans disagree on the match set")
+  }
+
   test("custdist (Q13): both aggregations partial (map-side combine before each shuffle)") {
     val p = plan(JoinQueries.qCustdist(spark, sf001))
     // partial_count markers appear for both the per-customer count and

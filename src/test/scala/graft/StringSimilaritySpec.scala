@@ -39,6 +39,51 @@ class StringSimilaritySpec extends SparkSpec {
       assert(jw(a, b) == jw(b, a), s"asymmetric for $a/$b")
   }
 
+  test("ASCII byte path agrees with an independent char-loop reference") {
+    // reference: the textbook char-array formulation, written fresh so
+    // a bug in the kernel's byte path can't hide in shared code
+    def ref(s: String, t: String): Double = {
+      val (la, lb) = (s.length, t.length)
+      if (la == 0 && lb == 0) return 1.0
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(0, math.max(la, lb) / 2 - 1)
+      val sm = Array.fill(la)(false); val tm = Array.fill(lb)(false)
+      var m = 0
+      for (i <- 0 until la) {
+        var j = math.max(0, i - window)
+        var found = false
+        while (j <= math.min(lb - 1, i + window) && !found) {
+          if (!tm(j) && s(i) == t(j)) { sm(i) = true; tm(j) = true; m += 1; found = true }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var ht = 0; var k = 0
+      for (i <- 0 until la if sm(i)) {
+        while (!tm(k)) k += 1
+        if (s(i) != t(k)) ht += 1
+        k += 1
+      }
+      val jaro = (m.toDouble / la + m.toDouble / lb + (m - ht / 2.0) / m) / 3.0
+      val p = (0 until math.min(4, math.min(la, lb)))
+        .takeWhile(i => s(i) == t(i)).size
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh "
+    def word() = (0 to rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 500) {
+      val (a, b) = (word(), word())
+      assert(jw(a, b) == ref(a, b), s"byte path diverged on '$a'/'$b'")
+      // same pair pushed onto the non-ASCII fallback (é in both) must
+      // track the reference on the extended strings too
+      val (a2, b2) = (a + "é", b + "é")
+      assert(jw(a2, b2) == ref(a2, b2), s"char path diverged on '$a2'/'$b2'")
+    }
+    // mixed-path pair (one side ASCII, one not) routes the fallback
+    assert(jw("café", "cafe") == ref("café", "cafe"))
+  }
+
   test("expression evaluates through codegen and SQL, null-safe") {
     import spark.implicits._
     StringSimilarity.register(spark)
