@@ -121,6 +121,65 @@ object Soak {
     }.reduce(_.unionByName(_))
   }
 
+  /** GRAFT_SOAK_AXIS=dirty — the entity-resolution soak the r15
+    * verdict asked for: the DIRTY side scales (each variant j a
+    * DIFFERENT parametric typo of the whole dictionary, ids at
+    * disjoint VariantStride offsets) while the clean dictionary stays
+    * FIXED (the sf0.1 part-derived dict). Block volume is
+    * Σ_b |dirty_b|·|clean_b| = scale × (day-1 volume), so the
+    * expected exponent is ≤ 1; the probe line prints the block-skew
+    * numbers behind that claim (max clean/dirty block, total
+    * candidate volume) so a silent hot-prefix regression reads as a
+    * super-linear band_vol, not just a slow wall clock. */
+  private def erSoak(spark: SparkSession, scales: Seq[Int], src: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val dict = graft.queries.ExtraQueries.entityDict(spark, src)
+      .localCheckpoint(true)
+    def dirtyAt(scale: Int): DataFrame =
+      (0 until scale).map { j =>
+        val p = 6 + j % 5  // swap (p, p+1): prefix 1..5 always intact
+        val q = 12 + j % 7 // drop char q (past the swap window)
+        dict.select(
+          (col("id") + lit(1000000L + j * VariantStride)).as("id"),
+          concat(substring(col("name"), 1, p - 1),
+            substring(col("name"), p + 1, 1), substring(col("name"), p, 1),
+            substring(col("name"), p + 2, q - p - 2),
+            substring(col("name"), q + 1, 1000000)).as("name"))
+      }.reduce(_ unionByName _)
+    val cleanBlk = dict
+      .groupBy(lower(substring(col("name"), 1, 4)).as("blk"))
+      .agg(count(lit(1)).as("cb")).localCheckpoint(true)
+    // JIT warm-up on the 1x tier
+    graft.ops.FuzzyJoin.resolve(dirtyAt(1), dict, 4, 0.9)
+      .write.format("noop").mode("overwrite").save()
+    val times = scales.map { sc =>
+      val dirty = dirtyAt(sc).localCheckpoint(true)
+      val skew = dirty
+        .groupBy(lower(substring(col("name"), 1, 4)).as("blk"))
+        .agg(count(lit(1)).as("db"))
+        .join(cleanBlk, Seq("blk"))
+        .agg(sum(col("db") * col("cb")).as("vol"),
+          max(col("db")).as("max_db"), max(col("cb")).as("max_cb")).head()
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.FuzzyJoin.resolve(dirty, dict, 4, 0.9)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(s"[er-probe] scale=${sc}x block_vol=${skew.getLong(0)} " +
+        s"max_dirty_block=${skew.getLong(1)} max_clean_block=${skew.getLong(2)}")
+      spark.catalog.clearCache()
+      sc -> t
+    }
+    val (s1, t1) = times.head
+    val (sN, tN) = times.last
+    val (sM, tM) = times(times.length - 2)
+    val expTotal = math.log(tN / t1) / math.log(sN.toDouble / s1)
+    val expMarginal = math.log(tN / tM) / math.log(sN.toDouble / sM)
+    val ts = times.map { case (sc, t) => s""""${sc}x":${f"$t%.2f"}""" }.mkString(",")
+    println(s"""{"query":"q_entity_resolution","axis":"dirty","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -134,6 +193,12 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (Axis == "dirty") {
+      erSoak(spark, scales, src)
+      spark.stop()
+      return
+    }
 
     // one dir per scale: documents.parquet (dedup tiers) +
     // events.parquet (interval join — written only when a soaked

@@ -2212,7 +2212,7 @@ object ExtraQueries {
     * holding them (entity resolution runs over a deduped reference
     * dictionary by definition — matching against raw rows would make
     * every duplicated string its own best-match ambiguity). */
-  private def entityDict(s: SparkSession, d: String): DataFrame =
+  private[graft] def entityDict(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
       .select(col("p_partkey"),
         concat(col("p_name"), lit(" "), col("p_type")).as("name"))
@@ -2294,6 +2294,100 @@ object ExtraQueries {
     """SELECT * FROM (VALUES ('all_planted_typos_matched', true),
       |  ('best_match_is_own_original', true),
       |  ('blocking_fanout_bounded', true), ('sims_in_typo_band', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
+  /** Delta-batch perturbation for incremental ER — a DIFFERENT typo
+    * flavor than [[entityDirtyFrom]] (swap 8↔9, drop char 13, ids
+    * +2·10⁶) so the delta's rows are disjoint from day-1's in both id
+    * and surface form, while still leaving the 4-char blocking prefix
+    * intact and the self-similarity above the 0.9 threshold. */
+  private def entityDirtyDelta(dict: DataFrame): DataFrame =
+    dict.select(
+      (col("id") + lit(2000000L)).as("id"),
+      concat(substring(col("name"), 1, 7),
+        substring(col("name"), 9, 1), substring(col("name"), 8, 1),
+        substring(col("name"), 10, 3),
+        substring(col("name"), 14, 1000000)).as("name"))
+
+  // one persisted day-1 match state per (process, scale dir): the
+  // artifact under test is the parquet round-trip + delta-only resolve
+  private val erStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Incremental entity resolution — the ER member of the
+    * incremental-contract family (exact dedup, MinHash, curation, IVF,
+    * PageRank, contamination all have one): day-1's resolved matches
+    * persist to parquet ONCE (the production match-state artifact);
+    * a new dirty DELTA batch then resolves against the persisted
+    * dictionary alone and the output is reload(state) ∪ resolve(delta)
+    * — the Jaro–Winkler verify never re-touches a day-1 row, which is
+    * the whole point when history is 10⁹ resolved records.
+    *
+    * The equivalence contract is STRUCTURAL: resolve() is per-dirty-row
+    * independent (each row's best match is a function of the row and
+    * the dictionary only), so incremental == from-scratch on
+    * day-1 ∪ delta EXACTLY — and [[qEntityResolutionIncBounds]] proves
+    * that equality as a driver-visible hash row rather than leaving it
+    * as a code-review observation (a future cross-row feature — e.g.
+    * dictionary learning from accepted matches — would break the gate
+    * loudly). Rows-only release (JW doubles are this engine's own
+    * IEEE tree, the q_entity_resolution precedent). */
+  def qEntityResolutionInc(s: SparkSession, d: String): DataFrame = {
+    val dict = entityDict(s, d).localCheckpoint(true)
+    val dir = erStateCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_erstate_").toString
+      graft.ops.FuzzyJoin.resolve(entityDirtyFrom(dict), dict,
+        blockPrefix = 4, threshold = 0.9)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val state = s.read.parquet(dir)
+    val deltaMatches = graft.ops.FuzzyJoin.resolve(entityDirtyDelta(dict), dict,
+      blockPrefix = 4, threshold = 0.9)
+    state.unionByName(deltaMatches).orderBy(col("dirty_id"))
+  }
+
+  /** Fail-closed gate for incremental ER: the incremental output
+    * equals the from-scratch resolve of day-1 ∪ delta as a SET (both
+    * anti-join directions empty — the incremental-contract equality,
+    * here exact because per-row independence makes even the sims
+    * bit-identical), every delta row matched its own original
+    * (matched_id = dirty_id − 2·10⁶ — the delta perturbation stayed
+    * inside the threshold and the arg-max picked right), and the
+    * persisted day-1 state carried into the output verbatim (history
+    * rows come FROM the parquet state, not from a re-match — a
+    * re-resolve that drifted would break this row before anyone
+    * noticed the wasted compute). */
+  def qEntityResolutionIncBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = entityDict(s, d).localCheckpoint(true)
+    val nDict = dict.count()
+    val inc = qEntityResolutionInc(s, d).localCheckpoint(true)
+    val scratch = graft.ops.FuzzyJoin.resolve(
+      entityDirtyFrom(dict).unionByName(entityDirtyDelta(dict)), dict,
+      blockPrefix = 4, threshold = 0.9).localCheckpoint(true)
+    val diffs = inc.exceptAll(scratch).count() + scratch.exceptAll(inc).count()
+    val delta = inc.filter(col("dirty_id") >= 2000000L)
+    val dAgg = delta.agg(count(lit(1)).as("n"),
+      count(when(col("matched_id") === col("dirty_id") - 2000000L, 1)).as("self"))
+      .head()
+    val state = s.read.parquet(erStateCache.get(d))
+    val day1 = inc.filter(col("dirty_id") < 2000000L)
+    val carried = day1.exceptAll(state).count() + state.exceptAll(day1).count()
+    val ok = nDict > 0 && dAgg.getLong(0) > 0
+    Seq(
+      ("delta_all_matched_own_original",
+        ok && dAgg.getLong(0) == nDict && dAgg.getLong(1) == nDict),
+      ("incremental_equals_scratch", ok && diffs == 0L),
+      ("state_carried_verbatim", ok && carried == 0L))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qEntityResolutionIncBoundsSql: String =
+    """SELECT * FROM (VALUES ('delta_all_matched_own_original', true),
+      |  ('incremental_equals_scratch', true),
+      |  ('state_carried_verbatim', true))
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
@@ -2452,6 +2546,8 @@ object ExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_resolution" -> (qEntityResolution _),
     "q_entity_resolution_bounds" -> (qEntityResolutionBounds _),
+    "q_entity_resolution_inc" -> (qEntityResolutionInc _),
+    "q_entity_resolution_inc_bounds" -> (qEntityResolutionIncBounds _),
     "q_dp_counts" -> (qDpCounts _),
     "q_curriculum_order" -> (qCurriculumOrder _),
     "q_curriculum_order_approx" -> (qCurriculumOrderApprox _),
@@ -2509,6 +2605,7 @@ object ExtraQueries {
 
   val oracles: Map[String, String] = Map(
     "q_entity_resolution_bounds" -> qEntityResolutionBoundsSql,
+    "q_entity_resolution_inc_bounds" -> qEntityResolutionIncBoundsSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_curriculum_order" -> qCurriculumOrderSql,
     "q_curriculum_order_approx_bounds" -> qCurriculumOrderApproxBoundsSql,

@@ -444,6 +444,169 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture for the NEAR-DUP contamination tiers: the eval batch =
+    * the held-out odd docs (natural overlap only) ∪ PLANTED paraphrased
+    * leaks — each train (even) doc re-offered with its first or last
+    * token dropped, at a disjoint id offset. A first/last-token drop is
+    * the minimal paraphrase the EXACT tiers already mis-read: the doc
+    * is not a verbatim trigram subset, so threshold decisions on
+    * qContamination's overlap ratio blur, while its shingle-set
+    * Jaccard vs the original stays ≈ (n−3)/(n−2) — exactly what a
+    * near-dup screen is for. */
+  private def fuzzyEvalBatch(docs: DataFrame, offsetMult: Int,
+      dropLast: Boolean): DataFrame = {
+    val toks = graft.text.Dedup.tokens(col("text"))
+    val kept =
+      if (dropLast) slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))
+      else slice(toks, lit(2), lit(100000))
+    docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + offsetMult * DedupQueries.IdOffset).as("doc_id"),
+          concat_ws(" ", kept).as("text")))
+  }
+
+  /** Near-dup eval contamination — the GPT-3-style decontamination the
+    * exact trigram tiers cannot express (Brown et al. NeurIPS'20 §C:
+    * eval leakage is usually PARAPHRASED, not verbatim): every eval
+    * document within shingle-Jaccard 0.7 of ANY train document, found
+    * by banding both tables with the SAME fixed-seed MinHash families
+    * ([[graft.text.Dedup.minhashIndex]]) and equi-joining eval bands
+    * against train bands only — [[graft.text.Dedup.crossMinhashPairs]]:
+    * no eval↔eval or train↔train candidates, shingle sets attach only
+    * to deduped candidate pairs, and the only corpus-wide shuffles are
+    * 8-byte band keys. Train is the even docs; the eval batch plants
+    * one first-token-dropped paraphrase per train doc
+    * ([[fuzzyEvalBatch]]) alongside the held-out odd docs.
+    *
+    * Rows-only (LSH bucket layout is not SQL-reproducible); the
+    * driver-visible guarantees are [[qContaminationFuzzyBounds]]'s
+    * recall floor against the exact PPJoin tier and the planted-leak
+    * completeness check. */
+  def qContaminationFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val ev = fuzzyEvalBatch(docs, 3, dropLast = false)
+    val (tb, ts) = graft.text.Dedup.minhashIndex(train)
+    val (eb, es) = graft.text.Dedup.minhashIndex(ev)
+    graft.text.Dedup.crossMinhashPairs(eb, es, tb, ts, maxJaccardDist = 0.3)
+      .select(col("id_a").as("eval_id"), col("id_b").as("train_id"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  // one persisted train band-index generation per (process, scale
+  // dir): the artifact under test is the parquet round-trip + the
+  // delta-only banding (train is never re-shingled per eval batch)
+  private val fuzzyIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def fuzzyTrainIndexDir(s: SparkSession, d: String): String =
+    fuzzyIdxCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_fuzzyidx_").toString
+      val train = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
+      val (tb, tsets, handle) = graft.text.Dedup
+        .minhashIndexWithHandle(train)
+      tb.write.mode("overwrite").parquet(s"$p/bands")
+      tsets.write.mode("overwrite").parquet(s"$p/sets")
+      handle.unpersist()
+      p
+    })
+
+  /** Incremental member of the fuzzy-decontamination contract: a NEW
+    * eval batch (last-token-dropped paraphrases at a different offset
+    * ∪ the odd docs) screens against the train band index RELOADED
+    * from parquet — the daily-eval-release shape where the 100 TB
+    * train side is never re-shingled, re-signed, or re-banded; only
+    * the eval batch (thousands of docs) pays a scan, and the band join
+    * touches history rows only where a key collides. The fixed-seed
+    * hash families make any run's bands compatible with the persisted
+    * generation ([[graft.text.Dedup.minhashIndex]]'s contract).
+    * [[qContaminationFuzzyBounds]] proves output equality with the
+    * from-scratch screen of the same batch. */
+  def qContaminationFuzzyInc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dir = fuzzyTrainIndexDir(s, d)
+    val tb = s.read.parquet(s"$dir/bands")
+    val ts = s.read.parquet(s"$dir/sets")
+    val ev = fuzzyEvalBatch(docs, 4, dropLast = true)
+    val (eb, es) = graft.text.Dedup.minhashIndex(ev)
+    graft.text.Dedup.crossMinhashPairs(eb, es, tb, ts, maxJaccardDist = 0.3)
+      .select(col("id_a").as("eval_id"), col("id_b").as("train_id"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** Fail-closed gate for both fuzzy-decontamination tiers:
+    * (1) recall floor vs the EXACT tier — the PPJoin n-gram join
+    * ([[graft.text.Dedup.ngramJaccardPairs]], recall exactly 1.0 by
+    * the prefix-filter theorem) over train ∪ eval restricted to
+    * cross-table pairs is the truth set; the banded screen must
+    * recover ≥ 0.95 of it (16 hashes / 8 bands: P[catch] =
+    * 1−(1−J²)⁸ ≥ 0.995 at the J = 0.7 threshold — the measured margin
+    * is structural, not tuned); (2) every planted paraphrase is
+    * flagged WITH its own original among its matches (leak
+    * completeness — the check an exact-trigram threshold can blur);
+    * (3) the incremental screen of the second batch equals the
+    * from-scratch screen of that same batch as a SET (the
+    * incremental-contract equality, bit-exact because the hash
+    * families are fixed-seed). Guards fail closed on empty truth or
+    * planted sets. */
+  def qContaminationFuzzyBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val ev = fuzzyEvalBatch(docs, 3, dropLast = false)
+    // exact-tier truth: PPJoin pairs at the same J >= 0.7 threshold,
+    // restricted to (eval, train) cross pairs. Train ids are even and
+    // < 3*IdOffset; planted eval ids are >= 3*IdOffset; odd ids are
+    // eval. ngramJaccardPairs emits id_a < id_b, so normalize sides.
+    val cut = 3 * DedupQueries.IdOffset
+    val isTrain = (c: org.apache.spark.sql.Column) =>
+      c < cut && c % 2 === 0
+    val truth = graft.text.Dedup
+      .ngramJaccardPairs(train.unionByName(ev), k = 3, minJaccard = 0.7)
+      .filter(isTrain(col("id_a")) =!= isTrain(col("id_b")))
+      .select(
+        when(isTrain(col("id_a")), col("id_b")).otherwise(col("id_a")).as("eval_id"),
+        when(isTrain(col("id_a")), col("id_a")).otherwise(col("id_b")).as("train_id"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val fuzzy = qContaminationFuzzy(s, d).localCheckpoint(true)
+    val hit = truth.join(fuzzy.select(col("eval_id"), col("train_id")),
+      Seq("eval_id", "train_id"), "left_semi").count()
+    val recall = if (nTruth == 0) 0.0 else hit.toDouble / nTruth
+    // planted-leak completeness
+    val nPlanted = train.count()
+    val plantedHits = fuzzy
+      .filter(col("eval_id") >= cut &&
+        col("train_id") === col("eval_id") - cut).count()
+    // incremental == from-scratch on the second eval batch
+    val inc = qContaminationFuzzyInc(s, d).localCheckpoint(true)
+    val ev2 = fuzzyEvalBatch(docs, 4, dropLast = true)
+    val (tb2, ts2) = graft.text.Dedup.minhashIndex(train)
+    val (eb2, es2) = graft.text.Dedup.minhashIndex(ev2)
+    val scratch = graft.text.Dedup
+      .crossMinhashPairs(eb2, es2, tb2, ts2, maxJaccardDist = 0.3)
+      .select(col("id_a").as("eval_id"), col("id_b").as("train_id"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .localCheckpoint(true)
+    val diffs = inc.exceptAll(scratch).count() + scratch.exceptAll(inc).count()
+    val ok = nTruth > 0 && nPlanted > 0
+    Seq(
+      ("incremental_equals_scratch", ok && diffs == 0L),
+      ("planted_leaks_all_flagged", ok && plantedHits == nPlanted),
+      ("recall_floor_vs_exact_tier", ok && recall >= 0.95))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qContaminationFuzzyBoundsSql: String =
+    """SELECT * FROM (VALUES ('incremental_equals_scratch', true),
+      |  ('planted_leaks_all_flagged', true),
+      |  ('recall_floor_vs_exact_tier', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   /** Markup stripping, checked as an INVERSION: wrap each document in
     * a deterministic tag soup (tags inside the text, a comment, plus a
     * planted entity-encoded tail), strip it back, and hash against the
@@ -1757,6 +1920,9 @@ object TextQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_exact" -> (qHeavyHittersExact _),
     "q_contamination" -> (qContamination _),
+    "q_contamination_fuzzy" -> (qContaminationFuzzy _),
+    "q_contamination_fuzzy_inc" -> (qContaminationFuzzyInc _),
+    "q_contamination_fuzzy_bounds" -> (qContaminationFuzzyBounds _),
     "q_contamination_hashed" -> (qContaminationHashed _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_corpus_profile" -> (qCorpusProfile _),
@@ -1791,6 +1957,7 @@ object TextQueries {
     "q_bpe_pairs" -> qBpePairsSql,
     "q_heavy_hitters_exact" -> qHeavyHittersExactSql,
     "q_contamination" -> qContaminationSql,
+    "q_contamination_fuzzy_bounds" -> qContaminationFuzzyBoundsSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc);
     // the bloom tier's false positives die in the exact join, so it

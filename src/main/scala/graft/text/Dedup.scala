@@ -866,6 +866,35 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("id_a"), col("id_b"), col("jaccard_dist"))
 
+  /** CROSS-table near-dup pairs — the decontamination shape: banded
+    * candidates from LEFT (eval) bands equi-joined against RIGHT
+    * (train) bands only, never left↔left or right↔right (an eval
+    * batch's internal near-dups are a dedup question, not a
+    * contamination one). Ids must be disjoint across the two tables
+    * (the caller's fixture contract — offset one side). Verification
+    * is the same exact-Jaccard pass as the self-join tiers, over the
+    * union of the two signature-set frames.
+    *
+    * Scale shape: identical to [[incrementalMinhashPairsWithIndex]] —
+    * only (id, band-key) longs shuffle for candidates, shingle sets
+    * attach to deduped candidate pairs only, and the right side is
+    * typically a PERSISTED index generation (train is never
+    * re-shingled per eval batch). Output: (id_a = left, id_b = right,
+    * jaccard_dist ≤ maxJaccardDist). */
+  def crossMinhashPairs(leftBands: DataFrame, leftSets: DataFrame,
+      rightBands: DataFrame, rightSets: DataFrame,
+      maxJaccardDist: Double = 0.3, idCol: String = "doc_id"): DataFrame = {
+    val candidates = leftBands
+      .select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(rightBands.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardVerify(candidates, leftSets.unionByName(rightSets),
+      maxJaccardDist, idCol)
+  }
+
   /** Near-dup pairs from one corpus generation's [[minhashIndex]]:
     * band self-join for candidates, exact-Jaccard verify. */
   def minhashPairsFromIndex(banded: DataFrame, sets: DataFrame,
