@@ -80,7 +80,10 @@ object ExplainDump {
     "q_embedding_drift_psi", "q_retrieval_eval",
     "q_source_similarity_sketch", "q_entity_resolution",
     "q_forecast_backtest", "q_attribution_position",
-    "q_expectations_events")
+    "q_expectations_events",
+    "q_entity_resolution_inc", "q_contamination_fuzzy",
+    "q_contamination_fuzzy_inc", "q_pack_blocks_tokens",
+    "q_preference_bt")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

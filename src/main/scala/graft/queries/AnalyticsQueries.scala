@@ -3467,7 +3467,144 @@ object AnalyticsQueries {
       |WHERE dom IS NULL OR o_totalprice >= dom
       |ORDER BY o_orderdate, o_orderkey""".stripMargin
 
+  // --------------------------------------- Bradley–Terry preference fit
+  /** The |items|²-bounded pairwise win matrix over planted preferences
+    * — the CORPUS half of the Bradley–Terry fit, shared by the release
+    * row and the bounds gate so the two cannot drift. Four "policy"
+    * items with true strengths 2^idx (1, 2, 4, 8); every document row
+    * fans out IN-ROW into 16 planted comparisons whose pair choice and
+    * winner are pure functions of (doc_id, i): the winner indicator is
+    * u < s_a/(s_a+s_b) with u a portable xxhash64-derived uniform — so
+    * the preferences are EXACTLY BT-distributed with the planted
+    * strengths, and (with ≥ 13σ separation on adjacent pairs even at
+    * sf0.001's 800 comparisons) the fitted order must recover the
+    * planted one. One partial-aggregable groupBy ends the corpus work:
+    * a 4×4 win matrix, nothing else ever leaves the executors. */
+  private def btWinMatrix(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val comps = Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("a", pmod(col("doc_id") + col("i"), lit(k)).cast("int"))
+      .withColumn("b", pmod(col("a") + 1 +
+        pmod(expr("doc_id div 4") + col("i"), lit(k - 1)), lit(k)).cast("int"))
+      // u in [0, 1): 9-digit decimal of the comparison's 64-bit hash
+      .withColumn("u",
+        pmod(xxhash64(col("doc_id"), col("i")), lit(1000000000L))
+          .cast("double") / 1e9)
+      // planted strengths 2^idx: P[a beats b] = s_a / (s_a + s_b)
+      .withColumn("sa", pow(lit(2.0), col("a")))
+      .withColumn("sb", pow(lit(2.0), col("b")))
+      .withColumn("win_a", col("u") < col("sa") / (col("sa") + col("sb")))
+    comps.select(
+      when(col("win_a"), col("a")).otherwise(col("b")).as("winner"),
+      when(col("win_a"), col("b")).otherwise(col("a")).as("loser"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Bradley–Terry strengths via Hunter's MM iteration over the
+    * collected win matrix: s_i ← W_i / Σ_{j≠i} n_ij/(s_i+s_j),
+    * normalized to Σs = 1 each round. The collect is ≤ k·(k−1) rows
+    * (k = 4 items) — the Markov-removal bounded-collect budget — and
+    * the fixed-point loop is driver CPU over an 4-vector; keys are
+    * sorted before every driver-side sum (the house float-solve
+    * discipline). Returns (item, strength, their fitted rank,
+    * n_wins, n_comparisons). */
+  private def btFit(s: SparkSession, d: String): (Array[(Int, Double, Long, Long)], Double) = {
+    val rows = btWinMatrix(s, d).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .sortBy(_._1).toMap
+    val items = rows.keysIterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toSeq.distinct.sorted.toArray
+    val wTot = items.map(i =>
+      i -> rows.collect { case ((a, _), w) if a == i => w }.sum).toMap
+    // .toSeq BEFORE collect: a pair-valued collect on a Map rebuilds a
+    // Map, silently collapsing the two orientations of every pair into
+    // one key (the r13-documented trap — it cost this query its first
+    // draft: half the comparison mass vanished from the denominators)
+    val nTot = items.map(i => i -> rows.toSeq.collect {
+      case ((a, b), w) if a == i || b == i => ((math.min(a, b), math.max(a, b)), w)
+    }.groupBy(_._1).map { case (p, ws) => p -> ws.map(_._2).sum }).toMap
+    var strength = items.map(_ => 1.0 / items.length)
+    var delta = Double.MaxValue
+    var iter = 0
+    while (iter < 200 && delta > 1e-12) {
+      val next = items.zipWithIndex.map { case (i, ix) =>
+        val denom = items.zipWithIndex.collect {
+          case (j, jx) if j != i =>
+            val p = (math.min(i, j), math.max(i, j))
+            nTot(i).getOrElse(p, 0L).toDouble / (strength(ix) + strength(jx))
+        }.sorted.sum
+        if (denom == 0.0) strength(ix) else wTot(i).toDouble / denom
+      }
+      val z = next.sorted.sum
+      val normed = next.map(_ / z)
+      delta = items.indices.map(ix => math.abs(normed(ix) - strength(ix))).max
+      strength = normed
+      iter += 1
+    }
+    val ranks = strength.zipWithIndex.sortBy(-_._1).zipWithIndex
+      .map { case ((_, ix), r) => ix -> (r + 1L) }.toMap
+    (items.zipWithIndex.map { case (i, ix) =>
+      (i, strength(ix), ranks(ix), wTot(i))
+    }.map { case (i, st, r, w) => (i, st, r, w) }, delta)
+  }
+
+  /** Bradley–Terry preference strengths (Bradley & Terry '52; Hunter
+    * AoS'04 MM) — the reward-model data-curation statistic: given
+    * pairwise preference labels, fit per-item strengths whose ratios
+    * explain the win rates. Corpus work is ONE groupBy to the 4×4 win
+    * matrix ([[btWinMatrix]]); the MM fixed point runs driver-side on
+    * the ≤k² collected counts. Rows-only release (the fixed point is
+    * a float solve — the LR/eigen/value-iteration precedent); the
+    * driver-facing guarantees are [[qPreferenceBtBounds]]. */
+  def qPreferenceBt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (fit, _) = btFit(s, d)
+    fit.toSeq.map { case (i, st, r, w) =>
+      (s"policy_$i", math.rint(st * 1e9) / 1e9, r, w)
+    }.toDF("item", "strength", "fitted_rank", "n_wins")
+      .orderBy(col("item"))
+  }
+
+  /** Fail-closed gate: the MM iteration CONVERGED (final sweep moved
+    * no strength by > 1e-8), the fitted order recovers the planted
+    * total order (strength strictly increasing in the planted 2^idx
+    * index), strengths are a normalized distribution (Σ = 1 within
+    * 1e-9), and every unordered pair was actually compared (the
+    * fixture's fan-out covered the matrix — guards the planted-order
+    * claim against a degenerate comparison graph, where BT is not
+    * even identifiable). */
+  def qPreferenceBtBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (fit, delta) = btFit(s, d)
+    val strengths = fit.sortBy(_._1).map(_._2)
+    val pairsSeen = btWinMatrix(s, d)
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .distinct().count()
+    val k = strengths.length
+    val ok = k == 4 && fit.map(_._4).sum > 0
+    Seq(
+      ("all_pairs_compared", ok && pairsSeen == k.toLong * (k - 1) / 2),
+      ("converged", ok && delta <= 1e-8),
+      ("planted_order_recovered",
+        ok && strengths.sliding(2).forall(p => p(0) < p(1))),
+      ("strengths_normalized",
+        ok && math.abs(strengths.sorted.sum - 1.0) <= 1e-9))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qPreferenceBtBoundsSql: String =
+    """SELECT * FROM (VALUES ('all_pairs_compared', true),
+      |  ('converged', true), ('planted_order_recovered', true),
+      |  ('strengths_normalized', true)) t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_preference_bt" -> (qPreferenceBt _),
+    "q_preference_bt_bounds" -> (qPreferenceBtBounds _),
     "q_skyline" -> (qSkyline _),
     "q_event_paths" -> (qEventPaths _),
     "q_time_folds" -> (qTimeFolds _),
@@ -3518,6 +3655,7 @@ object AnalyticsQueries {
     "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q_preference_bt_bounds" -> qPreferenceBtBoundsSql,
     "q_skyline" -> qSkylineSql,
     "q_event_paths" -> qEventPathsSql,
     "q_time_folds" -> qTimeFoldsSql,

@@ -483,7 +483,12 @@ object TextQueries {
     * recall floor against the exact PPJoin tier and the planted-leak
     * completeness check. */
   def qContaminationFuzzy(s: SparkSession, d: String): DataFrame = {
+    // one checkpointed derivation feeds the train branch and BOTH eval
+    // branches (odd docs + perturbed evens) — un-cut, each banding
+    // replays the documents scan per branch (ScanCountSpec caught the
+    // draft at 9 scans; the r12 shared-subframe discipline)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val train = docs.filter(col("doc_id") % 2 === 0)
     val ev = fuzzyEvalBatch(docs, 3, dropLast = false)
     val (tb, ts) = graft.text.Dedup.minhashIndex(train)
@@ -524,7 +529,10 @@ object TextQueries {
     * [[qContaminationFuzzyBounds]] proves output equality with the
     * from-scratch screen of the same batch. */
   def qContaminationFuzzyInc(s: SparkSession, d: String): DataFrame = {
+    // same shared-subframe cut as qContaminationFuzzy (the delta's two
+    // eval branches both read documents)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
     val dir = fuzzyTrainIndexDir(s, d)
     val tb = s.read.parquet(s"$dir/bands")
     val ts = s.read.parquet(s"$dir/sets")
@@ -906,6 +914,108 @@ object TextQueries {
       |  ((cum_end - 1) // 512) - ((cum_end - n_tokens) // 512) + 1 AS n_blocks
       |FROM c
       |ORDER BY doc_id""".stripMargin
+
+  /** The FROZEN tokenizer artifact for token-aware packing: the first
+    * 16 BPE merges learned by [[graft.text.Bpe.learnMerges]] on the
+    * sf0.01 harness corpus, pinned as a constant — exactly how a
+    * production pipeline ships its tokenizer (a frozen artifact under
+    * version control, never re-learned per query). Pinning it is also
+    * what makes token-budget packing HASH-ORACLE-ABLE: the DuckDB twin
+    * replays the encode from the same literal table.
+    *
+    * The table is REPLAY-ORDERED by construction (BPE training can
+    * only learn a pair containing a merged symbol AFTER that symbol
+    * exists), so applying the merges once each, in rank order, with
+    * left-to-right non-overlapping replacement is equivalent to the
+    * greedy lowest-rank-first encode loop — `BpeSpec` pins
+    * [[graft.text.Bpe.encodeWord]] == the replay on the full harness
+    * vocabulary, and the scratch sweep measured zero divergence at all
+    * three SFs before the table was frozen. */
+  val FrozenMerges: Seq[graft.text.Bpe.Merge] = Seq(
+    (0, "e", "r"), (1, "i", "n"), (2, "o", "w"), (3, "o", "r"),
+    (4, "s", "t"), (5, "m", "er"), (6, "a", "t"), (7, "l", "u"),
+    (8, "a", "r"), (9, "p", "ar"), (10, "j", "o"), (11, "jo", "in"),
+    (12, "a", "s"), (13, "as", "h"), (14, "h", "ash"), (15, "r", "ow")
+  ).map { case (r, l, rt) => graft.text.Bpe.Merge(r, l, rt, 0L) }
+
+  /** The DuckDB-side piece count of a token column under
+    * [[FrozenMerges]] — the sequential-replay spelling: chars joined
+    * by a DOUBLED chr(1) separator (doubling is what keeps adjacent
+    * merge sites from consuming each other's boundary — each replace
+    * takes one separator from each side and restores it), each merge
+    * applied once in rank order via plain left-to-right `replace`,
+    * pieces = separators/2 − 1. Shared by the oracle SQL builder and
+    * nothing else — the Spark side runs the REAL encoder
+    * ([[graft.text.Bpe.encodeStats]]), so the hash gate proves
+    * encoder == replay on top of plan equivalence. */
+  private def piecesReplaySqlExpr(tokCol: String): String = {
+    val joined = s"repeat(chr(1), 2) || array_to_string(string_split_regex($tokCol, ''), repeat(chr(1), 2)) || repeat(chr(1), 2)"
+    val chain = FrozenMerges.sortBy(_.rank).foldLeft(joined) { (acc, m) =>
+      s"replace($acc, chr(1) || '${m.left}' || repeat(chr(1), 2) || '${m.right}' || chr(1), chr(1) || '${m.left}${m.right}' || chr(1))"
+    }
+    s"(length($chain) - length(replace($chain, chr(1), ''))) // 2 - 1"
+  }
+
+  /** Token-length-aware sequence packing — [[qPackBlocks]] with the
+    * budget measured in LEARNED-TOKENIZER pieces instead of whitespace
+    * tokens: sequence budgets are token budgets in every real pretrain
+    * pipeline, and a whitespace proxy misallocates blocks exactly on
+    * the long-word documents that blow sequence length. Per-doc piece
+    * counts come from [[graft.text.Bpe.encodeStats]] under the frozen
+    * merge table: the corpus reduces to DISTINCT words (Heaps'-law
+    * bounded), each word encodes ONCE, documents join the counts back
+    * — then the same two-level distributed prefix scan
+    * ([[graft.ops.Packing.blockPack]]) lays out 2048-piece blocks.
+    *
+    * The piece-count frame is eagerly localCheckpoint'ed before the
+    * scan: blockPack consumes it in two plan branches (intra-bucket
+    * window + bucket totals), and un-cut each branch would replay the
+    * encode join — the r12 shared-subframe discipline.
+    *
+    * Hash-green: the oracle recomputes every piece count from the
+    * LITERAL frozen table (sequential-replay spelling, proven == the
+    * greedy encoder by BpeSpec) and replays the packing as the naive
+    * single-task global window — so the hash certifies the encoder,
+    * the replay equivalence, AND the two-level scan's plan
+    * equivalence at once. All integers; no float class. */
+  def qPackBlocksTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counted = graft.text.Bpe.encodeStats(docs, FrozenMerges)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+      .localCheckpoint(true)
+    graft.ops.Packing.blockPack(counted, "doc_id", "n_pieces",
+      blockSize = 2048L, bucketWidth = 1024L)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        col("cum_start"), col("first_block"), col("last_block"), col("n_blocks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPackBlocksTokensSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w
+       |  FROM documents
+       |), pc AS (
+       |  SELECT w, ${piecesReplaySqlExpr("w")} AS n_pieces_w
+       |  FROM (SELECT DISTINCT w FROM toks)
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |  FROM toks JOIN pc USING (w)
+       |  GROUP BY doc_id
+       |), c AS (
+       |  SELECT doc_id, n_tokens, n_pieces,
+       |    CAST(sum(n_pieces) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+       |  FROM perdoc WHERE n_pieces > 0
+       |)
+       |SELECT doc_id, n_tokens, n_pieces,
+       |  cum_end - n_pieces AS cum_start,
+       |  (cum_end - n_pieces) // 2048 AS first_block,
+       |  (cum_end - 1) // 2048 AS last_block,
+       |  ((cum_end - 1) // 2048) - ((cum_end - n_pieces) // 2048) + 1 AS n_blocks
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
 
   /** Intra-document repetition signals — the within-doc quality filter
     * (repeated boilerplate, keyword stuffing, degenerate generations):
@@ -1915,6 +2025,7 @@ object TextQueries {
     "q_fingerprint_classes" -> (qFingerprintClasses _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_pack_blocks" -> (qPackBlocks _),
+    "q_pack_blocks_tokens" -> (qPackBlocksTokens _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1953,6 +2064,7 @@ object TextQueries {
     "q_fingerprint_classes" -> qFingerprintClassesSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_pack_blocks" -> qPackBlocksSql,
+    "q_pack_blocks_tokens" -> qPackBlocksTokensSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_heavy_hitters_exact" -> qHeavyHittersExactSql,

@@ -195,7 +195,7 @@ object Bpe {
     * the canonical apply order (lowest rank first, not first-found
     * first), which reproduces the training loop's final symbol state
     * on the corpus the table was learned from (`BpeSpec`). */
-  private[text] def encodeWord(word: String,
+  private[graft] def encodeWord(word: String,
       rank: collection.Map[(String, String), Int]): Array[String] = {
     var s: Array[String] = word.map(_.toString).toArray
     var done = s.length < 2

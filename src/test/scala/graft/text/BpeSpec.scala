@@ -130,6 +130,42 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("frozen packing tokenizer: table re-learnable from sf0.01, replay spelling == greedy encoder on the full vocab") {
+    import org.apache.spark.sql.functions._
+    val frozen = graft.queries.TextQueries.FrozenMerges
+    // provenance: the pinned artifact IS learnMerges(sf0.01, 16) —
+    // if the testdata corpus ever regenerates differently this fails
+    // loudly and the constant gets re-frozen
+    val learned = Bpe.learnMerges(
+      graft.Tables.documents(spark, sf01).select($"text"), numMerges = 16)
+    assert(learned.map(m => (m.rank, m.left, m.right)) ==
+      frozen.map(m => (m.rank, m.left, m.right)),
+      "frozen merge table drifted from the sf0.01 corpus artifact")
+    // the oracle's sequential-replay spelling (doubled 
+    // separators, one replace per merge in rank order) must equal the
+    // real greedy encoder on every harness word — the exact twin of
+    // qPackBlocksTokens' DuckDB piece-count expression
+    val rank = frozen.map(m => (m.left, m.right) -> m.rank).toMap
+    def replayPieces(w: String): Int = {
+      val S = ""; val D = S + S
+      var s = D + w.map(_.toString).mkString(D) + D
+      frozen.sortBy(_.rank).foreach { m =>
+        s = s.replace(S + m.left + D + m.right + S, S + m.left + m.right + S)
+      }
+      s.count(_ == '') / 2 - 1
+    }
+    val vocab = Seq(sf001, sf01, "/root/testdata/sf0.1").map { d =>
+      graft.Tables.documents(spark, d)
+        .select(explode(graft.text.TextAnalysis.tokens($"text")).as("w"))
+        .filter($"w" =!= "").distinct().as[String].collect().toSet
+    }.reduce(_ ++ _)
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(Bpe.encodeWord(w, rank).length == replayPieces(w),
+        s"replay spelling diverged from greedy on '$w'")
+    }
+  }
+
   test("q_bpe_encode: piece counts bounded by tokens below and chars above") {
     val out = graft.queries.TextQueries.qBpeEncode(spark, sf001).collect()
     assert(out.nonEmpty)
