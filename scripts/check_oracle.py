@@ -112,8 +112,29 @@ def build_reordered(sf_src, dst):
                            row_group_size=max(64, step // 8))
 
 
+# The magnitude-aware ROUNDED class (COVERAGE.md float-policy §2): the
+# one determinism class that is NOT scale-independent — rounding is a
+# bet that the raw wobble never straddles a decimal boundary, and the
+# wobble grows with the summed magnitude (q_time_folds' round-4 was
+# caught AT sf0.1 in r11). The sweep therefore runs these queries at
+# sf0.1 as a third targeted leg (r15 verdict directive #5); everything
+# else keeps the cost-bounded sf0.001+sf0.01 scope.
+ROUNDED_SF01 = [
+    "q_corpus_profile", "q_ml_scaled_features", "q_tfidf",
+    "q_sim_bruteforce_topk", "q_winsorize", "q_time_folds",
+    "q_sample_weighted", "q_stats_summary",
+    # the round-at-6-before-rank/boundary relational members
+    "q_dormant_accounts", "q_top_supplier_revenue",
+    "q_join_revenue_by_nation", "q_shipping_priority",
+    "q_customer_returns", "q_curriculum_order",
+]
+
+
 def sweep(out_json):
-    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    # (sf, restricted query list or None = all)
+    legs = [("/root/testdata/sf0.001", None),
+            ("/root/testdata/sf0.01", None),
+            ("/root/testdata/sf0.1", ROUNDED_SF01)]
     rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
     # the artifact must describe the tree it actually swept: a dirty
@@ -132,11 +153,15 @@ def sweep(out_json):
         "git_rev": rev,
         "git_tree_clean": True,
         "sf_scope": {
-            "swept": [os.path.basename(s) for s in sfs],
-            "excluded": "sf0.1 (bench SF) — cost-bounded per the r14 "
-                        "verdict's process note; layout/engine float "
-                        "classes are scale-independent, and every new "
-                        "bounds row is separately spot-checked at sf0.1",
+            "swept": [os.path.basename(s) +
+                      ("" if qs is None else f":rounded-class({len(qs)} queries)")
+                      for s, qs in legs],
+            "excluded": "sf0.1 full sweep stays cost-bounded (r14 "
+                        "process note: layout/engine float classes are "
+                        "scale-independent), but the magnitude-aware "
+                        "ROUNDED class now gets a targeted sf0.1 leg — "
+                        "the one class whose determinism is NOT "
+                        "scale-independent (q_time_folds r11 precedent)",
         },
         "perturbation": {
             "input": "row-reordered multi-file copy (4 files, small row "
@@ -149,9 +174,9 @@ def sweep(out_json):
         "sweeps": {}, "total": 0, "ok": 0,
     }
     red = 0
-    for sf in sfs:
-        tag = os.path.basename(sf)
-        work = f"/tmp/strict_sweep/{tag}"
+    for sf, only in legs:
+        tag = os.path.basename(sf) + ("" if only is None else ":rounded")
+        work = f"/tmp/strict_sweep/{tag.replace(':', '_')}"
         reord, dump = f"{work}/reordered", f"{work}/dump"
         subprocess.run(["rm", "-rf", work], check=True)
         os.makedirs(reord, exist_ok=True)
@@ -162,9 +187,11 @@ def sweep(out_json):
         env = dict(os.environ, SPARK_GRAFT_CPUS="5", SPARK_GRAFT_MPB="131072")
         with open(f"{work}/verify.log", "w") as log:
             subprocess.run([f"{REPO}/scripts/run.sh", "graft.Verify",
-                            reord, dump], env=env, cwd=REPO, check=True,
-                           stdout=log, stderr=log)
+                            reord, dump] + (only or []), env=env, cwd=REPO,
+                           check=True, stdout=log, stderr=log)
         oracles = json.load(open(f"{dump}/oracle_sql.json"))
+        if only is not None:
+            oracles = {k: v for k, v in oracles.items() if k in only}
         con = connect(sf)
         verdicts = {}
         for name, sql in sorted(oracles.items()):

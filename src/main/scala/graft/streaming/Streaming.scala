@@ -353,18 +353,37 @@ object Streaming {
     *
     * Scale/state: ONE row of longs regardless of stream length; the
     * aggregation partial-aggregates map-side per trigger. */
+  /** The count-mergeable violation aggregates — ONE spelling shared by
+    * the batch-twin face and the sketch-extended live face so the two
+    * can never drift. */
+  private def expectationAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(when(col("user_id").isNull, 1L).otherwise(0L))
+      .as("v_complete_user"),
+    sum(when(col("value").isNotNull &&
+      (col("value") < 0.0 || col("value") > 400.0), 1L).otherwise(0L))
+      .as("v_value_range"),
+    sum(when(col("event_type").isNotNull &&
+      !col("event_type").isin("view", "click", "purchase", "signup"),
+      1L).otherwise(0L)).as("v_known_type"),
+    sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts_present"))
+
   def expectationCounts(events: DataFrame): DataFrame =
-    events.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("user_id").isNull, 1L).otherwise(0L))
-        .as("v_complete_user"),
-      sum(when(col("value").isNotNull &&
-        (col("value") < 0.0 || col("value") > 400.0), 1L).otherwise(0L))
-        .as("v_value_range"),
-      sum(when(col("event_type").isNotNull &&
-        !col("event_type").isin("view", "click", "purchase", "signup"),
-        1L).otherwise(0L)).as("v_known_type"),
-      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts_present"))
+    events.agg(expectationAggs.head, expectationAggs.tail: _*)
+
+  /** [[expectationCounts]] PLUS the Unique face the r15 split deferred:
+    * a Datasketches HLL sketch of `user_id` rides the same one-row
+    * aggregation state (the wauDaySketches discipline — register-wise
+    * max merges are associative and trigger-boundary independent, so
+    * the folded sketch equals the one-shot batch sketch), making
+    * Unique a LIVE check next to Complete/InRange/InSet instead of a
+    * batch-only tier. State stays one fixed row: five longs + a ~KB
+    * register array, bounded by neither stream length nor user
+    * cardinality — exactly why the exact batch spelling
+    * (countDistinct, an Expand over all rows) cannot run live. */
+  def expectationCountsLive(events: DataFrame): DataFrame =
+    events.agg(expectationAggs.head,
+      expectationAggs.tail :+ expr("hll_sketch_agg(user_id)").as("sk_user"): _*)
 
   /** The (check, violation_fraction, tolerance, passed) report over an
     * accumulated counts row — shared verbatim by the batch query and
@@ -386,6 +405,34 @@ object Streaming {
     state
       .selectExpr(
         s"stack(${checks.size}, $stackArgs) AS (check, violation_fraction, tolerance)")
+      .withColumn("passed", col("violation_fraction") <= col("tolerance"))
+      .orderBy(col("check"))
+  }
+
+  /** The live report over [[expectationCountsLive]] state: the exact
+    * count-backed rows verbatim from [[expectationsFinalize]] (the
+    * extra sketch column is invisible to the stack), plus the Unique
+    * check from the HLL estimate — violation = 1 − est/non-null, the
+    * batch Unique semantics with countDistinct swapped for the
+    * mergeable sketch (≈1.6% rsd at the default lgK; the replay spec
+    * gates a 5% band vs the exact batch fraction). Two budget rows
+    * exercise both verdict paths on the harness stream's stable
+    * ≈0.985 violation (events are ~66 rows per user at every SF):
+    * the 99% budget passes, the 50% budget fails — the
+    * known_type_budget25/10 fixture discipline. */
+  def expectationsFinalizeLive(state: DataFrame): DataFrame = {
+    val nonNull = (col("n") - col("v_complete_user")).cast("double")
+    val viol = round(greatest(lit(0.0),
+      lit(1.0) - round(expr("hll_sketch_estimate(sk_user)")) / nonNull), 9)
+    val uniq = state.select(
+      explode(array(
+        struct(lit("unique_user_budget99").as("check"),
+          viol.as("violation_fraction"), lit(0.99).as("tolerance")),
+        struct(lit("unique_user_budget50").as("check"),
+          viol.as("violation_fraction"), lit(0.50).as("tolerance")))).as("r"))
+      .select(col("r.check"), col("r.violation_fraction"), col("r.tolerance"))
+    expectationsFinalize(state).drop("passed")
+      .unionByName(uniq)
       .withColumn("passed", col("violation_fraction") <= col("tolerance"))
       .orderBy(col("check"))
   }

@@ -803,6 +803,54 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts("known_type_budget25") && !verdicts("known_type_budget10"))
   }
 
+  test("streaming expectations Unique face: exact rows bit-for-bit, sketch row within 5% of batch exact, both budgets verdict") {
+    import java.nio.file.{Files => JFiles}
+    val ev = Tables.events(spark, sf001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val dir = JFiles.createTempDirectory("graft-expect-uniq-stream")
+    // two trigger batches: the HLL register state must FOLD across
+    // triggers (register-wise max), not overwrite
+    val Array(b1, b2) = ev.randomSplit(Array(0.5, 0.5), seed = 29L)
+    b1.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    b2.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val q = Streaming.expectationCountsLive(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*"))
+      .writeStream.format("memory").queryName("expect_counts_live")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = Streaming.expectationsFinalizeLive(
+      spark.table("expect_counts_live")).collect()
+    // the exact count-backed rows must equal the batch report verbatim
+    val batch = graft.queries.QualityQueries
+      .qExpectationsEvents(spark, sf001).collect().map(_.toString).toSet
+    val exactRows = live.filterNot(_.getString(0).startsWith("unique_user"))
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && exactRows == batch,
+      s"exact rows drifted: $exactRows vs $batch")
+    // the Unique rows: violation within 5% (relative, on the distinct
+    // estimate) of the exact batch 1 − countDistinct/nonNull
+    val exact = {
+      val r = ev.agg(
+        org.apache.spark.sql.functions.count(col("user_id")).as("nn"),
+        org.apache.spark.sql.functions.countDistinct(col("user_id")).as("d"))
+        .head()
+      1.0 - r.getLong(1).toDouble / r.getLong(0)
+    }
+    val uniq = live.filter(_.getString(0).startsWith("unique_user"))
+    assert(uniq.length == 2)
+    uniq.foreach { r =>
+      val v = r.getDouble(1)
+      assert(math.abs(v - exact) <= 0.05 * (1.0 - exact) + 0.05 * exact,
+        s"${r.getString(0)}: sketch violation $v vs exact $exact")
+    }
+    // both verdict paths: 99% budget passes on the ~0.985 stream's
+    // violation, 50% budget fails
+    val verdicts = uniq.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(verdicts("unique_user_budget99") && !verdicts("unique_user_budget50"),
+      s"verdicts: $verdicts")
+  }
+
   test("streaming forecast backtest: finalize(folded day state) == the batch frame bit-for-bit") {
     import java.nio.file.{Files => JFiles}
     val ev = Tables.events(spark, sf001).select(col("ts"), col("value"))
