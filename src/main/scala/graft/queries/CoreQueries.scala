@@ -139,32 +139,81 @@ object CoreQueries {
     * (ref ipynb c13:23-27, c14:21). At 100 TB `countDistinct` becomes
     * `approx_count_distinct` (HLL) — kept exact here for oracle parity;
     * the approx variant is benchmarked separately in Bench. */
-  def qStatsSummary(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
-      // mean_qty stays raw: l_quantity is integer-valued, so the sum is
-      // exact in double and the single division deterministic. The
-      // MOMENT aggregates (stddev — Welford merge, order-dependent) and
-      // the non-dyadic price mean are class-2: the sf0.1 strict sweep
-      // caught sd_qty flipping its last ulp across engines → round 9
-      // on both sides (float policy, COVERAGE.md)
-      avg(col("l_quantity")).as("mean_qty"),
-      round(stddev(col("l_quantity")), 9).as("sd_qty"),
-      countDistinct(col("l_quantity")).as("nd_qty"),
-      round(avg(col("l_extendedprice")), 9).as("mean_price"),
-      round(stddev(col("l_extendedprice")), 9).as("sd_price"),
-      countDistinct(col("l_partkey")).as("nd_part"),
-      countDistinct(col("l_returnflag")).as("nd_flag"))
+  def qStatsSummary(s: SparkSession, d: String): DataFrame = {
+    // EXACT-moment spelling (r16 — the new sf0.1 rounded-class strict
+    // leg caught mean_price's round-9 boundary-sitting under the
+    // reordered layout at sf0.1, exactly the magnitude-dependence the
+    // leg exists for): l_quantity is integer-valued and
+    // l_extendedprice 2-decimal quantized, so all five moments are
+    // exact integers and every emitted double is ONE terminal IEEE
+    // tree spelled identically in the oracle — unrounded, the
+    // q_corr/q_acf doctrine, instead of the round-9 bet this query
+    // previously made. The Σc² cents moment (≈2.2e19 at sf0.1) passes
+    // 2^63, and a DECIMAL/HUGEINT carry is NOT usable here: DuckDB's
+    // HUGEINT→DOUBLE cast is one ulp off the correctly-rounded value
+    // (measured on 22240711483861231690 → ...1230e19 vs IEEE
+    // ...1234e19), so the moment is split into exact hi/lo LONG sums
+    // (quotient/remainder by 10⁶ per row — both sums fit long through
+    // sf1000) and reassembled in the terminal double tree, where
+    // int64→double casts are correctly rounded on both engines.
+    val q = col("l_quantity").cast("long")
+    val pc = round(col("l_extendedprice") * 100).cast("long")
+    val moments = Tables.lineitem(s, d)
+      .select(q.as("q"), pc.as("pc"), col("l_quantity"),
+        col("l_partkey"), col("l_returnflag"))
+      .withColumn("pc2", col("pc") * col("pc"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sq2"),
+        sum(col("pc")).as("sp"),
+        sum(expr("pc2 div 1000000")).as("sp2_hi"),
+        sum(pmod(col("pc2"), lit(1000000L))).as("sp2_lo"),
+        countDistinct(col("l_quantity")).as("nd_qty"),
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_returnflag")).as("nd_flag"))
+    val n = col("n").cast("double")
+    val sp2 = col("sp2_hi").cast("double") * 1000000 + col("sp2_lo").cast("double")
+    def sd(s2: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column) =
+      sqrt(greatest((s2 - s1.cast("double") * s1.cast("double") / n)
+        / (n - 1), lit(0.0)))
+    moments.select(
+      (col("sq").cast("double") / n).as("mean_qty"),
+      sd(col("sq2").cast("double"), col("sq")).as("sd_qty"),
+      col("nd_qty"),
+      (col("sp").cast("double") / (n * 100)).as("mean_price"),
+      (sd(sp2, col("sp")) / 100).as("sd_price"),
+      col("nd_part"),
+      col("nd_flag"))
+  }
 
   val qStatsSummarySql: String =
-    """SELECT
-      |  avg(l_quantity) AS mean_qty,
-      |  round(stddev_samp(l_quantity), 9) AS sd_qty,
-      |  count(DISTINCT l_quantity) AS nd_qty,
-      |  round(avg(l_extendedprice), 9) AS mean_price,
-      |  round(stddev_samp(l_extendedprice), 9) AS sd_price,
-      |  count(DISTINCT l_partkey) AS nd_part,
-      |  count(DISTINCT l_returnflag) AS nd_flag
-      |FROM lineitem""".stripMargin
+    """WITH r AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round(l_extendedprice * 100) AS BIGINT) AS pc2,
+      |    l_quantity, l_partkey, l_returnflag
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS sq,
+      |    CAST(sum(q * q) AS DOUBLE) AS sq2,
+      |    CAST(sum(pc) AS DOUBLE) AS sp,
+      |    CAST(CAST(sum(pc2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000
+      |      + CAST(CAST(sum(pc2 % 1000000) AS BIGINT) AS DOUBLE) AS sp2,
+      |    count(DISTINCT l_quantity) AS nd_qty,
+      |    count(DISTINCT l_partkey) AS nd_part,
+      |    count(DISTINCT l_returnflag) AS nd_flag
+      |  FROM r
+      |)
+      |SELECT sq / n AS mean_qty,
+      |  sqrt(greatest((sq2 - sq * sq / n) / (n - 1), 0.0)) AS sd_qty,
+      |  nd_qty,
+      |  sp / (n * 100) AS mean_price,
+      |  sqrt(greatest((sp2 - sp * sp / n) / (n - 1), 0.0)) / 100 AS sd_price,
+      |  nd_part, nd_flag
+      |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- §2.5 A2/A3
   /** Exact global + grouped median (ref ipynb c16:14,17 — Spark 4

@@ -47,6 +47,19 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("ndcg") == 0.0)
   }
 
+  test("over-deep system input evaluates as top-k instead of NaN-poisoning DCG (r15 ADVICE)") {
+    val gold = frame(Seq((1L, 1, 100L), (1L, 2, 101L), (1L, 3, 102L)))
+    val sys = frame(Seq((1L, 1, 101L), (1L, 2, 999L), (1L, 3, 100L),
+      (1L, 4, 102L), (1L, 5, 998L))) // ranks 4,5 beyond k=3
+    val deep = RetrievalEval.evaluate(sys, gold, 3).collect().head
+    val truncated = RetrievalEval.evaluate(
+      frame(Seq((1L, 1, 101L), (1L, 2, 999L), (1L, 3, 100L))), gold, 3)
+      .collect().head
+    assert(deep.toString == truncated.toString,
+      s"deep input must equal its own top-k prefix: $deep vs $truncated")
+    assert(!deep.getAs[Double]("dcg").isNaN && !deep.getAs[Double]("ndcg").isNaN)
+  }
+
   test("idealDcg matches the literal-constant discounts") {
     // k=3: 3/1 + 2/log2(3) + 1/2
     val exp = 3.0 / 1.0 + 2.0 / 1.5849625007211562 + 1.0 / 2.0
