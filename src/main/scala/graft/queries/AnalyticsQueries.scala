@@ -3474,12 +3474,18 @@ object AnalyticsQueries {
     * items with true strengths 2^idx (1, 2, 4, 8); every document row
     * fans out IN-ROW into 16 planted comparisons whose pair choice and
     * winner are pure functions of (doc_id, i): the winner indicator is
-    * u < s_a/(s_a+s_b) with u a portable xxhash64-derived uniform — so
-    * the preferences are EXACTLY BT-distributed with the planted
-    * strengths, and (with ≥ 13σ separation on adjacent pairs even at
-    * sf0.001's 800 comparisons) the fitted order must recover the
-    * planted one. One partial-aggregable groupBy ends the corpus work:
-    * a 4×4 win matrix, nothing else ever leaves the executors. */
+    * u < s_a/(s_a+s_b) with u the HOUSE PORTABLE multiplicative hash
+    * (((doc_id·16+i) mod 1000003)·2654435761 mod 10⁶)/10⁶ — exactly
+    * replayable in ANSI SQL, which makes the matrix itself a
+    * hash-green driver row (q_preference_matrix) rather than a
+    * spec-only artifact. The threshold compare cannot boundary-sit: u
+    * is a 6-decimal rational and every s_a/(s_a+s_b) is ≥ 3.3e-7 away
+    * from any such value. The preferences are EXACTLY BT-distributed
+    * with the planted strengths, and (with ≥ 13σ separation on
+    * adjacent pairs even at sf0.001's 8000 comparisons) the fitted
+    * order must recover the planted one. One partial-aggregable
+    * groupBy ends the corpus work: a 4×4 win matrix, nothing else
+    * ever leaves the executors. */
   private def btWinMatrix(s: SparkSession, d: String): DataFrame = {
     val k = 4
     val comps = Tables.documents(s, d).select(col("doc_id"))
@@ -3487,10 +3493,11 @@ object AnalyticsQueries {
       .withColumn("a", pmod(col("doc_id") + col("i"), lit(k)).cast("int"))
       .withColumn("b", pmod(col("a") + 1 +
         pmod(expr("doc_id div 4") + col("i"), lit(k - 1)), lit(k)).cast("int"))
-      // u in [0, 1): 9-digit decimal of the comparison's 64-bit hash
+      // u in [0, 1): the portable multiplicative hash of the comparison
+      // id (q_corpus_shuffle's spelling — no engine-specific hash)
       .withColumn("u",
-        pmod(xxhash64(col("doc_id"), col("i")), lit(1000000000L))
-          .cast("double") / 1e9)
+        pmod(pmod(col("doc_id") * 16 + col("i"), lit(1000003L)) * lit(2654435761L),
+          lit(1000000L)).cast("double") / 1e6)
       // planted strengths 2^idx: P[a beats b] = s_a / (s_a + s_b)
       .withColumn("sa", pow(lit(2.0), col("a")))
       .withColumn("sb", pow(lit(2.0), col("b")))
