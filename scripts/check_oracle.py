@@ -122,7 +122,12 @@ def build_reordered(sf_src, dst):
 ROUNDED_SF01 = [
     "q_corpus_profile", "q_ml_scaled_features", "q_tfidf",
     "q_sim_bruteforce_topk", "q_winsorize", "q_time_folds",
-    "q_sample_weighted", "q_stats_summary",
+    "q_sample_weighted",
+    # q_stats_summary is no longer rounded-class (r16 re-spelled it as
+    # exact integer moments) — kept in this leg for MAGNITUDE coverage:
+    # its hi/lo long split and BIGINT-cast oracle spelling are exactly
+    # the scale-dependent machinery the sf0.1 leg exists to exercise
+    "q_stats_summary",
     # the round-at-6-before-rank/boundary relational members
     "q_dormant_accounts", "q_top_supplier_revenue",
     "q_join_revenue_by_nation", "q_shipping_priority",
@@ -191,6 +196,13 @@ def sweep(out_json):
                            check=True, stdout=log, stderr=log)
         oracles = json.load(open(f"{dump}/oracle_sql.json"))
         if only is not None:
+            # a typo'd or renamed ROUNDED_SF01 entry must fail loudly,
+            # not silently shrink the leg while the artifact still
+            # labels it "rounded-class(N queries)" (r16 ADVICE)
+            missing = sorted(set(only) - set(oracles))
+            if missing:
+                sys.exit(f"[sweep] ROUNDED_SF01 names unknown queries "
+                         f"(typo or rename?): {missing}")
             oracles = {k: v for k, v in oracles.items() if k in only}
         con = connect(sf)
         verdicts = {}

@@ -135,6 +135,9 @@ object Soak {
     import org.apache.spark.sql.DataFrame
     val dict = graft.queries.ExtraQueries.entityDict(spark, src)
       .localCheckpoint(true)
+    // one count for the broadcast size guard — resolve() per-call
+    // recounts otherwise (r16 ADVICE)
+    val nDict = Some(dict.count())
     def dirtyAt(scale: Int): DataFrame =
       (0 until scale).map { j =>
         val p = 6 + j % 5  // swap (p, p+1): prefix 1..5 always intact
@@ -150,7 +153,7 @@ object Soak {
       .groupBy(lower(substring(col("name"), 1, 4)).as("blk"))
       .agg(count(lit(1)).as("cb")).localCheckpoint(true)
     // JIT warm-up on the 1x tier
-    graft.ops.FuzzyJoin.resolve(dirtyAt(1), dict, 4, 0.9)
+    graft.ops.FuzzyJoin.resolve(dirtyAt(1), dict, 4, 0.9, dictRows = nDict)
       .write.format("noop").mode("overwrite").save()
     val times = scales.map { sc =>
       val dirty = dirtyAt(sc).localCheckpoint(true)
@@ -162,7 +165,7 @@ object Soak {
           max(col("db")).as("max_db"), max(col("cb")).as("max_cb")).head()
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        graft.ops.FuzzyJoin.resolve(dirty, dict, 4, 0.9)
+        graft.ops.FuzzyJoin.resolve(dirty, dict, 4, 0.9, dictRows = nDict)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min

@@ -50,10 +50,20 @@ object FuzzyJoin {
   /** `dirty(id, name)` ⨝ `clean(id, name)` → one best match per dirty
     * id with `sim ≥ threshold`. Dirty rows whose block has no
     * qualifying candidate are absent (inner semantics — the caller
-    * left-joins back if unmatched rows must surface). */
+    * left-joins back if unmatched rows must surface).
+    *
+    * NOTE: when `dictRows` is None this method is an ACTION, not a
+    * lazy plan constructor — the broadcast-hint size guard runs one
+    * `clean.count()` Spark job at DataFrame-CONSTRUCTION time, and it
+    * recomputes the dictionary's lineage unless the caller
+    * checkpointed it (r16 ADVICE). Callers that already know the
+    * dictionary size (a cached count, a fixed dictionary resolved
+    * repeatedly, plan-only consumers like explain dumps) pass
+    * `dictRows = Some(n)` and construction stays lazy. */
   def resolve(dirty: DataFrame, clean: DataFrame, blockPrefix: Int,
       threshold: Double,
-      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+      dictRows: Option[Long] = None): DataFrame = {
     val block = (c: org.apache.spark.sql.Column) =>
       lower(substring(c, 1, blockPrefix))
     val d = dirty.select(col("id").as("dirty_id"),
@@ -64,7 +74,9 @@ object FuzzyJoin {
     // one partial-aggregable job over the dimension side, negligible
     // next to the join it sizes — and the price of never betting the
     // driver's heap on a dictionary that outgrew its name
-    val cSized = if (clean.count() <= broadcastMaxRows) broadcast(c) else c
+    val cSized =
+      if (dictRows.getOrElse(clean.count()) <= broadcastMaxRows) broadcast(c)
+      else c
     val sim = StringSimilarity.jaroWinkler(
       col("dirty_name"), col("clean_name"))
     d.join(cSized, Seq("blk"))

@@ -3509,6 +3509,39 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** The win matrix as a driver-visible HASH row — the corpus half of
+    * the BT family released on its own ([[btWinMatrix]]'s scaladoc
+    * promise, registered r17): 12 rows of exact integer counts whose
+    * DuckDB twin replays the 16-way fan-out, the portable-hash
+    * uniform, and the planted-strength threshold from scratch — so
+    * the hash certifies the whole preference-synthesis pipeline; only
+    * the ≤k²-bounded MM fixed point ([[qPreferenceBt]]) stays
+    * rows-only. All integers, no float class (the u < s_a/(s_a+s_b)
+    * compare is 3.3e-7 away from any representable u on both engines,
+    * as [[btWinMatrix]] documents). */
+  def qPreferenceMatrix(s: SparkSession, d: String): DataFrame =
+    btWinMatrix(s, d).orderBy(col("winner"), col("loser"))
+
+  val qPreferenceMatrixSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, i,
+      |    CAST((doc_id + i) % 4 AS INTEGER) AS a,
+      |    CAST(((doc_id + i) % 4 + 1 + ((doc_id // 4) + i) % 3) % 4
+      |      AS INTEGER) AS b,
+      |    CAST(((doc_id * 16 + i) % 1000003) * 2654435761 % 1000000
+      |      AS DOUBLE) / 1e6 AS u
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+      |), wl AS (
+      |  SELECT CASE WHEN u < power(2.0, a) / (power(2.0, a) + power(2.0, b))
+      |              THEN a ELSE b END AS winner,
+      |         CASE WHEN u < power(2.0, a) / (power(2.0, a) + power(2.0, b))
+      |              THEN b ELSE a END AS loser
+      |  FROM c
+      |)
+      |SELECT winner, loser, count(*) AS w
+      |FROM wl GROUP BY winner, loser
+      |ORDER BY winner, loser""".stripMargin
+
   /** Bradley–Terry strengths via Hunter's MM iteration over the
     * collected win matrix: s_i ← W_i / Σ_{j≠i} n_ij/(s_i+s_j),
     * normalized to Σs = 1 each round. The collect is ≤ k·(k−1) rows
@@ -3612,6 +3645,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_preference_bt" -> (qPreferenceBt _),
     "q_preference_bt_bounds" -> (qPreferenceBtBounds _),
+    "q_preference_matrix" -> (qPreferenceMatrix _),
     "q_skyline" -> (qSkyline _),
     "q_event_paths" -> (qEventPaths _),
     "q_time_folds" -> (qTimeFolds _),
@@ -3663,6 +3697,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_preference_bt_bounds" -> qPreferenceBtBoundsSql,
+    "q_preference_matrix" -> qPreferenceMatrixSql,
     "q_skyline" -> qSkylineSql,
     "q_event_paths" -> qEventPathsSql,
     "q_time_folds" -> qTimeFoldsSql,

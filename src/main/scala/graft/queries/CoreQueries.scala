@@ -155,7 +155,13 @@ object CoreQueries {
     // ...1234e19), so the moment is split into exact hi/lo LONG sums
     // (quotient/remainder by 10⁶ per row — both sums fit long through
     // sf1000) and reassembled in the terminal double tree, where
-    // int64→double casts are correctly rounded on both engines.
+    // int64→double casts are correctly rounded on both engines. The
+    // SMALLER sums (Σq, Σq², Σc — all fit BIGINT through sf1000) must
+    // route through the same BIGINT cast in the oracle: DuckDB's
+    // sum() over integers is HUGEINT regardless of magnitude, so an
+    // unparenthesized CAST(sum(..) AS DOUBLE) would hit the defective
+    // HUGEINT→DOUBLE path once the value outgrows 2^53 (r16 ADVICE —
+    // Σc crosses around sf1+).
     val q = col("l_quantity").cast("long")
     val pc = round(col("l_extendedprice") * 100).cast("long")
     val moments = Tables.lineitem(s, d)
@@ -197,9 +203,9 @@ object CoreQueries {
       |  FROM lineitem
       |), m AS (
       |  SELECT count(*) AS n,
-      |    CAST(sum(q) AS DOUBLE) AS sq,
-      |    CAST(sum(q * q) AS DOUBLE) AS sq2,
-      |    CAST(sum(pc) AS DOUBLE) AS sp,
+      |    CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS sq,
+      |    CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) AS sq2,
+      |    CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) AS sp,
       |    CAST(CAST(sum(pc2 // 1000000) AS BIGINT) AS DOUBLE) * 1000000
       |      + CAST(CAST(sum(pc2 % 1000000) AS BIGINT) AS DOUBLE) AS sp2,
       |    count(DISTINCT l_quantity) AS nd_qty,

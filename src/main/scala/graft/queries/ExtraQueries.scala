@@ -2253,7 +2253,8 @@ object ExtraQueries {
     // perturbed dirty twin)
     val dict = entityDict(s, d).localCheckpoint(true)
     graft.ops.FuzzyJoin.resolve(entityDirtyFrom(dict), dict,
-      blockPrefix = 4, threshold = 0.9)
+      blockPrefix = 4, threshold = 0.9,
+      dictRows = Some(entityDictRows(dict, d)))
       .orderBy(col("dirty_id"))
   }
 
@@ -2314,6 +2315,18 @@ object ExtraQueries {
   // artifact under test is the parquet round-trip + delta-only resolve
   private val erStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  // dictionary row count per scale dir (a plain Long — nothing
+  // session-tied): FuzzyJoin.resolve's broadcast size guard needs the
+  // dictionary size at plan-construction time (r16 ADVICE — an
+  // unparameterized resolve() call runs a count JOB per call, so the
+  // 3-resolve bounds gate and every plan-only consumer paid a full
+  // recount); the dict is a pure function of the scale dir, so one
+  // count per (process, dir) serves every resolve in the ER family
+  private val erDictCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def entityDictRows(dict: DataFrame, d: String): Long =
+    erDictCount.computeIfAbsent(d, _ => dict.count()).longValue()
+
   /** Incremental entity resolution — the ER member of the
     * incremental-contract family (exact dedup, MinHash, curation, IVF,
     * PageRank, contamination all have one): day-1's resolved matches
@@ -2334,16 +2347,17 @@ object ExtraQueries {
     * IEEE tree, the q_entity_resolution precedent). */
   def qEntityResolutionInc(s: SparkSession, d: String): DataFrame = {
     val dict = entityDict(s, d).localCheckpoint(true)
+    val nDict = Some(entityDictRows(dict, d))
     val dir = erStateCache.computeIfAbsent(d, _ => {
       val p = graft.TempDirs.create("graft_erstate_").toString
       graft.ops.FuzzyJoin.resolve(entityDirtyFrom(dict), dict,
-        blockPrefix = 4, threshold = 0.9)
+        blockPrefix = 4, threshold = 0.9, dictRows = nDict)
         .write.mode("overwrite").parquet(p)
       p
     })
     val state = s.read.parquet(dir)
     val deltaMatches = graft.ops.FuzzyJoin.resolve(entityDirtyDelta(dict), dict,
-      blockPrefix = 4, threshold = 0.9)
+      blockPrefix = 4, threshold = 0.9, dictRows = nDict)
     state.unionByName(deltaMatches).orderBy(col("dirty_id"))
   }
 
@@ -2365,7 +2379,8 @@ object ExtraQueries {
     val inc = qEntityResolutionInc(s, d).localCheckpoint(true)
     val scratch = graft.ops.FuzzyJoin.resolve(
       entityDirtyFrom(dict).unionByName(entityDirtyDelta(dict)), dict,
-      blockPrefix = 4, threshold = 0.9).localCheckpoint(true)
+      blockPrefix = 4, threshold = 0.9,
+      dictRows = Some(nDict)).localCheckpoint(true)
     val diffs = inc.exceptAll(scratch).count() + scratch.exceptAll(inc).count()
     val delta = inc.filter(col("dirty_id") >= 2000000L)
     val dAgg = delta.agg(count(lit(1)).as("n"),

@@ -978,13 +978,14 @@ object SimilarityQueries {
        |      ELSE 0.0 END) AS dcg_raw
        |  FROM j GROUP BY query_id
        |)
-       |SELECT m.query_id, ng.n_gold, m.hits,
-       |  CAST(m.hits AS DOUBLE) / ng.n_gold AS recall_at_k,
+       |SELECT ng.query_id, ng.n_gold,
+       |  CAST(coalesce(m.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(m.hits, 0) AS DOUBLE) / ng.n_gold AS recall_at_k,
        |  coalesce(1.0 / m.fr, 0.0) AS mrr,
-       |  round(m.dcg_raw, 6) AS dcg,
-       |  round(m.dcg_raw / $idcg, 6) AS ndcg
-       |FROM m JOIN ng USING (query_id)
-       |ORDER BY m.query_id""".stripMargin
+       |  round(coalesce(m.dcg_raw, 0.0), 6) AS dcg,
+       |  round(coalesce(m.dcg_raw, 0.0) / $idcg, 6) AS ndcg
+       |FROM ng LEFT JOIN m USING (query_id)
+       |ORDER BY ng.query_id""".stripMargin
   }
 
   /** Gate running ALL FOUR fitted ANN tiers (IVF, PQ, IVFPQ,

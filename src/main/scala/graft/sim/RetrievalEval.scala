@@ -55,7 +55,13 @@ object RetrievalEval {
     * corrupt dcg/ndcg (and the SQL twin's CASE would return NULL,
     * dropping terms). Truncating to the top-k prefix IS the @k
     * semantics, so over-deep input now evaluates correctly instead of
-    * poisoning the metrics. */
+    * poisoning the metrics.
+    *
+    * Coverage contract (r16 ADVICE): metrics LEFT-join onto the gold
+    * query set, so a query whose system rows ALL fall outside [1, k]
+    * (a malformed or empty ranking) still surfaces — with hits = 0,
+    * recall = 0, mrr = 0, dcg = 0 — instead of silently vanishing
+    * from the eval report. Every gold query_id appears exactly once. */
   def evaluate(system: DataFrame, gold: DataFrame, k: Int): DataFrame = {
     val g = gold.select(col("query_id"), col("neighbor_id"),
       col("rank").as("gold_rank"))
@@ -66,19 +72,22 @@ object RetrievalEval {
     val rel = when(col("gold_rank").isNotNull,
       (lit(k + 1) - col("gold_rank")).cast("double")).otherwise(lit(0.0))
     val nGold = g.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
-    joined
+    val metrics = joined
       .withColumn("term", rel / discount(col("sys_rank"), k))
       .groupBy(col("query_id"))
       .agg(
         count(when(col("gold_rank").isNotNull, 1)).as("hits"),
         min(when(col("gold_rank").isNotNull, col("sys_rank"))).as("fr"),
         sum(col("term")).as("dcg_raw"))
-      .join(nGold, Seq("query_id"))
-      .select(col("query_id"), col("n_gold"), col("hits"),
-        (col("hits").cast("double") / col("n_gold")).as("recall_at_k"),
+    nGold.join(metrics, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_gold"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_gold"))
+          .as("recall_at_k"),
         coalesce(lit(1.0) / col("fr"), lit(0.0)).as("mrr"),
-        round(col("dcg_raw"), 6).as("dcg"),
-        round(col("dcg_raw") / lit(idealDcg(k)), 6).as("ndcg"))
+        round(coalesce(col("dcg_raw"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("dcg_raw"), lit(0.0)) / lit(idealDcg(k)), 6)
+          .as("ndcg"))
       .orderBy(col("query_id"))
   }
 }

@@ -60,6 +60,25 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(!deep.getAs[Double]("dcg").isNaN && !deep.getAs[Double]("ndcg").isNaN)
   }
 
+  test("a query whose system rows are all rank > k still surfaces with zeros (r16 ADVICE)") {
+    val gold = frame(Seq((1L, 1, 100L), (1L, 2, 101L),
+      (2L, 1, 200L), (2L, 2, 201L)))
+    // query 1 ranks normally; query 2's "ranking" starts past k —
+    // malformed, previously vanished from the output entirely
+    val sys = frame(Seq((1L, 1, 100L), (1L, 2, 999L),
+      (2L, 7, 200L), (2L, 8, 201L)))
+    val m = RetrievalEval.evaluate(sys, gold, 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(m.keySet == Set(1L, 2L), s"every gold query must appear: $m")
+    val q2 = m(2L)
+    assert(q2.getAs[Long]("hits") == 0L)
+    assert(q2.getAs[Double]("recall_at_k") == 0.0)
+    assert(q2.getAs[Double]("mrr") == 0.0)
+    assert(q2.getAs[Double]("dcg") == 0.0)
+    assert(q2.getAs[Double]("ndcg") == 0.0)
+    assert(q2.getAs[Long]("n_gold") == 2L)
+  }
+
   test("idealDcg matches the literal-constant discounts") {
     // k=3: 3/1 + 2/log2(3) + 1/2
     val exp = 3.0 / 1.0 + 2.0 / 1.5849625007211562 + 1.0 / 2.0
