@@ -1017,6 +1017,59 @@ object TextQueries {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility per source under the LEARNED tokenizer — the
+    * mixture-design statistic a pretrain data team reads before
+    * weighting sources (the exact-piece sibling of the cheap regex
+    * proxy [[qTokenizerFertility]]): pieces/word
+    * (how hard the frozen tokenizer fragments each source's surface
+    * forms) and bytes/piece (how much raw text one context-window slot
+    * buys there), under the SAME frozen 16-merge table as
+    * [[qPackBlocksTokens]] (a tokenizer is a versioned artifact; its
+    * fertility report must use the shipped table, not a re-learned
+    * one).
+    *
+    * Scale shape: [[graft.text.Bpe.encodeStats]] keyed directly on
+    * `source` — the corpus reduces to DISTINCT words (Heaps'-law
+    * bounded), each word encodes once, and ONE partial-aggregable
+    * groupBy(source) folds words, pieces, and bytes; the readout is
+    * |sources|-bounded. Floats are two terminal divisions of exact
+    * long sums (IEEE-exact cross-engine — no rounding needed); the
+    * oracle recomputes every piece count via the sequential-replay
+    * spelling proven equal to the greedy encoder by BpeSpec, so the
+    * hash re-certifies the encoder from a second consumer. */
+  def qTokenizerFertilityBpe(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.encodeStats(
+      Tables.documents(s, d).select(col("source"), col("text")),
+      FrozenMerges, idCol = "source")
+      .select(col("source"), col("n_tokens").as("n_words"), col("n_pieces"),
+        col("n_word_bytes"),
+        (col("n_pieces").cast("double") / col("n_tokens"))
+          .as("pieces_per_word"),
+        (col("n_word_bytes").cast("double") / col("n_pieces"))
+          .as("bytes_per_piece"))
+      .orderBy(col("source"))
+
+  val qTokenizerFertilityBpeSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w
+       |  FROM documents
+       |), pc AS (
+       |  SELECT w, ${piecesReplaySqlExpr("w")} AS n_pieces_w
+       |  FROM (SELECT DISTINCT w FROM toks)
+       |)
+       |SELECT source,
+       |  count(*) AS n_words,
+       |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+       |  CAST(sum(strlen(w)) AS BIGINT) AS n_word_bytes,
+       |  CAST(CAST(sum(n_pieces_w) AS BIGINT) AS DOUBLE) / count(*)
+       |    AS pieces_per_word,
+       |  CAST(CAST(sum(strlen(w)) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(n_pieces_w) AS BIGINT) AS bytes_per_piece
+       |FROM toks JOIN pc USING (w)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Intra-document repetition signals — the within-doc quality filter
     * (repeated boilerplate, keyword stuffing, degenerate generations):
     * duplicate-trigram ratio plus the most-frequent-token share.
@@ -1214,6 +1267,7 @@ object TextQueries {
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     graft.text.Bpe.encodeStats(docs, merges30(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
       .orderBy(col("doc_id"))
   }
 
@@ -1337,7 +1391,10 @@ object TextQueries {
     * in GPU-hours (fertility ≈ 2 means a "1T-token" corpus costs
     * double the naive word-count estimate; per-source fertility flags
     * the domains a vocabulary serves badly — code, non-Latin scripts,
-    * URLs). One narrow per-row projection (the two counters are
+    * URLs). This row is the cheap REGEX-UNIT proxy (no merge table —
+    * a pre-tokenizer unit count); [[qTokenizerFertilityBpe]] prices
+    * the same mixture under the frozen LEARNED merge table, with
+    * bytes/piece alongside. One narrow per-row projection (the two counters are
     * codegen'd regex/size expressions) and a partial-aggregable
     * groupBy(source). Integer-sum ratio is a single double division —
     * bit-identical across engines; rounded at 9 as belt and braces. */
@@ -2026,6 +2083,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_pack_blocks" -> (qPackBlocks _),
     "q_pack_blocks_tokens" -> (qPackBlocksTokens _),
+    "q_tokenizer_fertility_bpe" -> (qTokenizerFertilityBpe _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -2065,6 +2123,7 @@ object TextQueries {
     "q_pii_redact" -> qPiiRedactSql,
     "q_pack_blocks" -> qPackBlocksSql,
     "q_pack_blocks_tokens" -> qPackBlocksTokensSql,
+    "q_tokenizer_fertility_bpe" -> qTokenizerFertilityBpeSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_heavy_hitters_exact" -> qHeavyHittersExactSql,

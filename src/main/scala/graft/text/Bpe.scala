@@ -256,15 +256,20 @@ object Bpe {
     * multimodal codec) with the merge ranks broadcast once. The
     * corpus-side work is one explode+groupBy and one (vocab-sized,
     * AQE-broadcastable) join — no UDF ever touches a document row.
-    * Returns (doc_id, n_tokens, n_pieces) per document. */
+    * Returns (doc_id[, carry...], n_tokens, n_pieces, n_word_bytes)
+    * per document; `carry` threads extra doc-grain columns (e.g.
+    * `source`) through the explode into the groupBy key, so rollups
+    * above the doc grain (fertility per source) need no second join
+    * back to the corpus. */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      carry: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rank = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bRank = spark.sparkContext.broadcast(rank)
-    val toks = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val toks = docs.select((Seq(idCol) ++ carry).map(col) :+
+        explode(TextAnalysis.tokens(col(textCol))).as("w"): _*)
       .filter(col("w") =!= "")
     val pieces = toks.select(col("w")).distinct().as[String]
       .mapPartitions { it =>
@@ -272,8 +277,9 @@ object Bpe {
         it.map(w => (w, encodeWord(w, r).length))
       }.toDF("w", "n_pieces_w")
     toks.join(pieces, Seq("w"))
-      .groupBy(col(idCol))
+      .groupBy((Seq(idCol) ++ carry).map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("n_pieces_w")).as("n_pieces"))
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(octet_length(col("w")).cast("long")).as("n_word_bytes"))
   }
 }
