@@ -83,7 +83,8 @@ object ExplainDump {
     "q_expectations_events",
     "q_entity_resolution_inc", "q_contamination_fuzzy",
     "q_contamination_fuzzy_inc", "q_pack_blocks_tokens",
-    "q_preference_bt")
+    "q_preference_bt",
+    "q_preference_matrix", "q_tokenizer_fertility_bpe", "q_span_excise")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -621,6 +621,68 @@ object DedupQueries {
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY span""".stripMargin
 
+  /** Duplicated-span excision ([[Dedup.spanExcise]]) — the ExactSubstr
+    * REWRITE downstream of [[qSpanDedup]]/[[qSpanProvenance]]: every
+    * non-first occurrence of a cross-doc repeated 8-token span is
+    * removed (greedy leftmost, non-overlapping) and the cleaned corpus
+    * is emitted with exact token accounting. Runs on the real
+    * documents table (the same natural cross-doc span structure the
+    * provenance row reads — 100s–1000s of excisions per SF).
+    *
+    * Hash-green end to end: the DuckDB twin replays the span CTE, the
+    * first-owner rule, the greedy selection (a recursive CTE whose
+    * per-doc min strictly increases — the sequential scan spelled
+    * relationally), and the reassembly; `SpanExciseSpec` additionally
+    * pins planted-duplicate behavior (excised everywhere but the
+    * provenance doc, byte-identical non-duplicated text, exact
+    * accounting). All integers + string concat — no float class. */
+  def qSpanExcise(s: SparkSession, d: String): DataFrame =
+    Dedup.spanExcise(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  val qSpanExciseSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> t <> '') AS toks
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+      |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      |  WHERE len(toks) >= 8
+      |), sa AS (
+      |  SELECT span, min(doc_id) AS first_doc
+      |  FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+      |), removable AS (
+      |  SELECT s.doc_id, s.i FROM spans s JOIN sa USING (span)
+      |  WHERE s.doc_id <> sa.first_doc
+      |), sel AS (
+      |  SELECT doc_id, min(i) AS i FROM removable GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT r.doc_id, min(r.i) AS i FROM removable r JOIN sel s USING (doc_id)
+      |  WHERE r.i >= s.i + 8 GROUP BY r.doc_id
+      |), kept AS (
+      |  SELECT t.doc_id, u.p, t.toks[u.p] AS tok
+      |  FROM toks t, unnest(generate_series(1, len(t.toks))) AS u(p)
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel s
+      |                    WHERE s.doc_id = t.doc_id AND u.p >= s.i AND u.p < s.i + 8)
+      |), reassembled AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY p) AS text_clean
+      |  FROM kept GROUP BY doc_id
+      |), nsel AS (
+      |  SELECT doc_id, count(*) AS n_excised FROM sel GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(ns.n_excised, 0) AS BIGINT) AS n_spans_excised,
+      |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_clean,
+      |  coalesce(r.text_clean, '') AS text_clean
+      |FROM toks t
+      |LEFT JOIN nsel ns USING (doc_id)
+      |LEFT JOIN reassembled r USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Per-source copied fraction — the source-grain rollup of
     * [[qSpanProvenance]]: an occurrence is COPIED when its span is
     * duplicated (≥ 2 docs) and this occurrence is not in the span's
@@ -961,6 +1023,7 @@ object DedupQueries {
     "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_provenance" -> (qSpanProvenance _),
+    "q_span_excise" -> (qSpanExcise _),
     "q_source_copy_fraction" -> (qSourceCopyFraction _),
     "q_source_similarity" -> (qSourceSimilarity _),
     "q_source_similarity_sketch" -> (qSourceSimilaritySketch _),
@@ -984,6 +1047,7 @@ object DedupQueries {
     "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_span_provenance" -> qSpanProvenanceSql,
+    "q_span_excise" -> qSpanExciseSql,
     "q_source_copy_fraction" -> qSourceCopyFractionSql,
     "q_source_similarity" -> qSourceSimilaritySql,
     "q_source_similarity_sketch_bounds" -> qSourceSimilaritySketchBoundsSql,

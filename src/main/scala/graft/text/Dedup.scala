@@ -562,6 +562,81 @@ object Dedup {
       .select(col("span"), col("n_docs"), col("n_occurrences"),
         col("w.doc_id").as("first_doc"), col(s"w.$srcCol").as("first_source"))
 
+  /** Duplicated-span EXCISION — the rewrite operator downstream of
+    * [[repeatedSpans]] (Lee et al. ACL'22's ExactSubstr transform:
+    * don't just COUNT duplicated spans, remove them and train on the
+    * cleaned corpus). Every k-token window whose span text occurs in
+    * ≥ `minDocs` distinct documents is removable in every document
+    * EXCEPT the span's first owner (min doc id — ingestion order, the
+    * same first-owner rule as [[spanProvenance]]); within each
+    * document the removable window starts are excised greedily
+    * leftmost, non-overlapping (scan ascending, take a start iff it
+    * clears the previous excision's end), and the surviving tokens are
+    * re-joined. Non-duplicated text passes through byte-identical in
+    * token space, and the token accounting is exact by construction:
+    * n_tokens_clean = n_tokens − k·n_spans_excised (selected windows
+    * are disjoint and in-bounds).
+    *
+    * Scale shape: the span explode is linear in corpus token count and
+    * the span groupBy is ONE shuffle with map-side combine (the
+    * [[repeatedSpans]] cost class; group on sha2(span) at 100 TB as
+    * documented there); the join-back co-partitions on the span key
+    * the aggregate already shuffled on. Everything after is IN-ROW:
+    * the greedy selection is an `aggregate` fold over the doc's sorted
+    * removable starts and the reassembly filters ≤ |doc| positions
+    * against ≤ |doc|/k selected spans — per-record work bounded by the
+    * record, never by the corpus. The token frame is checkpointed once
+    * (it feeds the occurrence explode AND the final reassembly — the
+    * r12 shared-subframe discipline; the explode itself recomputes
+    * from the checkpoint rather than materializing the occurrence
+    * grain, which is k× wider than the corpus). No UDF anywhere.
+    *
+    * Output: (doc_id, n_tokens, n_spans_excised, n_tokens_clean,
+    * text_clean). */
+  def spanExcise(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+      .localCheckpoint(true)
+    val occ = toks.filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> named_struct('i', i, 'span', concat_ws(' ', slice(toks, i, $k))))"))
+        .as("o"))
+      .select(col(idCol), col("o.i").as("i"), col("o.span").as("span"))
+    val firsts = occ.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+    val removable = occ.join(firsts, Seq("span"))
+      .filter(col(idCol) =!= col("first_doc"))
+      .select(col(idCol), col("i"))
+    // greedy leftmost non-overlapping selection: an in-row fold over
+    // the doc's ascending removable starts (sort_array makes the
+    // collect_list order deterministic)
+    val sel = removable.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col(idCol), expr(
+        s"""aggregate(ps,
+           |  named_struct('nxt', 1, 'sel', cast(array() as array<int>)),
+           |  (acc, p) -> IF(p >= acc.nxt,
+           |    named_struct('nxt', p + $k, 'sel', concat(acc.sel, array(p))),
+           |    acc),
+           |  acc -> acc.sel)""".stripMargin).as("sel"))
+    val kept = when(col("sel").isNull, col("toks")).otherwise(expr(
+      s"""transform(
+         |  filter(transform(toks, (t, j) -> named_struct('t', t, 'p', j + 1)),
+         |    x -> NOT exists(sel, s -> x.p >= s AND x.p < s + $k)),
+         |  x -> x.t)""".stripMargin))
+    toks.join(sel, Seq(idCol), "left")
+      .withColumn("kept", kept)
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("sel")), lit(0)).cast("long").as("n_spans_excised"),
+        size(col("kept")).cast("long").as("n_tokens_clean"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
   /** EXACT bounded edit-distance pairs for SHORT strings (titles,
     * URLs, names — the string-metric dedup family; shingle tiers are
     * wrong for strings a few tokens long). Ed-Join-style candidate
