@@ -557,8 +557,16 @@ object TextQueries {
     * (3) the incremental screen of the second batch equals the
     * from-scratch screen of that same batch as a SET (the
     * incremental-contract equality, bit-exact because the hash
-    * families are fixed-seed). Guards fail closed on empty truth or
-    * planted sets. */
+    * families are fixed-seed); (4) the PERSISTED train band index —
+    * the parquet generation [[qContaminationFuzzyInc]] actually reads
+    * — carries verbatim against a fresh banding of train (bands at
+    * row grain, shingle sets at exploded grain — array order is not
+    * part of the contract): a silent re-banding, a parquet round-trip
+    * that dropped precision, or a seed drift between the build and
+    * probe paths flips this row even while the screen outputs happen
+    * to agree (the q_entity_resolution_inc_bounds
+    * `state_carried_verbatim` pattern, r16 verdict directive).
+    * Guards fail closed on empty truth or planted sets. */
   def qContaminationFuzzyBounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -599,11 +607,23 @@ object TextQueries {
         round(col("jaccard_dist"), 6).as("jaccard_dist"))
       .localCheckpoint(true)
     val diffs = inc.exceptAll(scratch).count() + scratch.exceptAll(inc).count()
+    // state provenance: the persisted generation the _inc screen reads
+    // must equal a fresh banding of train verbatim (tb2/ts2 are already
+    // in hand from the scratch screen — the check costs two parquet
+    // reads and four bounded anti-joins, no new banding)
+    val idxDir = fuzzyTrainIndexDir(s, d)
+    def symDiff(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    def setGrain(f: DataFrame): DataFrame =
+      f.select(col("doc_id"), explode(col("sh")).as("h"))
+    val idxDrift = symDiff(s.read.parquet(s"$idxDir/bands"), tb2) +
+      symDiff(setGrain(s.read.parquet(s"$idxDir/sets")), setGrain(ts2))
     val ok = nTruth > 0 && nPlanted > 0
     Seq(
       ("incremental_equals_scratch", ok && diffs == 0L),
       ("planted_leaks_all_flagged", ok && plantedHits == nPlanted),
-      ("recall_floor_vs_exact_tier", ok && recall >= 0.95))
+      ("recall_floor_vs_exact_tier", ok && recall >= 0.95),
+      ("train_index_carried_verbatim", ok && idxDrift == 0L))
       .toDF("check", "within_bounds")
       .orderBy(col("check"))
   }
@@ -611,7 +631,8 @@ object TextQueries {
   val qContaminationFuzzyBoundsSql: String =
     """SELECT * FROM (VALUES ('incremental_equals_scratch', true),
       |  ('planted_leaks_all_flagged', true),
-      |  ('recall_floor_vs_exact_tier', true))
+      |  ('recall_floor_vs_exact_tier', true),
+      |  ('train_index_carried_verbatim', true))
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
