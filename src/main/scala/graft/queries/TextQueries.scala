@@ -453,7 +453,7 @@ object TextQueries {
     * qContamination's overlap ratio blur, while its shingle-set
     * Jaccard vs the original stays ≈ (n−3)/(n−2) — exactly what a
     * near-dup screen is for. */
-  private def fuzzyEvalBatch(docs: DataFrame, offsetMult: Int,
+  private[graft] def fuzzyEvalBatch(docs: DataFrame, offsetMult: Int,
       dropLast: Boolean): DataFrame = {
     val toks = graft.text.Dedup.tokens(col("text"))
     val kept =
