@@ -134,4 +134,92 @@ object DomainMix {
   /** Budget of `corpus rows div den`, as an aggregate over the
     * per-source count frame of [[resampleTemperature]]. */
   def corpusFraction(den: Long): Column = expr(s"sum(_n_s) div $den")
+
+  /** Water-filling token-budget allocation — the third mix rule, for
+    * the case [[resample]] and [[resampleTemperature]] don't cover: a
+    * FIXED token budget B must be spent in full across sources with
+    * target weights w_s, but some sources are too small to supply
+    * their proportional share. The classical answer (water-filling /
+    * proportional fairness): allocate x_s = min(a_s, λ·w_s) with the
+    * water level λ chosen so Σ x_s = B — small sources SATURATE (take
+    * everything they have) and the freed budget redistributes across
+    * the rest by weight.
+    *
+    * Closed form, in EXACT integer arithmetic end-to-end: sources
+    * saturate in increasing a_s/w_s order, so sort by that ratio
+    * (exact integer sort key `a_s · (LCM(w) div w_s)` — weights are
+    * frozen small integers, so the multiplier is exact and overflow-
+    * safe: at 100 TB, a_s ≈ 2.5e13 tokens × LCM ≤ a few hundred stays
+    * far under 2^63), take inclusive prefix sums A_k / W_k, and test
+    * each row k with `a_k·(W−W_k) ≤ w_k·(B−A_k)` — "if the first k
+    * sources saturate, is row k consistent with its own water level".
+    * The saturated set is the prefix before the first failing row
+    * (WaterFillSpec proves this equals the iterative fixpoint on
+    * randomized instances); unsaturated rows get `(w_s·(B−A_sat)) div
+    * (W−W_sat)` — floored, so Σ allocated ≤ B with shortfall < the
+    * number of unsaturated sources (the spec pins both invariants).
+    * Every comparison and division is 64-bit integer, so the whole
+    * allocation replays verbatim as a SQL oracle — no float water
+    * level to drift.
+    *
+    * Scale shape: ONE partial-aggregable groupBy(source) over the
+    * corpus (eagerly checkpointed — every later step reads the
+    * per-source frame), then pure #sources-row algebra: the windows
+    * below run on a single partition of ≤ #weights rows, the same
+    * documented bounded-frame exemption as the Bradley–Terry win
+    * matrix. Nothing corpus-sized moves after the first aggregate.
+    *
+    * `weights` is the frozen policy artifact (must be positive;
+    * sources absent from the corpus stay on the spine with a_s = 0 and
+    * saturate at zero). Budget is the scale-free fraction
+    * `(Σ a_s · budgetNum) div budgetDen`. Returns (source, available,
+    * weight, saturated, allocated). */
+  def waterFill(df: DataFrame, sourceCol: String, tokenCol: String,
+      weights: Map[String, Long], budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction")
+    val lcmW = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wTab = weights.toSeq.toDF(sourceCol, "weight")
+    // weight map as the join spine (missing source -> available 0);
+    // checkpointed: the total aggregate AND the ranked frame read it
+    val avail = wTab.join(
+        df.groupBy(col(sourceCol))
+          .agg(sum(col(tokenCol)).cast("long").as("available")),
+        Seq(sourceCol), "left")
+      .na.fill(0L, Seq("available"))
+      .localCheckpoint(true)
+    val tot = avail.agg(sum(col("available")).cast("long").as("_ta"),
+      sum(col("weight")).cast("long").as("_tw"))
+    val ord = Window.orderBy(col("_ord"), col(sourceCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tested = avail.crossJoin(broadcast(tot))
+      .withColumn("_b", expr(s"(_ta * $budgetNum) div $budgetDen"))
+      .withColumn("_ord", expr(s"available * (${lcmW}L div weight)"))
+      .withColumn("_pos", row_number().over(ord))
+      .withColumn("_ca", sum(col("available")).over(cum))
+      .withColumn("_cw", sum(col("weight")).over(cum))
+      .withColumn("_ok", col("available") * (col("_tw") - col("_cw")) <=
+        col("weight") * (col("_b") - col("_ca")))
+      .localCheckpoint(true) // read by the cut aggregate and the output
+    val cut = tested.agg(min(when(!col("_ok"), col("_pos"))).as("_cut"))
+    val flagged = tested.crossJoin(broadcast(cut))
+      .withColumn("saturated", col("_cut").isNull || col("_pos") < col("_cut"))
+      .localCheckpoint(true) // read by the water-level aggregate and the output
+    val level = flagged.agg(
+      sum(when(col("saturated"), col("available")).otherwise(0L))
+        .cast("long").as("_sa"),
+      sum(when(col("saturated"), col("weight")).otherwise(0L))
+        .cast("long").as("_sw"))
+    flagged.crossJoin(broadcast(level))
+      .withColumn("allocated", when(col("saturated"), col("available"))
+        .otherwise(expr("(weight * (_b - _sa)) div (_tw - _sw)")))
+      .select(col(sourceCol), col("available"), col("weight"),
+        col("saturated"), col("allocated"))
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

@@ -1534,6 +1534,81 @@ object ExtraQueries {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** The FROZEN water-fill weight table: srcN gets weight (N%5)²+1 ∈
+    * {1, 2, 5, 10, 17} — spread wide on purpose so every scale factor
+    * produces BOTH saturated sources (weight 17 demands ~7.3% of the
+    * budget against ~5% availability on the uniform harness mix) and
+    * unsaturated ones (weight 1 demands ~0.4%). LCM of the weights is
+    * 170, the exact sort-key multiplier. */
+  val WaterFillWeights: Seq[(String, Long)] =
+    (0 until 20).map(n => s"src$n" -> ((n % 5).toLong * (n % 5) + 1L))
+
+  /** Water-filling token-budget allocation
+    * ([[graft.ops.DomainMix.waterFill]]): spend 3/5 of the corpus's
+    * whitespace tokens across sources proportionally to the frozen
+    * weight table, letting too-small sources saturate and their freed
+    * budget redistribute — the allocator a mixture designer runs when
+    * the target mix exceeds what some domains can supply (the case
+    * q_domain_mix's exact-mix rule rejects by shrinking the whole
+    * output). Exact integer water level, so the full allocation —
+    * sort order, saturation cut, floored shares — replays in the SQL
+    * twin and hash-checks at every SF. One corpus aggregate, then
+    * #sources-row algebra. */
+  def qMixWaterfill(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    graft.ops.DomainMix.waterFill(toks, "source", "n_tokens",
+        WaterFillWeights.toMap, budgetNum = 3L, budgetDen = 5L)
+      .orderBy(col("source"))
+  }
+
+  val qMixWaterfillSql: String = {
+    val weightValues = WaterFillWeights
+      .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+    s"""WITH weights(source, weight) AS (
+       |  VALUES $weightValues
+       |), toks AS (
+       |  SELECT source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
+       |  FROM documents
+       |), av AS (
+       |  SELECT w.source, CAST(w.weight AS BIGINT) AS weight,
+       |    CAST(coalesce(t.a, 0) AS BIGINT) AS available
+       |  FROM weights w LEFT JOIN
+       |    (SELECT source, sum(n_tokens) AS a FROM toks GROUP BY source) t
+       |    USING (source)
+       |), tot AS (
+       |  SELECT CAST(sum(available) AS BIGINT) AS ta,
+       |         CAST(sum(weight) AS BIGINT) AS tw FROM av
+       |), ranked AS (
+       |  SELECT av.*, tot.tw, (tot.ta * 3) // 5 AS b,
+       |    row_number() OVER (ORDER BY available * (170 // weight), source) AS pos,
+       |    CAST(sum(available) OVER (ORDER BY available * (170 // weight), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+       |    CAST(sum(weight) OVER (ORDER BY available * (170 // weight), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+       |  FROM av, tot
+       |), tested AS (
+       |  SELECT *, available * (tw - cw) <= weight * (b - ca) AS ok FROM ranked
+       |), cut AS (
+       |  SELECT min(CASE WHEN NOT ok THEN pos END) AS cut FROM tested
+       |), flagged AS (
+       |  SELECT t.*, (c.cut IS NULL OR t.pos < c.cut) AS saturated
+       |  FROM tested t, cut c
+       |), level AS (
+       |  SELECT CAST(sum(CASE WHEN saturated THEN available ELSE 0 END) AS BIGINT) AS sa,
+       |         CAST(sum(CASE WHEN saturated THEN weight ELSE 0 END) AS BIGINT) AS sw
+       |  FROM flagged
+       |)
+       |SELECT f.source, f.available, f.weight, f.saturated,
+       |  CASE WHEN f.saturated THEN f.available
+       |       ELSE (f.weight * (f.b - l.sa)) // (f.tw - l.sw) END AS allocated
+       |FROM flagged f, level l
+       |ORDER BY f.source""".stripMargin
+  }
+
   /** Z-order layout key over (l_partkey, l_suppkey)
     * (graft.ops.ZOrder): the Morton code that a two-dimensionally
     * pruned 100 TB layout sorts by. Emitted per row (with the ordering
@@ -2615,6 +2690,7 @@ object ExtraQueries {
     "q_pit_join" -> (qPitJoin _),
     "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
+    "q_mix_waterfill" -> (qMixWaterfill _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _))
 
@@ -2664,6 +2740,7 @@ object ExtraQueries {
     "q_pit_join" -> qPitJoinSql,
     "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,
+    "q_mix_waterfill" -> qMixWaterfillSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql)
 }

@@ -301,6 +301,53 @@ object QualityQueries {
       |  violation_fraction <= tolerance AS passed
       |FROM r ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------ Blocklist screen
+  /** The FROZEN banned-phrase list for the blocklist gate — a policy
+    * artifact pinned under version control like the BPE merge table,
+    * never derived from data at query time (a blocklist that shifts
+    * with the corpus is a reproducibility bug). Mixed on purpose:
+    * high-frequency phrases ("sort merge", "hash join"), rare ones
+    * ("fast merge batch", "key agg row"), a SELF-BORDERED one
+    * ("table table" — its occurrences can chain-overlap, exercising
+    * the leftmost non-overlapping count in both tiers), and a
+    * zero-hit canary ("drop table") proving absent phrases cost
+    * nothing and flag nothing. */
+  val BlockPhrases: Seq[String] = Seq(
+    "slow scan", "fast merge batch", "table table", "key agg row",
+    "hash join", "drop table", "window window", "sort merge")
+
+  /** Banned-phrase screening, codegen tier
+    * ([[graft.text.Blocklist.screen]]): per-document hit list,
+    * leftmost non-overlapping occurrence count, and keep verdict
+    * under [[BlockPhrases]]. One narrow whole-stage-codegen pass —
+    * the phrase list is a literal array and all the match arithmetic
+    * is higher-order-function algebra; no shuffle, no UDF. At 100 TB
+    * the cost is the corpus read itself. */
+  def qBlocklistFilter(s: SparkSession, d: String): DataFrame =
+    graft.text.Blocklist.screen(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", BlockPhrases)
+      .orderBy(col("doc_id"))
+
+  /** Banned-phrase screening, Aho–Corasick tier
+    * ([[graft.text.Blocklist.screenAc]]): the SAME output contract as
+    * [[qBlocklistFilter]] computed by a broadcast goto/fail automaton
+    * in ONE pass per document — O(|text| + matches) regardless of the
+    * pattern count, the tier for thousands-of-patterns blocklists
+    * where per-phrase substring scans would multiply the corpus read.
+    * Sharing the codegen tier's SQL oracle makes the tier equivalence
+    * a driver-visible HASH row (the q_contamination_hashed
+    * discipline), on top of BlocklistSpec's planted fixtures. */
+  def qBlocklistAc(s: SparkSession, d: String): DataFrame =
+    graft.text.Blocklist.screenAc(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", BlockPhrases)
+      .orderBy(col("doc_id"))
+
+  val qBlocklistFilterSql: String =
+    graft.text.Blocklist.oracleSelectSql("doc_id", "text", BlockPhrases) +
+      "\nFROM documents\nORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expectations" -> (qExpectations _),
     "q_expectations_events" -> (qExpectationsEvents _),
@@ -308,7 +355,9 @@ object QualityQueries {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_table_profile" -> (qTableProfile _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_quality_classifier_bounds" -> (qQualityClassifierBounds _))
+    "q_quality_classifier_bounds" -> (qQualityClassifierBounds _),
+    "q_blocklist_filter" -> (qBlocklistFilter _),
+    "q_blocklist_ac" -> (qBlocklistAc _))
 
   val oracles: Map[String, String] = Map(
     "q_expectations" -> qExpectationsSql,
@@ -316,5 +365,10 @@ object QualityQueries {
     "q_token_budget" -> qTokenBudgetSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_table_profile" -> qTableProfileSql,
-    "q_quality_classifier_bounds" -> qQualityClassifierBoundsSql)
+    "q_quality_classifier_bounds" -> qQualityClassifierBoundsSql,
+    "q_blocklist_filter" -> qBlocklistFilterSql,
+    // the AC tier's output contract is identical by construction —
+    // sharing the codegen tier's oracle turns tier equivalence into a
+    // hash-green driver row (see qBlocklistAc's scaladoc)
+    "q_blocklist_ac" -> qBlocklistFilterSql)
 }

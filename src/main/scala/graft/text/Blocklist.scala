@@ -1,0 +1,217 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Multi-phrase blocklist screening — the banned-phrase gate every
+  * curation pipeline runs before training (policy phrases, boilerplate
+  * markers, licensing strings). Two tiers with IDENTICAL output
+  * contracts, so the second is oracle-checked by the first's SQL twin:
+  *
+  *  - [[screen]]: the CODEGEN tier — the phrase list is a literal
+  *    array and the match/count work is higher-order-function algebra
+  *    (`filter` + `aggregate` over `contains`/`replace`), all inside
+  *    whole-stage codegen. One narrow pass, no shuffle, no UDF. Cost
+  *    is O(K · |text|) per row (each phrase is an independent
+  *    substring scan) — the right tier for the tens-of-phrases
+  *    policy lists that dominate in practice.
+  *  - [[screenAc]]: the AHO–CORASICK tier — the phrase list compiles
+  *    to a goto/fail automaton on the driver (Aho & Corasick, CACM
+  *    1975), broadcast once, and each document is scanned in ONE pass
+  *    regardless of K: O(|text| + matches). The tier for the
+  *    thousands-of-patterns blocklists (URL blocklists, contamination
+  *    canaries) where K substring scans per row would multiply the
+  *    corpus read cost. `mapPartitions` over (id, text) rows — the
+  *    documented last-resort exemption (genuinely imperative per-char
+  *    automaton state), with the automaton shared per-executor via
+  *    broadcast, never rebuilt per row.
+  *
+  * Occurrence counting is LEFTMOST NON-OVERLAPPING per pattern,
+  * independently across patterns — exactly the `replace`-arithmetic
+  * count `(len(t) - len(replace(t, p, ''))) / len(p)` the codegen tier
+  * and the SQL oracle compute, so a self-bordered pattern (e.g.
+  * "table table" inside "table table table") counts identically in
+  * both tiers: the automaton tracks the last consumed end offset per
+  * pattern and skips matches that begin inside the previous
+  * consumption. Cross-pattern overlaps are NOT suppressed (each
+  * pattern counts independently), matching the per-phrase replace
+  * semantics.
+  *
+  * Output per input row: (id, n_patterns, n_occurrences, matched,
+  * keep) — matched is the comma-joined hit list in sorted-phrase
+  * order, keep is the clean verdict (no phrase present). The screen is
+  * a FLAG pass, not a filter: emitting the verdict per document keeps
+  * the op composable with quality scoring and lets the caller decide
+  * drop vs. audit.
+  *
+  * 100 TB shape: both tiers are embarrassingly parallel projections —
+  * no shuffle, no aggregation, nothing driver-side but the automaton
+  * compile (bounded by total pattern bytes, broadcast once). The scan
+  * cost is the corpus read itself.
+  */
+object Blocklist {
+
+  /** Normalize the phrase list once: sorted (deterministic matched
+    * order), non-empty, distinct. Both tiers and the oracle builder
+    * share this so the output contract is identical. */
+  def normalized(phrases: Seq[String]): Array[String] = {
+    val out = phrases.filter(_.nonEmpty).distinct.sorted.toArray
+    require(out.nonEmpty, "empty blocklist")
+    out
+  }
+
+  /** Codegen tier: literal-array higher-order-function screening. */
+  def screen(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val ps = normalized(phrases)
+    // phrases are trusted compile-time constants in every caller (a
+    // frozen policy artifact, like the BPE merge table); the quoting
+    // below is for the harness vocabulary (letters, digits, spaces)
+    require(ps.forall(p => !p.contains("'") && !p.contains("\\")),
+      "blocklist phrases must be quote/backslash-free literals")
+    val arr = ps.map(p => s"'$p'").mkString("array(", ", ", ")")
+    df.select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol),
+        expr(s"filter($arr, p -> contains(_t, p))").as("_m"),
+        expr(s"aggregate($arr, 0L, (acc, p) -> acc + " +
+          "(length(_t) - length(replace(_t, p, ''))) div length(p))")
+          .as("n_occurrences"))
+      .select(col(idCol),
+        size(col("_m")).cast("long").as("n_patterns"),
+        col("n_occurrences"),
+        array_join(col("_m"), ",").as("matched"),
+        (size(col("_m")) === 0).as("keep"))
+  }
+
+  /** Aho–Corasick tier: one automaton pass per document. Identical
+    * output contract to [[screen]] (same phrase normalization, same
+    * leftmost non-overlapping counts), proven by BlocklistSpec's
+    * tier-equality check and by sharing [[screen]]'s SQL oracle as a
+    * hash gate. */
+  def screenAc(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val ps = normalized(phrases)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bAc = spark.sparkContext.broadcast(AhoCorasick.compile(ps))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bAc.value
+        val names = ac.patterns
+        it.map { case (id, text) =>
+          val counts = ac.countNonOverlapping(if (text == null) "" else text)
+          var i = 0; var nPat = 0L; var nOcc = 0L
+          val hits = new mutable.StringBuilder
+          while (i < counts.length) {
+            if (counts(i) > 0) {
+              nPat += 1; nOcc += counts(i)
+              if (hits.nonEmpty) hits += ','
+              hits ++= names(i)
+            }
+            i += 1
+          }
+          (id, nPat, nOcc, hits.result(), nPat == 0L)
+        }
+      }
+      .toDF(idCol, "n_patterns", "n_occurrences", "matched", "keep")
+  }
+
+  /** The DuckDB twin of [[screen]] over a text column — shared by both
+    * tiers' oracle rows (the AC tier's output contract is the same
+    * frame). `textExpr` is the SQL expression for the text. */
+  def oracleSelectSql(idCol: String, textExpr: String,
+      phrases: Seq[String]): String = {
+    val ps = normalized(phrases)
+    val arr = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""SELECT $idCol,
+       |  CAST(len(list_filter($arr, p -> contains($textExpr, p))) AS BIGINT) AS n_patterns,
+       |  CAST(list_sum(list_transform($arr,
+       |    p -> (length($textExpr) - length(replace($textExpr, p, ''))) // length(p))) AS BIGINT) AS n_occurrences,
+       |  coalesce(array_to_string(list_filter($arr, p -> contains($textExpr, p)), ','), '') AS matched,
+       |  len(list_filter($arr, p -> contains($textExpr, p))) = 0 AS keep""".stripMargin
+  }
+}
+
+/** Classic goto/fail Aho–Corasick automaton over `Char`. Node maps are
+  * immutable `Map[Char, Int]` (tiny fan-out on text alphabets;
+  * amortized O(1) per input char), `fail` and the dictionary-suffix
+  * output closure are precomputed at compile time, so the scan loop
+  * allocates nothing but the per-call count array. Serializable for
+  * broadcast. */
+final class AhoCorasick private (
+    gotoMap: Array[Map[Char, Int]],
+    fail: Array[Int],
+    out: Array[Array[Int]],
+    val patterns: Array[String]) extends Serializable {
+
+  /** Leftmost non-overlapping occurrence count per pattern (counts
+    * indexed like [[patterns]]). Overlaps ACROSS patterns are counted
+    * independently — see the semantics note on [[Blocklist]]. */
+  def countNonOverlapping(text: String): Array[Int] = {
+    val counts = new Array[Int](patterns.length)
+    val lastEnd = Array.fill(patterns.length)(-1)
+    var st = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (st != 0 && !gotoMap(st).contains(c)) st = fail(st)
+      st = gotoMap(st).getOrElse(c, 0)
+      val hits = out(st)
+      var h = 0
+      while (h < hits.length) {
+        val pid = hits(h)
+        val start = i - patterns(pid).length + 1
+        if (start > lastEnd(pid)) { counts(pid) += 1; lastEnd(pid) = i }
+        h += 1
+      }
+      i += 1
+    }
+    counts
+  }
+}
+
+object AhoCorasick {
+
+  /** Build the automaton: trie insert, BFS fail links, dictionary-
+    * suffix output closure merged per node. O(total pattern chars). */
+  def compile(patterns: Array[String]): AhoCorasick = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty))
+    val gotoB = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    val outB = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var st = 0
+      p.foreach { c =>
+        st = gotoB(st).getOrElseUpdate(c, {
+          gotoB += mutable.HashMap.empty[Char, Int]
+          outB += Nil
+          gotoB.length - 1
+        })
+      }
+      outB(st) = pid :: outB(st)
+    }
+    val n = gotoB.length
+    val fail = new Array[Int](n)
+    val queue = mutable.Queue.empty[Int]
+    gotoB(0).valuesIterator.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoB(r).foreach { case (c, s) =>
+        queue += s
+        var st = fail(r)
+        while (st != 0 && !gotoB(st).contains(c)) st = fail(st)
+        val f = gotoB(st).get(c) match {
+          case Some(t) if t != s => t
+          case _                 => 0
+        }
+        fail(s) = f
+        // BFS order guarantees fail(s)'s closure is already complete
+        outB(s) = outB(s) ++ outB(f)
+      }
+    }
+    new AhoCorasick(gotoB.map(m => Map.from(m)).toArray, fail,
+      outB.map(_.toArray.sorted).toArray, patterns)
+  }
+}

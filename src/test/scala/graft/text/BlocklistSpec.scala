@@ -1,0 +1,93 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.queries.QualityQueries
+
+class BlocklistSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val phrases = Seq("aa", "table table", "hash join", "zz top")
+
+  private def screenMap(rows: Seq[(Long, String)], ac: Boolean) = {
+    val df = rows.toDF("doc_id", "text")
+    val out =
+      if (ac) Blocklist.screenAc(df, "doc_id", "text", phrases)
+      else Blocklist.screen(df, "doc_id", "text", phrases)
+    out.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_patterns"), r.getAs[Long]("n_occurrences"),
+          r.getAs[String]("matched"), r.getAs[Boolean]("keep")))
+    }.toMap
+  }
+
+  private val fixture = Seq(
+    // plain hit + zero-hit canary never fires
+    1L -> "a hash join b",
+    // self-bordered phrase chain: "table table table" holds ONE
+    // leftmost non-overlapping "table table" (second starts inside
+    // the first's consumption)
+    2L -> "table table table",
+    // two disjoint occurrences
+    3L -> "table table x table table",
+    // self-overlap of a 2-char pattern: "aaaa" -> 2 leftmost
+    // non-overlapping "aa", "aaa" -> 1
+    4L -> "aaaa and aaa",
+    // multiple patterns in one doc, matched list sorted by phrase
+    5L -> "hash join table table",
+    // clean doc
+    6L -> "nothing to see",
+    // empty text
+    7L -> "")
+
+  private val expected = Map(
+    1L -> ((1L, 1L, "hash join", false)),
+    2L -> ((1L, 1L, "table table", false)),
+    3L -> ((1L, 2L, "table table", false)),
+    4L -> ((1L, 3L, "aa", false)),
+    5L -> ((2L, 2L, "hash join,table table", false)),
+    6L -> ((0L, 0L, "", true)),
+    7L -> ((0L, 0L, "", true)))
+
+  test("codegen tier: planted fixture — non-overlap counts, sorted matched list, keep verdict") {
+    assert(screenMap(fixture, ac = false) == expected)
+  }
+
+  test("AC tier: identical verdicts on the planted fixture") {
+    assert(screenMap(fixture, ac = true) == expected)
+  }
+
+  test("tier equality: AC == codegen frame-for-frame on the harness corpus") {
+    val a = QualityQueries.qBlocklistFilter(spark, sf001).collect().toSeq
+    val b = QualityQueries.qBlocklistAc(spark, sf001).collect().toSeq
+    assert(a == b)
+    // the corpus really exercises the gate: hits and clean docs both present
+    assert(a.exists(!_.getAs[Boolean]("keep")))
+    assert(a.exists(_.getAs[Boolean]("keep")))
+  }
+
+  test("automaton: dictionary-suffix outputs fire (pattern inside a longer pattern)") {
+    val ac = AhoCorasick.compile(Array("he", "she", "his", "hers"))
+    val counts = ac.countNonOverlapping("ushers")
+    // "ushers" contains she (1..3), he (2..3), hers (2..5)
+    assert(counts.toSeq == Seq(1, 1, 0, 1))
+  }
+
+  test("automaton: counts match brute-force leftmost non-overlapping on random strings") {
+    val pats = Array("ab", "aba", "bb", "aab")
+    val ac = AhoCorasick.compile(pats)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val s = (1 to rnd.nextInt(30)).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val brute = pats.map { p =>
+        var c = 0; var i = 0
+        while (i >= 0 && i + p.length <= s.length) {
+          val j = s.indexOf(p, i)
+          if (j < 0) i = -1 else { c += 1; i = j + p.length }
+        }
+        c
+      }
+      assert(ac.countNonOverlapping(s).toSeq == brute.toSeq, s"text=$s")
+    }
+  }
+}
