@@ -84,7 +84,9 @@ object ExplainDump {
     "q_entity_resolution_inc", "q_contamination_fuzzy",
     "q_contamination_fuzzy_inc", "q_pack_blocks_tokens",
     "q_preference_bt",
-    "q_preference_matrix", "q_tokenizer_fertility_bpe", "q_span_excise")
+    "q_preference_matrix", "q_tokenizer_fertility_bpe", "q_span_excise",
+    "q_blocklist_filter", "q_blocklist_ac", "q_mix_waterfill",
+    "q_length_truncation", "q_tokenizer_ablation", "q_pack_efficiency")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -969,9 +969,10 @@ object TextQueries {
     * nothing else — the Spark side runs the REAL encoder
     * ([[graft.text.Bpe.encodeStats]]), so the hash gate proves
     * encoder == replay on top of plan equivalence. */
-  private def piecesReplaySqlExpr(tokCol: String): String = {
+  private def piecesReplaySqlExpr(tokCol: String,
+      merges: Seq[graft.text.Bpe.Merge] = FrozenMerges): String = {
     val joined = s"repeat(chr(1), 2) || array_to_string(string_split_regex($tokCol, ''), repeat(chr(1), 2)) || repeat(chr(1), 2)"
-    val chain = FrozenMerges.sortBy(_.rank).foldLeft(joined) { (acc, m) =>
+    val chain = merges.sortBy(_.rank).foldLeft(joined) { (acc, m) =>
       s"replace($acc, chr(1) || '${m.left}' || repeat(chr(1), 2) || '${m.right}' || chr(1), chr(1) || '${m.left}${m.right}' || chr(1))"
     }
     s"(length($chain) - length(replace($chain, chr(1), ''))) // 2 - 1"
@@ -1090,6 +1091,172 @@ object TextQueries {
        |FROM toks JOIN pc USING (w)
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  // ------------------------------------------- Truncation accounting
+  /** Per-source truncation-loss accounting at a 64-token sequence cap —
+    * the counterpart decision to packing: if sequences are CUT at
+    * max_len instead of packed across block boundaries, how many
+    * tokens does each source lose? This is the statistic that decides
+    * cap length and flags the long-document domains (books, code)
+    * that truncation silently under-trains on. 64 sits inside the
+    * harness corpus's 1–99-token doc range so both branches of the
+    * accounting are populated at every SF.
+    *
+    * Scale shape: one narrow codegen projection (token count per row)
+    * into one partial-aggregable groupBy(source) — integer sums all
+    * the way, drop_fraction as the single terminal division. */
+  def qLengthTruncation(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 64L, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("n")).as("tokens_total"),
+        sum(least(col("n"), lit(64L))).as("tokens_kept"),
+        sum(greatest(col("n") - lit(64L), lit(0L))).as("tokens_dropped"))
+      .withColumn("drop_fraction",
+        col("tokens_dropped").cast("double") / col("tokens_total"))
+      .orderBy(col("source"))
+
+  val qLengthTruncationSql: String =
+    """WITH w AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |  CAST(sum(n) AS BIGINT) AS tokens_total,
+      |  CAST(sum(least(n, 64)) AS BIGINT) AS tokens_kept,
+      |  CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS tokens_dropped,
+      |  CAST(CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT) AS drop_fraction
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- Vocabulary ablation
+  /** Tokenizer vocabulary ablation — re-encode the corpus under the
+    * first HALF of the frozen merge table and price the damage per
+    * source: pieces under the full 16 merges vs under 8, and the
+    * inflation ratio. This is the vocab-size sensitivity statistic a
+    * tokenizer design sweep produces (how much sequence length does
+    * each domain pay if the vocabulary shrinks?), and the ablated
+    * table is trivially valid: any PREFIX of a replay-ordered merge
+    * table is itself replay-ordered.
+    *
+    * Scale shape: the corpus reduces to DISTINCT words once; each
+    * word is encoded under BOTH tables inside one bounded-vocab
+    * `mapPartitions` (the documented Bpe exemption); one join back,
+    * one groupBy(source). The A/B comparison costs one extra integer
+    * per vocab row — NOT a second corpus pass. Hash-green: the oracle
+    * replays both encodes from the two literal tables (the BpeSpec
+    * sequential-replace equivalence, applied twice). */
+  def qTokenizerAblation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bFull = s.sparkContext.broadcast(
+      FrozenMerges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val bAbl = s.sparkContext.broadcast(
+      FrozenMerges.take(8).map(m => (m.left, m.right) -> m.rank).toMap)
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val pieces = toks.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        val (f, a) = (bFull.value, bAbl.value)
+        it.map(w => (w, graft.text.Bpe.encodeWord(w, f).length,
+          graft.text.Bpe.encodeWord(w, a).length))
+      }.toDF("w", "n_full_w", "n_abl_w")
+    toks.join(pieces, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_full_w")).as("pieces_full"),
+        sum(col("n_abl_w")).as("pieces_ablated"))
+      .withColumn("inflation",
+        col("pieces_ablated").cast("double") / col("pieces_full"))
+      .orderBy(col("source"))
+  }
+
+  val qTokenizerAblationSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS w
+       |  FROM documents
+       |), pc AS (
+       |  SELECT w, ${piecesReplaySqlExpr("w")} AS nf,
+       |    ${piecesReplaySqlExpr("w", FrozenMerges.take(8))} AS na
+       |  FROM (SELECT DISTINCT w FROM toks)
+       |)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(nf) AS BIGINT) AS pieces_full,
+       |  CAST(sum(na) AS BIGINT) AS pieces_ablated,
+       |  CAST(CAST(sum(na) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(nf) AS BIGINT) AS inflation
+       |FROM toks JOIN pc USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- Packing efficiency
+  /** Block-grain occupancy audit of the sequence packer — the frame
+    * downstream tooling reads to answer "how full are the training
+    * blocks and how much cross-document attention bleed is there?":
+    * per 512-token block, the number of documents touching it, the
+    * number STARTING in it, the tokens actually filled, and the
+    * is_full verdict (every block but the final partial one).
+    *
+    * Scale shape: [[qPackBlocks]]'s two-level distributed prefix scan
+    * produces per-doc block intervals; each doc explodes into the
+    * blocks it spans (n_blocks rows — bounded by doc length / 512 + 1,
+    * NOT corpus size) and one partial-aggregable groupBy(block_id)
+    * folds the occupancy. The oracle replays the layout as the naive
+    * global window + generate_series, so the hash certifies the
+    * packer's intervals AND the occupancy algebra at once. */
+  def qPackEfficiency(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    graft.ops.Packing.blockPack(weighted, "doc_id", "n_tokens",
+        blockSize = 512L, bucketWidth = 1024L)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n"),
+        col("cum_start"), col("first_block"), col("last_block"))
+      .withColumn("block_id", explode(expr("sequence(first_block, last_block)")))
+      .withColumn("overlap",
+        least(col("cum_start") + col("n"), (col("block_id") + lit(1L)) * lit(512L)) -
+          greatest(col("cum_start"), col("block_id") * lit(512L)))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_block") === col("block_id"), 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(col("overlap")).as("tokens_filled"))
+      .withColumn("is_full", col("tokens_filled") === 512L)
+      .orderBy(col("block_id"))
+  }
+
+  val qPackEfficiencySql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+      |  FROM w WHERE n_tokens > 0
+      |), d AS (
+      |  SELECT doc_id, n, cum_end - n AS cum_start,
+      |    (cum_end - n) // 512 AS fb, (cum_end - 1) // 512 AS lb
+      |  FROM c
+      |), e AS (
+      |  SELECT d.*, u.b AS block_id
+      |  FROM d, unnest(generate_series(fb, lb)) u(b)
+      |)
+      |SELECT block_id, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN fb = block_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+      |  CAST(sum(least(cum_start + n, (block_id + 1) * 512)
+      |    - greatest(cum_start, block_id * 512)) AS BIGINT) AS tokens_filled,
+      |  CAST(sum(least(cum_start + n, (block_id + 1) * 512)
+      |    - greatest(cum_start, block_id * 512)) AS BIGINT) = 512 AS is_full
+      |FROM e GROUP BY block_id ORDER BY block_id""".stripMargin
 
   /** Intra-document repetition signals — the within-doc quality filter
     * (repeated boilerplate, keyword stuffing, degenerate generations):
@@ -2105,6 +2272,9 @@ object TextQueries {
     "q_pack_blocks" -> (qPackBlocks _),
     "q_pack_blocks_tokens" -> (qPackBlocksTokens _),
     "q_tokenizer_fertility_bpe" -> (qTokenizerFertilityBpe _),
+    "q_length_truncation" -> (qLengthTruncation _),
+    "q_tokenizer_ablation" -> (qTokenizerAblation _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -2145,6 +2315,9 @@ object TextQueries {
     "q_pack_blocks" -> qPackBlocksSql,
     "q_pack_blocks_tokens" -> qPackBlocksTokensSql,
     "q_tokenizer_fertility_bpe" -> qTokenizerFertilityBpeSql,
+    "q_length_truncation" -> qLengthTruncationSql,
+    "q_tokenizer_ablation" -> qTokenizerAblationSql,
+    "q_pack_efficiency" -> qPackEfficiencySql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_heavy_hitters_exact" -> qHeavyHittersExactSql,
