@@ -262,6 +262,50 @@ object Soak {
     println(s"""{"query":"q_contamination_fuzzy_inc","axis":"eval","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
   }
 
+  /** GRAFT_SOAK_AXIS=patterns — the blocklist K-axis: corpus FIXED at
+    * sf0.1, pattern count scaled K = 8·scale (8 → 240). The claim
+    * under test is the tier split itself: the codegen tier is
+    * O(K · |text|) per row (one substring scan per phrase) and must
+    * read exponent ≈ 1 in K, while the Aho–Corasick tier is
+    * O(|text| + matches) and must read ≈ 0 — the flat line is WHY the
+    * automaton tier exists. Phrases are 2-word combos of the harness
+    * vocabulary, so hit rates stay realistic as K grows. */
+  private def blocklistSoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    val docs = Tables.documents(spark, src)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "the", "line", "sort", "window", "merge",
+      "batch", "spark", "order", "data", "column", "join", "small",
+      "customer", "query", "big", "stream", "group", "vector", "filter", "a")
+    def phrasesAt(k: Int): Seq[String] =
+      (for { a <- vocab; b <- vocab } yield s"$a $b").take(k)
+    def once(k: Int, ac: Boolean): Double = {
+      val ps = phrasesAt(k)
+      val t0 = System.nanoTime()
+      val out =
+        if (ac) graft.text.Blocklist.screenAc(docs, "doc_id", "text", ps)
+        else graft.text.Blocklist.screen(docs, "doc_id", "text", ps)
+      out.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(8, ac = false); once(8, ac = true) // JIT/codegen warm-up
+    Seq(("q_blocklist_filter", false), ("q_blocklist_ac", true)).foreach {
+      case (name, ac) =>
+        val times = scales.map { sc =>
+          val k = 8 * sc
+          k -> (1 to 2).map(_ => once(k, ac)).min
+        }
+        val (k1, t1) = times.head
+        val (kN, tN) = times.last
+        val (kM, tM) = times(times.length - 2)
+        val expTotal = math.log(tN / t1) / math.log(kN.toDouble / k1)
+        val expMarginal = math.log(tN / tM) / math.log(kN.toDouble / kM)
+        val ts = times.map { case (k, t) => s""""k$k":${f"$t%.2f"}""" }.mkString(",")
+        println(s"""{"query":"$name","axis":"patterns","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -283,6 +327,11 @@ object Soak {
     }
     if (Axis == "eval") {
       fuzzyEvalSoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "patterns") {
+      blocklistSoak(spark, scales, src)
       spark.stop()
       return
     }
