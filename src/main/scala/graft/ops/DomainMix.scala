@@ -220,6 +220,36 @@ object DomainMix {
         col("saturated"), col("allocated"))
   }
 
+  /** The selection [[waterFill]]'s allocation drives: per source, take
+    * documents in portable-hash order while the inclusive token cumsum
+    * stays within the allocated budget (a deterministic PREFIX — the
+    * first overflowing document ends the source's intake even if a
+    * later smaller one would fit; that greedy-prefix rule is what
+    * replays exactly in SQL). Saturated sources take everything;
+    * rows from sources absent from the weight map are dropped
+    * (ineligible for the mix).
+    *
+    * Scale shape: [[waterFill]]'s one corpus aggregate + tiny-frame
+    * algebra, then ONE per-source row_number/cumsum window over the
+    * corpus and a broadcast quota join — the same co-location
+    * [[resample]] needs. */
+  def waterFillSelect(df: DataFrame, sourceCol: String, keyCol: String,
+      tokenCol: String, weights: Map[String, Long],
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    val quotas = waterFill(df, sourceCol, tokenCol, weights,
+        budgetNum, budgetDen)
+      .select(col(sourceCol), col("allocated"))
+    val ord = Window.partitionBy(col(sourceCol))
+      .orderBy(portableBucket(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(ord))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("cum_tokens") <= col("allocated"))
+      .select(col(keyCol), col(sourceCol),
+        col(tokenCol).cast("long").as(tokenCol), col("cum_tokens"))
+  }
+
   @annotation.tailrec
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

@@ -1563,13 +1563,33 @@ object ExtraQueries {
       .orderBy(col("source"))
   }
 
-  val qMixWaterfillSql: String = {
+  /** The document selection the water-fill allocation drives
+    * ([[graft.ops.DomainMix.waterFillSelect]]): per source, documents
+    * in portable-hash order while the inclusive token cumsum fits the
+    * allocated budget — greedy prefix, so the whole mix materializes
+    * deterministically and the oracle replays allocation AND
+    * selection in one SQL chain. The output is the actual training
+    * mix under q_mix_waterfill's budget split. */
+  def qMixWaterfillSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    graft.ops.DomainMix.waterFillSelect(toks, "source", "doc_id",
+        "n_tokens", WaterFillWeights.toMap, budgetNum = 3L, budgetDen = 5L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The allocation CTE chain shared by [[qMixWaterfillSql]] and
+    * [[qMixWaterfillSelectSql]] — everything up to the per-source
+    * `allocated` frame, replaying [[graft.ops.DomainMix.waterFill]]'s
+    * integer arithmetic verbatim. */
+  private val waterfillAllocCtes: String = {
     val weightValues = WaterFillWeights
       .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
     s"""WITH weights(source, weight) AS (
        |  VALUES $weightValues
        |), toks AS (
-       |  SELECT source,
+       |  SELECT doc_id, source,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
        |  FROM documents
@@ -1601,13 +1621,33 @@ object ExtraQueries {
        |  SELECT CAST(sum(CASE WHEN saturated THEN available ELSE 0 END) AS BIGINT) AS sa,
        |         CAST(sum(CASE WHEN saturated THEN weight ELSE 0 END) AS BIGINT) AS sw
        |  FROM flagged
-       |)
-       |SELECT f.source, f.available, f.weight, f.saturated,
-       |  CASE WHEN f.saturated THEN f.available
-       |       ELSE (f.weight * (f.b - l.sa)) // (f.tw - l.sw) END AS allocated
-       |FROM flagged f, level l
-       |ORDER BY f.source""".stripMargin
+       |), alloc AS (
+       |  SELECT f.source, f.available, f.weight, f.saturated,
+       |    CASE WHEN f.saturated THEN f.available
+       |         ELSE (f.weight * (f.b - l.sa)) // (f.tw - l.sw) END AS allocated
+       |  FROM flagged f, level l
+       |)""".stripMargin
   }
+
+  val qMixWaterfillSql: String =
+    s"""$waterfillAllocCtes
+       |SELECT source, available, weight, saturated, allocated
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
+  val qMixWaterfillSelectSql: String =
+    s"""$waterfillAllocCtes,
+       |sel_ranked AS (
+       |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM toks
+       |)
+       |SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens
+       |FROM sel_ranked r JOIN alloc a USING (source)
+       |WHERE r.cum_tokens <= a.allocated
+       |ORDER BY r.doc_id""".stripMargin
 
   /** Z-order layout key over (l_partkey, l_suppkey)
     * (graft.ops.ZOrder): the Morton code that a two-dimensionally
@@ -2691,6 +2731,7 @@ object ExtraQueries {
     "q_salted_rank" -> (qSaltedRank _),
     "q_domain_mix" -> (qDomainMix _),
     "q_mix_waterfill" -> (qMixWaterfill _),
+    "q_mix_waterfill_select" -> (qMixWaterfillSelect _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _))
 
@@ -2741,6 +2782,7 @@ object ExtraQueries {
     "q_salted_rank" -> qSaltedRankSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_mix_waterfill" -> qMixWaterfillSql,
+    "q_mix_waterfill_select" -> qMixWaterfillSelectSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql)
 }

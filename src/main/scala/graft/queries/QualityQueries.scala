@@ -348,6 +348,22 @@ object QualityQueries {
     graft.text.Blocklist.oracleSelectSql("doc_id", "text", BlockPhrases) +
       "\nFROM documents\nORDER BY doc_id"
 
+  /** Blocklist excision ([[graft.text.Blocklist.excise]]): the
+    * rewrite downstream of the screen — every leftmost
+    * non-overlapping occurrence of every frozen phrase replaced by
+    * the marker, phrases chained in sorted order (the order IS the
+    * contract; the oracle replays the identical chain). The
+    * detect→transform split mirrors q_span_dedup → q_span_excise. */
+  def qBlocklistExcise(s: SparkSession, d: String): DataFrame =
+    graft.text.Blocklist.excise(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", BlockPhrases)
+      .orderBy(col("doc_id"))
+
+  val qBlocklistExciseSql: String =
+    graft.text.Blocklist.exciseSelectSql("doc_id", "text", BlockPhrases) +
+      "\nFROM documents\nORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expectations" -> (qExpectations _),
     "q_expectations_events" -> (qExpectationsEvents _),
@@ -357,7 +373,8 @@ object QualityQueries {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_classifier_bounds" -> (qQualityClassifierBounds _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
-    "q_blocklist_ac" -> (qBlocklistAc _))
+    "q_blocklist_ac" -> (qBlocklistAc _),
+    "q_blocklist_excise" -> (qBlocklistExcise _))
 
   val oracles: Map[String, String] = Map(
     "q_expectations" -> qExpectationsSql,
@@ -370,5 +387,6 @@ object QualityQueries {
     // the AC tier's output contract is identical by construction —
     // sharing the codegen tier's oracle turns tier equivalence into a
     // hash-green driver row (see qBlocklistAc's scaladoc)
-    "q_blocklist_ac" -> qBlocklistFilterSql)
+    "q_blocklist_ac" -> qBlocklistFilterSql,
+    "q_blocklist_excise" -> qBlocklistExciseSql)
 }

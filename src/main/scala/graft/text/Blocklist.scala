@@ -119,6 +119,49 @@ object Blocklist {
       .toDF(idCol, "n_patterns", "n_occurrences", "matched", "keep")
   }
 
+  /** Excision — the rewrite downstream of the screen (the same
+    * detect→transform split as span dedup → span excision): every
+    * leftmost non-overlapping occurrence of every phrase is replaced
+    * by `marker`, phrases applied in NORMALIZED (sorted) order. The
+    * chain is ORDER-SENSITIVE where phrases overlap each other — the
+    * frozen sorted order IS the contract, exactly like the frozen BPE
+    * merge table, and the SQL oracle replays the identical chain.
+    * `n_excised` counts the markers actually inserted (which can
+    * differ from [[screen]]'s per-phrase independent counts when one
+    * phrase's excision destroys another's match — BlocklistSpec pins
+    * such a case).
+    *
+    * One codegen projection; the 100 TB cost is the corpus rewrite
+    * itself. The marker must not collide with any phrase (checked). */
+  def excise(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], marker: String = "<BLOCKED>"): DataFrame = {
+    val ps = normalized(phrases)
+    require(ps.forall(p => !p.contains("'") && !p.contains("\\")),
+      "blocklist phrases must be quote/backslash-free literals")
+    require(ps.forall(p => !p.contains(marker) && !marker.contains(p)),
+      "marker must not collide with any phrase")
+    val chain = ps.foldLeft(s"$textCol") { (acc, p) =>
+      s"replace($acc, '$p', '$marker')"
+    }
+    df.select(col(idCol),
+      expr(chain).as("text_clean"))
+      .withColumn("n_excised",
+        expr(s"(length(text_clean) - length(replace(text_clean, '$marker', ''))) div ${marker.length}"))
+      .select(col(idCol), col("n_excised"), col("text_clean"))
+  }
+
+  /** The DuckDB twin of [[excise]]. */
+  def exciseSelectSql(idCol: String, textExpr: String,
+      phrases: Seq[String], marker: String = "<BLOCKED>"): String = {
+    val ps = normalized(phrases)
+    val chain = ps.foldLeft(textExpr) { (acc, p) =>
+      s"replace($acc, '$p', '$marker')"
+    }
+    s"""SELECT $idCol,
+       |  (length($chain) - length(replace($chain, '$marker', ''))) // ${marker.length} AS n_excised,
+       |  $chain AS text_clean""".stripMargin
+  }
+
   /** The DuckDB twin of [[screen]] over a text column — shared by both
     * tiers' oracle rows (the AC tier's output contract is the same
     * frame). `textExpr` is the SQL expression for the text. */

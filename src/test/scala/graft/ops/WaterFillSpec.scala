@@ -99,6 +99,25 @@ class WaterFillSpec extends SparkSpec {
     }
   }
 
+  test("selection: per-source intake fits the allocation; saturated sources take everything") {
+    val alloc = ExtraQueries.qMixWaterfill(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Boolean]("saturated"), r.getAs[Long]("allocated")))).toMap
+    val sel = ExtraQueries.qMixWaterfillSelect(spark, sf001).collect()
+    val bySource = sel.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    bySource.foreach { case (s, taken) =>
+      assert(taken <= alloc(s)._2, s"$s intake $taken > allocation ${alloc(s)._2}")
+    }
+    // a saturated source's whole corpus is selected (every token taken)
+    val avail = ExtraQueries.qMixWaterfill(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("available")).toMap
+    alloc.filter(_._2._1).foreach { case (s, (_, a)) =>
+      assert(bySource.getOrElse(s, 0L) == a && a == avail(s),
+        s"saturated $s must take all $a tokens, took ${bySource.getOrElse(s, 0L)}")
+    }
+  }
+
   test("q_mix_waterfill: both saturated and unsaturated sources present at sf0.001") {
     val out = ExtraQueries.qMixWaterfill(spark, sf001).collect()
     assert(out.length == 20) // full frozen spine

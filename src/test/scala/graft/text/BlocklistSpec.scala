@@ -66,6 +66,32 @@ class BlocklistSpec extends SparkSpec {
     assert(a.exists(_.getAs[Boolean]("keep")))
   }
 
+  private def exciseMap(rows: Seq[(Long, String)], ps: Seq[String]) =
+    Blocklist.excise(rows.toDF("doc_id", "text"), "doc_id", "text", ps)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_excised"), r.getAs[String]("text_clean")))).toMap
+
+  test("excise: markers replace every non-overlapping hit; clean text is byte-identical") {
+    val got = exciseMap(Seq(
+      1L -> "a hash join b hash join",
+      2L -> "table table table",
+      3L -> "untouched text"), phrases)
+    assert(got(1L) == ((2L, "a <BLOCKED> b <BLOCKED>")))
+    // self-border: ONE leftmost occurrence excised, the dangling
+    // " table" survives
+    assert(got(2L) == ((1L, "<BLOCKED> table")))
+    assert(got(3L) == ((0L, "untouched text")))
+  }
+
+  test("excise: cross-phrase overlap resolves by the frozen sorted chain order") {
+    // sorted order applies "aa" before "table table" — irrelevant
+    // here; the pinned case is "aa" vs "ab overlap": phrases sorted
+    // ("ab","ba"), "ab" excised first destroys "ba"'s match in "aba b"
+    val got = exciseMap(Seq(1L -> "aba b"), Seq("ab", "ba"))
+    assert(got(1L) == ((1L, "<BLOCKED>a b")))
+  }
+
   test("automaton: dictionary-suffix outputs fire (pattern inside a longer pattern)") {
     val ac = AhoCorasick.compile(Array("he", "she", "his", "hers"))
     val counts = ac.countNonOverlapping("ushers")
