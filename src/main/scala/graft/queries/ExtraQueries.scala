@@ -1649,6 +1649,72 @@ object ExtraQueries {
        |WHERE r.cum_tokens <= a.allocated
        |ORDER BY r.doc_id""".stripMargin
 
+  /** Token-balanced output sharding by SNAKE (boustrophedon) order —
+    * the layout op that decides which of the 8 output shards each
+    * document lands in when a curated corpus is written out: docs
+    * sorted by token count descending, dealt to shards in
+    * left-to-right then right-to-left passes, so each pass pairs a
+    * shard's large pick with a small one the next pass and per-shard
+    * token totals stay within one document of each other — the
+    * deterministic, SQL-replayable cousin of LPT bin packing (greedy
+    * LPT itself is state-sequential and unreplayable as a window).
+    *
+    * Scale shape: the global size rank uses
+    * [[graft.ops.SaltedWindow.groupedRank]] under a constant group —
+    * the two-level bucketed rank, so NO single task ever sorts the
+    * corpus (the oracle replays the naive global window, making the
+    * hash a plan-equivalence proof, the q_salted_rank discipline).
+    * Assignment is pure modular arithmetic on the rank; the output is
+    * the 8-row shard audit (doc counts, token totals, and the ×8
+    * deviation from the ideal split, which sums to zero). */
+  def qShardSnake(s: SparkSession, d: String): DataFrame = {
+    // eagerly checkpointed: SaltedWindow reads its input from three
+    // plan branches (bounds, intra-bucket rank, offset counts) — the
+    // r12 shared-subframe discipline keeps the corpus at one scan
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("_all", lit(1))
+      .localCheckpoint(true)
+    val ranked = graft.ops.SaltedWindow.groupedRank(
+      toks, "_all", "n_tokens", "doc_id", buckets = 64, ascending = false)
+    val assigned = ranked.withColumn("shard",
+      expr("CASE WHEN ((rank - 1) div 8) % 2 = 0 THEN (rank - 1) % 8 " +
+        "ELSE 7 - ((rank - 1) % 8) END"))
+    val shards = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .localCheckpoint(true) // 8 rows, read by the total and the output
+    val total = shards.agg(sum(col("tokens")).cast("long").as("_t"))
+    shards.crossJoin(broadcast(total))
+      .withColumn("dev_x8", col("tokens") * 8 - col("_t"))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("dev_x8"))
+      .orderBy(col("shard"))
+  }
+
+  val qShardSnakeSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+      |  FROM w
+      |), a AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+      |         ELSE 7 - ((rk - 1) % 8) END AS shard
+      |  FROM r
+      |), sh AS (
+      |  SELECT shard, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |  FROM a GROUP BY shard
+      |), t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM sh)
+      |SELECT shard, n_docs, tokens, tokens * 8 - tt AS dev_x8
+      |FROM sh, t
+      |ORDER BY shard""".stripMargin
+
   /** Z-order layout key over (l_partkey, l_suppkey)
     * (graft.ops.ZOrder): the Morton code that a two-dimensionally
     * pruned 100 TB layout sorts by. Emitted per row (with the ordering
@@ -2733,7 +2799,8 @@ object ExtraQueries {
     "q_mix_waterfill" -> (qMixWaterfill _),
     "q_mix_waterfill_select" -> (qMixWaterfillSelect _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
-    "q_zorder" -> (qZorder _))
+    "q_zorder" -> (qZorder _),
+    "q_shard_snake" -> (qShardSnake _))
 
   val oracles: Map[String, String] = Map(
     "q_entity_resolution_bounds" -> qEntityResolutionBoundsSql,
@@ -2784,5 +2851,6 @@ object ExtraQueries {
     "q_mix_waterfill" -> qMixWaterfillSql,
     "q_mix_waterfill_select" -> qMixWaterfillSelectSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
-    "q_zorder" -> qZorderSql)
+    "q_zorder" -> qZorderSql,
+    "q_shard_snake" -> qShardSnakeSql)
 }

@@ -44,6 +44,20 @@ class CorpusAccountingSpec extends SparkSpec {
     assert(abl.view.mapValues(v => (v._1, v._2)).toMap == fert)
   }
 
+  test("shard snake: all 8 shards live, deviations cancel, imbalance below one max document") {
+    val shards = graft.queries.ExtraQueries.qShardSnake(spark, sf001).collect()
+    assert(shards.map(_.getAs[Long]("shard")).toSeq == (0L to 7L))
+    val devs = shards.map(_.getAs[Long]("dev_x8"))
+    assert(devs.sum == 0L, "x8 deviations must cancel exactly")
+    import spark.implicits._
+    val maxDoc = graft.Tables.documents(spark, sf001)
+      .select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    // snake dealing keeps every shard within one document of ideal
+    assert(devs.map(math.abs).max <= 8L * maxDoc,
+      s"imbalance ${devs.map(math.abs).max / 8.0} exceeds max doc $maxDoc")
+  }
+
   test("pack efficiency: occupancy conserves the token stream and only the tail block is partial") {
     val blocks = TextQueries.qPackEfficiency(spark, sf001).collect()
     val ids = blocks.map(_.getAs[Long]("block_id")).toSeq
