@@ -87,7 +87,8 @@ object ExplainDump {
     "q_preference_matrix", "q_tokenizer_fertility_bpe", "q_span_excise",
     "q_blocklist_filter", "q_blocklist_ac", "q_mix_waterfill",
     "q_length_truncation", "q_tokenizer_ablation", "q_pack_efficiency",
-    "q_blocklist_excise", "q_mix_waterfill_select", "q_shard_snake")
+    "q_blocklist_excise", "q_mix_waterfill_select", "q_shard_snake",
+    "q_multimodal_denylist")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

@@ -281,6 +281,41 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Denylist screening — the REGISTRY half of perceptual matching
+    * (the PhotoDNA-style known-bad screen every media ingest runs):
+    * corpus signatures probe a SMALL registry of banned signatures
+    * instead of self-joining. Same 4×16-bit banding as
+    * [[signaturePairs]], but the registry side is BROADCAST — the
+    * corpus never shuffles at all: each corpus row's band keys probe
+    * the broadcast band table map-side and survivors verify with the
+    * codegen'd popcount. A production registry is thousands of
+    * signatures (vs a corpus of billions), so candidate volume is
+    * corpus-linear with an O(1) registry-collision constant; the
+    * pigeonhole recall guarantee (≥ 1 intact band within
+    * 64/numBands − 1 flips) carries over unchanged. Returns
+    * (media_id, bad_id, hamming) per flagged match. */
+  def denylistMatches(corpusSigs: DataFrame, denySigs: DataFrame,
+      maxHamming: Int = 16, numBands: Int = 4): DataFrame = {
+    require(64 % numBands == 0)
+    val bits = 64 / numBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def banded(sigs: DataFrame) = sigs.filter(col("valid"))
+      .select(col("media_id"), col("sig"),
+        posexplode(array((0 until numBands).map(b =>
+          expr(s"shiftright(sig, ${b * bits}) & $mask")): _*))
+          .as(Seq("band", "key")))
+    val c = banded(corpusSigs)
+    val r = banded(denySigs)
+      .select(col("media_id").as("bad_id"), col("band"),
+        col("key"), col("sig").as("bad_sig"))
+    c.join(broadcast(r), Seq("band", "key"))
+      .select(col("media_id"), col("bad_id"), col("sig"), col("bad_sig"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig ^ bad_sig)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_id"), col("bad_id"), col("hamming"))
+  }
+
   /** The banded frame shared by [[signaturePairsWide]] and
     * [[bandOccupancy]]: one row per (media, band) with the band's key
     * sliced out of the word array (word `b / bandsPerWord`, offset

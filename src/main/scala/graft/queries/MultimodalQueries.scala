@@ -288,7 +288,97 @@ object MultimodalQueries {
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------ Denylist screen
+  /** The registry/corpus split for the denylist screen, shared by the
+    * query and its bounds gate: media with id ≡ 5 (mod 13) form the
+    * known-bad REGISTRY; the corpus is everything else PLUS a
+    * perturbed (locally-brightened) copy of every registry item at
+    * +IdOffset — the disguised re-upload the screen exists to catch. */
+  private def denyRegistry(s: SparkSession, d: String) =
+    media(s, d).filter(col("media_id") % 13 === 5)
+
+  private def denyCorpus(s: SparkSession, d: String) = {
+    val base = media(s, d)
+    base.filter(col("media_id") % 13 =!= 5)
+      .union(Multimodal.perturbed(denyRegistry(s, d), DedupQueries.IdOffset))
+  }
+
+  /** Perceptual-hash denylist screening
+    * ([[graft.multimodal.Multimodal.denylistMatches]]): every corpus
+    * item within Hamming ≤ 16 of a registry signature, with the
+    * matched registry id — the known-bad-content gate (the
+    * PhotoDNA-style screen) a media ingest runs BEFORE any other
+    * processing. The registry side is broadcast; the corpus never
+    * shuffles. Rows-only (the signature is codec-side mapPartitions
+    * work, same adjudication as q_multimodal_dedup); gated fail-closed
+    * by q_multimodal_denylist_bounds. */
+  def qMultimodalDenylist(s: SparkSession, d: String): DataFrame =
+    Multimodal.denylistMatches(
+        Multimodal.perceptualSignatures(denyCorpus(s, d)).toDF(),
+        Multimodal.perceptualSignatures(denyRegistry(s, d)).toDF(),
+        maxHamming = DedupMaxHamming)
+      .orderBy(col("media_id"), col("bad_id"), col("hamming"))
+
+  /** Fail-closed gate for the denylist screen: (1) non-empty registry,
+    * (2) planted disguised copies (+IdOffset perturbation of a
+    * registry item) flagged against their own original at ≥ 0.9 —
+    * the same measured perturbation-tolerance floor as the dedup
+    * tier's `perturbed_recall_ok` (the local edit can flip > 15 grid
+    * bits on unlucky media, so 1.0 is not the contract; measured
+    * 1.0 at sf0.001 and ~0.95 at sf0.01), (3) the
+    * differential hamming recompute (re-fetch both signatures BY ID,
+    * re-derive the distance — catches column mix-ups the operator's
+    * own filter can't see), (4) the natural false-flag rate on the
+    * clean lake bounded below 10% (hash-luck collisions near the
+    * threshold exist by design; a BROKEN screen that flags everything
+    * blows this bound, while planted-copy recall pins the other
+    * direction). */
+  def qMultimodalDenylistBounds(s: SparkSession, d: String): DataFrame = {
+    val off = DedupQueries.IdOffset
+    val regSigs = Multimodal.perceptualSignatures(denyRegistry(s, d)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpSigs = Multimodal.perceptualSignatures(denyCorpus(s, d)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matches = Multimodal.denylistMatches(corpSigs, regSigs,
+          maxHamming = DedupMaxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nReg = regSigs.count()
+        val plantedFound = matches
+          .filter(col("media_id") === col("bad_id") + off).count()
+        val plantedRecallOk = nReg > 0 && plantedFound.toDouble / nReg >= 0.9
+        val recomputeBad = matches
+          .join(corpSigs.select(col("media_id"), col("sig").as("rc")),
+            Seq("media_id"))
+          .join(regSigs.select(col("media_id").as("bad_id"),
+            col("sig").as("rr")), Seq("bad_id"))
+          .filter(expr("bit_count(rc ^ rr)").cast("int") =!= col("hamming") ||
+            expr("bit_count(rc ^ rr)").cast("int") > DedupMaxHamming)
+          .count()
+        val nClean = corpSigs.count() - nReg // corpus minus planted copies
+        val cleanFlagged = matches
+          .filter(col("media_id") =!= col("bad_id") + off)
+          .select(col("media_id")).distinct().count()
+        import s.implicits._
+        Seq(("denylist", nReg > 0, plantedRecallOk,
+            recomputeBad == 0L,
+            nClean > 0 && cleanFlagged.toDouble / nClean < 0.10))
+          .toDF("tier", "registry_nonempty", "planted_recall_ok",
+            "hamming_matches_recompute", "clean_false_flag_rate_ok")
+      } finally { matches.unpersist(); () }
+    } finally { regSigs.unpersist(); corpSigs.unpersist(); () }
+  }
+
+  val qMultimodalDenylistBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('denylist', true, true, true, true))
+      |  t(tier, registry_nonempty, planted_recall_ok,
+      |    hamming_matches_recompute, clean_false_flag_rate_ok)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_denylist" -> (qMultimodalDenylist _),
+    "q_multimodal_denylist_bounds" -> (qMultimodalDenylistBounds _),
     "q_multimodal_dedup" -> (qMultimodalDedup _),
     "q_multimodal_dedup_bounds" -> (qMultimodalDedupBounds _),
     "q_multimodal_dedup_wide" -> (qMultimodalDedupWide _),
@@ -300,6 +390,7 @@ object MultimodalQueries {
     "q_multimodal_bounds" -> (qMultimodalBounds _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_denylist_bounds" -> qMultimodalDenylistBoundsSql,
     "q_multimodal_dedup_bounds" -> qMultimodalDedupBoundsSql,
     "q_multimodal_dedup_wide_bounds" -> qMultimodalDedupWideBoundsSql,
     "q_multimodal_bounds" -> qMultimodalBoundsSql)

@@ -103,6 +103,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("denylist: verbatim registry copies always flagged at hamming 0; registry never matches itself") {
+    import spark.implicits._
+    val reg = media.limit(10)
+    val copies = reg.map(m => m.copy(media_id = m.media_id + 100000L))
+    val got = Multimodal.denylistMatches(
+        perceptualSignatures(copies).toDF(),
+        perceptualSignatures(reg).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    reg.collect().map(_.media_id).foreach { id =>
+      assert(got.exists(m => m._1 == id + 100000L && m._2 == id && m._3 == 0),
+        s"verbatim copy of registry item $id not flagged")
+    }
+    // gate row end-to-end at sf0.001
+    val bounds = graft.queries.MultimodalQueries
+      .qMultimodalDenylistBounds(spark, sf001).collect().head
+    (1 until 5).foreach(i => assert(bounds.getBoolean(i), s"bounds col $i"))
+  }
+
   test("wide signatures: pigeonhole recall 1.0 at 128 and 256 bits for sub-numBands flips") {
     // pure DataFrame-level claim, no codec needed: signaturePairsWide
     // must recover EVERY pair whose Hamming distance is under the band
