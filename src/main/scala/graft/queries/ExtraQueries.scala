@@ -1583,7 +1583,8 @@ object ExtraQueries {
     * [[qMixWaterfillSelectSql]] — everything up to the per-source
     * `allocated` frame, replaying [[graft.ops.DomainMix.waterFill]]'s
     * integer arithmetic verbatim. */
-  private val waterfillAllocCtes: String = {
+  private def waterfillAllocCtesFor(availScale: Int, bNum: Int,
+      bDen: Int): String = {
     val weightValues = WaterFillWeights
       .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
     s"""WITH weights(source, weight) AS (
@@ -1595,7 +1596,8 @@ object ExtraQueries {
        |  FROM documents
        |), av AS (
        |  SELECT w.source, CAST(w.weight AS BIGINT) AS weight,
-       |    CAST(coalesce(t.a, 0) AS BIGINT) AS available
+       |    CAST(coalesce(t.a, 0) * $availScale AS BIGINT) AS available,
+       |    CAST(coalesce(t.a, 0) AS BIGINT) AS corpus_tokens
        |  FROM weights w LEFT JOIN
        |    (SELECT source, sum(n_tokens) AS a FROM toks GROUP BY source) t
        |    USING (source)
@@ -1603,7 +1605,7 @@ object ExtraQueries {
        |  SELECT CAST(sum(available) AS BIGINT) AS ta,
        |         CAST(sum(weight) AS BIGINT) AS tw FROM av
        |), ranked AS (
-       |  SELECT av.*, tot.tw, (tot.ta * 3) // 5 AS b,
+       |  SELECT av.*, tot.tw, (tot.ta * $bNum) // $bDen AS b,
        |    row_number() OVER (ORDER BY available * (170 // weight), source) AS pos,
        |    CAST(sum(available) OVER (ORDER BY available * (170 // weight), source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
@@ -1622,12 +1624,58 @@ object ExtraQueries {
        |         CAST(sum(CASE WHEN saturated THEN weight ELSE 0 END) AS BIGINT) AS sw
        |  FROM flagged
        |), alloc AS (
-       |  SELECT f.source, f.available, f.weight, f.saturated,
+       |  SELECT f.source, f.available, f.corpus_tokens, f.weight, f.saturated,
        |    CASE WHEN f.saturated THEN f.available
        |         ELSE (f.weight * (f.b - l.sa)) // (f.tw - l.sw) END AS allocated
        |  FROM flagged f, level l
        |)""".stripMargin
   }
+
+  private val waterfillAllocCtes: String = waterfillAllocCtesFor(1, 3, 5)
+
+  /** Epoch-capped repetition budgeting — the data-constrained-scaling
+    * mix rule (Muennighoff et al. NeurIPS'23: repeating pretraining
+    * data up to ~4 epochs retains most of its value, beyond that it
+    * is spent): a train-token budget of 3× the corpus is allocated by
+    * the SAME water-filling closed form, but each source's
+    * availability is its token count × 4 (the epoch cap) — so
+    * high-weight small sources saturate at exactly 4.000 epochs and
+    * the freed budget flows to the big low-weight ones. Output adds
+    * `epochs_x1000 = (train_tokens · 1000) div corpus_tokens`, exact
+    * integer permille (saturated rows read exactly 4000). Same scale
+    * shape as q_mix_waterfill: the corpus aggregate happens once
+    * (checkpointed per-source frame), the allocator runs on ≤ 20
+    * rows. */
+  def qMixEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("corpus_tokens"))
+      .localCheckpoint(true) // read by the capacity frame and the join back
+    val cap = perSource.select(col("source"),
+      (col("corpus_tokens") * lit(4L)).as("cap_tokens"))
+    graft.ops.DomainMix.waterFill(cap, "source", "cap_tokens",
+        WaterFillWeights.toMap, budgetNum = 3L, budgetDen = 4L)
+      .join(perSource, Seq("source"), "left")
+      .na.fill(0L, Seq("corpus_tokens"))
+      .select(col("source"), col("corpus_tokens"),
+        col("available").as("capacity"), col("weight"), col("saturated"),
+        col("allocated").as("train_tokens"),
+        when(col("corpus_tokens") > 0,
+          expr("(allocated * 1000) div corpus_tokens"))
+          .otherwise(lit(0L)).as("epochs_x1000"))
+      .orderBy(col("source"))
+  }
+
+  val qMixEpochsSql: String =
+    s"""${waterfillAllocCtesFor(4, 3, 4)}
+       |SELECT source, corpus_tokens, available AS capacity, weight, saturated,
+       |  allocated AS train_tokens,
+       |  CASE WHEN corpus_tokens > 0
+       |       THEN (allocated * 1000) // corpus_tokens ELSE 0 END AS epochs_x1000
+       |FROM alloc
+       |ORDER BY source""".stripMargin
 
   val qMixWaterfillSql: String =
     s"""$waterfillAllocCtes
@@ -2798,6 +2846,7 @@ object ExtraQueries {
     "q_domain_mix" -> (qDomainMix _),
     "q_mix_waterfill" -> (qMixWaterfill _),
     "q_mix_waterfill_select" -> (qMixWaterfillSelect _),
+    "q_mix_epochs" -> (qMixEpochs _),
     "q_domain_mix_temperature" -> (qDomainMixTemperature _),
     "q_zorder" -> (qZorder _),
     "q_shard_snake" -> (qShardSnake _))
@@ -2850,6 +2899,7 @@ object ExtraQueries {
     "q_domain_mix" -> qDomainMixSql,
     "q_mix_waterfill" -> qMixWaterfillSql,
     "q_mix_waterfill_select" -> qMixWaterfillSelectSql,
+    "q_mix_epochs" -> qMixEpochsSql,
     "q_domain_mix_temperature" -> qDomainMixTemperatureSql,
     "q_zorder" -> qZorderSql,
     "q_shard_snake" -> qShardSnakeSql)

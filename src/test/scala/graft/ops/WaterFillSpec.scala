@@ -118,6 +118,20 @@ class WaterFillSpec extends SparkSpec {
     }
   }
 
+  test("epochs: saturated sources read exactly 4000 permille; nothing exceeds the cap") {
+    val rows = ExtraQueries.qMixEpochs(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (sat, ep) = (r.getAs[Boolean]("saturated"), r.getAs[Long]("epochs_x1000"))
+      val (ct, tt) = (r.getAs[Long]("corpus_tokens"), r.getAs[Long]("train_tokens"))
+      assert(ep <= 4000L, s"epoch cap broken: $r")
+      assert(r.getAs[Long]("capacity") == 4L * ct)
+      if (sat && ct > 0) assert(ep == 4000L && tt == 4L * ct, s"saturated row off-cap: $r")
+    }
+    assert(rows.exists(_.getAs[Boolean]("saturated")))
+    assert(rows.exists(r => !r.getAs[Boolean]("saturated")))
+  }
+
   test("q_mix_waterfill: both saturated and unsaturated sources present at sf0.001") {
     val out = ExtraQueries.qMixWaterfill(spark, sf001).collect()
     assert(out.length == 20) // full frozen spine
