@@ -58,6 +58,68 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data op (DPR,
+    * Karpukhin et al. EMNLP'20 §3.2; ANCE): for each query vector, the
+    * top-5 most-similar vectors of a DIFFERENT label — maximally
+    * confusable wrong-class examples, exactly what a retrieval/
+    * embedding trainer pairs with the gold positives. The label
+    * column plays the gold-relevance role; `n_label` rides along so
+    * the emitted training pairs carry their class evidence.
+    *
+    * This row is the EXACT tier (the oracle price, same adjudication
+    * as q_sim_bruteforce_topk): corpus scanned once against the
+    * broadcast query batch, different-label filter INSIDE the join
+    * condition (pruned before the dot product), bounded-heap
+    * `top_k_by` partial aggregation — shuffle volume k·|queries|, not
+    * the scored corpus. At 100 TB the mining runs over the IVF/PQ
+    * shortlist instead (the q_sim_ivfpq_topk machinery) with this
+    * exact tier as its recall oracle — the same two-tier contract the
+    * ANN family already ships. Scores round(9) before the heap so the
+    * ranking replays bit-exact cross-engine. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val c = Similarity.withNormalized(all, "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("norm").as("c_norm"),
+        col("label").as("n_label"))
+    val q = Similarity.withNormalized(
+        all.filter(col("vec_id") < NumQueries), "embedding")
+      .select(col("vec_id").as("query_id"), col("norm").as("q_norm"),
+        col("label").as("q_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("n_label") =!= col("q_label"))
+      .withColumn("cos",
+        round(Similarity.dot(col("q_norm"), col("c_norm")), 9))
+    // the heap carries (score, id); the label re-attaches from the
+    // tiny (id, label) projection after the k·|queries| readout
+    Similarity.topKPerGroup(scored,
+        "query_id", "cos", "neighbor_id", TopK, "cos", "neighbor_id")
+      .join(c.select(col("neighbor_id"), col("n_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("n_label"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+       |    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 9) AS cos
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, n_label, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, n_label, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ONE IVF index build per (process, scale dir): the index is an
   // artifact, not a per-query cost — a search query that re-runs KMeans
   // on every invocation reads, at 100 TB, as "similarity search costs a
@@ -1355,6 +1417,7 @@ object SimilarityQueries {
     "q_sim_mmr_shortlist" -> (qSimMmrShortlist _),
     "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_pq_topk" -> (qSimPqTopK _),
     "q_sim_ivfpq_topk" -> (qSimIvfPqTopK _),
@@ -1379,5 +1442,6 @@ object SimilarityQueries {
     "q_dedup_srp_bounds" -> qDedupSrpBoundsSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_embedding_stats" -> qEmbeddingStatsSql)
 }

@@ -64,7 +64,7 @@ object Similarity {
     * per query batch). Tie-break inside the aggregate (higher score,
     * then smaller id) matches the window `ORDER BY score DESC, id ASC`,
     * so results are bit-identical and stay hash-oracled. */
-  private def topKPerGroup(scored: DataFrame, groupCol: String,
+  private[graft] def topKPerGroup(scored: DataFrame, groupCol: String,
       scoreCol: String, idCol2: String, k: Int,
       outScore: String, outId: String): DataFrame =
     scored.groupBy(col(groupCol))

@@ -312,4 +312,34 @@ class SimilaritySpec extends SparkSpec {
       assert(gotS >= 0.0 && gotS <= 1.0)
     }
   }
+
+  test("hard negatives: wrong-class only, and exactly the brute-force top-k with the label filter") {
+    val out = SimilarityQueries.qHardNegatives(spark, sf001).collect()
+    val labels = graft.Tables.embeddings(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(labels(n) != labels(q), s"same-class negative: $r")
+      assert(r.getAs[Int]("n_label") == labels(n))
+    }
+    // driver-side brute force for one query
+    val vecs = graft.Tables.embeddings(spark, sf001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val (qid, qv, ql) = vecs.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = vecs.filter(v => v._1 != qid && v._3 != ql)
+      .map(v => (cos(qv, v._2), v._1)).sortBy { case (c, id) => (-c, id) }
+      .take(5).map(_._2).toSeq
+    val got = out.filter(_.getAs[Long]("query_id") == qid)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
 }
