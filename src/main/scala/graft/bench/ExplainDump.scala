@@ -88,7 +88,7 @@ object ExplainDump {
     "q_blocklist_filter", "q_blocklist_ac", "q_mix_waterfill",
     "q_length_truncation", "q_tokenizer_ablation", "q_pack_efficiency",
     "q_blocklist_excise", "q_mix_waterfill_select", "q_shard_snake",
-    "q_multimodal_denylist", "q_mix_epochs", "q_hard_negatives")
+    "q_multimodal_denylist", "q_mix_epochs", "q_hard_negatives", "q_hard_negatives_ann")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the
