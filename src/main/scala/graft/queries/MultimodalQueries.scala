@@ -325,7 +325,7 @@ object MultimodalQueries {
     * the same measured perturbation-tolerance floor as the dedup
     * tier's `perturbed_recall_ok` (the local edit can flip > 15 grid
     * bits on unlucky media, so 1.0 is not the contract; measured
-    * 1.0 at sf0.001 and ~0.95 at sf0.01), (3) the
+    * 1.0 at sf0.001 and 0.974 = 38/39 at sf0.01), (3) the
     * differential hamming recompute (re-fetch both signatures BY ID,
     * re-derive the distance — catches column mix-ups the operator's
     * own filter can't see), (4) the natural false-flag rate on the

@@ -71,10 +71,10 @@ object SimilarityQueries {
     * broadcast query batch, different-label filter INSIDE the join
     * condition (pruned before the dot product), bounded-heap
     * `top_k_by` partial aggregation — shuffle volume k·|queries|, not
-    * the scored corpus. At 100 TB the mining runs over the IVF/PQ
-    * shortlist instead (the q_sim_ivfpq_topk machinery) with this
-    * exact tier as its recall oracle — the same two-tier contract the
-    * ANN family already ships. Scores round(9) before the heap so the
+    * the scored corpus. At 100 TB the mining runs over the IVF
+    * shortlist instead — the shipped [[qHardNegativesAnn]] tier, with
+    * this exact tier as the overlap oracle in
+    * q_hard_negatives_ann_bounds. Scores round(9) before the heap so the
     * ranking replays bit-exact cross-engine. */
   def qHardNegatives(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
