@@ -356,9 +356,16 @@ object MultimodalQueries {
           .filter(expr("bit_count(rc ^ rr)").cast("int") =!= col("hamming") ||
             expr("bit_count(rc ^ rr)").cast("int") > DedupMaxHamming)
           .count()
-        val nClean = corpSigs.count() - nReg // corpus minus planted copies
+        // clean denominator = VALID original-id corpus rows only:
+        // invalid signatures can never match (counting them loosened
+        // the <10% bound), and planted copies (id >= off) that happen
+        // to match a DIFFERENT registry item are plants, not clean
+        // false flags (r17 ADVICE) — both sides now condition on
+        // media_id < off
+        val nClean = corpSigs
+          .filter(col("valid") && col("media_id") < off).count()
         val cleanFlagged = matches
-          .filter(col("media_id") =!= col("bad_id") + off)
+          .filter(col("media_id") < off)
           .select(col("media_id")).distinct().count()
         import s.implicits._
         Seq(("denylist", nReg > 0, plantedRecallOk,

@@ -143,9 +143,14 @@ object SimilarityQueries {
     // shared-subframe discipline; |corpus| rows of 12 bytes)
     val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
       .localCheckpoint(true)
+    // only the query batch rides the broadcast side — broadcasting the
+    // corpus-sized label projection would OOM at the 100 TB serve path
+    // this tier exists for (r17 ADVICE); the corpus-sized neighbor-label
+    // join below stays non-broadcast
     val wrong = shortlist
-      .join(broadcast(labels.select(col("vec_id").as("query_id"),
-        col("label").as("q_label"))), Seq("query_id"))
+      .join(broadcast(labels.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), Seq("query_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), Seq("neighbor_id"))
       .filter(col("n_label") =!= col("q_label"))
@@ -179,8 +184,9 @@ object SimilarityQueries {
       val labels = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"))
       val sameClass = ann
-        .join(broadcast(labels.select(col("vec_id").as("query_id"),
-          col("label").as("q_label"))), Seq("query_id"))
+        .join(broadcast(labels.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"),
+            col("label").as("q_label"))), Seq("query_id"))
         .filter(col("n_label") === col("q_label")).count()
       import s.implicits._
       Seq(("hard_negatives_ann", nq > 0, annQ == nq,

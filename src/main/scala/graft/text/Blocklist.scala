@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -62,22 +62,28 @@ object Blocklist {
     out
   }
 
-  /** Codegen tier: literal-array higher-order-function screening. */
+  /** Leftmost non-overlapping occurrence count of literal `p` in `t` —
+    * the `replace`-arithmetic identity both tiers and the SQL oracle
+    * share. Exact: the length delta is count·len(p) by construction,
+    * so the division is an integral double and the cast is lossless. */
+  private def occurrences(t: Column, p: Column): Column =
+    ((length(t) - length(replace(t, p))) / length(p)).cast("long")
+
+  /** Codegen tier: higher-order-function screening over a `lit()`
+    * phrase array — phrases are plain data, never spliced into SQL
+    * text, so any byte sequence (apostrophes, backslashes) is a legal
+    * phrase (r17 verdict hardening). NULL text coalesces to '' so both
+    * tiers share one null semantics: 0 / 0 / '' / keep=true. */
   def screen(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     val ps = normalized(phrases)
-    // phrases are trusted compile-time constants in every caller (a
-    // frozen policy artifact, like the BPE merge table); the quoting
-    // below is for the harness vocabulary (letters, digits, spaces)
-    require(ps.forall(p => !p.contains("'") && !p.contains("\\")),
-      "blocklist phrases must be quote/backslash-free literals")
-    val arr = ps.map(p => s"'$p'").mkString("array(", ", ", ")")
-    df.select(col(idCol), col(textCol).as("_t"))
+    val arr = array(ps.map(lit(_)): _*)
+    df.select(col(idCol),
+        coalesce(col(textCol).cast("string"), lit("")).as("_t"))
       .select(col(idCol),
-        expr(s"filter($arr, p -> contains(_t, p))").as("_m"),
-        expr(s"aggregate($arr, 0L, (acc, p) -> acc + " +
-          "(length(_t) - length(replace(_t, p, ''))) div length(p))")
-          .as("n_occurrences"))
+        filter(arr, p => col("_t").contains(p)).as("_m"),
+        aggregate(arr, lit(0L),
+          (acc, p) => acc + occurrences(col("_t"), p)).as("n_occurrences"))
       .select(col(idCol),
         size(col("_m")).cast("long").as("n_patterns"),
         col("n_occurrences"),
@@ -136,29 +142,37 @@ object Blocklist {
   def excise(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String], marker: String = "<BLOCKED>"): DataFrame = {
     val ps = normalized(phrases)
-    require(ps.forall(p => !p.contains("'") && !p.contains("\\")),
-      "blocklist phrases must be quote/backslash-free literals")
     require(ps.forall(p => !p.contains(marker) && !marker.contains(p)),
       "marker must not collide with any phrase")
-    val chain = ps.foldLeft(s"$textCol") { (acc, p) =>
-      s"replace($acc, '$p', '$marker')"
+    // n_excised sums each step's PRE-replace occurrence count — the
+    // markers actually inserted — so a pre-existing marker substring in
+    // the input corpus can no longer inflate the count (r17 ADVICE);
+    // phrases enter as lit() data, never SQL text
+    val t0 = coalesce(col(textCol).cast("string"), lit(""))
+    val (clean, nExcised) = ps.foldLeft((t0, lit(0L))) {
+      case ((acc, cnt), p) =>
+        (replace(acc, lit(p), lit(marker)),
+          cnt + occurrences(acc, lit(p)))
     }
-    df.select(col(idCol),
-      expr(chain).as("text_clean"))
-      .withColumn("n_excised",
-        expr(s"(length(text_clean) - length(replace(text_clean, '$marker', ''))) div ${marker.length}"))
-      .select(col(idCol), col("n_excised"), col("text_clean"))
+    df.select(col(idCol), nExcised.as("n_excised"), clean.as("text_clean"))
   }
 
-  /** The DuckDB twin of [[excise]]. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** The DuckDB twin of [[excise]] — replays the identical replace
+    * chain AND the identical per-step pre-replace counts. */
   def exciseSelectSql(idCol: String, textExpr: String,
       phrases: Seq[String], marker: String = "<BLOCKED>"): String = {
     val ps = normalized(phrases)
-    val chain = ps.foldLeft(textExpr) { (acc, p) =>
-      s"replace($acc, '$p', '$marker')"
+    val qm = sqlQuote(marker)
+    val (chain, counts) = ps.foldLeft((textExpr, List.empty[String])) {
+      case ((acc, cs), p) =>
+        val qp = sqlQuote(p)
+        (s"replace($acc, '$qp', '$qm')",
+          s"(length($acc) - length(replace($acc, '$qp', ''))) // length('$qp')" :: cs)
     }
     s"""SELECT $idCol,
-       |  (length($chain) - length(replace($chain, '$marker', ''))) // ${marker.length} AS n_excised,
+       |  CAST(${counts.reverse.mkString(" + ")} AS BIGINT) AS n_excised,
        |  $chain AS text_clean""".stripMargin
   }
 
@@ -168,7 +182,7 @@ object Blocklist {
   def oracleSelectSql(idCol: String, textExpr: String,
       phrases: Seq[String]): String = {
     val ps = normalized(phrases)
-    val arr = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+    val arr = ps.map(p => s"'${sqlQuote(p)}'").mkString("[", ", ", "]")
     s"""SELECT $idCol,
        |  CAST(len(list_filter($arr, p -> contains($textExpr, p))) AS BIGINT) AS n_patterns,
        |  CAST(list_sum(list_transform($arr,

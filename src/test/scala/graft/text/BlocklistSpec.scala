@@ -92,6 +92,56 @@ class BlocklistSpec extends SparkSpec {
     assert(got(1L) == ((1L, "<BLOCKED>a b")))
   }
 
+  test("phrases with apostrophes/backslashes are plain data in both tiers (r17 hardening)") {
+    val ps = Seq("don't panic", """back\slash""")
+    val rows = Seq(
+      1L -> """we said don't panic and don't panic again""",
+      2L -> """a back\slash here""",
+      3L -> "clean")
+    val a = screenMapWith(rows, ps, ac = false)
+    val b = screenMapWith(rows, ps, ac = true)
+    assert(a == b)
+    assert(a(1L) == ((1L, 2L, "don't panic", false)))
+    assert(a(2L) == ((1L, 1L, """back\slash""", false)))
+    assert(a(3L) == ((0L, 0L, "", true)))
+    val ex = exciseMap(rows, ps)
+    assert(ex(1L) == ((2L, "we said <BLOCKED> and <BLOCKED> again")))
+  }
+
+  test("excise: a pre-existing marker in the input does not inflate n_excised (r17 ADVICE)") {
+    val got = exciseMap(Seq(
+      1L -> "x <BLOCKED> y hash join z",
+      2L -> "<BLOCKED> only"), phrases)
+    assert(got(1L) == ((1L, "x <BLOCKED> y <BLOCKED> z")))
+    assert(got(2L) == ((0L, "<BLOCKED> only")))
+  }
+
+  test("NULL text reads as empty in both tiers: 0/0/''/keep") {
+    val df = Seq((1L, Option("a hash join")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    Seq(Blocklist.screen(df, "doc_id", "text", phrases),
+        Blocklist.screenAc(df, "doc_id", "text", phrases)).foreach { out =>
+      val m = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_patterns"), r.getAs[Long]("n_occurrences"),
+          r.getAs[String]("matched"), r.getAs[Boolean]("keep")))).toMap
+      assert(m(2L) == ((0L, 0L, "", true)))
+      assert(m(1L) == ((1L, 1L, "hash join", false)))
+    }
+  }
+
+  private def screenMapWith(rows: Seq[(Long, String)], ps: Seq[String],
+      ac: Boolean) = {
+    val df = rows.toDF("doc_id", "text")
+    val out =
+      if (ac) Blocklist.screenAc(df, "doc_id", "text", ps)
+      else Blocklist.screen(df, "doc_id", "text", ps)
+    out.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_patterns"), r.getAs[Long]("n_occurrences"),
+          r.getAs[String]("matched"), r.getAs[Boolean]("keep")))
+    }.toMap
+  }
+
   test("automaton: dictionary-suffix outputs fire (pattern inside a longer pattern)") {
     val ac = AhoCorasick.compile(Array("he", "she", "his", "hers"))
     val counts = ac.countNonOverlapping("ushers")
