@@ -3642,10 +3642,100 @@ object AnalyticsQueries {
       |  ('strengths_normalized', true)) t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  // --------------------------------------------- Best-of-N selection
+  /** The candidate table for Best-of-N: every prompt (= document id)
+    * fans out IN-ROW into N = 8 scored generations whose reward is the
+    * HOUSE portable multiplicative hash of the candidate id — integer
+    * reward units in [0, 10⁶), exactly replayable in ANSI SQL (the
+    * [[btWinMatrix]] fixture discipline; BT models the comparison
+    * labels, this models the scalar reward the other RLHF curation
+    * path consumes). Shared by the selection row and the histogram so
+    * the two cannot drift. */
+  private def bestOfNCands(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("prompt_id"))
+      .select(col("prompt_id"),
+        explode(sequence(lit(0L), lit(7L))).as("cand_id"))
+      .withColumn("ru",
+        pmod(pmod(col("prompt_id") * 8 + col("cand_id"), lit(1000003L)) *
+          lit(2654435761L), lit(1000000L)))
+
+  /** Best-of-N / rejection-sampling selection (Nakano et al. 2021
+    * WebGPT §3.3; Touvron et al. 2023 Llama-2 §3.2.2's rejection
+    * sampling): per prompt, keep the highest-reward candidate and emit
+    * the selection CONFIDENCE — the reward margin top1 − top2 and its
+    * decile band, the knob a curation pipeline thresholds on (a
+    * near-zero margin means the reward model couldn't separate the
+    * candidates and the pair belongs in preference-label collection
+    * instead — the [[qPreferenceBt]] path; this op is the other half
+    * of that story).
+    *
+    * Engine shape: ONE partial-aggregable groupBy via the house
+    * bounded-heap `top_k_by` at k = 2 (map-side combine reduces each
+    * partition's candidates to ≤ 2 pairs; only heaps shuffle — never
+    * the candidate text at 100 TB), ties broken by smaller cand_id in
+    * the heap's total order. All arithmetic in exact integer reward
+    * units: margin_units is a long subtraction, the band an integer
+    * division, and reward/margin are terminal /10⁶ divisions — no
+    * float class. Oracle replays selection as a row_number window with
+    * the identical tie-break. */
+  def qBestOfN(s: SparkSession, d: String): DataFrame =
+    bestOfNCands(s, d)
+      .groupBy(col("prompt_id"))
+      .agg(graft.functions.TopKBy
+        .topKBy(col("ru").cast("double"), col("cand_id"), 2).as("top"))
+      .select(col("prompt_id"),
+        col("top")(0)("id").as("best_cand"),
+        col("top")(0)("score").cast("long").as("ru1"),
+        col("top")(1)("score").cast("long").as("ru2"))
+      .select(col("prompt_id"), col("best_cand"),
+        (col("ru1").cast("double") / 1e6).as("reward"),
+        ((col("ru1") - col("ru2")).cast("double") / 1e6).as("margin"),
+        expr("(ru1 - ru2) div 100000").as("margin_band"))
+      .orderBy(col("prompt_id"))
+
+  val qBestOfNSql: String =
+    """WITH c AS (
+      |  SELECT doc_id AS prompt_id, CAST(i AS BIGINT) AS cand_id,
+      |    CAST((doc_id * 8 + i) % 1000003 * 2654435761 % 1000000
+      |      AS BIGINT) AS ru
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+      |), r AS (
+      |  SELECT prompt_id, cand_id, ru,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |                       ORDER BY ru DESC, cand_id ASC) AS rk
+      |  FROM c
+      |)
+      |SELECT a.prompt_id, a.cand_id AS best_cand,
+      |  CAST(a.ru AS DOUBLE) / 1e6 AS reward,
+      |  CAST(a.ru - b.ru AS DOUBLE) / 1e6 AS margin,
+      |  (a.ru - b.ru) // 100000 AS margin_band
+      |FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+      |  AND a.rk = 1 AND b.rk = 2
+      |ORDER BY a.prompt_id""".stripMargin
+
+  /** The margin-band histogram over [[qBestOfN]] — the distributional
+    * readout a curation run actually looks at (how much of the corpus
+    * was selected confidently vs. by a coin flip): prompts per margin
+    * decile. Bounded output (≤ 10 rows); the corpus work is the same
+    * single groupBy, then a 10-key recount. */
+  def qBestOfNHist(s: SparkSession, d: String): DataFrame =
+    qBestOfN(s, d)
+      .groupBy(col("margin_band"))
+      .agg(count(lit(1)).as("n_prompts"))
+      .orderBy(col("margin_band"))
+
+  val qBestOfNHistSql: String =
+    s"""WITH sel AS ($qBestOfNSql)
+       |SELECT margin_band, count(*) AS n_prompts
+       |FROM sel GROUP BY margin_band
+       |ORDER BY margin_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_preference_bt" -> (qPreferenceBt _),
     "q_preference_bt_bounds" -> (qPreferenceBtBounds _),
     "q_preference_matrix" -> (qPreferenceMatrix _),
+    "q_best_of_n" -> (qBestOfN _),
+    "q_best_of_n_hist" -> (qBestOfNHist _),
     "q_skyline" -> (qSkyline _),
     "q_event_paths" -> (qEventPaths _),
     "q_time_folds" -> (qTimeFolds _),
@@ -3698,6 +3788,8 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_preference_bt_bounds" -> qPreferenceBtBoundsSql,
     "q_preference_matrix" -> qPreferenceMatrixSql,
+    "q_best_of_n" -> qBestOfNSql,
+    "q_best_of_n_hist" -> qBestOfNHistSql,
     "q_skyline" -> qSkylineSql,
     "q_event_paths" -> qEventPathsSql,
     "q_time_folds" -> qTimeFoldsSql,

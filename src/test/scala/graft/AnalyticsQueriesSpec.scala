@@ -866,4 +866,31 @@ class AnalyticsQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("best-of-n: selection is the exact per-prompt argmax, margin and band recompute") {
+    val out = AnalyticsQueries.qBestOfN(spark, sf001).collect()
+    val nPrompts = Tables.documents(spark, sf001).count()
+    assert(out.length == nPrompts)
+    def ru(p: Long, i: Long): Long =
+      (p * 8 + i) % 1000003L * 2654435761L % 1000000L
+    out.foreach { r =>
+      val p = r.getAs[Long]("prompt_id")
+      val cands = (0L until 8L).map(i => (ru(p, i), i))
+      // brute-force: reward desc, cand asc
+      val sorted = cands.sortBy { case (u, i) => (-u, i) }
+      val (u1, c1) = sorted.head
+      val (u2, _) = sorted(1)
+      assert(r.getAs[Long]("best_cand") == c1, s"prompt $p argmax")
+      assert(r.getAs[Double]("reward") == u1.toDouble / 1e6)
+      assert(r.getAs[Double]("margin") == (u1 - u2).toDouble / 1e6)
+      assert(r.getAs[Long]("margin_band") == (u1 - u2) / 100000L)
+    }
+    // the histogram re-counts the same frame
+    val hist = AnalyticsQueries.qBestOfNHist(spark, sf001).collect()
+      .map(r => r.getAs[Long]("margin_band") -> r.getAs[Long]("n_prompts"))
+      .toMap
+    val expected = out.groupBy(_.getAs[Long]("margin_band"))
+      .map { case (b, rs) => b -> rs.length.toLong }
+    assert(hist == expected)
+  }
 }
