@@ -636,6 +636,148 @@ object TextQueries {
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  /** Fixture for the CONTAINMENT tier: the eval batch = the held-out
+    * odd docs ∪ PLANTED EMBEDDED evals — for every train (even) doc of
+    * ≥ 36 tokens, a 16-token excerpt (tokens 4–19) prefixed with one
+    * novel marker token, at a disjoint id offset. The excerpt's
+    * trigrams are all train trigrams (a contiguous slice contributes
+    * only trigrams of the original), so eval-side containment is
+    * d/(d+1) ≈ 1 (d = distinct excerpt trigrams; the marker trigram is
+    * the only novelty), while symmetric Jaccard is ≤ 15/34 < 0.5 by the
+    * 36-token floor — the geometry the J ≥ 0.7 fuzzy gate cannot see
+    * and [[qContaminationContainmentBounds]]'s negative control
+    * proves it doesn't. */
+  private[graft] def containmentEvalBatch(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs
+        .filter(col("doc_id") % 2 === 0 && size(toks) >= 36)
+        .select((col("doc_id") + 5 * DedupQueries.IdOffset).as("doc_id"),
+          concat(lit("zzplant"), col("doc_id"), lit(" "),
+            concat_ws(" ", slice(toks, 4, 16))).as("text")))
+  }
+
+  /** Asymmetric containment decontamination
+    * ([[graft.text.Dedup.containmentPairs]]): every (eval, train) pair
+    * whose eval-side trigram containment clears 4/5 — the
+    * embedded-benchmark leak class the symmetric tiers miss (r17
+    * verdict directive 1; the fuzzy MinHash gate estimates JACCARD, so
+    * an eval doc inside a 10× train page reads ≈ |eval|/|train| → 0
+    * there while reading ≈ 1 here). Exact integer set sizes, integer
+    * cross-multiplied threshold, one terminal division; hash-green
+    * (DuckDB replays the shingle-set intersection directly). Eval side
+    * = [[containmentEvalBatch]] (odd docs + planted embedded evals). */
+  def qContaminationContainment(s: SparkSession, d: String): DataFrame = {
+    // one checkpointed scan feeds train and both eval branches (the
+    // qContaminationFuzzy shared-subframe discipline)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    graft.text.Dedup.containmentPairs(
+        containmentEvalBatch(docs), docs.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val qContaminationContainmentSql: String = {
+    val off = 5 * DedupQueries.IdOffset
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), ev0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $off,
+       |    'zzplant' || CAST(doc_id AS VARCHAR) || ' '
+       |      || array_to_string(toks[4:19], ' ')
+       |  FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 36
+       |), evd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM ev0
+       |), evsh AS (
+       |  SELECT DISTINCT doc_id AS eval_id,
+       |    array_to_string(toks[i:i+2], ' ') AS sh
+       |  FROM evd, unnest(range(1, greatest(len(toks)-1, 1))) t(i)
+       |), trsh AS (
+       |  SELECT DISTINCT doc_id AS train_id,
+       |    array_to_string(toks[i:i+2], ' ') AS sh
+       |  FROM d, unnest(range(1, greatest(len(toks)-1, 1))) t(i)
+       |  WHERE doc_id % 2 = 0
+       |), sizes AS (
+       |  SELECT eval_id, count(*) AS n_eval_shingles FROM evsh GROUP BY eval_id
+       |), shared AS (
+       |  SELECT eval_id, train_id, count(*) AS n_shared
+       |  FROM evsh JOIN trsh USING (sh) GROUP BY eval_id, train_id
+       |)
+       |SELECT eval_id, train_id, n_eval_shingles, n_shared,
+       |  CAST(n_shared AS DOUBLE) / n_eval_shingles AS containment
+       |FROM shared JOIN sizes USING (eval_id)
+       |WHERE n_shared * 5 >= n_eval_shingles * 4
+       |ORDER BY eval_id, train_id""".stripMargin
+  }
+
+  /** Fail-closed gate for the containment tier, with the MOTIVATING
+    * NEGATIVE CONTROL: (1) plants exist (≥ 36-token train docs present
+    * — corpus-drift guard); (2) every planted embedded eval is flagged
+    * WITH its own source train doc; (3) the planted pairs' symmetric
+    * Jaccard is structurally low (max < 0.5 — the 36-token floor's
+    * guarantee, measured not assumed); (4) the fuzzy MinHash tier
+    * screening the SAME eval batch against the same train split flags
+    * ZERO plants — the J ≥ 0.7 exact-verify gate cannot see the
+    * embedded geometry, which is exactly why this tier exists. */
+  def qContaminationContainmentBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val off = 5 * DedupQueries.IdOffset
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val ev = containmentEvalBatch(docs).localCheckpoint(true)
+    val nPlants = ev.filter(col("doc_id") >= off).count()
+    val flagged = qContaminationContainment(s, d).localCheckpoint(true)
+    val plantHits = flagged
+      .filter(col("eval_id") >= off &&
+        col("train_id") === col("eval_id") - off).count()
+    // exact symmetric Jaccard of each (plant, source) pair: |∩| is the
+    // flagged row's n_shared; |∪| = n_eval + n_train − |∩|
+    val trainSh = train
+      .select(col("doc_id").as("train_id"), split(col("text"), " ").as("toks"))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select(col("train_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+      .groupBy(col("train_id")).agg(count(lit(1)).as("n_train_shingles"))
+    val maxJ = flagged
+      .filter(col("eval_id") >= off &&
+        col("train_id") === col("eval_id") - off)
+      .join(trainSh, Seq("train_id"))
+      .select((col("n_shared").cast("double") /
+        (col("n_eval_shingles") + col("n_train_shingles") - col("n_shared")))
+        .as("j"))
+      .agg(coalesce(max(col("j")), lit(1.0))).head().getDouble(0)
+    // negative control: the fuzzy tier (J >= 0.7 MinHash band +
+    // exact-Jaccard verify) over the SAME batch misses every plant
+    val (tb, ts) = graft.text.Dedup.minhashIndex(train)
+    val (eb, es) = graft.text.Dedup.minhashIndex(ev)
+    val fuzzyPlantHits = graft.text.Dedup
+      .crossMinhashPairs(eb, es, tb, ts, maxJaccardDist = 0.3)
+      .filter(col("id_a") >= off && col("id_b") === col("id_a") - off)
+      .count()
+    val ok = nPlants > 0
+    Seq(
+      ("fuzzy_tier_misses_all_plants", ok && fuzzyPlantHits == 0L),
+      ("planted_embedded_all_flagged", ok && plantHits == nPlants),
+      ("planted_jaccard_structurally_low", ok && maxJ < 0.5),
+      ("plants_nonempty", ok))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qContaminationContainmentBoundsSql: String =
+    """SELECT * FROM (VALUES ('fuzzy_tier_misses_all_plants', true),
+      |  ('planted_embedded_all_flagged', true),
+      |  ('planted_jaccard_structurally_low', true),
+      |  ('plants_nonempty', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   /** Markup stripping, checked as an INVERSION: wrap each document in
     * a deterministic tag soup (tags inside the text, a comment, plus a
     * planted entity-encoded tail), strip it back, and hash against the
@@ -2283,6 +2425,8 @@ object TextQueries {
     "q_contamination_fuzzy" -> (qContaminationFuzzy _),
     "q_contamination_fuzzy_inc" -> (qContaminationFuzzyInc _),
     "q_contamination_fuzzy_bounds" -> (qContaminationFuzzyBounds _),
+    "q_contamination_containment" -> (qContaminationContainment _),
+    "q_contamination_containment_bounds" -> (qContaminationContainmentBounds _),
     "q_contamination_hashed" -> (qContaminationHashed _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_corpus_profile" -> (qCorpusProfile _),
@@ -2323,6 +2467,8 @@ object TextQueries {
     "q_heavy_hitters_exact" -> qHeavyHittersExactSql,
     "q_contamination" -> qContaminationSql,
     "q_contamination_fuzzy_bounds" -> qContaminationFuzzyBoundsSql,
+    "q_contamination_containment" -> qContaminationContainmentSql,
+    "q_contamination_containment_bounds" -> qContaminationContainmentBoundsSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc);
     // the bloom tier's false positives die in the exact join, so it

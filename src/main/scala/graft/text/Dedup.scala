@@ -1045,4 +1045,61 @@ object Dedup {
     val (banded, sets) = minhashIndex(df, k, numHashes, numBands, textCol, idCol)
     minhashPairsFromIndex(banded, sets, maxJaccardDist, idCol)
   }
+
+  /** Distinct k-token-shingle frame with LITERAL shingle strings —
+    * the oracle-replayable spelling (the q_contamination tier's
+    * trigram transform at pair grain). Docs under k tokens emit
+    * nothing. */
+  private def literalShingleFrame(docs: DataFrame, k: Int,
+      outId: String): DataFrame =
+    docs.select(col("doc_id").as(outId), split(col("text"), " ").as("toks"))
+      .withColumn("shingles",
+        when(size(col("toks")) >= k,
+          expr(s"transform(sequence(1, size(toks)-${k - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .select(col(outId), explode(col("shingles")).as("sh"))
+      .distinct()
+
+  /** Asymmetric CONTAINMENT decontamination pairs — the leak geometry
+    * symmetric-Jaccard screens are blind to (Lee et al. ACL'22 §6.2's
+    * containment framing; the GPT-3 appendix-C leak class): an eval
+    * benchmark EMBEDDED inside a much larger train page has
+    * |∩|/|∪| ≈ |eval|/|train| → 0 (invisible to the J ≥ 0.7 MinHash
+    * gate, which estimates symmetric Jaccard) but eval-side
+    * containment |shingles(eval) ∩ shingles(train)| / |shingles(eval)|
+    * ≈ 1. Emits every (eval, train) pair whose containment clears
+    * `minContainNum/minContainDen`, with the exact set sizes — the
+    * threshold compare is integer cross-multiplication, no float
+    * class.
+    *
+    * Scale shape: decontamination is structurally asymmetric — eval
+    * benchmarks are MBs while train is the 100 TB side — so the eval
+    * shingle frame is the broadcast probe and train shingles stream
+    * through ONE equi-join on the shingle key (no shuffle of the train
+    * side's rows beyond the per-match pairs; the (eval, train) rollup
+    * shuffles only match rows, bounded by eval volume × per-shingle
+    * train df). Literal shingle strings keep the tier hash-oracled;
+    * the 100 TB variant swaps in [[shingleHashFrame]]'s 8-byte keys —
+    * identical plan, narrower rows (the q_contamination_hashed
+    * precedent). Candidate pruning needs no LSH: the shingle equi-join
+    * IS the candidate generator, and a pair with zero shared shingles
+    * never materializes. */
+  def containmentPairs(evalDocs: DataFrame, trainDocs: DataFrame,
+      k: Int = 3, minContainNum: Int = 4, minContainDen: Int = 5): DataFrame = {
+    val evSh = literalShingleFrame(evalDocs, k, "eval_id")
+    val trSh = literalShingleFrame(trainDocs, k, "train_id")
+    val sizes = evSh.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+    evSh.join(trSh, Seq("sh"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), Seq("eval_id"))
+      .filter(col("n_shared") * minContainDen >=
+        col("n_eval_shingles") * minContainNum)
+      .select(col("eval_id"), col("train_id"), col("n_eval_shingles"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_eval_shingles"))
+          .as("containment"))
+  }
 }
