@@ -1018,7 +1018,100 @@ object DedupQueries {
       |  ('simhash', true, true)) t(tier, truth_nonempty, recall_ok)
       |ORDER BY tier""".stripMargin
 
+  // ------------------------------------------ Paragraph-grain dedup
+  /** Fixture for the paragraph tier: every group of 4 consecutive doc
+    * ids shares one BOILERPLATE paragraph — the group leader's (id ≡ 0
+    * mod 4) first 48 tokens appended to every member (leader included)
+    * as a newline-delimited second paragraph. Documents stay globally
+    * distinct (whole-doc Jaccard across members stays low) while the
+    * planted paragraph is an exact cross-doc duplicate — Gopher
+    * §A1.2's boilerplate geometry, the grain q_span_dedup (verbatim
+    * 8-token spans) and q_dedup_minhash (whole docs) both miss. Groups
+    * with no leader or a blank leader keep their original text. The
+    * group key is id-local (div 4), so the soak's variant-strided
+    * corpora keep groups intra-variant and ground truth linear. */
+  private[graft] def paraCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val donated = docs.filter(col("doc_id") % 4 === 0)
+      .select(expr("doc_id div 4").as("g"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 48)).as("boiler"))
+    docs.withColumn("g", expr("doc_id div 4"))
+      .join(donated, Seq("g"), "left")
+      .select(col("doc_id"),
+        when(col("boiler").isNotNull && length(col("boiler")) > 0,
+          concat(col("text"), lit("\n"), col("boiler")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Inter-document paragraph near-dedup
+    * ([[graft.text.Dedup.paragraphDupStats]]) over the boilerplate
+    * fixture: per document, how many of its newline-delimited
+    * paragraphs are near-duplicated (J ≥ 0.7, banded MinHash + exact
+    * verify) in ANOTHER document, and the duplicated fraction.
+    * Rows-only (LSH band layout, the q_dedup_minhash adjudication);
+    * driver-visible guarantees are [[qDedupParagraphsBounds]]'s
+    * recall floor and planted-boilerplate completeness. */
+  def qDedupParagraphs(s: SparkSession, d: String): DataFrame =
+    graft.text.Dedup.paragraphDupStats(paraCorpus(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Fail-closed gate for the paragraph tier (the
+    * [[qDedupSketchRecallBounds]] pattern): (1) the exact paragraph-
+    * Jaccard truth set (PPJoin at J ≥ 0.7 over the same paragraph
+    * frame, cross-doc only) is non-empty; (2) the banded tier recovers
+    * ≥ 0.95 of it; (3) every member of a complete group (leader with a
+    * ≥ 3-token boilerplate, ≥ 2 members) reports at least one
+    * duplicated paragraph. */
+  def qDedupParagraphsBounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = graft.text.Dedup.ParasPerDoc
+    val corpus = paraCorpus(s, d).localCheckpoint(true)
+    val paras = graft.text.Dedup.paragraphFrame(corpus)
+    def crossDoc(f: DataFrame): DataFrame =
+      f.filter(expr(s"id_a div $P") =!= expr(s"id_b div $P"))
+    val truth = crossDoc(graft.text.Dedup.ngramJaccardPairs(paras,
+        k = 3, minJaccard = 0.7, textCol = "para", idCol = "uid"))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nTruth = truth.count()
+    val banded = crossDoc(graft.text.Dedup.minhashPairs(paras,
+        maxJaccardDist = 0.3, textCol = "para", idCol = "uid"))
+      .select(col("id_a"), col("id_b"))
+    val hit = truth.join(banded, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = if (nTruth == 0) 0.0 else hit.toDouble / nTruth
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val groups = docs.select(expr("doc_id div 4").as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("members"))
+    val leaders = docs.filter(col("doc_id") % 4 === 0)
+      .select(expr("doc_id div 4").as("g"),
+        size(split(col("text"), " ")).as("ltoks"))
+    val eligible = docs.select(col("doc_id"), expr("doc_id div 4").as("g"))
+      .join(groups.filter(col("members") >= 2), Seq("g"))
+      .join(leaders.filter(col("ltoks") >= 3), Seq("g"))
+      .select(col("doc_id"))
+    val nEligible = eligible.count()
+    val unflagged = eligible
+      .join(qDedupParagraphs(s, d).filter(col("n_dup_paragraphs") >= 1),
+        Seq("doc_id"), "left_anti").count()
+    val ok = nTruth > 0 && nEligible > 0
+    Seq(
+      ("planted_boilerplate_all_flagged", ok && unflagged == 0L),
+      ("recall_floor_vs_exact_tier", ok && recall >= 0.95),
+      ("truth_nonempty", ok))
+      .toDF("check", "within_bounds")
+      .orderBy(col("check"))
+  }
+
+  val qDedupParagraphsBoundsSql: String =
+    // property-gate twin: literal expected frame, NOT a recomputation
+    """SELECT * FROM (VALUES ('planted_boilerplate_all_flagged', true),
+      |  ('recall_floor_vs_exact_tier', true), ('truth_nonempty', true))
+      |  t("check", within_bounds)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraphs" -> (qDedupParagraphs _),
+    "q_dedup_paragraphs_bounds" -> (qDedupParagraphsBounds _),
     "q_dedup_sketch_recall_bounds" -> (qDedupSketchRecallBounds _),
     "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -1043,6 +1136,7 @@ object DedupQueries {
     "q_curation_incremental" -> (qCurationIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_paragraphs_bounds" -> qDedupParagraphsBoundsSql,
     "q_dedup_sketch_recall_bounds" -> qDedupSketchRecallBoundsSql,
     "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,

@@ -1046,6 +1046,69 @@ object Dedup {
     minhashPairsFromIndex(banded, sets, maxJaccardDist, idCol)
   }
 
+  /** Paragraph grain id packing for [[paragraphFrame]]: uid =
+    * doc_id · 1024 + paragraph ordinal. 1024 bounds paragraphs per
+    * document (require-checked), leaving 53 bits of doc id — enough
+    * for the soak's variant-strided corpora. */
+  private[graft] val ParasPerDoc = 1024L
+
+  /** The newline-delimited paragraph frame of a corpus: one row per
+    * non-blank paragraph, uid = doc_id · [[ParasPerDoc]] + ordinal.
+    * Checkpointed — it feeds both the banding pass and the rollup. */
+  private[graft] def paragraphFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("para_id", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .select((col("doc_id") * ParasPerDoc + col("para_id")).as("uid"),
+        col("para"))
+      .localCheckpoint(true)
+
+  /** Inter-document PARAGRAPH near-dedup (Rae et al. 2021 Gopher
+    * §A1.2) — the grain between token-verbatim span dedup and
+    * whole-document MinHash: boilerplate paragraphs (license footers,
+    * navigation chrome, shared disclaimers) repeated across
+    * otherwise-distinct documents. Paragraphs are the NEWLINE-
+    * delimited units — the Gopher-faithful grain: a fixed token
+    * window would fragment the same boilerplate at different offsets
+    * in different documents (a 32-token window misaligned by δ tokens
+    * shares only (30−δ)/(30+δ) of its trigrams with the aligned copy —
+    * below any useful threshold by δ ≈ 8), while delimiter units are
+    * self-aligning. For delimiter-free corpora the window chunker +
+    * the containment tier cover the same leak class.
+    *
+    * Pipeline: paragraph frame → the house MinHash band machinery at
+    * paragraph grain ([[minhashPairs]]: banded candidates, exact-
+    * Jaccard verify at J ≥ 1 − maxJaccardDist) → CROSS-DOC pairs only
+    * (same-doc repeats are q_dedup_lines' grain) → per-document
+    * rollup: n_paragraphs, n_dup_paragraphs (paragraphs in ≥ 1
+    * cross-doc near-dup pair), dup_fraction (one terminal division).
+    *
+    * 100 TB shape: everything rides the banded join — paragraph count
+    * is corpus-linear, band keys are 8 bytes, no all-pairs anywhere;
+    * the rollup is one partial-aggregable groupBy on the packed uid's
+    * doc half. Recall vs the exact chunk-Jaccard truth set is gated
+    * by q_dedup_paragraphs_bounds (the sketch-recall-bounds pattern). */
+  def paragraphDupStats(docs: DataFrame,
+      maxJaccardDist: Double = 0.3): DataFrame = {
+    val paras = paragraphFrame(docs)
+    val pairs = minhashPairs(paras, maxJaccardDist = maxJaccardDist,
+        textCol = "para", idCol = "uid")
+      .filter(expr(s"id_a div $ParasPerDoc") =!=
+        expr(s"id_b div $ParasPerDoc"))
+    val dupUids = pairs.select(col("id_a").as("uid"))
+      .unionByName(pairs.select(col("id_b").as("uid"))).distinct()
+      .withColumn("dup", lit(1))
+    paras.select(col("uid"))
+      .join(dupUids, Seq("uid"), "left")
+      .select(expr(s"uid div $ParasPerDoc").as("doc_id"), col("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        count(col("dup")).as("n_dup_paragraphs"))
+      .withColumn("dup_fraction",
+        col("n_dup_paragraphs").cast("double") / col("n_paragraphs"))
+  }
+
   /** Distinct k-token-shingle frame with LITERAL shingle strings —
     * the oracle-replayable spelling (the q_contamination tier's
     * trigram transform at pair grain). Docs under k tokens emit
