@@ -250,4 +250,43 @@ object Curation {
         state.sets.unionByName(newSets)),
       acc.toList)
   }
+
+  /** The continuous-ingest POLICY GATE chained into the curation fold —
+    * one foreachBatch body (r17 verdict directive 6): the delta is
+    * screened with the frozen blocklist ([[Blocklist.screen]], a
+    * stateless whole-stage-codegen projection — it adds NO streaming
+    * state beyond the [[SketchState]] the fold already persists),
+    * flagged documents drop before quality scoring ever sees them, and
+    * the survivors fold into the persisted state exactly as
+    * [[incrementalCurate]] would. Because the screen is stateless and
+    * per-row, the streaming fold replays batch-identically under any
+    * trigger slicing (StreamingSpec's replay check) — the same
+    * argument as every projection face.
+    *
+    * 100 TB shape: the screen adds one narrow codegen pass over the
+    * DELTA only (history is never re-screened — a policy-list CHANGE
+    * is a backfill, not a fold); everything else inherits
+    * [[incrementalCurate]]'s delta-only costs. */
+  def screenedIncrementalCurate(state: SketchState, delta: DataFrame,
+      phrases: Seq[String], minQuality: Double,
+      k: Int = 3, maxJaccardDist: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id",
+      withAccounting: Boolean = true): SketchResult = {
+    val kept = Blocklist.screen(delta, idCol, textCol, phrases)
+      .filter(col("keep")).select(col(idCol))
+    screenAccounted(state, delta, kept, minQuality, k, maxJaccardDist,
+      textCol, idCol, withAccounting)
+  }
+
+  private def screenAccounted(state: SketchState, delta: DataFrame,
+      kept: DataFrame, minQuality: Double, k: Int, maxJaccardDist: Double,
+      textCol: String, idCol: String,
+      withAccounting: Boolean): SketchResult = {
+    val screened = delta.join(kept, Seq(idCol), "left_semi")
+    val r = incrementalCurate(state, screened, minQuality, k,
+      maxJaccardDist, textCol, idCol, withAccounting)
+    if (!withAccounting) r
+    else SketchResult(r.survivors, r.state,
+      ("blocklist" -> screened.count()) +: r.accounting)
+  }
 }

@@ -179,6 +179,68 @@ class StreamingSpec extends SparkSpec {
     assert(expectedContents.nonEmpty) // fixture sanity
   }
 
+  test("streaming blocklist gate: policy screen chains into the curation fold; flagged docs never enter state") {
+    import graft.text.{Curation, Dedup}
+    val minQ = graft.queries.DedupQueries.CurationMinQuality
+    val off = graft.queries.DedupQueries.IdOffset
+    val phrases = graft.queries.QualityQueries.BlockPhrases
+    val history = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val day0 = Curation.curateSketch(history, minQ, withAccounting = false)
+    // two delta files of otherwise-survivable NEW content (reversed /
+    // sorted token orders — distinct from history and from each other
+    // at trigram grain); docs with even BASE id carry a banned phrase
+    // and must be dropped by the screen, not by dedup (their clean
+    // variant never exists anywhere)
+    def poisonEven(base: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+        phrase: String) =
+      when(base % 2 === 0, concat(lit(phrase + " "), text)).otherwise(text)
+    val file1 = history.select((col("doc_id") + 4 * off).as("doc_id"),
+      poisonEven(col("doc_id"),
+        concat_ws(" ", reverse(Dedup.tokens(col("text")))), "hash join").as("text"))
+    val file2 = history.select((col("doc_id") + 6 * off).as("doc_id"),
+      poisonEven(col("doc_id"),
+        concat_ws(" ", sort_array(Dedup.tokens(col("text")))), "slow scan").as("text"))
+    val dir = Files.createTempDirectory("graft-blk-cur").toString
+    val schema = file1.schema
+    var state = day0.state
+    val byBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Curation.screenedIncrementalCurate(state, df, phrases, minQ,
+          withAccounting = false)
+        byBatch += r.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+        state = r.state
+        ()
+      }.start()
+    try {
+      file1.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      file2.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(byBatch.size == 2, s"expected 2 trigger batches, got ${byBatch.size}")
+    val survivors = byBatch.flatten.toSet
+    assert(survivors.nonEmpty)
+    // (a) the policy gate held: only odd-base (clean) ids survive
+    assert(survivors.forall(id => id % 2 == 1), "a flagged doc survived the screen")
+    // (b) flagged docs never entered the folded state
+    val stateIds = state.sets.select("doc_id").collect().map(_.getLong(0)).toSet
+    val day0Ids = day0.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == day0Ids ++ survivors)
+    // (c) replay equivalence: the stream fold == the sequential batch
+    // twin over the same files in trigger order
+    val r1 = Curation.screenedIncrementalCurate(day0.state, file1, phrases,
+      minQ, withAccounting = false)
+    val r2 = Curation.screenedIncrementalCurate(r1.state, file2, phrases,
+      minQ, withAccounting = false)
+    assert(byBatch(0) == r1.survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(byBatch(1) == r2.survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // fixture sanity: both files actually carried flagged docs
+    assert(graft.text.Blocklist.screen(file1.unionByName(file2),
+      "doc_id", "text", phrases).filter(!col("keep")).count() > 0)
+  }
+
   test("incremental curation crash recovery: restart from persisted state + checkpoint resumes identically") {
     // The claim a 100 TB continuous-ingest operator actually relies
     // on: kill the stream after batch N, start a NEW query from the
