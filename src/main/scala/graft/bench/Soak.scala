@@ -306,6 +306,111 @@ object Soak {
     }
   }
 
+  /** GRAFT_SOAK_AXIS=registry — the media-denylist K-axis the r17
+    * verdict asked for: corpus signatures FIXED (the sf0.1 synthetic
+    * media lake, signatures precomputed outside the timed region),
+    * known-bad registry scaled K = 80·scale (80 → 2 400 synthetic
+    * 64-bit signatures). The claim under test is the broadcast banded
+    * probe's shape: corpus banding cost is K-independent and the
+    * probe is a broadcast-map lookup, so the exponent in K should
+    * read near-flat (candidate volume grows only as K/2¹⁶ per band —
+    * the hash-luck collision constant). A band-occupancy probe per
+    * scale (corpus×registry collision volume, max bucket each side)
+    * makes a silent hot-band regression read as super-linear
+    * band_vol, the er-probe discipline. */
+  private def registrySoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    import graft.multimodal.Multimodal
+    val corpSigs = Multimodal.perceptualSignatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, src), "doc_id", "text"))
+      .toDF().localCheckpoint(true)
+    def registryAt(k: Int): DataFrame = spark.range(k)
+      .select((col("id") + 1000000000L).as("media_id"),
+        lit("image").as("kind"), xxhash64(col("id")).as("sig"),
+        lit(true).as("valid"))
+    def once(k: Int): Double = {
+      val t0 = System.nanoTime()
+      Multimodal.denylistMatches(corpSigs, registryAt(k), maxHamming = 16)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(80) // JIT/codegen warm-up
+    val corpBands = corpSigs.filter(col("valid"))
+      .select(col("sig"), posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(sig, ${b * 16}) & 65535")): _*))
+        .as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true)
+    val times = scales.map { sc =>
+      val k = 80 * sc
+      val probe = registryAt(k)
+        .select(posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(sig, ${b * 16}) & 65535")): _*))
+          .as(Seq("band", "key")))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("rc"))
+        .join(corpBands, Seq("band", "key"))
+        .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("vol"),
+          coalesce(max(col("rc")), lit(0L)).as("max_reg"),
+          coalesce(max(col("cc")), lit(0L)).as("max_corp")).head()
+      println(s"[registry-probe] k=$k band_vol=${probe.getLong(0)} " +
+        s"max_registry_bucket=${probe.getLong(1)} max_corpus_bucket=${probe.getLong(2)}")
+      k -> (1 to 2).map(_ => once(k)).min
+    }
+    val (k1, t1) = times.head
+    val (kN, tN) = times.last
+    val (kM, tM) = times(times.length - 2)
+    val expTotal = math.log(tN / t1) / math.log(kN.toDouble / k1)
+    val expMarginal = math.log(tN / tM) / math.log(kN.toDouble / kM)
+    val ts = times.map { case (k, t) => s""""k$k":${f"$t%.2f"}""" }.mkString(",")
+    println(s"""{"query":"q_multimodal_denylist","axis":"registry","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+  }
+
+  /** GRAFT_SOAK_AXIS=vocab — the distributed BPE merge loop
+    * (maxDriverWords = 0 forces the frame path; the hybrid's collect
+    * branch never runs) against a SYNTHETIC vocabulary scaled 1–30×:
+    * 20 000·scale distinct base-36 words from the MINSTD LCG (injective
+    * below 2³¹−1, so distinct-word count scales exactly linearly while
+    * word length and character statistics stay fixed). The harness
+    * corpus itself cannot drive this axis — its synthetic vocabulary is
+    * ~30 distinct words, so every scale would measure only fixed
+    * overhead. Merge budget frozen at 16. Each round is one
+    * explode+partial-agg over the vocab frame + a 1-row argmax pull +
+    * a codegen'd fold rewrite, so the expected exponent in vocab size
+    * is ≤ 1; the probe line prints the measured vocab sizes behind the
+    * claim. */
+  private def bpeVocabSoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    def docsAt(sc: Int): DataFrame =
+      spark.range(20000L * sc)
+        .select(col("id").as("doc_id"),
+          conv(((col("id") * 48271L + 11L) % 2147483647L).cast("string"),
+            10, 36).as("text"))
+        .localCheckpoint(true)
+    def once(docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val merges = graft.text.Bpe.learnMerges(docs, numMerges = 16,
+        maxDriverWords = 0L)
+      require(merges.length == 16, s"merge loop exhausted at ${merges.length}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(docsAt(1)) // JIT/classloader warm-up
+    val times = scales.map { sc =>
+      val docs = docsAt(sc)
+      val vocab = docs.select(col("text")).distinct().count()
+      println(s"[vocab-probe] scale=${sc}x distinct_words=$vocab")
+      val t = (1 to 2).map(_ => once(docs)).min
+      spark.catalog.clearCache()
+      sc -> t
+    }
+    val (s1, t1) = times.head
+    val (sN, tN) = times.last
+    val (sM, tM) = times(times.length - 2)
+    val expTotal = math.log(tN / t1) / math.log(sN.toDouble / s1)
+    val expMarginal = math.log(tN / tM) / math.log(sN.toDouble / sM)
+    val ts = times.map { case (sc, t) => s""""${sc}x":${f"$t%.2f"}""" }.mkString(",")
+    println(s"""{"query":"q_bpe_train","axis":"vocab","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -332,6 +437,16 @@ object Soak {
     }
     if (Axis == "patterns") {
       blocklistSoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "registry") {
+      registrySoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "vocab") {
+      bpeVocabSoak(spark, scales, src)
       spark.stop()
       return
     }
