@@ -647,14 +647,15 @@ object TextQueries {
     * 36-token floor — the geometry the J ≥ 0.7 fuzzy gate cannot see
     * and [[qContaminationContainmentBounds]]'s negative control
     * proves it doesn't. */
-  private[graft] def containmentEvalBatch(docs: DataFrame): DataFrame = {
+  private[graft] def containmentEvalBatch(docs: DataFrame,
+      offsetMult: Int = 5, sliceStart: Int = 4): DataFrame = {
     val toks = split(col("text"), " ")
     docs.filter(col("doc_id") % 2 === 1)
       .unionByName(docs
         .filter(col("doc_id") % 2 === 0 && size(toks) >= 36)
-        .select((col("doc_id") + 5 * DedupQueries.IdOffset).as("doc_id"),
+        .select((col("doc_id") + offsetMult * DedupQueries.IdOffset).as("doc_id"),
           concat(lit("zzplant"), col("doc_id"), lit(" "),
-            concat_ws(" ", slice(toks, 4, 16))).as("text")))
+            concat_ws(" ", slice(toks, sliceStart, 16))).as("text")))
   }
 
   /** Asymmetric containment decontamination
@@ -677,8 +678,14 @@ object TextQueries {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
-  val qContaminationContainmentSql: String = {
-    val off = 5 * DedupQueries.IdOffset
+  /** The DuckDB twin of the containment screen, parameterized by the
+    * eval-batch fixture knobs — shared by the from-scratch and the
+    * incremental members (the oracle always replays from scratch; the
+    * incremental query's hash therefore proves the persisted index
+    * path changes nothing). */
+  private def containmentSqlAt(offsetMult: Int, sliceStart: Int): String = {
+    val off = offsetMult * DedupQueries.IdOffset
+    val sliceEnd = sliceStart + 15
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |), ev0 AS (
@@ -686,7 +693,7 @@ object TextQueries {
        |  UNION ALL
        |  SELECT doc_id + $off,
        |    'zzplant' || CAST(doc_id AS VARCHAR) || ' '
-       |      || array_to_string(toks[4:19], ' ')
+       |      || array_to_string(toks[$sliceStart:$sliceEnd], ' ')
        |  FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 36
        |), evd AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM ev0
@@ -711,6 +718,49 @@ object TextQueries {
        |WHERE n_shared * 5 >= n_eval_shingles * 4
        |ORDER BY eval_id, train_id""".stripMargin
   }
+
+  val qContaminationContainmentSql: String = containmentSqlAt(5, 4)
+
+  // one persisted train shingle-frame generation per (process, scale
+  // dir): the artifact under test is the parquet round-trip — train is
+  // never re-shingled per eval batch (the fuzzyTrainIndexDir pattern)
+  private val containIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def containTrainIndexDir(s: SparkSession, d: String): String =
+    containIdxCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_containidx_").toString
+      val train = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
+      graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Incremental member of the containment contract: a SECOND eval
+    * release (different excerpt window, disjoint id offset) screens
+    * against the train shingle frame RELOADED from parquet
+    * ([[graft.text.Dedup.containmentPairsFromIndex]]) — the 100 TB
+    * train side is shingled once and never again; only the eval batch
+    * pays a scan. HASH-GREEN against the same from-scratch oracle
+    * shape as the base member: the DuckDB twin recomputes train
+    * shingles from the raw table, so the hash itself proves the
+    * persisted generation carries verbatim (a stronger form of the
+    * fuzzy family's carried-verbatim check, available here because
+    * the shingle frame is oracle-replayable where LSH bands are not).
+    * [[qContaminationContainmentBounds]] additionally pins index ==
+    * fresh shingling as a set. */
+  def qContaminationContainmentInc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val dir = containTrainIndexDir(s, d)
+    graft.text.Dedup.containmentPairsFromIndex(
+        containmentEvalBatch(docs, offsetMult = 7, sliceStart = 6),
+        s.read.parquet(dir))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val qContaminationContainmentIncSql: String = containmentSqlAt(7, 6)
 
   /** Fail-closed gate for the containment tier, with the MOTIVATING
     * NEGATIVE CONTROL: (1) plants exist (≥ 36-token train docs present
@@ -760,21 +810,37 @@ object TextQueries {
       .crossMinhashPairs(eb, es, tb, ts, maxJaccardDist = 0.3)
       .filter(col("id_a") >= off && col("id_b") === col("id_a") - off)
       .count()
+    // incremental contract: the persisted train shingle frame carries
+    // verbatim against a fresh shingling, and the _inc screen of the
+    // second batch equals the from-scratch screen of that same batch
+    def symDiff(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val idxDrift = symDiff(
+      s.read.parquet(containTrainIndexDir(s, d)),
+      graft.text.Dedup.literalShingleFrame(train, 3, "train_id"))
+    val ev2 = containmentEvalBatch(docs, offsetMult = 7, sliceStart = 6)
+    val incDiff = symDiff(
+      qContaminationContainmentInc(s, d),
+      graft.text.Dedup.containmentPairs(ev2, train))
     val ok = nPlants > 0
     Seq(
       ("fuzzy_tier_misses_all_plants", ok && fuzzyPlantHits == 0L),
+      ("incremental_equals_scratch", ok && incDiff == 0L),
       ("planted_embedded_all_flagged", ok && plantHits == nPlants),
       ("planted_jaccard_structurally_low", ok && maxJ < 0.5),
-      ("plants_nonempty", ok))
+      ("plants_nonempty", ok),
+      ("train_index_carried_verbatim", ok && idxDrift == 0L))
       .toDF("check", "within_bounds")
       .orderBy(col("check"))
   }
 
   val qContaminationContainmentBoundsSql: String =
     """SELECT * FROM (VALUES ('fuzzy_tier_misses_all_plants', true),
+      |  ('incremental_equals_scratch', true),
       |  ('planted_embedded_all_flagged', true),
       |  ('planted_jaccard_structurally_low', true),
-      |  ('plants_nonempty', true))
+      |  ('plants_nonempty', true),
+      |  ('train_index_carried_verbatim', true))
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
@@ -2426,6 +2492,7 @@ object TextQueries {
     "q_contamination_fuzzy_inc" -> (qContaminationFuzzyInc _),
     "q_contamination_fuzzy_bounds" -> (qContaminationFuzzyBounds _),
     "q_contamination_containment" -> (qContaminationContainment _),
+    "q_contamination_containment_inc" -> (qContaminationContainmentInc _),
     "q_contamination_containment_bounds" -> (qContaminationContainmentBounds _),
     "q_contamination_hashed" -> (qContaminationHashed _),
     "q_contamination_bloom" -> (qContaminationBloom _),
@@ -2468,6 +2535,7 @@ object TextQueries {
     "q_contamination" -> qContaminationSql,
     "q_contamination_fuzzy_bounds" -> qContaminationFuzzyBoundsSql,
     "q_contamination_containment" -> qContaminationContainmentSql,
+    "q_contamination_containment_inc" -> qContaminationContainmentIncSql,
     "q_contamination_containment_bounds" -> qContaminationContainmentBoundsSql,
     // the hashed tier computes the same values over hashed keys, so the
     // literal tier's SQL is its oracle too (see qContaminationHashed doc);

@@ -1112,8 +1112,9 @@ object Dedup {
   /** Distinct k-token-shingle frame with LITERAL shingle strings —
     * the oracle-replayable spelling (the q_contamination tier's
     * trigram transform at pair grain). Docs under k tokens emit
-    * nothing. */
-  private def literalShingleFrame(docs: DataFrame, k: Int,
+    * nothing. Package-visible: the incremental containment member
+    * persists this frame for the train side. */
+  private[graft] def literalShingleFrame(docs: DataFrame, k: Int,
       outId: String): DataFrame =
     docs.select(col("doc_id").as(outId), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
@@ -1149,12 +1150,22 @@ object Dedup {
     * IS the candidate generator, and a pair with zero shared shingles
     * never materializes. */
   def containmentPairs(evalDocs: DataFrame, trainDocs: DataFrame,
+      k: Int = 3, minContainNum: Int = 4, minContainDen: Int = 5): DataFrame =
+    containmentPairsFromIndex(evalDocs,
+      literalShingleFrame(trainDocs, k, "train_id"),
+      k, minContainNum, minContainDen)
+
+  /** [[containmentPairs]] against a PRE-BUILT (train_id, sh) shingle
+    * frame — the incremental-contract member: the 100 TB train side is
+    * shingled ONCE, persisted to parquet, and every later eval release
+    * screens against the reload (q_contamination_fuzzy_inc's shape for
+    * the containment geometry). Only the eval batch pays a scan. */
+  def containmentPairsFromIndex(evalDocs: DataFrame, trainSh: DataFrame,
       k: Int = 3, minContainNum: Int = 4, minContainDen: Int = 5): DataFrame = {
     val evSh = literalShingleFrame(evalDocs, k, "eval_id")
-    val trSh = literalShingleFrame(trainDocs, k, "train_id")
     val sizes = evSh.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval_shingles"))
-    evSh.join(trSh, Seq("sh"))
+    evSh.join(trainSh, Seq("sh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes), Seq("eval_id"))

@@ -60,6 +60,6 @@ class ContainmentSpec extends SparkSpec {
       .qContaminationContainmentBounds(spark, sf001).collect()
       .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("within_bounds"))
       .toMap
-    assert(bounds.size == 4 && bounds.values.forall(identity), bounds.toString)
+    assert(bounds.size == 6 && bounds.values.forall(identity), bounds.toString)
   }
 }
