@@ -1165,7 +1165,12 @@ object Dedup {
     val evSh = literalShingleFrame(evalDocs, k, "eval_id")
     val sizes = evSh.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval_shingles"))
-    evSh.join(trainSh, Seq("sh"))
+    // the broadcast hint on the EVAL side is the asymmetry contract,
+    // not an optimization: decontamination's small side is the eval
+    // benchmark by construction, and at 100 TB the planner must never
+    // be tempted to build on train (at harness scale AQE would happily
+    // broadcast either)
+    broadcast(evSh).join(trainSh, Seq("sh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes), Seq("eval_id"))
