@@ -90,7 +90,7 @@ object ExplainDump {
     "q_blocklist_excise", "q_mix_waterfill_select", "q_shard_snake",
     "q_multimodal_denylist", "q_mix_epochs", "q_hard_negatives", "q_hard_negatives_ann",
     "q_contamination_containment", "q_contamination_containment_inc",
-    "q_dedup_paragraphs", "q_best_of_n", "q_best_of_n_hist")
+    "q_dedup_paragraphs", "q_best_of_n", "q_best_of_n_hist", "q_dpo_pairs")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the

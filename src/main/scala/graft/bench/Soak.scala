@@ -306,6 +306,76 @@ object Soak {
     }
   }
 
+  /** GRAFT_SOAK_AXIS=evalc — the containment-decontamination analog
+    * of the fuzzy EVAL soak: the eval batch scales 1–30× against the
+    * FIXED parquet-persisted train shingle frame
+    * ([[graft.queries.TextQueries.qContaminationContainmentInc]]'s
+    * regime — the 100 TB train side is shingled once, never again).
+    * Variant j ≥ 1 suffixes EVERY token, so variant shingles cannot
+    * equi-join-collide with train (literal-string keys, fully disjoint
+    * vocabulary): true matches stay exactly 1× while the probe cost
+    * scales — the exponent reads the SCREEN. A shingle-occupancy probe
+    * per scale (eval×train key collision volume, max key each side)
+    * surfaces a hot-shingle regression as super-linear key_vol. */
+  private def containEvalSoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    val docs = Tables.documents(spark, src).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val dir = TempDirs.create("graft_soak_containidx_").toString
+    graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
+      .write.mode("overwrite").parquet(dir)
+    val batch1 = graft.queries.TextQueries
+      .containmentEvalBatch(docs, offsetMult = 7, sliceStart = 6)
+      .localCheckpoint(true)
+    def evalAt(scale: Int): DataFrame =
+      (0 until scale).map { j =>
+        if (j == 0) batch1
+        else {
+          val suffix = ('a' + j).toChar.toString
+          batch1
+            .withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
+            .withColumn("text", concat_ws(" ",
+              transform(split(col("text"), "\\s+"),
+                t => concat(t, lit(suffix)))))
+        }
+      }.reduce(_ unionByName _)
+    def screenOnce(ev: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.text.Dedup.containmentPairsFromIndex(ev,
+          spark.read.parquet(dir))
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    screenOnce(evalAt(1)) // JIT/codegen warm-up
+    val trAgg = spark.read.parquet(dir)
+      .groupBy(col("sh")).agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true)
+    val times = scales.map { sc =>
+      val ev = evalAt(sc).localCheckpoint(true)
+      val probe = graft.text.Dedup.literalShingleFrame(ev, 3, "eval_id")
+        .groupBy(col("sh")).agg(count(lit(1)).as("ec"))
+        .join(trAgg, Seq("sh"))
+        .agg(coalesce(sum(col("ec") * col("tc")), lit(0L)).as("vol"),
+          coalesce(max(col("ec")), lit(0L)).as("max_ec"),
+          coalesce(max(col("tc")), lit(0L)).as("max_tc")).head()
+      spark.catalog.clearCache()
+      val t = (1 to 2).map(_ => screenOnce(ev)).min
+      println(s"[containment-probe] scale=${sc}x key_vol=${probe.getLong(0)} " +
+        s"max_eval_key=${probe.getLong(1)} max_train_key=${probe.getLong(2)}")
+      sc -> t
+    }
+    val (s1, t1) = times.head
+    val (sN, tN) = times.last
+    val (sM, tM) = times(times.length - 2)
+    val expTotal = math.log(tN / t1) / math.log(sN.toDouble / s1)
+    val expMarginal = math.log(tN / tM) / math.log(sN.toDouble / sM)
+    val ts = times.map { case (sc, t) => s""""${sc}x":${f"$t%.2f"}""" }.mkString(",")
+    println(s"""{"query":"q_contamination_containment_inc","axis":"evalc","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+  }
+
   /** GRAFT_SOAK_AXIS=registry — the media-denylist K-axis the r17
     * verdict asked for: corpus signatures FIXED (the sf0.1 synthetic
     * media lake, signatures precomputed outside the timed region),
@@ -442,6 +512,11 @@ object Soak {
     }
     if (Axis == "registry") {
       registrySoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "evalc") {
+      containEvalSoak(spark, scales, src)
       spark.stop()
       return
     }

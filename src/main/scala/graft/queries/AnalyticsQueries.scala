@@ -3730,12 +3730,70 @@ object AnalyticsQueries {
        |FROM sel GROUP BY margin_band
        |ORDER BY margin_band""".stripMargin
 
+  /** DPO preference-pair construction (Rafailov et al. NeurIPS'23
+    * §4's (x, y_w, y_l) dataset) — the third leg of the RLHF data
+    * story next to [[qPreferenceBt]] (pairwise labels) and
+    * [[qBestOfN]] (top-1 selection): per prompt, the (chosen,
+    * rejected) = (argmax, argmin) reward pair over the SAME candidate
+    * fixture, with the reward gap and a `confident` verdict (gap ≥
+    * 0.3 in reward units — low-gap pairs are the ones a curation run
+    * routes to human labeling instead). One groupBy carrying TWO
+    * bounded heaps (k = 1 each; the min heap rides the max heap's
+    * machinery on the negated score, with −0.0 normalized so the
+    * negation cannot split a tie class); all comparisons in exact
+    * integer reward units. Oracle replays both extremes as two
+    * row_number windows with the identical tie-breaks. */
+  def qDpoPairs(s: SparkSession, d: String): DataFrame =
+    bestOfNCands(s, d)
+      .groupBy(col("prompt_id"))
+      .agg(
+        graft.functions.TopKBy
+          .topKBy(col("ru").cast("double"), col("cand_id"), 1).as("hi"),
+        graft.functions.TopKBy
+          .topKBy((-col("ru")).cast("double"), col("cand_id"), 1).as("lo"))
+      .select(col("prompt_id"),
+        col("hi")(0)("id").as("chosen_cand"),
+        col("lo")(0)("id").as("rejected_cand"),
+        col("hi")(0)("score").cast("long").as("ruc"),
+        (-col("lo")(0)("score")).cast("long").as("rur"))
+      .select(col("prompt_id"), col("chosen_cand"), col("rejected_cand"),
+        (col("ruc").cast("double") / 1e6).as("reward_chosen"),
+        (col("rur").cast("double") / 1e6).as("reward_rejected"),
+        ((col("ruc") - col("rur")).cast("double") / 1e6).as("reward_gap"),
+        (col("ruc") - col("rur") >= 300000L).as("confident"))
+      .orderBy(col("prompt_id"))
+
+  val qDpoPairsSql: String =
+    """WITH c AS (
+      |  SELECT doc_id AS prompt_id, CAST(i AS BIGINT) AS cand_id,
+      |    CAST((doc_id * 8 + i) % 1000003 * 2654435761 % 1000000
+      |      AS BIGINT) AS ru
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+      |), r AS (
+      |  SELECT prompt_id, cand_id, ru,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |                       ORDER BY ru DESC, cand_id ASC) AS rk_hi,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |                       ORDER BY ru ASC, cand_id ASC) AS rk_lo
+      |  FROM c
+      |)
+      |SELECT a.prompt_id, a.cand_id AS chosen_cand,
+      |  b.cand_id AS rejected_cand,
+      |  CAST(a.ru AS DOUBLE) / 1e6 AS reward_chosen,
+      |  CAST(b.ru AS DOUBLE) / 1e6 AS reward_rejected,
+      |  CAST(a.ru - b.ru AS DOUBLE) / 1e6 AS reward_gap,
+      |  (a.ru - b.ru) >= 300000 AS confident
+      |FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+      |  AND a.rk_hi = 1 AND b.rk_lo = 1
+      |ORDER BY a.prompt_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_preference_bt" -> (qPreferenceBt _),
     "q_preference_bt_bounds" -> (qPreferenceBtBounds _),
     "q_preference_matrix" -> (qPreferenceMatrix _),
     "q_best_of_n" -> (qBestOfN _),
     "q_best_of_n_hist" -> (qBestOfNHist _),
+    "q_dpo_pairs" -> (qDpoPairs _),
     "q_skyline" -> (qSkyline _),
     "q_event_paths" -> (qEventPaths _),
     "q_time_folds" -> (qTimeFolds _),
@@ -3790,6 +3848,7 @@ object AnalyticsQueries {
     "q_preference_matrix" -> qPreferenceMatrixSql,
     "q_best_of_n" -> qBestOfNSql,
     "q_best_of_n_hist" -> qBestOfNHistSql,
+    "q_dpo_pairs" -> qDpoPairsSql,
     "q_skyline" -> qSkylineSql,
     "q_event_paths" -> qEventPathsSql,
     "q_time_folds" -> qTimeFoldsSql,

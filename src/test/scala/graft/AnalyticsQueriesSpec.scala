@@ -893,4 +893,25 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .map { case (b, rs) => b -> rs.length.toLong }
     assert(hist == expected)
   }
+
+  test("dpo pairs: chosen/rejected are the exact per-prompt extremes; gap and verdict recompute") {
+    val out = AnalyticsQueries.qDpoPairs(spark, sf001).collect()
+    assert(out.length == Tables.documents(spark, sf001).count())
+    def ru(p: Long, i: Long): Long =
+      (p * 8 + i) % 1000003L * 2654435761L % 1000000L
+    out.foreach { r =>
+      val p = r.getAs[Long]("prompt_id")
+      val cands = (0L until 8L).map(i => (ru(p, i), i))
+      val (uc, cc) = cands.sortBy { case (u, i) => (-u, i) }.head
+      val (ur, cr) = cands.sortBy { case (u, i) => (u, i) }.head
+      assert(r.getAs[Long]("chosen_cand") == cc)
+      assert(r.getAs[Long]("rejected_cand") == cr)
+      assert(r.getAs[Double]("reward_chosen") == uc.toDouble / 1e6)
+      assert(r.getAs[Double]("reward_rejected") == ur.toDouble / 1e6)
+      assert(r.getAs[Double]("reward_gap") == (uc - ur).toDouble / 1e6)
+      assert(r.getAs[Boolean]("confident") == (uc - ur >= 300000L))
+    }
+    // fixture sanity: both verdicts occur
+    assert(out.exists(_.getAs[Boolean]("confident")))
+  }
 }
