@@ -211,18 +211,7 @@ object Soak {
     handle.unpersist()
     val batch1 = graft.queries.TextQueries
       .fuzzyEvalBatch(docs, 4, dropLast = true).localCheckpoint(true)
-    def evalAt(scale: Int): DataFrame =
-      (0 until scale).map { j =>
-        if (j == 0) batch1
-        else {
-          val suffix = ('a' + j).toChar.toString
-          batch1
-            .withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
-            .withColumn("text", concat_ws(" ",
-              transform(split(col("text"), "\\s+"),
-                t => concat(t, lit(suffix)))))
-        }
-      }.reduce(_ unionByName _)
+    def evalAt(scale: Int): DataFrame = scaledEvalBatch(batch1, scale)
     def screenOnce(ev: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val (eb, es) = graft.text.Dedup.minhashIndex(ev)
@@ -306,6 +295,25 @@ object Soak {
     }
   }
 
+  /** Variant-scaled copy of an eval batch: variant j ≥ 1 at a disjoint
+    * [[VariantStride]] id offset with EVERY token suffixed by ('a'+j) —
+    * fully disjoint vocabulary, so scaled batches cannot produce new
+    * true matches against the fixed train artifact. Shared by both
+    * eval-axis soaks (fuzzy and containment) so the variant geometry
+    * cannot silently diverge between them. */
+  private def scaledEvalBatch(batch1: DataFrame, scale: Int): DataFrame =
+    (0 until scale).map { j =>
+      if (j == 0) batch1
+      else {
+        val suffix = ('a' + j).toChar.toString
+        batch1
+          .withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), "\\s+"),
+              t => concat(t, lit(suffix)))))
+      }
+    }.reduce(_ unionByName _)
+
   /** GRAFT_SOAK_AXIS=evalc — the containment-decontamination analog
     * of the fuzzy EVAL soak: the eval batch scales 1–30× against the
     * FIXED parquet-persisted train shingle frame
@@ -328,18 +336,7 @@ object Soak {
     val batch1 = graft.queries.TextQueries
       .containmentEvalBatch(docs, offsetMult = 7, sliceStart = 6)
       .localCheckpoint(true)
-    def evalAt(scale: Int): DataFrame =
-      (0 until scale).map { j =>
-        if (j == 0) batch1
-        else {
-          val suffix = ('a' + j).toChar.toString
-          batch1
-            .withColumn("doc_id", col("doc_id") + lit(j * VariantStride))
-            .withColumn("text", concat_ws(" ",
-              transform(split(col("text"), "\\s+"),
-                t => concat(t, lit(suffix)))))
-        }
-      }.reduce(_ unionByName _)
+    def evalAt(scale: Int): DataFrame = scaledEvalBatch(batch1, scale)
     def screenOnce(ev: DataFrame): Double = {
       val t0 = System.nanoTime()
       graft.text.Dedup.containmentPairsFromIndex(ev,

@@ -1075,7 +1075,7 @@ object DedupQueries {
     val nTruth = truth.count()
     val banded = crossDoc(graft.text.Dedup.minhashPairs(paras,
         maxJaccardDist = 0.3, textCol = "para", idCol = "uid"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val hit = truth.join(banded, Seq("id_a", "id_b"), "left_semi").count()
     val recall = if (nTruth == 0) 0.0 else hit.toDouble / nTruth
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -1090,9 +1090,14 @@ object DedupQueries {
       .join(leaders.filter(col("ltoks") >= 3), Seq("g"))
       .select(col("doc_id"))
     val nEligible = eligible.count()
-    val unflagged = eligible
-      .join(qDedupParagraphs(s, d).filter(col("n_dup_paragraphs") >= 1),
-        Seq("doc_id"), "left_anti").count()
+    // planted completeness reads off the banded pairs already in hand
+    // (a doc with >= 1 duplicated paragraph is a doc whose uid appears
+    // on either side) — re-running qDedupParagraphs would pay the
+    // whole banding pipeline a second time for the same information
+    val dupDocs = banded.select(expr(s"id_a div $P").as("doc_id"))
+      .unionByName(banded.select(expr(s"id_b div $P").as("doc_id")))
+      .distinct()
+    val unflagged = eligible.join(dupDocs, Seq("doc_id"), "left_anti").count()
     val ok = nTruth > 0 && nEligible > 0
     Seq(
       ("planted_boilerplate_all_flagged", ok && unflagged == 0L),

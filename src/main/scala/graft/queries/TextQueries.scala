@@ -784,15 +784,9 @@ object TextQueries {
       .filter(col("eval_id") >= off &&
         col("train_id") === col("eval_id") - off).count()
     // exact symmetric Jaccard of each (plant, source) pair: |∩| is the
-    // flagged row's n_shared; |∪| = n_eval + n_train − |∩|
-    val trainSh = train
-      .select(col("doc_id").as("train_id"), split(col("text"), " ").as("toks"))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .otherwise(expr("cast(array() as array<string>)")))
-      .select(col("train_id"), explode(col("shingles")).as("sh"))
-      .distinct()
+    // flagged row's n_shared; |∪| = n_eval + n_train − |∩| — the sizes
+    // come from the SAME shingle spelling the operator uses
+    val trainSh = graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
       .groupBy(col("train_id")).agg(count(lit(1)).as("n_train_shingles"))
     val maxJ = flagged
       .filter(col("eval_id") >= off &&

@@ -165,7 +165,11 @@ object Blocklist {
       phrases: Seq[String], marker: String = "<BLOCKED>"): String = {
     val ps = normalized(phrases)
     val qm = sqlQuote(marker)
-    val (chain, counts) = ps.foldLeft((textExpr, List.empty[String])) {
+    // mirror the Spark tiers' NULL-to-'' coalesce so the twin shares
+    // their null semantics instead of propagating NULL through the
+    // replace chain
+    val t0 = s"coalesce($textExpr, '')"
+    val (chain, counts) = ps.foldLeft((t0, List.empty[String])) {
       case ((acc, cs), p) =>
         val qp = sqlQuote(p)
         (s"replace($acc, '$qp', '$qm')",
@@ -179,9 +183,11 @@ object Blocklist {
   /** The DuckDB twin of [[screen]] over a text column — shared by both
     * tiers' oracle rows (the AC tier's output contract is the same
     * frame). `textExpr` is the SQL expression for the text. */
-  def oracleSelectSql(idCol: String, textExpr: String,
+  def oracleSelectSql(idCol: String, textExpr0: String,
       phrases: Seq[String]): String = {
     val ps = normalized(phrases)
+    // same NULL-to-'' coalesce as the Spark tiers (one null semantics)
+    val textExpr = s"coalesce($textExpr0, '')"
     val arr = ps.map(p => s"'${sqlQuote(p)}'").mkString("[", ", ", "]")
     s"""SELECT $idCol,
        |  CAST(len(list_filter($arr, p -> contains($textExpr, p))) AS BIGINT) AS n_patterns,

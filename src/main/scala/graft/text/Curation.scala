@@ -286,7 +286,10 @@ object Curation {
     val r = incrementalCurate(state, screened, minQuality, k,
       maxJaccardDist, textCol, idCol, withAccounting)
     if (!withAccounting) r
+    // the prepended row is the RAW delta size, so the screen's drop
+    // count reads directly as (blocklist_in − input) — the fold's own
+    // "input" row already counts the post-screen frame
     else SketchResult(r.survivors, r.state,
-      ("blocklist" -> screened.count()) +: r.accounting)
+      ("blocklist_in" -> delta.count()) +: r.accounting)
   }
 }

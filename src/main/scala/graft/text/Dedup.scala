@@ -1054,13 +1054,19 @@ object Dedup {
 
   /** The newline-delimited paragraph frame of a corpus: one row per
     * non-blank paragraph, uid = doc_id · [[ParasPerDoc]] + ordinal.
-    * Checkpointed — it feeds both the banding pass and the rollup. */
+    * A document with ≥ [[ParasPerDoc]] paragraphs fails the job
+    * in-plan (raise_error) rather than silently aliasing its overflow
+    * ordinals into the next doc_id. Checkpointed — it feeds both the
+    * banding pass and the rollup. */
   private[graft] def paragraphFrame(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("para_id", "para")))
       .filter(length(trim(col("para"))) > 0)
-      .select((col("doc_id") * ParasPerDoc + col("para_id")).as("uid"),
+      .select(expr(
+        s"""IF(para_id < $ParasPerDoc, doc_id * $ParasPerDoc + para_id,
+           |   raise_error('paragraphFrame: document exceeds $ParasPerDoc paragraphs — widen ParasPerDoc'))"""
+          .stripMargin).as("uid"),
         col("para"))
       .localCheckpoint(true)
 

@@ -911,7 +911,11 @@ class AnalyticsQueriesSpec extends SparkSpec {
       assert(r.getAs[Double]("reward_gap") == (uc - ur).toDouble / 1e6)
       assert(r.getAs[Boolean]("confident") == (uc - ur >= 300000L))
     }
-    // fixture sanity: both verdicts occur
+    // fixture sanity: confident pairs occur (the per-row loop above
+    // already proves the verdict derivation for BOTH branches; the
+    // harness fixture's max-min gap of 8 uniform draws lands below
+    // 0.3 with probability ~8·0.3⁷ ≈ 0.002 per prompt, so a false
+    // instance is not a fixture guarantee)
     assert(out.exists(_.getAs[Boolean]("confident")))
   }
 }
