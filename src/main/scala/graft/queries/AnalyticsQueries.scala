@@ -3742,7 +3742,12 @@ object AnalyticsQueries {
     * machinery on the negated score, with −0.0 normalized so the
     * negation cannot split a tie class); all comparisons in exact
     * integer reward units. Oracle replays both extremes as two
-    * row_number windows with the identical tie-breaks. */
+    * row_number windows with the identical tie-breaks. A prompt whose
+    * candidates ALL tie yields chosen == rejected — a semantically
+    * invalid (y_w == y_l) preference pair — so degenerate pairs are
+    * DROPPED, not emitted (r18 ADVICE): such a prompt carries no
+    * preference signal and belongs in label collection, same routing
+    * as the low-gap band `confident` already marks. */
   def qDpoPairs(s: SparkSession, d: String): DataFrame =
     bestOfNCands(s, d)
       .groupBy(col("prompt_id"))
@@ -3761,6 +3766,7 @@ object AnalyticsQueries {
         (col("rur").cast("double") / 1e6).as("reward_rejected"),
         ((col("ruc") - col("rur")).cast("double") / 1e6).as("reward_gap"),
         (col("ruc") - col("rur") >= 300000L).as("confident"))
+      .filter(col("chosen_cand") =!= col("rejected_cand"))
       .orderBy(col("prompt_id"))
 
   val qDpoPairsSql: String =
@@ -3785,6 +3791,7 @@ object AnalyticsQueries {
       |  (a.ru - b.ru) >= 300000 AS confident
       |FROM r a JOIN r b ON a.prompt_id = b.prompt_id
       |  AND a.rk_hi = 1 AND b.rk_lo = 1
+      |WHERE a.cand_id <> b.cand_id
       |ORDER BY a.prompt_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

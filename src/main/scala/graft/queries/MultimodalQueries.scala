@@ -361,7 +361,16 @@ object MultimodalQueries {
         // the <10% bound), and planted copies (id >= off) that happen
         // to match a DIFFERENT registry item are plants, not clean
         // false flags (r17 ADVICE) — both sides now condition on
-        // media_id < off
+        // media_id < off. That id partition is an ASSUMPTION about the
+        // lake, not a law: if original ids ever reach IdOffset, clean
+        // rows would silently reclassify as plants and drop out of the
+        // <10% denominator — so it fails loudly instead (r18 ADVICE).
+        val maxOrigId = media(s, d)
+          .agg(coalesce(max(col("media_id")), lit(-1L))).head().getLong(0)
+        require(maxOrigId < off,
+          s"denylist fixture id partition violated: max original media_id " +
+            s"$maxOrigId >= IdOffset $off — raise IdOffset before trusting " +
+            "the clean-false-flag denominator")
         val nClean = corpSigs
           .filter(col("valid") && col("media_id") < off).count()
         val cleanFlagged = matches

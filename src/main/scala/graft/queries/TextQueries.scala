@@ -797,8 +797,17 @@ object TextQueries {
         .as("j"))
       .agg(coalesce(max(col("j")), lit(1.0))).head().getDouble(0)
     // negative control: the fuzzy tier (J >= 0.7 MinHash band +
-    // exact-Jaccard verify) over the SAME batch misses every plant
-    val (tb, ts) = graft.text.Dedup.minhashIndex(train)
+    // exact-Jaccard verify) over the SAME batch misses every plant.
+    // The TRAIN banding is read from the fuzzy tier's persisted index
+    // (r18 verdict directive 4 — this gate was rebuilding the index
+    // q_contamination_fuzzy_bounds also builds): both gates' train
+    // side is the even docs under default index params, and the fuzzy
+    // bounds' train_index_carried_verbatim row pins that parquet
+    // generation == a fresh banding, so reading it here changes
+    // nothing but the rebuild cost. Only the eval batch is banded.
+    val fuzzyDir = fuzzyTrainIndexDir(s, d)
+    val tb = s.read.parquet(s"$fuzzyDir/bands")
+    val ts = s.read.parquet(s"$fuzzyDir/sets")
     val (eb, es) = graft.text.Dedup.minhashIndex(ev)
     val fuzzyPlantHits = graft.text.Dedup
       .crossMinhashPairs(eb, es, tb, ts, maxJaccardDist = 0.3)

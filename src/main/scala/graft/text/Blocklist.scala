@@ -137,46 +137,86 @@ object Blocklist {
     * phrase's excision destroys another's match — BlocklistSpec pins
     * such a case).
     *
+    * `n_excised` is MARKER-DELTA arithmetic: markers in the rewritten
+    * text minus markers in the (coalesced) input — two extra replace
+    * scans, so the whole projection is LINEAR in phrase count where the
+    * r18 spelling (each step's pre-replace count re-embedding the full
+    * prefix chain) grew the expression tree quadratically and would
+    * blow Catalyst analysis at real frozen-blocklist sizes (r18
+    * ADVICE). The delta equals inserted-marker count exactly because
+    * the require below bans every geometry that could decouple them:
+    * the marker is UNBORDERED (no non-empty proper prefix = suffix, so
+    * marker occurrences can never overlap and the non-overlapping
+    * count is plain occurrence count), and no phrase shares a border
+    * with the marker in either direction (so a phrase match can never
+    * straddle a marker — pre-existing and earlier-step markers survive
+    * every later replace intact, and no spurious marker can assemble
+    * across a replacement boundary). A pre-existing input marker
+    * cancels in the subtraction (the r17 ADVICE case, still pinned).
+    *
     * One codegen projection; the 100 TB cost is the corpus rewrite
-    * itself. The marker must not collide with any phrase (checked). */
+    * itself. */
   def excise(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String], marker: String = "<BLOCKED>"): DataFrame = {
     val ps = normalized(phrases)
-    require(ps.forall(p => !p.contains(marker) && !marker.contains(p)),
-      "marker must not collide with any phrase")
-    // n_excised sums each step's PRE-replace occurrence count — the
-    // markers actually inserted — so a pre-existing marker substring in
-    // the input corpus can no longer inflate the count (r17 ADVICE);
+    requireMarkerSafe(ps, marker)
     // phrases enter as lit() data, never SQL text
     val t0 = coalesce(col(textCol).cast("string"), lit(""))
-    val (clean, nExcised) = ps.foldLeft((t0, lit(0L))) {
-      case ((acc, cnt), p) =>
-        (replace(acc, lit(p), lit(marker)),
-          cnt + occurrences(acc, lit(p)))
-    }
-    df.select(col(idCol), nExcised.as("n_excised"), clean.as("text_clean"))
+    val clean = ps.foldLeft(t0) { (acc, p) => replace(acc, lit(p), lit(marker)) }
+    // two-step select: `clean` materializes once; the marker-delta
+    // count reads the materialized column (CollapseProject keeps the
+    // boundary — the chain is non-cheap and multiply referenced)
+    df.select(col(idCol),
+        occurrences(t0, lit(marker)).as("_m0"),
+        clean.as("text_clean"))
+      .select(col(idCol),
+        (occurrences(col("text_clean"), lit(marker)) - col("_m0"))
+          .as("n_excised"),
+        col("text_clean"))
+  }
+
+  /** The exactness preconditions of [[excise]]'s marker-delta count
+    * (and of any marker-based rewrite): marker unbordered, no
+    * containment either way, no border overlap either way. Fails
+    * loudly — a violating (phrases, marker) pair needs a different
+    * marker, not a silent miscount. */
+  private def requireMarkerSafe(ps: Array[String], marker: String): Unit = {
+    require(marker.nonEmpty, "empty marker")
+    require((1 until marker.length).forall(l =>
+        marker.substring(0, l) != marker.substring(marker.length - l)),
+      "marker must be unbordered (no proper prefix equal to a suffix)")
+    require(ps.forall(p => !p.contains(marker) && !marker.contains(p)),
+      "marker must not collide with any phrase")
+    require(ps.forall(p =>
+        (1 until marker.length).forall { l =>
+          !p.startsWith(marker.substring(marker.length - l)) &&
+          !p.endsWith(marker.substring(0, l))
+        }),
+      "no phrase may share a border with the marker")
   }
 
   private def sqlQuote(s: String): String = s.replace("'", "''")
 
   /** The DuckDB twin of [[excise]] — replays the identical replace
-    * chain AND the identical per-step pre-replace counts. */
+    * chain AND the identical marker-delta count (markers in the
+    * rewritten text minus markers in the coalesced input), so the twin
+    * stays linear in phrase count in lockstep with the operator. */
   def exciseSelectSql(idCol: String, textExpr: String,
       phrases: Seq[String], marker: String = "<BLOCKED>"): String = {
     val ps = normalized(phrases)
+    requireMarkerSafe(ps, marker)
     val qm = sqlQuote(marker)
     // mirror the Spark tiers' NULL-to-'' coalesce so the twin shares
     // their null semantics instead of propagating NULL through the
     // replace chain
     val t0 = s"coalesce($textExpr, '')"
-    val (chain, counts) = ps.foldLeft((t0, List.empty[String])) {
-      case ((acc, cs), p) =>
-        val qp = sqlQuote(p)
-        (s"replace($acc, '$qp', '$qm')",
-          s"(length($acc) - length(replace($acc, '$qp', ''))) // length('$qp')" :: cs)
+    val chain = ps.foldLeft(t0) { (acc, p) =>
+      s"replace($acc, '${sqlQuote(p)}', '$qm')"
     }
+    def markers(e: String): String =
+      s"(length($e) - length(replace($e, '$qm', ''))) // length('$qm')"
     s"""SELECT $idCol,
-       |  CAST(${counts.reverse.mkString(" + ")} AS BIGINT) AS n_excised,
+       |  CAST(${markers(chain)} - ${markers(t0)} AS BIGINT) AS n_excised,
        |  $chain AS text_clean""".stripMargin
   }
 
