@@ -478,6 +478,135 @@ object Soak {
     println(s"""{"query":"q_bpe_train","axis":"vocab","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
   }
 
+  /** GRAFT_SOAK_AXIS=hotdf — the containment df-cap axis (r18 verdict
+    * directive 1): corpus and eval batch FIXED at sf0.1, the HEADER
+    * DOCUMENT FREQUENCY scaled — a shared 10-token header is injected
+    * into sc/32 of the train docs (≈ 3% → 94%), and every 8th eval doc
+    * carries the same header. The cap is FIXED at n_train/64, so the
+    * header shingles are hot at every scale while no natural shingle
+    * is (sf0.1 natural max df ≈ 0.7% of train). The claim under test
+    * is the cap's structural bound: the UNCAPPED screen's candidate
+    * volume grows linearly with header df (every headered eval doc
+    * joins every headered train doc through the 8 header trigrams),
+    * while the CAPPED screen's volume is df-INDEPENDENT — the volume
+    * probe prints both so the flat line is measured, not asserted. */
+  private def hotDfSoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    import graft.text.Dedup
+    val header = graft.queries.TextQueries.HotHeader
+    val docs = Tables.documents(spark, src)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val evalFixed = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 16 === 1,
+          concat(lit(header + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    val trainBase = docs.filter(col("doc_id") % 2 === 0)
+    val nTrain = trainBase.count()
+    val cap = math.max(1L, nTrain / 64L)
+    def trainAt(sc: Int): DataFrame = trainBase
+      .select(col("doc_id"),
+        when(expr("(doc_id div 2) % 32") < sc,
+          concat(lit(header + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    def once(train: DataFrame, capped: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val out =
+        if (capped) Dedup.containmentPairsFromCappedIndex(evalFixed,
+          Dedup.dfCapShingleFrame(
+            Dedup.literalShingleFrame(train, 3, "train_id"), cap))
+        else Dedup.containmentPairs(evalFixed, train)
+      out.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(trainAt(1), capped = true); once(trainAt(1), capped = false) // warm-up
+    Seq(("q_contamination_capped", true),
+        ("q_contamination_containment", false)).foreach { case (name, capped) =>
+      val times = scales.map { sc =>
+        val train = trainAt(sc)
+        // candidate-volume probe: the (eval shingle × train doc) join
+        // rows the rollup shuffles — the quantity the cap bounds
+        val trainSh = Dedup.literalShingleFrame(train, 3, "train_id")
+        val evSh = Dedup.literalShingleFrame(evalFixed, 3, "eval_id")
+        val vol =
+          if (capped) {
+            val idx = Dedup.dfCapShingleFrame(trainSh, cap)
+            evSh.join(broadcast(idx.hot.select(col("sh"))), Seq("sh"), "left_anti")
+              .join(idx.kept, Seq("sh")).count()
+          } else evSh.join(trainSh, Seq("sh")).count()
+        println(s"[hotdf-probe] tier=$name scale=${sc}x cand_vol=$vol")
+        sc -> (1 to 2).map(_ => once(train, capped)).min
+      }
+      val (s1, t1) = times.head
+      val (sN, tN) = times.last
+      val (sM, tM) = times(times.length - 2)
+      val expTotal = math.log(tN / t1) / math.log(sN.toDouble / s1)
+      val expMarginal = math.log(tN / tM) / math.log(sN.toDouble / sM)
+      val ts = times.map { case (sc, t) => s""""${sc}x":${f"$t%.2f"}""" }.mkString(",")
+      println(s"""{"query":"$name","axis":"hotdf","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+    }
+  }
+
+  /** GRAFT_SOAK_AXIS=paras — the PARAGRAPHS-PER-DOC axis for the
+    * paragraph dedup tier (r18 verdict directive 6): corpus BYTES
+    * fixed at sf0.1, each document re-chunked into p = 2·scale
+    * newline-delimited paragraphs (2 → 60), so the paragraph-frame row
+    * count scales with p while total text does not. This is the
+    * fan-out dimension the uid packing bounds at [[graft.text.Dedup]]
+    * ParasPerDoc = 1024 — the probe prints paragraph counts and the
+    * band-occupancy maximum at paragraph grain, so a hot band from
+    * ever-shorter paragraphs reads directly rather than hiding inside
+    * the wall time. */
+  private def paragraphSoak(spark: SparkSession, scales: Seq[Int],
+      src: String): Unit = {
+    import graft.text.Dedup
+    val docs = Tables.documents(spark, src)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def rechunked(p: Int): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_join(
+        expr(s"""filter(transform(sequence(0, ${p - 1}), i ->
+           | concat_ws(' ', slice(toks,
+           |   cast(i * size(toks) / $p as int) + 1,
+           |   cast((i+1) * size(toks) / $p as int)
+           |     - cast(i * size(toks) / $p as int)))),
+           | s -> s != '')""".stripMargin.replace("\n", " ")),
+        "\n").as("text"))
+      .localCheckpoint(true)
+    def once(corpus: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      Dedup.paragraphDupStats(corpus)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(rechunked(2)) // warm-up
+    val times = scales.map { sc =>
+      val p = 2 * sc
+      val corpus = rechunked(p)
+      val paras = Dedup.paragraphFrame(corpus)
+      val (bands, _) = Dedup.minhashIndex(paras, textCol = "para", idCol = "uid")
+      val occ = bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+          coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("cand_pairs"))
+        .head()
+      println(s"[paras-probe] p=$p n_paragraphs=${paras.count()} " +
+        s"max_band_bucket=${occ.getLong(0)} band_cand_pairs=${occ.getLong(1)}")
+      spark.catalog.clearCache()
+      p -> (1 to 2).map(_ => once(corpus)).min
+    }
+    val (p1, t1) = times.head
+    val (pN, tN) = times.last
+    val (pM, tM) = times(times.length - 2)
+    val expTotal = math.log(tN / t1) / math.log(pN.toDouble / p1)
+    val expMarginal = math.log(tN / tM) / math.log(pN.toDouble / pM)
+    val ts = times.map { case (p, t) => s""""p$p":${f"$t%.2f"}""" }.mkString(",")
+    println(s"""{"query":"q_dedup_paragraphs","axis":"paras","times":{$ts},"exp_total":${f"$expTotal%.3f"},"exp_marginal":${f"$expMarginal%.3f"}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -519,6 +648,16 @@ object Soak {
     }
     if (Axis == "vocab") {
       bpeVocabSoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "hotdf") {
+      hotDfSoak(spark, scales, src)
+      spark.stop()
+      return
+    }
+    if (Axis == "paras") {
+      paragraphSoak(spark, scales, src)
       spark.stop()
       return
     }

@@ -1167,15 +1167,21 @@ object Dedup {
     * screens against the reload (q_contamination_fuzzy_inc's shape for
     * the containment geometry). Only the eval batch pays a scan. */
   def containmentPairsFromIndex(evalDocs: DataFrame, trainSh: DataFrame,
-      k: Int = 3, minContainNum: Int = 4, minContainDen: Int = 5): DataFrame = {
-    val evSh = literalShingleFrame(evalDocs, k, "eval_id")
+      k: Int = 3, minContainNum: Int = 4, minContainDen: Int = 5): DataFrame =
+    containmentCore(literalShingleFrame(evalDocs, k, "eval_id"), trainSh,
+      minContainNum, minContainDen)
+
+  /** The shared containment screen body: eval shingle frame (already
+    * restricted to the screening vocabulary) against a (train_id, sh)
+    * index. The broadcast hint on the EVAL side is the asymmetry
+    * contract, not an optimization: decontamination's small side is
+    * the eval benchmark by construction, and at 100 TB the planner
+    * must never be tempted to build on train (at harness scale AQE
+    * would happily broadcast either). */
+  private def containmentCore(evSh: DataFrame, trainSh: DataFrame,
+      minContainNum: Int, minContainDen: Int): DataFrame = {
     val sizes = evSh.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval_shingles"))
-    // the broadcast hint on the EVAL side is the asymmetry contract,
-    // not an optimization: decontamination's small side is the eval
-    // benchmark by construction, and at 100 TB the planner must never
-    // be tempted to build on train (at harness scale AQE would happily
-    // broadcast either)
     broadcast(evSh).join(trainSh, Seq("sh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1186,5 +1192,68 @@ object Dedup {
         col("n_shared"),
         (col("n_shared").cast("double") / col("n_eval_shingles"))
           .as("containment"))
+  }
+
+  /** A document-frequency-capped containment index: the persisted
+    * train shingle frame split into `kept` (df ≤ dfCap — the screening
+    * vocabulary) and `hot` ((sh, df) rows with df > dfCap — the
+    * stop-shingles, kept as metadata). `nDroppedShingles` /
+    * `droppedMass` are the (count, Σdf) accounting a release manifest
+    * reports for the cap. */
+  final case class CappedShingleIndex(kept: DataFrame, hot: DataFrame) {
+    def nDroppedShingles: Long = hot.count()
+    def droppedMass: Long =
+      hot.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+  }
+
+  /** Split a (train_id, sh) shingle frame at document frequency
+    * `dfCap` — the stop-shingle cap every production decontamination
+    * pipeline applies before the containment screen (r18 verdict
+    * directive 1): at 100 TB a common trigram appears in millions of
+    * train documents, and the shingle equi-join materializes one match
+    * row per (eval shingle × train doc containing it), so ONE
+    * stop-shingle in an eval doc multiplies that doc's match volume by
+    * the shingle's df. Capping bounds the fan-out of every shingle key
+    * at dfCap BY CONSTRUCTION — after the cap, candidate volume ≤
+    * |eval shingle rows| × dfCap, independent of corpus skew.
+    *
+    * The hot frame is tiny by construction (only shingles whose df
+    * exceeds the cap — at a sane cap that is a stop-shingle
+    * dictionary, not a corpus-scale object), so it broadcasts: the
+    * kept side is ONE broadcast anti-join over the index, and the
+    * screen filters the eval side against the same broadcast. The df
+    * groupBy is partial-aggregable on the shingle key — the same
+    * shuffle class the screen's rollup already pays. The hot frame is
+    * eagerly cut: it feeds the kept anti-join, the eval-side filter,
+    * and the accounting reads. */
+  def dfCapShingleFrame(trainSh: DataFrame, dfCap: Long): CappedShingleIndex = {
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val hot = trainSh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .localCheckpoint(true)
+    val kept = trainSh.join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+    CappedShingleIndex(kept, hot)
+  }
+
+  /** [[containmentPairsFromIndex]] over a df-capped index. The
+    * denominator is CAP-AWARE: eval shingles in the hot set are
+    * excluded from n_eval_shingles, so containment is measured over
+    * the screening vocabulary both sides actually share — an eval doc
+    * that embeds a stop-shingle-heavy header still reads ≈ 1 against
+    * its source (the capped bounds gate's motivating check: with the
+    * naive full denominator, the dropped header shingles would dilute
+    * containment below threshold and the embedded leak would pass).
+    * The cost of the cap is stated, not hidden: an eval doc made
+    * ENTIRELY of stop-shingles has an empty screening vocabulary and
+    * cannot be screened by this tier (it emits no pairs); the hot
+    * frame's accounting makes that mass visible, and such evals are
+    * exactly the ones with no distinguishing content to leak. */
+  def containmentPairsFromCappedIndex(evalDocs: DataFrame,
+      index: CappedShingleIndex, k: Int = 3,
+      minContainNum: Int = 4, minContainDen: Int = 5): DataFrame = {
+    val evSh = literalShingleFrame(evalDocs, k, "eval_id")
+      .join(broadcast(index.hot.select(col("sh"))), Seq("sh"), "left_anti")
+    containmentCore(evSh, index.kept, minContainNum, minContainDen)
   }
 }

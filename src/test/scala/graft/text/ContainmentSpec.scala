@@ -62,4 +62,73 @@ class ContainmentSpec extends SparkSpec {
       .toMap
     assert(bounds.size == 6 && bounds.values.forall(identity), bounds.toString)
   }
+
+  // ------------------------------------------------- df-capped tier
+
+  // 10 train docs: all share the stop-trigram source "stop1 stop2
+  // stop3" (df 10); each also has 12 unique tokens (10 unique
+  // trigrams after the 2 boundary ones). Cap 5 -> the 3 header-zone
+  // trigrams with df 10 are hot, everything touching unique tokens
+  // stays.
+  private def cappedTrain = (1 to 10).map { d =>
+    (d.toLong, ("stop1 stop2 stop3 " +
+      (1 to 12).map(i => s"d${d}u$i").mkString(" ")))
+  }.toDF("doc_id", "text")
+
+  test("dfCapShingleFrame: exact hot/kept split and accounting at a hand cap") {
+    val idx = Dedup.dfCapShingleFrame(
+      Dedup.literalShingleFrame(cappedTrain, 3, "train_id"), dfCap = 5)
+    val hot = idx.hot.collect().map(r =>
+      r.getAs[String]("sh") -> r.getAs[Long]("df")).toMap
+    // only the one trigram present in all 10 docs crosses df > 5:
+    // "stop1 stop2 stop3"; boundary trigrams ("stop2 stop3 dXu1",
+    // "stop3 dXu1 dXu2") are per-doc unique
+    assert(hot == Map("stop1 stop2 stop3" -> 10L))
+    assert(idx.nDroppedShingles == 1L && idx.droppedMass == 10L)
+    // kept = every (doc, sh) row except the hot one's 10 occurrences
+    val totalRows = Dedup.literalShingleFrame(cappedTrain, 3, "train_id").count()
+    assert(idx.kept.count() == totalRows - 10L)
+    assert(idx.kept.filter($"sh" === "stop1 stop2 stop3").count() == 0L)
+  }
+
+  test("straddling plant: cap-aware denominator flags what the naive denominator misses") {
+    // plant = the stop header + the first 6 unique tokens of doc 1,
+    // prefixed by a novel marker: 10 tokens -> 8 distinct trigrams.
+    // Hot drops 1 ("stop1 stop2 stop3"); of the surviving 7, the
+    // marker trigram is novel and the other 6 are doc-1 trigrams:
+    // capped containment 6/7 ≈ 0.857 >= 4/5; naive 6/8 = 0.75 < 4/5.
+    val plant = ("mark0 stop1 stop2 stop3 " +
+      (1 to 6).map(i => s"d1u$i").mkString(" "))
+    val ev = Seq((100L, plant)).toDF("doc_id", "text")
+    val idx = Dedup.dfCapShingleFrame(
+      Dedup.literalShingleFrame(cappedTrain, 3, "train_id"), dfCap = 5)
+    val capped = Dedup.containmentPairsFromCappedIndex(ev, idx).collect()
+    assert(capped.length == 1)
+    assert(capped.head.getAs[Long]("train_id") == 1L)
+    assert(capped.head.getAs[Long]("n_eval_shingles") == 7L)
+    assert(capped.head.getAs[Long]("n_shared") == 6L)
+    // the naive spelling (kept index, full denominator) dilutes the
+    // plant below threshold — zero rows
+    assert(Dedup.containmentPairsFromIndex(ev, idx.kept).count() == 0L)
+  }
+
+  test("infinite cap reproduces the uncapped screen exactly") {
+    val ev = Seq(
+      (100L, "stop1 stop2 stop3 " + (1 to 9).map(i => s"d1u$i").mkString(" ")),
+      (101L, (1 to 14).map(i => s"nov$i").mkString(" "))).toDF("doc_id", "text")
+    val trainSh = Dedup.literalShingleFrame(cappedTrain, 3, "train_id")
+    val inf = Dedup.containmentPairsFromCappedIndex(ev,
+      Dedup.dfCapShingleFrame(trainSh, Long.MaxValue))
+    val un = Dedup.containmentPairs(ev, cappedTrain)
+    assert(inf.exceptAll(un).count() == 0L && un.exceptAll(inf).count() == 0L)
+    assert(un.count() > 0L)
+  }
+
+  test("harness hot fixture: all eight capped-tier bounds hold at sf0.001") {
+    val bounds = graft.queries.TextQueries
+      .qContaminationCappedBounds(spark, sf001).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("within_bounds"))
+      .toMap
+    assert(bounds.size == 8 && bounds.values.forall(identity), bounds.toString)
+  }
 }
