@@ -237,8 +237,9 @@ object DedupQueries {
   /** Shared CTE chain replaying the exact ngram pipeline in DuckDB
     * over source relation `src(doc_id, text)`, up to a
     * `pairs(id_a, id_b, jaccard)` relation — the base for the pair,
-    * cluster, and curation oracles. */
-  private def ngramPairCtes(src: String): String =
+    * cluster, curation, and paragraph-excision oracles. `thr` is the
+    * Jaccard threshold literal (the paragraph tier runs at 0.7). */
+  private def ngramPairCtes(src: String, thr: String = "0.8"): String =
     s"""toksed AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM $src
        |), sets AS (
@@ -251,14 +252,14 @@ object DedupQueries {
        |  FROM toksed
        |), sized AS (
        |  SELECT doc_id, sh, len(sh) AS n,
-       |    len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS INT) + 1 AS plen
+       |    len(sh) - CAST(ceil($thr * len(sh) - 1e-9) AS INT) + 1 AS plen
        |  FROM sets
        |), prefixes AS (
        |  SELECT doc_id, n, unnest(list_slice(sh, 1, plen)) AS tok FROM sized
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM prefixes a JOIN prefixes b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |  WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n) - 1e-9
+       |  WHERE least(a.n, b.n) >= $thr * greatest(a.n, b.n) - 1e-9
        |), pairs AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -267,7 +268,7 @@ object DedupQueries {
        |  JOIN sized sa ON sa.doc_id = c.id_a
        |  JOIN sized sb ON sb.doc_id = c.id_b
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+       |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= $thr
        |)""".stripMargin
 
   /** Connected-components CTEs over a `pairs(id_a, id_b)` relation:
@@ -1114,9 +1115,64 @@ object DedupQueries {
       |  t("check", within_bounds)
       |ORDER BY "check"""".stripMargin
 
+  /** Paragraph EXCISION ([[graft.text.Dedup.paragraphExcise]]) over
+    * the boilerplate fixture — the detect→transform split at paragraph
+    * grain (r18 verdict directive 2, mirroring q_span_dedup →
+    * q_span_excise): every cross-doc near-duplicated paragraph keeps
+    * its first-seen (min-uid) owner and is removed everywhere else,
+    * with exact accounting and the reassembled text. HASH-GREEN end to
+    * end because the pair source is the EXACT PPJoin tier (recall 1.0,
+    * replayable relationally) — the DuckDB twin rebuilds the paragraph
+    * frame, the J ≥ 0.7 pair set, the dominance rule, and the ordered
+    * reassembly; the banded tier is the documented 100 TB swap-in
+    * (`banded = true`, same downstream shape, recall-gated by
+    * q_dedup_paragraphs_bounds). */
+  def qDedupParagraphsExcise(s: SparkSession, d: String): DataFrame =
+    graft.text.Dedup.paragraphExcise(paraCorpus(s, d))
+      .orderBy(col("doc_id"))
+
+  private val paraCorpusCtes: String =
+    """donated AS (
+      |  SELECT doc_id // 4 AS g,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 48), ' ') AS boiler
+      |  FROM documents WHERE doc_id % 4 = 0
+      |), corpus AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN b.boiler IS NOT NULL AND length(b.boiler) > 0
+      |      THEN d.text || chr(10) || b.boiler ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN donated b ON d.doc_id // 4 = b.g
+      |), plist AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus
+      |), paras AS (
+      |  SELECT doc_id * 1024 + (i - 1) AS doc_id, ps[i] AS text
+      |  FROM plist, unnest(range(1, len(ps) + 1)) t(i)
+      |  WHERE length(trim(ps[i])) > 0
+      |)""".stripMargin
+
+  val qDedupParagraphsExciseSql: String =
+    s"""WITH $paraCorpusCtes, ${ngramPairCtes("paras", "0.7")},
+       |crossp AS (
+       |  SELECT id_a, id_b FROM pairs WHERE id_a // 1024 <> id_b // 1024
+       |), removed AS (
+       |  SELECT DISTINCT id_b AS uid FROM crossp
+       |), tagged AS (
+       |  SELECT p.doc_id AS uid, p.text AS para, r.uid IS NOT NULL AS rm
+       |  FROM paras p LEFT JOIN removed r ON p.doc_id = r.uid
+       |)
+       |SELECT uid // 1024 AS doc_id,
+       |  count(*) AS n_paragraphs,
+       |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_paras_removed,
+       |  CAST(sum(CASE WHEN rm THEN length(para) ELSE 0 END) AS BIGINT)
+       |    AS chars_removed,
+       |  coalesce(string_agg(CASE WHEN NOT rm THEN para END,
+       |    chr(10) ORDER BY uid), '') AS text_clean
+       |FROM tagged GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_paragraphs" -> (qDedupParagraphs _),
     "q_dedup_paragraphs_bounds" -> (qDedupParagraphsBounds _),
+    "q_dedup_paragraphs_excise" -> (qDedupParagraphsExcise _),
     "q_dedup_sketch_recall_bounds" -> (qDedupSketchRecallBounds _),
     "q_dedup_keeper_quality" -> (qDedupKeeperQuality _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -1142,6 +1198,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_paragraphs_bounds" -> qDedupParagraphsBoundsSql,
+    "q_dedup_paragraphs_excise" -> qDedupParagraphsExciseSql,
     "q_dedup_sketch_recall_bounds" -> qDedupSketchRecallBoundsSql,
     "q_dedup_keeper_quality" -> qDedupKeeperQualitySql,
     "q_span_dedup" -> qSpanDedupSql,

@@ -1115,6 +1115,73 @@ object Dedup {
         col("n_dup_paragraphs").cast("double") / col("n_paragraphs"))
   }
 
+  /** Paragraph EXCISION — the detect→transform half of
+    * [[paragraphDupStats]] (Rae et al. 2021 Gopher §A1.2 actually
+    * REMOVES the duplicated text; the stats row only reports it), the
+    * paragraph-grain sibling of [[spanExcise]]: every paragraph that
+    * near-duplicates (J ≥ minJaccard) a SMALLER-uid paragraph in
+    * another document is removed, and each document's text is
+    * reassembled from its kept paragraphs with exact accounting.
+    *
+    * Keeper rule = the span-provenance rule at paragraph grain: the
+    * first-seen owner survives. Spelled as PAIRWISE DOMINANCE — a
+    * paragraph is removed iff it is the larger uid of ANY cross-doc
+    * pair (the pair generator emits id_a < id_b, so `removed` is one
+    * distinct projection of the id_b side) — which needs no recursive
+    * component resolution and is therefore oracle-replayable; on
+    * duplicate CLIQUES (the boilerplate geometry this tier exists
+    * for) dominance and component-keeper agree exactly, and on chains
+    * dominance removes the same non-first members.
+    *
+    * `banded = false` (default) generates pairs with the EXACT PPJoin
+    * tier ([[ngramJaccardPairs]], recall 1.0 — the oracle-replayable
+    * spelling, so the whole row is hash-checkable); `banded = true` is
+    * the documented 100 TB swap-in ([[minhashPairs]] at the same
+    * threshold — identical downstream shape, recall gated by
+    * q_dedup_paragraphs_bounds' ≥ 0.95 floor).
+    *
+    * Reassembly joins kept paragraphs with a single newline; blank
+    * input lines are NOT preserved (the paragraph frame drops them —
+    * the same whitespace normalization every Gopher-style rewrite
+    * applies). Accounting is exact integers: n_paragraphs /
+    * n_paras_removed at paragraph grain, chars_removed in paragraph
+    * characters. ParagraphExciseSpec pins conservation (kept chars +
+    * removed chars == total paragraph chars; kept + removed counts ==
+    * total) and planted-boilerplate behavior.
+    *
+    * 100 TB shape: pair generation is the already-audited banded/
+    * PPJoin machinery at paragraph grain; the removal set is one
+    * distinct projection of the pair frame; the rewrite is ONE
+    * partial-aggregable groupBy on the packed uid's doc half (the
+    * in-group sort is array_sort over a ≤ [[ParasPerDoc]]-element
+    * collected list, bounded by the same packing invariant the frame
+    * enforces in-plan). */
+  def paragraphExcise(docs: DataFrame, minJaccard: Double = 0.7,
+      banded: Boolean = false): DataFrame = {
+    val paras = paragraphFrame(docs)
+    val rawPairs =
+      if (banded) minhashPairs(paras, maxJaccardDist = 1.0 - minJaccard,
+        textCol = "para", idCol = "uid")
+      else ngramJaccardPairs(paras, k = 3, minJaccard = minJaccard,
+        textCol = "para", idCol = "uid")
+    val removed = rawPairs
+      .filter(expr(s"id_a div $ParasPerDoc") =!=
+        expr(s"id_b div $ParasPerDoc"))
+      .select(col("id_b").as("uid")).distinct()
+    paras.join(removed.withColumn("_rm", lit(1)), Seq("uid"), "left")
+      .select(expr(s"uid div $ParasPerDoc").as("doc_id"),
+        (col("uid") % ParasPerDoc).as("ord"), col("para"), col("_rm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        count(col("_rm")).as("n_paras_removed"),
+        sum(when(col("_rm").isNotNull, length(col("para")))
+          .otherwise(0L)).as("chars_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(col("_rm").isNull, struct(col("ord"), col("para"))))),
+          x => x("para"))).as("text_clean"))
+  }
+
   /** Distinct k-token-shingle frame with LITERAL shingle strings —
     * the oracle-replayable spelling (the q_contamination tier's
     * trigram transform at pair grain). Docs under k tokens emit
