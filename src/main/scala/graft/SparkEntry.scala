@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries, ExtraQueries, ImputeQueries, IngestQueries, JoinQueries, MlQueries, MultimodalQueries, PartsuppQueries, QualityQueries, SimilarityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries, ExtraQueries, ImputeQueries, IngestQueries, JoinQueries, MlQueries, MultimodalQueries, PartsuppQueries, QualityQueries, ReleaseQueries, SimilarityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       ImputeQueries.queries ++ MlQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++ MultimodalQueries.queries ++
-      ExtraQueries.queries ++ IngestQueries.queries ++ AnalyticsQueries.queries ++ QualityQueries.queries ++ PartsuppQueries.queries
+      ExtraQueries.queries ++ IngestQueries.queries ++ AnalyticsQueries.queries ++ QualityQueries.queries ++ PartsuppQueries.queries ++ ReleaseQueries.queries
 
   /** DuckDB twins, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       ImputeQueries.oracles ++ MlQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
-      ExtraQueries.oracles ++ IngestQueries.oracles ++ AnalyticsQueries.oracles ++ QualityQueries.oracles ++ PartsuppQueries.oracles
+      ExtraQueries.oracles ++ IngestQueries.oracles ++ AnalyticsQueries.oracles ++ QualityQueries.oracles ++ PartsuppQueries.oracles ++ ReleaseQueries.oracles
 }

@@ -236,54 +236,61 @@ object DedupQueries {
 
   /** Shared CTE chain replaying the exact ngram pipeline in DuckDB
     * over source relation `src(doc_id, text)`, up to a
-    * `pairs(id_a, id_b, jaccard)` relation — the base for the pair,
-    * cluster, curation, and paragraph-excision oracles. `thr` is the
-    * Jaccard threshold literal (the paragraph tier runs at 0.7). */
-  private def ngramPairCtes(src: String, thr: String = "0.8"): String =
-    s"""toksed AS (
+    * `${pfx}pairs(id_a, id_b, jaccard)` relation — the base for the
+    * pair, cluster, curation, and paragraph-excision oracles. `thr` is
+    * the Jaccard threshold literal (the paragraph tier runs at 0.7);
+    * `pfx` namespaces the CTEs so one query can run the chain at two
+    * grains (the release manifest runs paragraph-0.7 AND doc-0.8). */
+  private[queries] def ngramPairCtes(src: String, thr: String = "0.8",
+      pfx: String = ""): String =
+    s"""${pfx}toksed AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM $src
-       |), sets AS (
+       |), ${pfx}sets AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(
        |      CASE WHEN len(toks) >= 3
        |        THEN list_transform(generate_series(1, len(toks) - 2),
        |               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
        |        ELSE [array_to_string(toks, ' ')] END)) AS sh
-       |  FROM toksed
-       |), sized AS (
+       |  FROM ${pfx}toksed
+       |), ${pfx}sized AS (
        |  SELECT doc_id, sh, len(sh) AS n,
        |    len(sh) - CAST(ceil($thr * len(sh) - 1e-9) AS INT) + 1 AS plen
-       |  FROM sets
-       |), prefixes AS (
-       |  SELECT doc_id, n, unnest(list_slice(sh, 1, plen)) AS tok FROM sized
-       |), cands AS (
+       |  FROM ${pfx}sets
+       |), ${pfx}prefixes AS (
+       |  SELECT doc_id, n, unnest(list_slice(sh, 1, plen)) AS tok FROM ${pfx}sized
+       |), ${pfx}cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM prefixes a JOIN prefixes b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  FROM ${pfx}prefixes a JOIN ${pfx}prefixes b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |  WHERE least(a.n, b.n) >= $thr * greatest(a.n, b.n) - 1e-9
-       |), pairs AS (
+       |), ${pfx}pairs AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-       |  FROM cands c
-       |  JOIN sized sa ON sa.doc_id = c.id_a
-       |  JOIN sized sb ON sb.doc_id = c.id_b
+       |  FROM ${pfx}cands c
+       |  JOIN ${pfx}sized sa ON sa.doc_id = c.id_a
+       |  JOIN ${pfx}sized sb ON sb.doc_id = c.id_b
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / (sa.n + sb.n - len(list_intersect(sa.sh, sb.sh))) >= $thr
        |)""".stripMargin
 
   /** Connected-components CTEs over a `pairs(id_a, id_b)` relation:
-    * `reach` is the recursive transitive closure; min reachable label
-    * per vertex = the component keeper. */
-  private val ccCtes: String =
-    """sym AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL
-      |  SELECT id_b, id_a FROM pairs
-      |), reach(src, lbl) AS (
-      |  SELECT DISTINCT src, src FROM sym
-      |  UNION
-      |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.src
-      |)""".stripMargin
+    * `${pfx}reach` is the recursive transitive closure; min reachable
+    * label per vertex = the component keeper. `pfx` namespaces the
+    * CTEs for queries that also run other chains (release manifest). */
+  private[queries] def ccCtesOver(pairsRel: String,
+      pfx: String = ""): String =
+    s"""${pfx}sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM $pairsRel
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM $pairsRel
+       |), ${pfx}reach(src, lbl) AS (
+       |  SELECT DISTINCT src, src FROM ${pfx}sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM ${pfx}sym s JOIN ${pfx}reach r ON s.dst = r.src
+       |)""".stripMargin
+
+  private val ccCtes: String = ccCtesOver("pairs")
 
   val qDedupNgramSql: String =
     s"""WITH $nearCorpusCte, ${ngramPairCtes("corpus")}
@@ -467,20 +474,19 @@ object DedupQueries {
       |  t(tier, delta_survivors_found, only_novel_content_survives,
       |    inc_matches_scratch)""".stripMargin
 
-  val qCurationSql: String = {
+  /** The quality-gate CTE shared by the curation and release-manifest
+    * twins: `out AS (SELECT cols FROM src WHERE quality_score >= thr)`
+    * with the composite score replayed inline ([[qCurationSql]]'s
+    * proven spelling). `cols` must not collide with the signal names
+    * (n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+    * quality_score). */
+  private[queries] def qualityGateCte(src: String, out: String,
+      cols: String): String = {
     val stop = graft.text.TextAnalysis.langProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH RECURSIVE corpus3 AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + $IdOffset, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + ${2 * IdOffset},
-       |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ')
-       |  FROM documents
-       |), scored AS (
-       |  SELECT doc_id, text FROM (
-       |    SELECT doc_id, text,
+    s"""$out AS MATERIALIZED (
+       |  SELECT $cols FROM (
+       |    SELECT $cols,
        |      CASE WHEN length(trim(text)) = 0 THEN 0
        |           ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
        |      CASE WHEN length(text) > 0
@@ -498,9 +504,21 @@ object DedupQueries {
        |        + 0.25 * alpha_ratio
        |        + 0.25 * (1.0 - punct_ratio)
        |        + 0.25 * least(stopword_ratio * 5.0, 1.0))) AS quality_score
-       |    FROM corpus3)
+       |    FROM $src)
        |  WHERE quality_score >= $CurationMinQuality
-       |), keepers AS (
+       |)""".stripMargin
+  }
+
+  val qCurationSql: String = {
+    s"""WITH RECURSIVE corpus3 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * IdOffset},
+       |    array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, 100000), ' ')
+       |  FROM documents
+       |), ${qualityGateCte("corpus3", "scored", "doc_id, text")}, keepers AS (
        |  SELECT min(doc_id) AS doc_id FROM scored GROUP BY text
        |), exact AS (
        |  SELECT s.doc_id, s.text FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
@@ -1032,13 +1050,16 @@ object DedupQueries {
     * group key is id-local (div 4), so the soak's variant-strided
     * corpora keep groups intra-variant and ground truth linear. */
   private[graft] def paraCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // source rides along untouched — the release manifest's mix stage
+    // reads it; the paragraph members ignore it
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
     val donated = docs.filter(col("doc_id") % 4 === 0)
       .select(expr("doc_id div 4").as("g"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 48)).as("boiler"))
     docs.withColumn("g", expr("doc_id div 4"))
       .join(donated, Seq("g"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         when(col("boiler").isNotNull && length(col("boiler")) > 0,
           concat(col("text"), lit("\n"), col("boiler")))
           .otherwise(col("text")).as("text"))

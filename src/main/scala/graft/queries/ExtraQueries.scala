@@ -1579,21 +1579,24 @@ object ExtraQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The allocation CTE chain shared by [[qMixWaterfillSql]] and
-    * [[qMixWaterfillSelectSql]] — everything up to the per-source
-    * `allocated` frame, replaying [[graft.ops.DomainMix.waterFill]]'s
-    * integer arithmetic verbatim. */
-  private def waterfillAllocCtesFor(availScale: Int, bNum: Int,
-      bDen: Int): String = {
+  /** The allocation CTE chain shared by [[qMixWaterfillSql]],
+    * [[qMixWaterfillSelectSql]], and the release-manifest twin —
+    * everything up to the per-source `allocated` frame, replaying
+    * [[graft.ops.DomainMix.waterFill]]'s integer arithmetic verbatim.
+    * `rel` is the (doc_id, source, text) relation the token frame
+    * reads (the manifest points it at its survivor stage); the chain
+    * carries no leading WITH so callers can splice it mid-query. */
+  private[queries] def waterfillAllocCtesFor(availScale: Int, bNum: Int,
+      bDen: Int, rel: String = "documents"): String = {
     val weightValues = WaterFillWeights
       .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
-    s"""WITH weights(source, weight) AS (
+    s"""weights(source, weight) AS (
        |  VALUES $weightValues
        |), toks AS (
        |  SELECT doc_id, source,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
-       |  FROM documents
+       |  FROM $rel
        |), av AS (
        |  SELECT w.source, CAST(w.weight AS BIGINT) AS weight,
        |    CAST(coalesce(t.a, 0) * $availScale AS BIGINT) AS available,
@@ -1669,7 +1672,7 @@ object ExtraQueries {
   }
 
   val qMixEpochsSql: String =
-    s"""${waterfillAllocCtesFor(4, 3, 4)}
+    s"""WITH ${waterfillAllocCtesFor(4, 3, 4)}
        |SELECT source, corpus_tokens, available AS capacity, weight, saturated,
        |  allocated AS train_tokens,
        |  CASE WHEN corpus_tokens > 0
@@ -1678,13 +1681,13 @@ object ExtraQueries {
        |ORDER BY source""".stripMargin
 
   val qMixWaterfillSql: String =
-    s"""$waterfillAllocCtes
+    s"""WITH $waterfillAllocCtes
        |SELECT source, available, weight, saturated, allocated
        |FROM alloc
        |ORDER BY source""".stripMargin
 
   val qMixWaterfillSelectSql: String =
-    s"""$waterfillAllocCtes,
+    s"""WITH $waterfillAllocCtes,
        |sel_ranked AS (
        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        |    CAST(sum(n_tokens) OVER (PARTITION BY source
