@@ -293,6 +293,48 @@ object Curation {
       ("blocklist_in" -> verdict.count()) +: r.accounting)
   }
 
+  /** The TRAIN-ARRIVAL streaming containment face (r18 verdict
+    * directive 5) — the direction production actually sees: the eval
+    * benchmark set is FROZEN and small; TRAIN pages arrive
+    * continuously. Each trigger batch is (1) SCREENED against the
+    * frozen probe — every (eval, train) pair whose eval-side trigram
+    * containment clears the threshold is emitted as a verdict, the
+    * embedded-benchmark geometry [[Dedup.containmentPairs]] exists
+    * for — and (2) FOLDED: the CLEAN docs' shingle rows append to the
+    * train index; flagged docs never enter it (the blocklist-gate
+    * discipline: a leaky page is dropped at the door, not laundered
+    * into state).
+    *
+    * The returned index is a pure `unionByName` of (train_id, sh)
+    * rows — no shuffle, no aggregation in the fold path — and both the
+    * screen (a per-doc function of the frozen probe alone) and the
+    * fold (set union over disjoint doc ids) are ORDER- and
+    * SLICING-INSENSITIVE, so fold(batches) equals the one-shot index
+    * over the concatenated delta exactly (StreamingSpec's replay
+    * check), not just for one trigger layout.
+    *
+    * Cap note: the arrival screen runs UNCAPPED against the delta —
+    * the delta is the bounded side (probe broadcast × one batch), so
+    * hot-shingle fan-out cannot bite here; the df cap protects the
+    * CORPUS-WIDE serve screen, which derives its kept/hot split from
+    * this raw index via [[Dedup.dfCapShingleFrame]] once per eval
+    * release (df is a pure groupBy of the rows, so no df state needs
+    * folding — once a shingle crosses the cap it stays hot, and the
+    * serve-time split always reflects the full folded history). */
+  def screenedTrainShingleFold(trainSh: DataFrame, batch: DataFrame,
+      evalProbe: DataFrame, k: Int = 3, minContainNum: Int = 4,
+      minContainDen: Int = 5): (DataFrame, DataFrame) = {
+    // eagerly cut: the batch shingle frame feeds the screen AND the
+    // fold; without the cut the delta would be re-shingled per branch
+    val batchSh = Dedup.literalShingleFrame(batch, k, "train_id")
+      .localCheckpoint(true)
+    val verdicts = Dedup.containmentPairsFromIndex(evalProbe, batchSh, k,
+      minContainNum, minContainDen).localCheckpoint(true)
+    val cleanSh = batchSh.join(
+      verdicts.select(col("train_id")).distinct(), Seq("train_id"), "left_anti")
+    (verdicts, trainSh.unionByName(cleanSh))
+  }
+
   /** The END-TO-END release manifest (r18 verdict directive 3): ONE
     * operator composing the full shipped curation recipe — blocklist
     * screen → quality gate → paragraph excision → exact dedup →

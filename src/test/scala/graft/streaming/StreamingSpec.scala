@@ -241,6 +241,80 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", phrases).filter(!col("keep")).count() > 0)
   }
 
+  test("train-arrival streaming containment: batches screen against the frozen probe and fold slicing-independently") {
+    import graft.text.{Curation, Dedup}
+    // frozen eval probe: synthetic benchmark docs over a NOVEL
+    // vocabulary, so only deliberate embeddings can clear containment
+    // and the assertions are exact
+    val probe = (1 to 6).map(p =>
+      (1000L + p, (1 to 12).map(t => s"bench${p}t$t").mkString(" ")))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val history = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val index0 = Dedup.literalShingleFrame(history, 3, "train_id")
+      .localCheckpoint(true)
+    // batch files: clean new train docs (reversed / sorted token
+    // orders) plus EMBEDDING hosts — probe docs spliced inside novel
+    // filler, one per probe doc, split across the two batches
+    def host(p: Int, id: Long) =
+      (id, s"lead${id}a lead${id}b lead${id}c " +
+        (1 to 12).map(t => s"bench${p}t$t").mkString(" ") +
+        s" tail${id}a tail${id}b")
+    val off = graft.queries.DedupQueries.IdOffset
+    val clean1 = history.select((col("doc_id") + 4 * off).as("doc_id"),
+      concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val file1 = clean1.unionByName(
+      Seq(host(1, 4 * off - 1), host(2, 4 * off - 2), host(3, 4 * off - 3))
+        .toDF("doc_id", "text"))
+    val clean2 = history.select((col("doc_id") + 6 * off).as("doc_id"),
+      concat_ws(" ", sort_array(Dedup.tokens(col("text")))).as("text"))
+    val file2 = clean2.unionByName(
+      Seq(host(4, 6 * off - 1), host(5, 6 * off - 2), host(6, 6 * off - 3))
+        .toDF("doc_id", "text"))
+    val dir = Files.createTempDirectory("graft-train-contain").toString
+    val schema = file1.schema
+    var state = index0
+    val verdictsByBatch = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long)]]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (v, next) = Curation.screenedTrainShingleFold(state, df, probe)
+        verdictsByBatch += v.select("eval_id", "train_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        state = next.localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      file1.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      file2.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(verdictsByBatch.size == 2, s"expected 2 batches, got ${verdictsByBatch.size}")
+    // (a) every planted embedding flagged WITH its probe source, and
+    // nothing else (novel probe vocabulary -> no accidental flags);
+    // batch 2's plants prove the probe stays frozen across the fold
+    assert(verdictsByBatch(0) ==
+      Set((1001L, 4 * off - 1), (1002L, 4 * off - 2), (1003L, 4 * off - 3)))
+    assert(verdictsByBatch(1) ==
+      Set((1004L, 6 * off - 1), (1005L, 6 * off - 2), (1006L, 6 * off - 3)))
+    // (b) flagged hosts never entered the folded index; clean docs did
+    val stateIds = state.select("train_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(verdictsByBatch.flatten.forall { case (_, t) => !stateIds.contains(t) })
+    // (c) slicing independence: the folded index equals the ONE-SHOT
+    // fold over the concatenated delta, as a set
+    val (_, oneShot) = Curation.screenedTrainShingleFold(
+      index0, file1.unionByName(file2), probe)
+    assert(state.exceptAll(oneShot).count() == 0L &&
+      oneShot.exceptAll(state).count() == 0L)
+    // (d) the folded index serves: a later eval release screened
+    // against it flags a clean-doc embedding... the probe docs
+    // themselves are NOT in the index (their hosts were dropped), so
+    // screening the probe against the folded index finds nothing
+    assert(Dedup.containmentPairsFromIndex(probe, state).count() == 0L)
+  }
+
   test("incremental curation crash recovery: restart from persisted state + checkpoint resumes identically") {
     // The claim a 100 TB continuous-ingest operator actually relies
     // on: kill the stream after batch N, start a NEW query from the
