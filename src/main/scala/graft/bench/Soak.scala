@@ -551,29 +551,50 @@ object Soak {
 
   /** GRAFT_SOAK_AXIS=paras — the PARAGRAPHS-PER-DOC axis for the
     * paragraph dedup tier (r18 verdict directive 6): corpus BYTES
-    * fixed at sf0.1, each document re-chunked into p = 2·scale
+    * ~fixed at sf0.1, each document re-chunked into p = 2·scale
     * newline-delimited paragraphs (2 → 60), so the paragraph-frame row
-    * count scales with p while total text does not. This is the
-    * fan-out dimension the uid packing bounds at [[graft.text.Dedup]]
-    * ParasPerDoc = 1024 — the probe prints paragraph counts and the
-    * band-occupancy maximum at paragraph grain, so a hot band from
-    * ever-shorter paragraphs reads directly rather than hiding inside
-    * the wall time. */
+    * count scales with p while total text does not. Every natural
+    * chunk gets ONE doc-and-ordinal-unique suffix token — without it,
+    * re-chunking a tiny-vocabulary corpus into 1–2-token paragraphs
+    * manufactures corpus-sized identical-paragraph cliques whose TRUE
+    * pair volume is quadratic (the first draft of this soak measured
+    * exactly that blow-up at p = 60: ground truth itself explodes, so
+    * the wall time says nothing about the operator). With unique
+    * suffixes the only cross-doc duplicates are the PLANTED group
+    * boilerplate (the paraCorpus geometry, one per doc), so ground
+    * truth is p-CONSTANT and the measured cost is the fan-out
+    * dimension alone — the dimension the uid packing bounds at
+    * [[graft.text.Dedup]] ParasPerDoc = 1024. The probe prints
+    * paragraph counts and band occupancy at paragraph grain, so a hot
+    * band reads directly rather than hiding inside the wall time. */
   private def paragraphSoak(spark: SparkSession, scales: Seq[Int],
       src: String): Unit = {
     import graft.text.Dedup
     val docs = Tables.documents(spark, src)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val boiler = docs.filter(col("doc_id") % 4 === 0)
+      .select(expr("doc_id div 4").as("g"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 48)).as("boiler"))
+      .localCheckpoint(true)
     def rechunked(p: Int): DataFrame = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_join(
-        expr(s"""filter(transform(sequence(0, ${p - 1}), i ->
+        // the unique suffix token also means no chunk is ever blank,
+        // so paragraph rows are exactly docs × p (+ planted boiler)
+        expr(s"""transform(sequence(0, ${p - 1}), i ->
            | concat_ws(' ', slice(toks,
            |   cast(i * size(toks) / $p as int) + 1,
            |   cast((i+1) * size(toks) / $p as int)
-           |     - cast(i * size(toks) / $p as int)))),
-           | s -> s != '')""".stripMargin.replace("\n", " ")),
+           |     - cast(i * size(toks) / $p as int))
+           |   || array(concat('u', doc_id, 'x', i))))""".stripMargin
+          .replace("\n", " ")),
         "\n").as("text"))
+      .withColumn("g", expr("doc_id div 4"))
+      .join(boiler, Seq("g"), "left")
+      .select(col("doc_id"),
+        when(col("boiler").isNotNull && length(col("boiler")) > 0,
+          concat(col("text"), lit("\n"), col("boiler")))
+          .otherwise(col("text")).as("text"))
       .localCheckpoint(true)
     def once(corpus: DataFrame): Double = {
       val t0 = System.nanoTime()
