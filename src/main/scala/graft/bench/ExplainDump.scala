@@ -90,7 +90,12 @@ object ExplainDump {
     "q_blocklist_excise", "q_mix_waterfill_select", "q_shard_snake",
     "q_multimodal_denylist", "q_mix_epochs", "q_hard_negatives", "q_hard_negatives_ann",
     "q_contamination_containment", "q_contamination_containment_inc",
-    "q_dedup_paragraphs", "q_best_of_n", "q_best_of_n_hist", "q_dpo_pairs")
+    "q_dedup_paragraphs", "q_best_of_n", "q_best_of_n_hist", "q_dpo_pairs",
+    // q_contamination_capped_stats and q_corpus_release are driver-
+    // computed accounting frames (LocalTableScan) — per the bounds-gate
+    // dump policy above, their reviewable plans are the per-stage
+    // operators already in this list
+    "q_contamination_capped", "q_dedup_paragraphs_excise")
 
   /** PageRank's per-iteration `localCheckpoint` hides the loop body
     * the same way curation's stages are hidden: dump the
