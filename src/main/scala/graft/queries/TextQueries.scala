@@ -830,10 +830,16 @@ object TextQueries {
     val plantHits = flagged
       .filter(col("eval_id") >= off &&
         col("train_id") === col("eval_id") - off).count()
+    // ONE fresh shingling of train, eagerly cut — it feeds the maxJ
+    // sizes, the carried-verbatim recompute, and the incremental
+    // scratch screen (r19 closing-bench trim: the first spelling
+    // shingled train once per leg)
+    val freshSh = graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
+      .localCheckpoint(true)
     // exact symmetric Jaccard of each (plant, source) pair: |∩| is the
     // flagged row's n_shared; |∪| = n_eval + n_train − |∩| — the sizes
     // come from the SAME shingle spelling the operator uses
-    val trainSh = graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
+    val trainSh = freshSh
       .groupBy(col("train_id")).agg(count(lit(1)).as("n_train_shingles"))
     val maxJ = flagged
       .filter(col("eval_id") >= off &&
@@ -866,8 +872,7 @@ object TextQueries {
     // the from-scratch capped screen of that same batch
     def symDiff(a: DataFrame, b: DataFrame): Long =
       a.exceptAll(b).count() + b.exceptAll(a).count()
-    val freshIdx = graft.text.Dedup.dfCapShingleFrame(
-      graft.text.Dedup.literalShingleFrame(train, 3, "train_id"),
+    val freshIdx = graft.text.Dedup.dfCapShingleFrame(freshSh,
       containDfCap(train))
     val pIdx = readContainIndex(s, containTrainIndexDir(s, d))
     val idxDrift = symDiff(pIdx.kept, freshIdx.kept) +
@@ -943,17 +948,37 @@ object TextQueries {
             concat_ws(" ", slice(toks, 5, 18))).as("text")))
   }
 
-  /** Build the capped index over the hot fixture once per (process,
-    * scale dir) — it feeds three members (serve, stats, bounds); the
-    * cap is the same max(n_train/10, 1) rule as the persisted
-    * production index. */
-  private def hotCappedIndex(s: SparkSession, d: String,
-      docs: DataFrame): (graft.text.Dedup.CappedShingleIndex, DataFrame) = {
-    val train = hotTrainCorpus(docs)
-    val idx = graft.text.Dedup.dfCapShingleFrame(
-      graft.text.Dedup.literalShingleFrame(train, 3, "train_id"),
-      containDfCap(train))
-    (idx, train)
+  /** The hot fixture's capped index, PERSISTED once per (process,
+    * scale dir) — the production-index discipline applied to the
+    * fixture: three members (serve, stats, bounds) read the same
+    * parquet generation instead of each re-shingling the fixture
+    * train split (the r19 closing-bench audit caught the stats member
+    * paying a full rebuild for two count reads). `raw` is the uncapped
+    * (train_id, sh) frame — the bounds gate's K=∞ / uncapped legs
+    * derive from it without a third shingling. The cap is the same
+    * max(n_train/10, 1) rule as the production index. */
+  private val hotIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def hotCappedIndexDir(s: SparkSession, d: String): String =
+    hotIdxCache.computeIfAbsent(d, _ => {
+      val p = graft.TempDirs.create("graft_hotidx_").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val train = hotTrainCorpus(docs)
+      val raw = graft.text.Dedup.literalShingleFrame(train, 3, "train_id")
+        .localCheckpoint(true)
+      val idx = graft.text.Dedup.dfCapShingleFrame(raw, containDfCap(train))
+      raw.write.mode("overwrite").parquet(s"$p/raw")
+      idx.kept.write.mode("overwrite").parquet(s"$p/kept")
+      idx.hot.write.mode("overwrite").parquet(s"$p/hot")
+      p
+    })
+
+  private def hotCappedIndex(s: SparkSession,
+      d: String): graft.text.Dedup.CappedShingleIndex = {
+    val dir = hotCappedIndexDir(s, d)
+    graft.text.Dedup.CappedShingleIndex(
+      s.read.parquet(s"$dir/kept"), s.read.parquet(s"$dir/hot"))
   }
 
   /** DF-capped containment decontamination over the hot-shingled
@@ -969,8 +994,8 @@ object TextQueries {
   def qContaminationCapped(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .localCheckpoint(true)
-    val (idx, _) = hotCappedIndex(s, d, docs)
-    graft.text.Dedup.containmentPairsFromCappedIndex(hotEvalBatch(docs), idx)
+    graft.text.Dedup.containmentPairsFromCappedIndex(hotEvalBatch(docs),
+        hotCappedIndex(s, d))
       .orderBy(col("eval_id"), col("train_id"))
   }
 
@@ -1033,9 +1058,7 @@ object TextQueries {
     * Hash-green: exact integers, the twin replays the split. */
   def qContaminationCappedStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
-    val (idx, _) = hotCappedIndex(s, d, docs)
+    val idx = hotCappedIndex(s, d)
     Seq((idx.nDroppedShingles, idx.droppedMass, idx.kept.count()))
       .toDF("n_hot_shingles", "dropped_mass", "n_kept_rows")
   }
@@ -1067,25 +1090,37 @@ object TextQueries {
     val off = 9 * DedupQueries.IdOffset
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .localCheckpoint(true)
-    val (idx, train) = hotCappedIndex(s, d, docs)
-    val hot = idx.hot.localCheckpoint(true)
+    // ONE train shingling (the persisted fixture index: raw + kept +
+    // hot) and ONE eval shingling feed every leg below — the r19
+    // closing-bench audit caught the first spelling of this gate
+    // re-shingling both sides per leg (38 s where ~12 s is the work)
+    val idxDir = hotCappedIndexDir(s, d)
+    val rawSh = s.read.parquet(s"$idxDir/raw")
+    val kept = s.read.parquet(s"$idxDir/kept")
+    val hot = s.read.parquet(s"$idxDir/hot").localCheckpoint(true)
+    val train = hotTrainCorpus(docs)
     val ev = hotEvalBatch(docs).localCheckpoint(true)
     val nPlants = ev.filter(col("doc_id") >= off).count()
     def plantHits(pairs: DataFrame): Long = pairs
       .filter(col("eval_id") >= off &&
         col("train_id") === col("eval_id") - off).count()
-    val capped = graft.text.Dedup.containmentPairsFromCappedIndex(ev, idx)
+    val evShAll = graft.text.Dedup.literalShingleFrame(ev, 3, "eval_id")
+      .localCheckpoint(true)
+    val evShKept = evShAll
+      .join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+      .localCheckpoint(true)
+    val capped = graft.text.Dedup.containmentCore(evShKept, kept, 4, 5)
       .localCheckpoint(true)
     // negative control: kept index, NAIVE full denominator — the
-    // spelling containmentPairsFromIndex computes when handed the
-    // capped index without the eval-side exclusion
-    val naive = graft.text.Dedup.containmentPairsFromIndex(ev, idx.kept)
-    // K=∞ equivalence on the same fixture
-    val inf = graft.text.Dedup.containmentPairsFromCappedIndex(ev,
-      graft.text.Dedup.dfCapShingleFrame(
-        graft.text.Dedup.literalShingleFrame(train, 3, "train_id"),
-        Long.MaxValue))
-    val uncapped = graft.text.Dedup.containmentPairs(ev, train)
+    // spelling a cap bolted on WITHOUT the eval-side exclusion computes
+    val naive = graft.text.Dedup.containmentCore(evShAll, kept, 4, 5)
+    // K=∞ equivalence on the same fixture: an effectively-infinite cap
+    // drops nothing, so its screen must equal the raw-index screen
+    val infIdx = graft.text.Dedup.dfCapShingleFrame(rawSh, Long.MaxValue)
+    val inf = graft.text.Dedup.containmentCore(
+      evShAll.join(broadcast(infIdx.hot.select(col("sh"))), Seq("sh"), "left_anti"),
+      infIdx.kept, 4, 5)
+    val uncapped = graft.text.Dedup.containmentCore(evShAll, rawSh, 4, 5)
       .localCheckpoint(true)
     def symDiff(a: DataFrame, b: DataFrame): Long =
       a.exceptAll(b).count() + b.exceptAll(a).count()
@@ -1093,16 +1128,9 @@ object TextQueries {
     // candidate volumes: the (eval shingle × train doc) join rows the
     // rollup shuffles — the quantity the cap bounds by construction
     val headerSh = HotHeaderTokens.sliding(3).map(_.mkString(" ")).toSeq
-    val evShKept = graft.text.Dedup
-      .literalShingleFrame(ev, 3, "eval_id")
-      .join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
-      .localCheckpoint(true)
     val cap = containDfCap(train)
-    val cappedVol = broadcast(evShKept).join(idx.kept, Seq("sh")).count()
-    val evShAll = graft.text.Dedup.literalShingleFrame(ev, 3, "eval_id")
-    val uncappedVol = broadcast(evShAll)
-      .join(graft.text.Dedup.literalShingleFrame(train, 3, "train_id"),
-        Seq("sh")).count()
+    val cappedVol = broadcast(evShKept).join(kept, Seq("sh")).count()
+    val uncappedVol = broadcast(evShAll).join(rawSh, Seq("sh")).count()
     val hotSet = hot.select(col("sh")).collect().map(_.getString(0)).toSet
     val ok = nPlants > 0
     Seq(

@@ -1245,7 +1245,7 @@ object Dedup {
     * the eval benchmark by construction, and at 100 TB the planner
     * must never be tempted to build on train (at harness scale AQE
     * would happily broadcast either). */
-  private def containmentCore(evSh: DataFrame, trainSh: DataFrame,
+  private[graft] def containmentCore(evSh: DataFrame, trainSh: DataFrame,
       minContainNum: Int, minContainDen: Int): DataFrame = {
     val sizes = evSh.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval_shingles"))
