@@ -522,14 +522,24 @@ object Soak {
       (System.nanoTime() - t0) / 1e9
     }
     once(trainAt(1), capped = true); once(trainAt(1), capped = false) // warm-up
-    Seq(("q_contamination_capped", true),
-        ("q_contamination_containment", false)).foreach { case (name, capped) =>
-      val times = scales.map { sc =>
-        val train = trainAt(sc)
+    // one headered train frame per SCALE, shared by both tiers (the
+    // r19 self-review: the per-(tier, scale) layout retained twice the
+    // checkpoint blocks and measured the tiers in different windows);
+    // per-scale clearCache releases the dedup internals between legs
+    val tiers = Seq(("q_contamination_capped", true),
+      ("q_contamination_containment", false))
+    val acc = tiers.map { case (name, capped) =>
+      (name, capped) -> scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    }.toMap
+    scales.foreach { sc =>
+      val train = trainAt(sc)
+      val trainSh = Dedup.literalShingleFrame(train, 3, "train_id")
+        .localCheckpoint(true)
+      val evSh = Dedup.literalShingleFrame(evalFixed, 3, "eval_id")
+        .localCheckpoint(true)
+      tiers.foreach { case (name, capped) =>
         // candidate-volume probe: the (eval shingle × train doc) join
         // rows the rollup shuffles — the quantity the cap bounds
-        val trainSh = Dedup.literalShingleFrame(train, 3, "train_id")
-        val evSh = Dedup.literalShingleFrame(evalFixed, 3, "eval_id")
         val vol =
           if (capped) {
             val idx = Dedup.dfCapShingleFrame(trainSh, cap)
@@ -537,8 +547,12 @@ object Soak {
               .join(idx.kept, Seq("sh")).count()
           } else evSh.join(trainSh, Seq("sh")).count()
         println(s"[hotdf-probe] tier=$name scale=${sc}x cand_vol=$vol")
-        sc -> (1 to 2).map(_ => once(train, capped)).min
+        acc((name, capped)) += sc -> (1 to 2).map(_ => once(train, capped)).min
       }
+      spark.catalog.clearCache()
+    }
+    tiers.foreach { case (name, capped) =>
+      val times = acc((name, capped)).toList
       val (s1, t1) = times.head
       val (sN, tN) = times.last
       val (sM, tM) = times(times.length - 2)

@@ -154,6 +154,16 @@ object Blocklist {
     * across a replacement boundary). A pre-existing input marker
     * cancels in the subtraction (the r17 ADVICE case, still pinned).
     *
+    * CONTRACT CHANGE (r19): the require is STRICTER than the r18
+    * containment-only check — a (phrases, marker) pair where a phrase
+    * shares a border with the marker (e.g. a phrase ending in '<'
+    * under the default marker) was counted exactly by the r18
+    * per-step spelling but now fails fast at plan build. Callers with
+    * such a pair must pick a marker sharing no border with any phrase
+    * (always possible: markers are caller-chosen sentinels) — the
+    * loud failure is deliberate, because under marker-delta counting
+    * a border overlap would silently miscount instead.
+    *
     * One codegen projection; the 100 TB cost is the corpus rewrite
     * itself. */
   def excise(df: DataFrame, idCol: String, textCol: String,

@@ -393,15 +393,23 @@ object Curation {
       df.agg(coalesce(sum(toks), lit(0L))).head().getLong(0)
     val rows = scala.collection.mutable.ListBuffer.empty[(Int, String, Long, Long, Long)]
     var prevCount = -1L
+    var prevTokens = 0L
     def stage(id: Int, name: String, in: Long, out: DataFrame): DataFrame = {
       val cut = out.localCheckpoint(true)
       val n = cut.count()
-      rows += ((id, name, in, n, tokensOf(cut)))
+      prevTokens = tokensOf(cut)
+      rows += ((id, name, in, n, prevTokens))
       prevCount = n
       cut
     }
 
-    val s0 = stage(0, "input", docs0.count(), docs0)
+    // the input row's docs_in == docs_out by definition: checkpoint
+    // FIRST, count once (the r19 self-review caught the draft
+    // evaluating the fixture join twice for two identical numbers)
+    val s0 = docs0.localCheckpoint(true)
+    prevCount = s0.count()
+    prevTokens = tokensOf(s0)
+    rows += ((0, "input", prevCount, prevCount, prevTokens))
     val verdict = Blocklist.screen(s0, "doc_id", "text", phrases)
       .filter(col("keep")).select(col("doc_id"))
     val s1 = stage(1, "blocklist", prevCount,
@@ -438,10 +446,10 @@ object Curation {
         "source", "doc_id", "n_tokens", mixWeights,
         budgetNum = 3L, budgetDen = 5L)
       .select(col("doc_id"))
-    val s8 = stage(8, "mix", prevCount,
-      s7.join(selected, Seq("doc_id"), "left_semi"))
-    val packedTokens = tokensOf(s8)
-    rows += ((9, "pack", prevCount, (packedTokens + 511L) / 512L, packedTokens))
+    stage(8, "mix", prevCount, s7.join(selected, Seq("doc_id"), "left_semi"))
+    // pack is pure block arithmetic over the mix stage's already-
+    // measured token mass — no new action
+    rows += ((9, "pack", prevCount, (prevTokens + 511L) / 512L, prevTokens))
 
     rows.toList.toDF("stage_id", "stage", "docs_in", "docs_out", "tokens_out")
   }

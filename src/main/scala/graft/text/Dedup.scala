@@ -1128,10 +1128,16 @@ object Dedup {
     * paragraph is removed iff it is the larger uid of ANY cross-doc
     * pair (the pair generator emits id_a < id_b, so `removed` is one
     * distinct projection of the id_b side) — which needs no recursive
-    * component resolution and is therefore oracle-replayable; on
+    * component resolution and is therefore oracle-replayable. On
     * duplicate CLIQUES (the boilerplate geometry this tier exists
-    * for) dominance and component-keeper agree exactly, and on chains
-    * dominance removes the same non-first members.
+    * for) dominance and component-keeper agree exactly; on CHAINS
+    * they can differ and dominance is the more conservative rule — in
+    * X(2000) ~ M(8000) ~ Z(1000) with X ≁ Z, dominance removes only M
+    * (the only paragraph some pair dominates) while the component
+    * keeper would also remove X — i.e. dominance never removes a
+    * paragraph that merely LINKS to the clique through an undominated
+    * member. The two rules are NOT interchangeable on chains; this
+    * operator's contract is dominance.
     *
     * `banded = false` (default) generates pairs with the EXACT PPJoin
     * tier ([[ngramJaccardPairs]], recall 1.0 — the oracle-replayable
@@ -1159,15 +1165,24 @@ object Dedup {
   def paragraphExcise(docs: DataFrame, minJaccard: Double = 0.7,
       banded: Boolean = false): DataFrame = {
     val paras = paragraphFrame(docs)
-    val rawPairs =
-      if (banded) minhashPairs(paras, maxJaccardDist = 1.0 - minJaccard,
-        textCol = "para", idCol = "uid")
-      else ngramJaccardPairs(paras, k = 3, minJaccard = minJaccard,
-        textCol = "para", idCol = "uid")
+    // the pair generators persist corpus-scale signature/shingle
+    // frames internally; `removed` is a tiny uid set, so it is cut
+    // eagerly and the handles released HERE — a long session running
+    // many excisions leaks nothing (the r19 self-review leak)
+    val (rawPairs, handles) =
+      if (banded) {
+        val (bands, sets, h) = minhashIndexWithHandle(paras,
+          textCol = "para", idCol = "uid")
+        (minhashPairsFromIndex(bands, sets,
+          maxJaccardDist = 1.0 - minJaccard, idCol = "uid"), Seq(h))
+      } else ngramJaccardPairsWithHandles(paras, k = 3,
+        minJaccard = minJaccard, textCol = "para", idCol = "uid")
     val removed = rawPairs
       .filter(expr(s"id_a div $ParasPerDoc") =!=
         expr(s"id_b div $ParasPerDoc"))
       .select(col("id_b").as("uid")).distinct()
+      .localCheckpoint(true)
+    handles.foreach(_.unpersist())
     paras.join(removed.withColumn("_rm", lit(1)), Seq("uid"), "left")
       .select(expr(s"uid div $ParasPerDoc").as("doc_id"),
         (col("uid") % ParasPerDoc).as("ord"), col("para"), col("_rm"))
